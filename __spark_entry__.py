@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (exact keep-first dedup, the reference's
+core semantics) at sf0.001. ``queries()`` — one entry per implemented
+operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
+every SQL-expressible operator; streaming / approximate / Python-stage
+operators are rows-only by design and documented as such on each callable.
 """
 
 from __future__ import annotations
@@ -13,26 +13,50 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pulsar_topic_deduplicator_spark.operators import dedup, lineage, relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: content-hash + first-occurrence dedup of the events stream
+    table — the reference's end-to-end semantics in batch (SURVEY.md §7.2)."""
+    return dedup.dedup_exact_keep_first(spark, SF_SMOKE_DIR)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {
+        # ── dedup family (reference tier R) ────────────────────────────────
+        "hash_payload": dedup.hash_payload,
+        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
+        "dedup_within_window": dedup.dedup_within_window,
+        "ignore_props_projection": dedup.ignore_props_projection,
+        "first_per_key": dedup.first_per_key,
+        "dedup_counters": dedup.dedup_counters,
+        "distinct_digests": dedup.distinct_digests,
+        "approx_distinct_events": dedup.approx_distinct_events,  # rows-only
+        # ── lineage / warm-up (tier R) ─────────────────────────────────────
+        "origin_lineage": lineage.origin_lineage,
+        "warmup_digest_extract": lineage.warmup_digest_extract,
+        # ── relational support tier ────────────────────────────────────────
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
+        "anti_join_customers_without_orders": relational.anti_join_customers_without_orders,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "rollup_sales": relational.rollup_sales,
+        "except_brands": relational.except_brands,
+        "union_segments": relational.union_segments,
+        "orders_topk": relational.orders_topk,
+        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    oracles: dict[str, str] = {}
+    for module in (dedup, lineage, relational):
+        oracles.update(module.ORACLES)
+    return oracles

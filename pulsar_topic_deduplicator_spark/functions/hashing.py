@@ -1,0 +1,68 @@
+"""Content hashing — the dedup identity.
+
+The reference computes BLAKE2b-512 over ``concat(payload_bytes,
+utf8(stable_json(props - ignored)))`` and stores the *hex string* digest
+(``src/deduplication.ts:26-39``, hex at ``:119``; string-not-Buffer pinned by
+``src/deduplication.test.ts:249-275``). Event timestamps are deliberately
+EXCLUDED from the identity because replica forwarders stamp different times
+for the same logical message (``src/deduplication.ts:24-25``).
+
+The reference's own comment (``src/deduplication.ts:30-36``) states collision
+resistance — not cryptographic strength or a specific algorithm — is the
+requirement ("a 128-bit xxHash would probably do"), so the engine uses
+SHA2-256 (built-in, codegen'd, and exactly reproducible in DuckDB's
+``sha256`` for the oracle) and ``xxhash64`` where a cheap 64-bit hash is
+enough (shingle hashing for MinHash/SimHash).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .canonical import canonical_props
+
+# Unit separator: joins hash-input fields unambiguously (cannot occur in the
+# test data's values). The reference concatenates raw payload bytes with the
+# canonical-JSON bytes; with typed columns we join string renderings instead.
+SEP = "\x1f"
+
+
+def content_hash(*cols: Column | str) -> Column:
+    """Hex digest over the SEP-joined string rendering of ``cols``
+    (reference op #6). Matches DuckDB ``sha256(concat_ws(chr(31), ...))``."""
+    return F.sha2(F.concat_ws(SEP, *cols), 256)
+
+
+def events_digest(ignored: Iterable[str] = ()) -> Column:
+    """Dedup digest for the ``events`` test table.
+
+    payload := event_type + value (rendered %.2f — deterministic for a given
+    double bit pattern in both Spark and DuckDB), properties := canonical
+    JSON of ``props`` minus ``ignored``; identity excludes ``ts`` exactly as
+    the reference excludes the event timestamp (``src/deduplication.ts:24-25``).
+    """
+    return content_hash(
+        F.col("event_type"),
+        F.format_string("%.2f", F.col("value")),
+        canonical_props(F.col("props"), ignored),
+    ).alias("digest")
+
+
+def stable_uint60(c: Column) -> Column:
+    """Deterministic 60-bit non-negative int from a string column.
+
+    First 15 hex chars of SHA2-256 parsed base-16. Reproducible in DuckDB as
+    ``CAST('0x' || substr(sha256(x), 1, 15) AS BIGINT)`` — used so MinHash /
+    SimHash signatures are oracle-checkable. 60 bits fits signed int64 in
+    both engines.
+    """
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def hash64(c: Column) -> Column:
+    """Cheap non-cryptographic 64-bit hash (xxhash64) — the scale path for
+    shingle hashing when oracle reproducibility is not required."""
+    return F.xxhash64(c)

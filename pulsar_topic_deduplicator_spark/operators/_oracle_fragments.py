@@ -1,0 +1,44 @@
+"""Shared DuckDB SQL fragments mirroring the engine's hash/canonical exprs.
+
+The driver compares every ``queries()`` DataFrame against ANSI SQL run by
+DuckDB on the same parquet (``__spark_entry__.py`` contract). These fragments
+are the DuckDB renderings of ``functions.canonical`` / ``functions.hashing``
+— kept adjacent to the Spark versions so they evolve together.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+
+def duck_canon_props(col: str = "props", ignored: Iterable[str] = ()) -> str:
+    """DuckDB equivalent of ``canonical_props``: sorted-key JSON of a JSON
+    object column with string-rendered values, minus ignored keys."""
+    keys = f"list_sort(json_keys({col}))"
+    ignored = list(ignored)
+    if ignored:
+        quoted = ", ".join(f"'{k}'" for k in ignored)
+        keys = f"list_filter({keys}, k -> k NOT IN ({quoted}))"
+    # coalesce: DuckDB's array_to_string returns NULL for an empty list,
+    # Spark's concat_ws returns '' — canonical form of an empty map is '{}'
+    return (
+        "'{' || coalesce(array_to_string(list_transform("
+        + keys
+        + ", k -> '\"' || k || '\":\"' || json_extract_string("
+        + col
+        + ", k) || '\"'), ','), '') || '}'"
+    )
+
+
+def duck_events_digest(ignored: Iterable[str] = ()) -> str:
+    """DuckDB equivalent of ``events_digest`` (SEP = unit separator 0x1f)."""
+    return (
+        "sha256(concat_ws(chr(31), event_type, printf('%.2f', value), "
+        + duck_canon_props("props", ignored)
+        + "))"
+    )
+
+
+def duck_stable_uint60(expr: str) -> str:
+    """DuckDB equivalent of ``stable_uint60``."""
+    return f"CAST('0x' || substr(sha256({expr}), 1, 15) AS BIGINT)"

@@ -1,0 +1,211 @@
+"""Batch dedup operator family — the reference's core semantics, Spark-first.
+
+Reference contract (SURVEY.md §2.1; ``src/deduplication.ts:97-160``): compute
+a content digest per message (event timestamp EXCLUDED), keep the FIRST
+occurrence of each digest, suppress duplicates arriving within a TTL window,
+and count forwarded/dropped per 60 s interval.
+
+Batch expression: first-occurrence dedup is a ranked window —
+``row_number() OVER (PARTITION BY digest ORDER BY ts, event_id) = 1`` — which
+Catalyst executes as one hash shuffle on the digest + a partition-local sort.
+At 100 TB this is the right shape: digests are uniformly distributed (they're
+cryptographic hashes), so the shuffle has no skew by construction and
+partial aggregation/AQE handle sizing. No Python crosses the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import events_digest
+from ..sources.io import load_table
+from ._oracle_fragments import duck_events_digest
+
+#: keys stripped from the hash input in the ignore-projection demo — the
+#: reference's production ignore-list (``README.md:49``,
+#: ``src/deduplication.test.ts:197-201``).
+REFERENCE_IGNORED = ("mqttQos", "mqttIsRetained", "mqttIsDuplicate")
+
+_FIRST_WINS = ["ts", "event_id"]  # deterministic tiebreak (SURVEY.md §7.4.1)
+
+
+def with_digest(df: DataFrame, ignored=()) -> DataFrame:
+    return df.withColumn("digest", events_digest(ignored))
+
+
+def hash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op #6: content digest per message
+    (``src/deduplication.ts:26-39``)."""
+    return with_digest(load_table(spark, sf_dir, "events")).select(
+        "event_id", "digest"
+    )
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops #6+#7 batch analog: one row per digest, earliest by
+    (ts, event_id) — "send the first of each unique message"
+    (``README.md:3-5``)."""
+    w = Window.partitionBy("digest").orderBy(*_FIRST_WINS)
+    return (
+        with_digest(load_table(spark, sf_dir, "events"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props", "digest")
+    )
+
+
+def dedup_within_window(
+    spark: SparkSession, sf_dir: str, window_seconds: int = 3600
+) -> DataFrame:
+    """Reference op #7 TTL analog: suppress duplicates only within a time
+    window of the kept first occurrence (``src/deduplication.ts:76``; default
+    TTL 3600 s, ``src/config.ts:133-134``).
+
+    Batch rendering uses epoch-aligned tumbling buckets (digest, bucket) —
+    the documented deviation from the reference's rolling
+    processing-time TTL (SURVEY.md §7.4.2); the streaming path
+    (streaming/dedup.py) keeps the rolling-window semantics.
+    """
+    bucket = F.timestamp_seconds(
+        F.expr(f"(unix_timestamp(ts) div {window_seconds}) * {window_seconds}")
+    )
+    w = Window.partitionBy("digest", "w_start").orderBy(*_FIRST_WINS)
+    return (
+        with_digest(load_table(spark, sf_dir, "events"))
+        .withColumn("w_start", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "event_type", "value", "props", "digest", "w_start")
+    )
+
+
+def ignore_props_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops #4+#5: canonical JSON of properties with and without the
+    ignore-list applied (``src/deduplication.ts:14-23``). ``digest_ign``
+    demonstrates that messages differing only in ignored properties (or the
+    event timestamp) hash equal (``src/deduplication.test.ts:115-128``)."""
+    from ..functions.canonical import canonical_props
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        canonical_props(F.col("props")).alias("canon_all"),
+        canonical_props(F.col("props"), ("k",)).alias("canon_ign_k"),
+        events_digest(REFERENCE_IGNORED).alias("digest_ign"),
+    )
+
+
+def first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"First occurrence" generalized to a business key (SURVEY.md §2.4):
+    earliest event per user."""
+    w = Window.partitionBy("user_id").orderBy(*_FIRST_WINS)
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+def dedup_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op #13: forwarded/dropped counts per 60 s interval — the
+    system's only aggregation (``src/deduplication.ts:80-95``). A duplicate
+    is any row that is not the global first occurrence of its digest."""
+    w = Window.partitionBy("digest").orderBy(*_FIRST_WINS)
+    bucket = F.timestamp_seconds(F.expr("(unix_timestamp(ts) div 60) * 60"))
+    return (
+        with_digest(load_table(spark, sf_dir, "events"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("w_start", bucket)
+        .groupBy("w_start")
+        .agg(
+            # count(CASE...) not sum: DuckDB's sum(int) widens to HUGEINT,
+            # count stays BIGINT on both engines.
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_forwarded"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+        )
+    )
+
+
+def distinct_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cardinality of dedup keys (how much state the TTL set holds)."""
+    return with_digest(load_table(spark, sf_dir, "events")).agg(
+        F.countDistinct("digest").alias("n_distinct")
+    )
+
+
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — the 100 TB path where an exact distinct
+    would shuffle every digest. No oracle entry: HLL implementations differ
+    between engines by design (driver records rows-only)."""
+    return with_digest(load_table(spark, sf_dir, "events")).agg(
+        F.approx_count_distinct("digest", 0.01).alias("n_approx")
+    )
+
+
+_DIGEST = duck_events_digest()
+
+ORACLES: dict[str, str] = {
+    "hash_payload": f"SELECT event_id, {_DIGEST} AS digest FROM events",
+    "dedup_exact_keep_first": f"""
+        WITH d AS (
+          SELECT event_id, ts, user_id, event_type, value, props,
+                 {_DIGEST} AS digest,
+                 row_number() OVER (PARTITION BY {_DIGEST}
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT event_id, ts, user_id, event_type, value, props, digest
+        FROM d WHERE rn = 1
+    """,
+    "dedup_within_window": f"""
+        WITH d AS (
+          SELECT event_id, ts, event_type, value, props, {_DIGEST} AS digest,
+                 make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) * 1000000) AS w_start
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY digest, w_start
+                                       ORDER BY ts, event_id) AS rn
+          FROM d)
+        SELECT event_id, ts, event_type, value, props, digest, w_start
+        FROM r WHERE rn = 1
+    """,
+    "first_per_key": """
+        WITH r AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+               event_type AS first_event_type
+        FROM r WHERE rn = 1
+    """,
+    "dedup_counters": f"""
+        WITH d AS (
+          SELECT ts, {_DIGEST} AS digest,
+                 row_number() OVER (PARTITION BY {_DIGEST}
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60) * 1000000) AS w_start,
+               count(CASE WHEN rn = 1 THEN 1 END) AS n_forwarded,
+               count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
+        FROM d GROUP BY 1
+    """,
+    "distinct_digests": f"SELECT count(DISTINCT {_DIGEST}) AS n_distinct FROM events",
+}
+
+# ignore_props_projection oracle needs fragments with a different ignore-list
+from ._oracle_fragments import duck_canon_props  # noqa: E402
+
+ORACLES["ignore_props_projection"] = f"""
+    SELECT event_id,
+           {duck_canon_props('props')} AS canon_all,
+           {duck_canon_props('props', ('k',))} AS canon_ign_k,
+           {duck_events_digest(REFERENCE_IGNORED)} AS digest_ign
+    FROM events
+"""
