@@ -13,7 +13,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pulsar_topic_deduplicator_spark.operators import dedup, lineage, relational
+from pulsar_topic_deduplicator_spark.operators import (
+    dedup,
+    lineage,
+    multimodal,
+    neardup,
+    relational,
+    similarity,
+    textops,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -45,18 +53,38 @@ def queries() -> dict[str, QueryFn]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
-        "anti_join_customers_without_orders": relational.anti_join_customers_without_orders,
+        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
         "top_orders_per_customer": relational.top_orders_per_customer,
         "rollup_sales": relational.rollup_sales,
-        "except_brands": relational.except_brands,
+        "except_ordered_parts": relational.except_ordered_parts,
         "union_segments": relational.union_segments,
         "orders_topk": relational.orders_topk,
         "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+        # ── text analysis tier ─────────────────────────────────────────────
+        "text_stats": textops.text_stats,
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        "lang_distribution": textops.lang_distribution,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_docs_exact": textops.dedup_docs_exact,
+        # ── near-duplicate tier ────────────────────────────────────────────
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "minhash_signatures": neardup.minhash_signatures,
+        "near_dup_minhash": neardup.near_dup_minhash,
+        "simhash_docs": neardup.simhash_docs,
+        # ── similarity search tier ─────────────────────────────────────────
+        "embedding_topk_cosine": similarity.embedding_topk_cosine,
+        "knn_self_join_top1": similarity.knn_self_join_top1,
+        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
+        # ── multimodal tier ────────────────────────────────────────────────
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)
     }
 
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
-    for module in (dedup, lineage, relational):
+    for module in (dedup, lineage, relational, textops, neardup, similarity, multimodal):
         oracles.update(module.ORACLES)
     return oracles

@@ -27,10 +27,16 @@ def shingles(text: Column, n: int = 3) -> Column:
     this expression token for token. Returns array<string> (deduplicated).
     """
     words = whitespace_tokens(text)
+    count = F.size(words) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, (i + k).cast("int")) for k in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    # CASE guard: for docs shorter than n words, sequence(1, count<=0) would
+    # descend (and element_at would go out of bounds under ANSI mode); the
+    # WHEN branch is evaluated lazily per row, so short docs yield [].
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,256 @@
+"""Near-duplicate detection over the ``documents`` corpus.
+
+NOT in the reference (it dedups exact byte-identical payloads only, op #6/#7)
+— this tier is the training-data-pipeline generalization: catch documents
+that are *almost* the same.
+
+Three operators, one per classic technique:
+
+* ``ngram_jaccard_pairs`` — exact word-3-gram Jaccard similarity via a
+  shingle self-join. Ground truth; quadratic in the worst case, so at scale
+  it is the VERIFY stage applied to candidate pairs only.
+* ``near_dup_minhash`` — MinHash signatures + LSH banding. The 100 TB path:
+  cost is linear in corpus size (one aggregation for signatures, one
+  equi-join on band keys for candidates); only candidates reach the
+  quadratic verify.
+* ``simhash_docs`` — 32-bit SimHash signature per document (Charikar);
+  hamming-close signatures ⇒ near-dup. Emitted as a signature table;
+  banding over signature nibbles would be the candidate path.
+
+Everything is deterministic integer arithmetic on a 60-bit stable hash
+(``stable_uint60``), so all three are DuckDB-oracle-checkable — including
+MinHash, which is normally "not SQL-expressible" only because of hidden
+hash seeds; ours are explicit constants.
+
+Scale notes: signatures are computed with K aggregate expressions in ONE
+groupBy (no K× row blowup before the shuffle); shingle hashes — not shingle
+strings — cross the wire; band keys are short hex strings. Shingle-frequency
+skew (stopword-only shingles) is the known hazard of the Jaccard self-join;
+the MinHash path does not have it.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_uint60
+from ..functions.text import shingles
+from ..sources.io import load_table
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+
+# MinHash parameters: h_i(x) = (a_i * x + b_i) mod P over 31-bit hash space.
+# Constants are fixed (seed 42) and embedded in both the Spark expressions
+# and the oracle SQL — explicit seeds are what make MinHash oracle-checkable.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+NUM_HASHES = 16
+BAND_ROWS = 4  # 4 bands × 4 rows: catches J≈0.5+ pairs with high probability
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+SIMHASH_BITS = 32
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) — one row per distinct word-3-gram, h = stable 60-bit int
+    reduced mod P. Only the 8-byte hash crosses the shuffle, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+    ).select("doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h"))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup ground truth: pairs with word-3-gram Jaccard ≥ 0.5.
+
+    Self-join on shingle hash -> per-pair intersection counts; doc sizes are
+    a small aggregate joined back (broadcast). Jaccard is an exact integer
+    division — identical doubles on any engine.
+    """
+    sh = _shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: mh_0..mh_{K-1}. K aggregate expressions over a single
+    groupBy — one shuffle keyed by doc_id, no K-fold row multiplication."""
+    sh = _shingle_hashes(spark, sf_dir)
+    aggs = [
+        F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table, exploded to (doc_id, h_idx, minhash) rows so
+    the oracle comparison is array-free."""
+    wide = _signature_wide(spark, sf_dir)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(NUM_HASHES))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({NUM_HASHES}, {stack_args}) AS (h_idx, minhash)"),
+    )
+
+
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of the MinHash
+    signature. Linear-cost candidate generation — the scale path; verify
+    candidates with ``ngram_jaccard_pairs`` semantics downstream."""
+    wide = _signature_wide(spark, sf_dir)
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_cols = []
+    for band in range(n_bands):
+        cols = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        band_cols.append(F.concat_ws("-", *cols))
+    stack_args = ", ".join(f"{i}, b_{i}" for i in range(n_bands))
+    bands = wide.select(
+        "doc_id", *[c.alias(f"b_{i}") for i, c in enumerate(band_cols)]
+    ).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over word tokens (with multiplicity):
+    bit j of the signature is the sign of Σ_tokens (±1 by token-hash bit j).
+    One groupBy with 32 integer aggregates — single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).select("doc_id", stable_uint60(F.col("w")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# ─── DuckDB oracles ─────────────────────────────────────────────────────────
+
+_H60 = "CAST('0x' || substr(sha256(gram), 1, 15) AS BIGINT)"
+
+_SHINGLES_CTE = f"""
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {SHINGLE_N - 1}, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+      FROM words),
+    sh AS (SELECT doc_id, {_H60} % {MINHASH_P} AS h FROM grams)
+"""
+
+_MINHASH_AGGS = ", ".join(
+    f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+    for i in range(NUM_HASHES)
+)
+
+_SIG_CTE = f"{_SHINGLES_CTE}, sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id)"
+
+_N_BANDS = NUM_HASHES // BAND_ROWS
+_BAND_KEYS = ", ".join(
+    "concat_ws('-', "
+    + ", ".join(f"mh_{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    + f") AS b_{band}"
+    for band in range(_N_BANDS)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band_id, b_{band} AS band_key FROM keys"
+    for band in range(_N_BANDS)
+)
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+ORACLES: dict[str, str] = {
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": f"""
+        WITH {_SIG_CTE}
+        SELECT doc_id, h_idx, minhash FROM (
+          {" UNION ALL ".join(f"SELECT doc_id, {i} AS h_idx, mh_{i} AS minhash FROM sig" for i in range(NUM_HASHES))}
+        )
+    """,
+    "near_dup_minhash": f"""
+        WITH {_SIG_CTE},
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    """,
+    "simhash_docs": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(sha256(unnest(string_split(text, ' '))), 1, 15) AS BIGINT) AS h
+          FROM documents),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums
+    """,
+}

@@ -131,12 +131,17 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
-def anti_join_customers_without_orders(
+def anti_join_customers_no_urgent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI (NOT EXISTS): customers with no urgent high-value orders.
+
+    (Every customer has *some* order in this corpus, so the filter lives on
+    the build side to keep the result non-trivial.)"""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
@@ -166,12 +171,18 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def except_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: brands selling large parts EXCEPT brands selling small parts."""
-    part = load_table(spark, sf_dir, "part")
-    big = part.filter(F.col("p_size") >= 40).select("p_brand")
-    small = part.filter(F.col("p_size") <= 5).select("p_brand")
-    return big.distinct().exceptAll(small.distinct())
+def except_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: part keys that were ordered EXCEPT the large-size part keys —
+    i.e. ordered parts of size ≤ 25 (non-empty at every scale factor)."""
+    ordered = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    large = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 25)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    return ordered.distinct().exceptAll(large.distinct())
 
 
 def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,9 +266,12 @@ ORACLES: dict[str, str] = {
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 150000)
     """,
-    "anti_join_customers_without_orders": """
+    "anti_join_customers_no_urgent": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT'
+                            AND o_totalprice > 150000)
     """,
     "top_orders_per_customer": """
         WITH r AS (
@@ -274,10 +288,10 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    "except_brands": """
-        SELECT DISTINCT p_brand FROM part WHERE p_size >= 40
+    "except_ordered_parts": """
+        SELECT DISTINCT l_partkey AS partkey FROM lineitem
         EXCEPT
-        SELECT DISTINCT p_brand FROM part WHERE p_size <= 5
+        SELECT DISTINCT p_partkey AS partkey FROM part WHERE p_size > 25
     """,
     "union_segments": """
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

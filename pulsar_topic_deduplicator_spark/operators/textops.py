@@ -1,0 +1,230 @@
+"""Text-analysis tier over the ``documents`` table.
+
+NOT in the reference (its payload is opaque bytes — SURVEY.md §2.3); these
+are the training-data-pipeline operators the project brief mandates:
+quality scoring, language-ID heuristics, token counting, fingerprinting.
+
+Everything is built-in Catalyst expressions (split/size/filter/
+regexp/sha2) — zero Python in the row path, so at 100 TB each operator is a
+single codegen'd projection over the parquet scan with full column pruning
+(only ``text`` + keys are read).
+
+Determinism notes for the DuckDB oracle: ratios are computed as a division
+of exact integers (identical doubles on both engines); no locale-sensitive
+functions are used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens
+from ..sources.io import load_table
+
+#: fixed English stopword sample used by the quality/langid heuristics —
+#: chosen from the corpus vocabulary so the signal is non-degenerate.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+_WORD_RE = "[a-z]+"  # BPE-ish token: lowercase alpha runs (corpus is lowercase)
+_NUM_RE = "[0-9]+"
+
+
+def _words(text: Column) -> Column:
+    return whitespace_tokens(text)
+
+
+def _stop_count(words: Column) -> Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics: word count, char count, average word
+    length, distinct-word ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    # chars minus separators, over words — exact integer division -> double
+    avg_word_len = (
+        F.length("text") - (n_words - F.lit(1))
+    ).cast("double") / n_words.cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        F.length("text").alias("n_chars_text"),
+        avg_word_len.alias("avg_word_len"),
+        (F.size(F.array_distinct(words)).cast("double") / n_words.cast("double")).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and regex word/number
+    tokens (the BPE-ish pre-tokenizer split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_WORD_RE)).alias("n_word_tokens"),
+        F.regexp_count("text", F.lit(_NUM_RE)).alias("n_num_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score in [0, 1]: length band + stopword
+    ratio + lexical diversity (the Gopher-rules / C4-style shape, reduced to
+    deterministic integer arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    stop_ratio = _stop_count(words).cast("double") / n.cast("double")
+    len_band = F.when((n >= 20) & (n <= 400), F.lit(1.0)).otherwise(F.lit(0.5))
+    diversity = nd.cast("double") / n.cast("double")
+    score = len_band * 0.4 + stop_ratio * 0.2 + diversity * 0.4
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        diversity.alias("diversity"),
+        score.alias("quality"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character/stopword language-ID heuristic: ASCII-alpha ratio picks the
+    script family, stopword ratio separates English-like text. The corpus
+    labels are synthetic, so the operator also emits the labeled ``lang``
+    for downstream comparison rather than asserting agreement."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    ascii_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    stop_ratio = _stop_count(words).cast("double") / F.size(words).cast("double")
+    predicted = (
+        F.when(ascii_ratio < 0.5, F.lit("non-latin"))
+        .when(stop_ratio >= 0.05, F.lit("en"))
+        .otherwise(F.lit("latin-other"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ascii_ratio.alias("ascii_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by labeled language × source (the pipeline
+    "what's in my 100 TB" report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document: SHA2-256 of the exact text (exact
+    dedup key) + a 60-bit integer fingerprint (bucketable form)."""
+    from ..functions.hashing import stable_uint60
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("fp_sha"),
+        stable_uint60(F.col("text")).alias("fp_int"),
+    )
+
+
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document dedup: keep the lowest doc_id per distinct text —
+    the reference's keep-first semantics applied to a document corpus
+    (``README.md:3-5``), implemented as a hash aggregation on the
+    fingerprint (one shuffle, no window needed: min() is the tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+_WORDS = "string_split(text, ' ')"
+_NW = f"len({_WORDS})"
+_STOPN = f"len(list_filter({_WORDS}, w -> w IN ({_STOP_SQL})))"
+
+ORACLES: dict[str, str] = {
+    "text_stats": f"""
+        SELECT doc_id, lang, source,
+               {_NW} AS n_words,
+               length(text) AS n_chars_text,
+               CAST(length(text) - ({_NW} - 1) AS DOUBLE) / {_NW} AS avg_word_len,
+               CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS distinct_ratio
+        FROM documents
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               {_NW} AS n_ws_tokens,
+               len(regexp_extract_all(text, '{_WORD_RE}')) AS n_word_tokens,
+               len(regexp_extract_all(text, '{_NUM_RE}')) AS n_num_tokens
+        FROM documents
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               {_NW} AS n_words,
+               CAST({_STOPN} AS DOUBLE) / {_NW} AS stop_ratio,
+               CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS diversity,
+               (CASE WHEN {_NW} BETWEEN 20 AND 400 THEN 1.0 ELSE 0.5 END) * 0.4
+                 + (CAST({_STOPN} AS DOUBLE) / {_NW}) * 0.2
+                 + (CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW}) * 0.4
+                 AS quality
+        FROM documents
+    """,
+    "lang_id_heuristic": f"""
+        SELECT doc_id,
+               lang AS labeled_lang,
+               CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS ascii_ratio,
+               CAST({_STOPN} AS DOUBLE) / {_NW} AS stop_ratio,
+               CASE
+                 WHEN CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                      / length(text) < 0.5 THEN 'non-latin'
+                 WHEN CAST({_STOPN} AS DOUBLE) / {_NW} >= 0.05 THEN 'en'
+                 ELSE 'latin-other'
+               END AS predicted_lang
+        FROM documents
+    """,
+    "lang_distribution": """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               sha256(text) AS fp_sha,
+               CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS fp_int
+        FROM documents
+    """,
+    "dedup_docs_exact": """
+        SELECT sha256(text) AS fp,
+               min(doc_id) AS kept_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+}
