@@ -34,6 +34,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return dedup.dedup_exact_keep_first(spark, SF_SMOKE_DIR)
 
 
+def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming dedup (watermark + dropDuplicatesWithinWatermark)
+    over the sf events, bounded with availableNow — reference op #7 live path."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        run_stream_dedup_bounded,
+    )
+
+    return run_stream_dedup_bounded(spark, sf_dir, glob_filter="events.parquet")
+
+
+def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-TTL stateful dedup (GroupState / transformWithState) — reference
+    ops #7+#11 with the ObliviousSet processing-time TTL clock."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        run_ttl_dedup_bounded,
+    )
+
+    return run_ttl_dedup_bounded(
+        spark, sf_dir, tempfile.mkdtemp("ttl_ckpt"), glob_filter="events.parquet"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         # ── dedup family (reference tier R) ────────────────────────────────
@@ -80,6 +104,10 @@ def queries() -> dict[str, QueryFn]:
         # ── multimodal tier ────────────────────────────────────────────────
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)
+        # ── streaming tier (rows-only: not SQL-oracle-able; batch parity of
+        #    the same semantics is dedup_exact_keep_first) ───────────────────
+        "stream_dedup": _stream_dedup_query,
+        "stream_dedup_ttl": _stream_dedup_ttl_query,
     }
 
 

@@ -1,0 +1,348 @@
+"""Structured Streaming dedup — the reference's steady-state loop, Spark-first.
+
+Reference (``src/deduplication.ts:97-160``): per message → content hash →
+TTL-set membership check → forward first occurrence with ``origin``
+provenance → count forwarded/dropped per minute. Two engine renderings:
+
+1. ``dedup_stream`` — the built-in path: ``withWatermark`` +
+   ``dropDuplicatesWithinWatermark([digest])`` (SURVEY.md §2.1.3: the
+   watermark delay plays the TTL role on event time — documented deviation
+   §7.4.2), plus ``observe()`` counters (reference op #13).
+2. ``TtlDedupProcessor`` — the exact-control path: per-digest value state
+   with a processing-time TTL via ``transformWithStateInPandas``, matching
+   the reference's ObliviousSet clock (TTL from insertion,
+   ``src/deduplication.ts:76``) — including the **warm-up initial state**
+   (reference op #11): seed digests from a batch scan of prior output feed
+   ``initialState``, mirroring ``buildUpCache`` (``src/cacheBuilding.ts:65``).
+
+Scale: state is hash-partitioned by digest across executors — uniformly
+distributed keys (crypto hash), no skew; RocksDB state store + changelog
+checkpointing carries 100 TB-scale state where the reference's single
+in-memory set cannot.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from ..functions.canonical import canonical_json, filter_ignored_keys
+from .source import events_message_stream
+
+DEFAULT_DEDUP_WINDOW = "1 hour"  # reference default TTL 3600 s (config.ts:133)
+
+
+def message_digest(ignored=()) -> Column:
+    """Content digest of a message-schema row: sha2 over payload bytes +
+    canonical-JSON bytes of (properties − ignored) — reference op #6
+    (``src/deduplication.ts:26-39``), with the sanctioned hash substitution."""
+    props = filter_ignored_keys(F.col("properties"), ignored)
+    return F.sha2(
+        F.concat(F.col("value"), F.encode(canonical_json(props), "UTF-8")), 256
+    )
+
+
+def dedup_stream(
+    messages: DataFrame,
+    dedup_window: str = DEFAULT_DEDUP_WINDOW,
+    ignored=(),
+) -> DataFrame:
+    """Built-in streaming dedup pipeline over a message-schema stream.
+
+    digest → watermark(dedup_window) → dropDuplicatesWithinWatermark →
+    ``origin`` enrichment (op #8: the forwarded message carries the JSON
+    digest array, ``src/deduplication.ts:122-129``) → observe() counters
+    (op #13 forwarded count; dropped rows are the input-output delta).
+    """
+    return (
+        messages.withColumn("digest", message_digest(ignored))
+        .withWatermark("event_ts", dedup_window)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .withColumn(
+            "properties",
+            F.map_concat(
+                "properties",
+                F.create_map(
+                    F.lit("origin"), F.to_json(F.array(F.col("digest")))
+                ),
+            ),
+        )
+        .observe("dedup", F.count(F.lit(1)).alias("n_forwarded"))
+    )
+
+
+def run_stream_dedup_bounded(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+    glob_filter: str | None = None,
+) -> DataFrame:
+    """Bounded end-to-end run for the harness: stream the source events
+    through the dedup pipeline with Trigger.AvailableNow into a parquet sink
+    (the memory sink cannot recover from a checkpoint — restart tests need
+    the file sink), then return the cumulative output as a batch DataFrame.
+
+    (Driver records rows-only — a streaming query is not SQL-oracle-able;
+    batch parity of the same semantics is ``dedup_exact_keep_first``.)"""
+    run_id = uuid.uuid4().hex[:8]
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(f"ckpt_{run_id}")
+    # output co-located with the checkpoint so a restart appends to the same
+    # sink — mirroring the reference's single output topic
+    output_dir = output_dir or f"{checkpoint_dir}_out"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    deduped = dedup_stream(messages).select(
+        "message_id", "topic", "digest", "event_ts", "properties"
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(output_dir)
+
+
+# ─── exact-TTL path ─────────────────────────────────────────────────────────
+#
+# Two implementations of the reference's ObliviousSet semantics (TTL from
+# insertion on the processing-time clock, ``src/deduplication.ts:76``):
+#
+# * ``applyInPandasWithState`` + GroupState ProcessingTimeTimeout — the
+#   default: timeout-at-TTL IS "entries expire ttl ms after insertion".
+# * ``TtlDedupProcessor`` (transformWithStateInPandas + native TTL value
+#   state) — the forward path; requires google.protobuf, which this
+#   container lacks, so it is feature-gated (used automatically if present).
+#
+# Warm-up seeding (reference op #11) differs per path: transformWithState
+# takes ``initialState`` directly; the GroupState path replays seeds as
+# messages *through the stream itself* — which is what the reference
+# actually does (it re-reads its own output topic through the same message
+# path, ``src/cacheBuilding.ts:141-153``).
+
+try:  # feature gate: protobuf is required by the transformWithState workers
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:
+    HAS_TRANSFORM_WITH_STATE = False
+
+_TTL_OUTPUT_SCHEMA = (
+    "digest string, message_id string, event_ts timestamp, n_dropped bigint"
+)
+_STATE_SCHEMA = "first_seen_ms long"
+
+SEED_MESSAGE_ID = "__seed__"
+
+
+def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
+    """GroupState kernel factory: first-wins per digest, TTL from insertion.
+
+    The insertion timestamp lives IN the state and expiry is re-checked on
+    every arrival — GroupState timers alone would not match ObliviousSet,
+    because a timer never fires for a key that has data in the same batch
+    (a duplicate arriving just after expiry must be re-admitted, not
+    dropped). Timers are therefore ONLY state GC — and they are off by
+    default: registered processing-time timers make the micro-batch engine
+    schedule batches continuously until every timer fires (observed: 150+
+    empty epochs against a 1 h TTL in a bounded run). A long-running
+    production query should enable them so expired digests leave the store.
+
+    Seed rows (message_id == SEED_MESSAGE_ID) insert state without emitting —
+    the warm-up path. Duplicates do NOT extend the TTL (the reference's set
+    only stamps insertion time, ``src/deduplication.ts:76``)."""
+
+    def kernel(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches).sort_values(["event_ts", "message_id"])
+        now_ms = state.getCurrentProcessingTimeMs()
+        prior = state.get if state.exists else None  # (first_seen_ms,)
+        already = prior is not None and (now_ms - prior[0]) < ttl_ms
+        has_seed = bool((rows["message_id"] == SEED_MESSAGE_ID).any())
+        live = rows[rows["message_id"] != SEED_MESSAGE_ID]
+        if not already:
+            state.update((now_ms,))
+            if use_timers:
+                state.setTimeoutDuration(ttl_ms)
+        if already or has_seed:
+            return  # every live row here is a duplicate / warm-up hit
+        if len(live):
+            first = live.iloc[0]
+            yield pd.DataFrame(
+                {
+                    "digest": [key[0]],
+                    "message_id": [first["message_id"]],
+                    "event_ts": [first["event_ts"]],
+                    "n_dropped": [len(live) - 1],
+                }
+            )
+
+    return kernel
+
+
+class TtlDedupProcessor(StatefulProcessor):
+    """Per-digest first-wins filter with TTL'd value state — the exact
+    semantics of the reference's ObliviousSet (``src/deduplication.ts:76``,
+    ``:118-158``): TTL clock starts at state insertion (processing time);
+    duplicates inside the TTL are suppressed and counted; after expiry the
+    same content is forwarded again.
+
+    ``handleInitialState`` is the warm-up path (op #11): pre-seed digests so
+    a fresh query does not re-forward recently-output messages
+    (``src/cacheBuilding.ts:65-212``).
+    """
+
+    def __init__(self, ttl_ms: int):
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.seen = handle.getValueState("seen", _STATE_SCHEMA, self.ttl_ms)
+
+    def handleInitialState(self, key, initialState: pd.DataFrame, timerValues) -> None:
+        self.seen.update((1,))
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        first_rows = []
+        n_dropped = 0
+        already = self.seen.exists()
+        for pdf in rows:
+            if already:
+                n_dropped += len(pdf)
+                continue
+            pdf = pdf.sort_values(["event_ts", "message_id"])
+            first_rows.append(pdf.iloc[:1])
+            n_dropped += len(pdf) - 1
+            already = True
+            self.seen.update((1,))
+        if first_rows:
+            out = first_rows[0]
+            yield pd.DataFrame(
+                {
+                    "digest": [key[0]],
+                    "message_id": out["message_id"].tolist(),
+                    "event_ts": out["event_ts"].tolist(),
+                    "n_dropped": [n_dropped],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def start_ttl_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    ttl_ms: int = 3_600_000,
+    seed_digests: DataFrame | None = None,
+    glob_filter: str | None = None,
+):
+    """Start the exact-TTL dedup as a live streaming query; returns
+    ``(StreamingQuery, output_table_name)`` (memory sink).
+
+    ``seed_digests`` (a batch DataFrame with a ``digest`` column) replays
+    the reference's warm-up (op #11): those digests start out "seen" and
+    their live occurrences are suppressed. With transformWithState available
+    the seeds feed ``initialState``; on the GroupState path they are written
+    as seed *messages* into a side source and streamed through the same
+    dedup kernel — exactly how the reference seeds its cache by re-reading
+    its own output topic (``src/cacheBuilding.ts:141-153``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    name = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    keyed = messages.withColumn("digest", message_digest()).select(
+        "digest", "message_id", "event_ts"
+    )
+
+    if HAS_TRANSFORM_WITH_STATE:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        kwargs = {}
+        if seed_digests is not None:
+            kwargs["initialState"] = seed_digests.select("digest").groupBy("digest")
+        deduped = keyed.groupBy("digest").transformWithStateInPandas(
+            TtlDedupProcessor(ttl_ms),
+            outputStructType=_TTL_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+            **kwargs,
+        )
+    else:
+        if seed_digests is not None:
+            seed_dir = tempfile.mkdtemp(f"seed_{uuid.uuid4().hex[:8]}")
+            seed_digests.select(
+                F.col("digest").cast("string").alias("digest"),
+                F.lit(SEED_MESSAGE_ID).alias("message_id"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp").alias("event_ts"),
+            ).write.mode("overwrite").parquet(seed_dir)
+            seed_stream = (
+                spark.readStream.schema(
+                    "digest string, message_id string, event_ts timestamp"
+                ).parquet(seed_dir)
+            )
+            keyed = seed_stream.unionByName(keyed)
+        deduped = keyed.groupBy("digest").applyInPandasWithState(
+            _make_ttl_kernel(ttl_ms, use_timers=False),
+            outputStructType=_TTL_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, name
+
+
+def run_ttl_dedup_bounded(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    ttl_ms: int = 3_600_000,
+    seed_digests: DataFrame | None = None,
+    glob_filter: str | None = None,
+) -> DataFrame:
+    """Bounded run of the exact-TTL dedup: start → drain → stop.
+
+    Default micro-batch trigger + processAllAvailable, NOT availableNow:
+    with processing-time state timers registered, availableNow keeps
+    scheduling micro-batches until every timer has fired (observed: 150+
+    empty epochs against a 1 h TTL before we stopped it)."""
+    query, name = start_ttl_dedup(
+        spark, source_dir, checkpoint_dir, ttl_ms, seed_digests, glob_filter
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)

@@ -1,0 +1,65 @@
+"""Streaming sources producing the reference's message schema.
+
+The reference subscribes to Pulsar topics by regex pattern and pulls one
+message at a time (``src/pulsar.ts:27-34``, ``src/deduplication.ts:97-106``);
+the engine's streaming surface is Structured Streaming micro-batches. In
+production the source line would be
+``spark.readStream.format("pulsar"|"kafka").option("topicsPattern", ...)``;
+for the self-contained test corpus we stream the events parquet through the
+file source, which exercises the identical downstream pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import apply_runtime_confs
+
+#: raw schema of events.parquet as the file source reads it (ts is parquet
+#: TIMESTAMP(NANOS) -> long via nanosAsLong; converted below)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_message_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
+) -> DataFrame:
+    """File-source stream of events reshaped to the message schema
+    (FIXTURES.md §A.1) — binary payload, string-map properties, event_ts.
+
+    ``maxFilesPerTrigger`` is the file-source analog of the reference's
+    bounded receive queue (``src/config.ts:233-235``): admission control so
+    a backlog replay cannot blow past executor memory.
+    """
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter:
+        # the file source's basePath must be a directory; a glob filter
+        # selects individual files inside it (e.g. just events.parquet)
+        reader = reader.option("pathGlobFilter", glob_filter)
+    raw = reader.parquet(source_dir)
+    return raw.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(F.lit("persistent://events/"), F.col("event_type")).alias("topic"),
+        F.encode(
+            F.to_json(F.struct("event_type", "value", "props")), "UTF-8"
+        ).alias("value"),
+        F.from_json("props", "map<string,string>").alias("properties"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_ts"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("publish_ts"),
+    )

@@ -1,0 +1,157 @@
+"""Streaming dedup semantics (FIXTURES.md §A.4 recipe, SURVEY.md §5.2.3):
+
+* within-window duplicates dropped, first occurrence kept;
+* checkpoint restart: state survives — duplicates arriving in a later run
+  are still dropped (the engine's answer to the reference's warm-up, op #11);
+* exact-TTL path: processing-time TTL state + initial-state warm-up seed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.streaming.dedup import (
+    run_stream_dedup_bounded,
+    run_ttl_dedup_bounded,
+)
+
+NS = 1_000_000_000
+BASE_TS = 1_704_067_200 * NS  # 2024-01-01T00:00:00Z in epoch-ns
+
+
+def _events_pdf(rows):
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def _write_batch(spark, path, rows):
+    sdf = spark.createDataFrame(
+        _events_pdf(rows),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    sdf.coalesce(1).write.mode("append").parquet(path)
+
+
+# batch 1: three unique messages (a, b, c), plus an in-batch duplicate of a
+BATCH1 = [
+    (1, BASE_TS + 0 * NS, 1, "click", 1.0, '{"k": 1}'),
+    (2, BASE_TS + 60 * NS, 2, "view", 2.0, '{"k": 2}'),
+    (3, BASE_TS + 120 * NS, 1, "click", 1.0, '{"k": 1}'),  # dup of event 1
+    (4, BASE_TS + 180 * NS, 3, "purchase", 3.0, '{"k": 3}'),
+]
+# batch 2 (arrives after restart): duplicate of b within window + one new
+BATCH2 = [
+    (5, BASE_TS + 240 * NS, 2, "view", 2.0, '{"k": 2}'),  # dup of event 2
+    (6, BASE_TS + 300 * NS, 4, "signup", 4.0, '{"k": 4}'),
+]
+
+
+@pytest.fixture()
+def source_dir(tmp_path, spark):
+    path = str(tmp_path / "stream_src")
+    _write_batch(spark, path, BATCH1)
+    return path
+
+
+def test_within_window_duplicates_dropped(spark, source_dir, tmp_path):
+    result = run_stream_dedup_bounded(
+        spark, source_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    rows = {r["message_id"] for r in result.collect()}
+    # first occurrences kept, in-batch duplicate (3) dropped
+    assert rows == {"1", "2", "4"}
+
+
+def test_origin_enrichment(spark, source_dir, tmp_path):
+    result = run_stream_dedup_bounded(
+        spark, source_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    row = result.filter(F.col("message_id") == "1").first()
+    origin = row["properties"]["origin"]
+    assert origin == f'["{row["digest"]}"]'
+
+
+def test_checkpoint_restart_keeps_state(spark, source_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    first = run_stream_dedup_bounded(spark, source_dir, checkpoint_dir=ckpt)
+    assert {r["message_id"] for r in first.collect()} == {"1", "2", "4"}
+
+    # "restart": new files arrive, same checkpoint -> state must survive
+    _write_batch(spark, source_dir, BATCH2)
+    second = run_stream_dedup_bounded(spark, source_dir, checkpoint_dir=ckpt)
+    rows = {r["message_id"] for r in second.collect()}
+    # the sink is cumulative (like the reference's output topic); the restart
+    # must add ONLY the genuinely-new message — the duplicate of message 2
+    # is dropped across the restart because dedup state survives in the
+    # checkpoint (reference needs the warm-up re-scan for this, op #11 —
+    # SURVEY.md §7.4.3)
+    assert rows == {"1", "2", "4", "6"}
+
+
+def test_ttl_dedup_exact_path(spark, source_dir, tmp_path):
+    result = run_ttl_dedup_bounded(
+        spark, source_dir, checkpoint_dir=str(tmp_path / "ckpt_ttl")
+    )
+    out = {r["message_id"]: r["n_dropped"] for r in result.collect()}
+    assert set(out) == {"1", "2", "4"}
+    assert out["1"] == 1  # its duplicate (3) was counted as dropped
+    assert out["2"] == 0
+
+
+def test_ttl_dedup_warmup_seed(spark, source_dir, tmp_path):
+    # warm-up: pretend digests of messages 1/3 were already forwarded before
+    # the restart — their live occurrences must be suppressed entirely
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+    from pulsar_topic_deduplicator_spark.streaming.source import EVENTS_RAW_SCHEMA
+
+    batch = spark.createDataFrame(_events_pdf(BATCH1), schema=EVENTS_RAW_SCHEMA)
+    # seed with the digest of event 1 only
+    seed = (
+        batch.filter(F.col("event_id") == 1)
+        .select(
+            F.encode(
+                F.to_json(F.struct("event_type", "value", "props")), "UTF-8"
+            ).alias("value"),
+            F.from_json("props", "map<string,string>").alias("properties"),
+        )
+        .withColumn("digest", message_digest())
+        .select("digest")
+    )
+    result = run_ttl_dedup_bounded(
+        spark,
+        source_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_seed"),
+        seed_digests=seed,
+    )
+    out = {r["message_id"] for r in result.collect()}
+    # events 1 and 3 share the seeded digest -> both suppressed
+    assert out == {"2", "4"}
+
+
+def test_ttl_expiry_readmits(spark, tmp_path):
+    """ObliviousSet semantics: after the TTL elapses, the same content is
+    forwarded again (SURVEY.md §2.1.3)."""
+    import time
+
+    from pulsar_topic_deduplicator_spark.streaming.dedup import start_ttl_dedup
+
+    src = str(tmp_path / "ttl_src")
+    _write_batch(spark, src, BATCH1[:1])  # just message 1
+    query, name = start_ttl_dedup(
+        spark, src, str(tmp_path / "ckpt_exp"), ttl_ms=1500
+    )
+    try:
+        query.processAllAvailable()
+        assert {r["message_id"] for r in spark.table(name).collect()} == {"1"}
+        time.sleep(2.0)  # let the TTL lapse (processing-time clock)
+        _write_batch(spark, src, BATCH1[2:3])  # duplicate content (event 3)
+        query.processAllAvailable()
+        rows = {r["message_id"] for r in spark.table(name).collect()}
+        # duplicate arrived AFTER expiry -> re-admitted as a fresh first
+        assert rows == {"1", "3"}
+    finally:
+        query.stop()
