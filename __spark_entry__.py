@@ -96,10 +96,12 @@ def queries() -> dict[str, QueryFn]:
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
+        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
         "simhash_docs": neardup.simhash_docs,
         # ── similarity search tier ─────────────────────────────────────────
         "embedding_topk_cosine": similarity.embedding_topk_cosine,
         "knn_self_join_top1": similarity.knn_self_join_top1,
+        "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
         "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
         # ── multimodal tier ────────────────────────────────────────────────
         "multimodal_meta": multimodal.multimodal_meta,

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are materialized through the noop sink (full computation of every
+column — ``count()`` would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulsar_topic_deduplicator_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator class the engine claims (dedup, relational
+#: joins/aggs/windows, text, near-dup scale path + exact verify, similarity
+#: brute force + LSH, streaming)
+HEADLINE = [
+    "dedup_exact_keep_first",
+    "dedup_counters",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "text_stats",
+    "quality_score",
+    "minhash_signatures",
+    "near_dup_minhash",
+    "near_dup_pairs_verified",  # LSH candidates + exact verify (scale path)
+    "simhash_docs",
+    "embedding_topk_cosine",
+    "knn_topk_blockwise",  # BLAS blockwise brute force (scale path)
+    "ann_cosine_lsh",
+    "stream_dedup",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("pulsar_topic_deduplicator_spark-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen once with a trivial action so q1 doesn't pay
+    # session startup costs
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

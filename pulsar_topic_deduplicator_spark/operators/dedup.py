@@ -45,13 +45,24 @@ def hash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ops #6+#7 batch analog: one row per digest, earliest by
     (ts, event_id) — "send the first of each unique message"
-    (``README.md:3-5``)."""
-    w = Window.partitionBy("digest").orderBy(*_FIRST_WINS)
+    (``README.md:3-5``).
+
+    Implemented as ``min_by(payload, struct(ts, event_id))`` per digest
+    rather than a ranked window: the aggregation gets map-side PARTIAL
+    aggregation — duplicates collapse before the shuffle, so only one row
+    per (digest, input-partition) crosses the wire — where a window function
+    must shuffle and sort EVERY row. That asymmetry is the 100 TB story; the
+    deterministic (ts, event_id) ordering tuple matches SURVEY.md §7.4.1."""
+    payload = F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+    order = F.struct(*_FIRST_WINS)
     return (
         with_digest(load_table(spark, sf_dir, "events"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props", "digest")
+        .groupBy("digest")
+        .agg(F.min_by(payload, order).alias("f"))
+        .select(
+            "f.event_id", "f.ts", "f.user_id", "f.event_type", "f.value",
+            "f.props", "digest",
+        )
     )
 
 
@@ -70,13 +81,16 @@ def dedup_within_window(
     bucket = F.timestamp_seconds(
         F.expr(f"(unix_timestamp(ts) div {window_seconds}) * {window_seconds}")
     )
-    w = Window.partitionBy("digest", "w_start").orderBy(*_FIRST_WINS)
+    payload = F.struct("event_id", "ts", "event_type", "value", "props")
     return (
         with_digest(load_table(spark, sf_dir, "events"))
         .withColumn("w_start", bucket)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "ts", "event_type", "value", "props", "digest", "w_start")
+        .groupBy("digest", "w_start")
+        .agg(F.min_by(payload, F.struct(*_FIRST_WINS)).alias("f"))
+        .select(
+            "f.event_id", "f.ts", "f.event_type", "f.value", "f.props",
+            "digest", "w_start",
+        )
     )
 
 

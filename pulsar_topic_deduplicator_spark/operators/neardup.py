@@ -98,15 +98,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signature_wide_from(sh: DataFrame) -> DataFrame:
     """One row per doc: mh_0..mh_{K-1}. K aggregate expressions over a single
     groupBy — one shuffle keyed by doc_id, no K-fold row multiplication."""
-    sh = _shingle_hashes(spark, sf_dir)
     aggs = [
         F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"mh_{i}")
         for i in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signature_wide_from(_shingle_hashes(spark, sf_dir))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +127,10 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
     signature. Linear-cost candidate generation — the scale path; verify
     candidates with ``ngram_jaccard_pairs`` semantics downstream."""
-    wide = _signature_wide(spark, sf_dir)
+    return _near_dup_candidates(_signature_wide(spark, sf_dir))
+
+
+def _near_dup_candidates(wide: DataFrame) -> DataFrame:
     n_bands = NUM_HASHES // BAND_ROWS
     band_cols = []
     for band in range(n_bands):
@@ -171,6 +177,45 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else (sim + term)
     return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: MinHash/LSH candidate generation
+    (linear) followed by exact Jaccard verification of ONLY the candidate
+    pairs — the quadratic shingle self-join never materializes. At sf0.1
+    this verifies dozens of pairs instead of joining 2M shingle rows.
+
+    Semantics: the subset of ``ngram_jaccard_pairs`` whose pair was LSH-
+    discoverable (the standard recall trade-off; banding parameters target
+    J ≥ ~0.5). Oracle-checkable end to end."""
+    # one shingle pass feeds signatures AND both verify joins — materialize
+    # it once (at 100 TB this is a persisted intermediate table / shuffle
+    # reuse; in-memory cache is the local[] rendering)
+    sh = _shingle_hashes(spark, sf_dir).cache()
+    cands = _near_dup_candidates(_signature_wide_from(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        F.broadcast(cands)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
 
 
 # ─── DuckDB oracles ─────────────────────────────────────────────────────────
@@ -244,6 +289,29 @@ ORACLES: dict[str, str] = {
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
                     AND a.doc_id < b.doc_id
+    """,
+    "near_dup_pairs_verified": f"""
+        WITH {_SIG_CTE},
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
     """,
     "simhash_docs": f"""
         WITH toks AS (

@@ -1,0 +1,15 @@
+from .explain import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+__all__ = [
+    "count_exchanges",
+    "formatted_plan",
+    "has_broadcast_join",
+    "pushed_filters",
+    "read_schema_columns",
+]

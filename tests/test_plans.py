@@ -1,0 +1,84 @@
+"""Plan-shape assertions: the scale properties the engine claims must be
+visible in the physical plan (SURVEY.md §4.3; project brief 'push down and
+prune / stay JVM-side / minimize shuffles')."""
+
+from __future__ import annotations
+
+from pulsar_topic_deduplicator_spark.operators import dedup, relational, textops
+from pulsar_topic_deduplicator_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    # 11-column table, 7 needed
+    assert set(cols) == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, cols
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir):
+    df = relational.q5_local_supplier_volume(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    # only the orders⋈lineitem join may shuffle: 2 exchanges for the join
+    # sides + 1 for the final groupBy
+    assert count_exchanges(df) <= 3, formatted_plan(df)[:2000]
+
+
+def test_q3_customer_broadcast(spark, sf_dir):
+    assert has_broadcast_join(relational.q3_shipping_priority(spark, sf_dir))
+
+
+def test_dedup_single_shuffle_with_partial_agg(spark, sf_dir):
+    df = dedup.dedup_exact_keep_first(spark, sf_dir)
+    plan = formatted_plan(df)
+    # aggregation (not a ranked window): exactly one exchange, with a
+    # partial aggregate BEFORE it so duplicates collapse map-side —
+    # a window function would shuffle every row
+    assert count_exchanges(df) == 1, plan[:2000]
+    assert "partial_min_by" in plan, plan[:2000]
+    assert "Window" not in plan, "dedup should not need a ranked window"
+
+
+def test_dedup_stays_jvm_side(spark, sf_dir):
+    plan = formatted_plan(dedup.hash_payload(spark, sf_dir))
+    # codegen stages are marked "[codegen id : N]" in formatted mode; the
+    # hashing expressions are JVM-side (higher-order funcs are interpreted
+    # CodegenFallback but never cross into Python)
+    assert "codegen id" in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python in hot path"
+    assert "ArrowEvalPython" not in plan, "no pandas UDF needed for hashing"
+
+
+def test_text_ops_prune_to_needed_columns(spark, sf_dir):
+    df = textops.token_count(spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_warmup_filter_pushdown(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import lineage
+
+    df = lineage.warmup_digest_extract(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("ts" in f for f in filters), filters
+
+
+def test_orders_topk_no_global_sort(spark, sf_dir):
+    df = relational.orders_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

@@ -1,0 +1,62 @@
+"""Similarity-tier semantics beyond the oracle: the approximate/fast paths
+must agree with the exact ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators.similarity import (
+    ann_cosine_lsh,
+    knn_self_join_top1,
+    knn_topk_blockwise,
+)
+
+
+def test_blockwise_matches_exact_nn(spark, sf_dir):
+    """BLAS blockwise brute force must find the same nearest neighbor as the
+    exact HOF self-join for every vector (cosine may differ in the last ulp;
+    identity must not)."""
+    exact = {
+        r["vec_id"]: (r["nn_id"], r["cosine"])
+        for r in knn_self_join_top1(spark, sf_dir).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["nn_id"], r["cosine"])
+        for r in knn_topk_blockwise(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    for vid, (nn, cos) in exact.items():
+        fnn, fcos = fast[vid]
+        assert fnn == nn, f"vec {vid}: exact nn {nn} vs blockwise {fnn}"
+        assert abs(fcos - cos) < 1e-9
+
+
+def test_lsh_recall_against_exact(spark, sf_dir):
+    """Random-hyperplane LSH is approximate; require ≥60% top-1 recall and
+    cosine within the bucket's best (sanity that bucketing is not broken)."""
+    exact = {r["vec_id"]: r["nn_id"] for r in knn_self_join_top1(spark, sf_dir).collect()}
+    approx = {r["vec_id"]: r["nn_id"] for r in ann_cosine_lsh(spark, sf_dir).collect()}
+    hits = sum(1 for v, nn in approx.items() if exact.get(v) == nn)
+    recall = hits / max(len(exact), 1)
+    assert recall >= 0.6, f"LSH top-1 recall {recall:.2f} < 0.6"
+
+
+def test_lsh_candidates_subset_of_exact_pairs(spark, sf_dir):
+    """Every LSH near-dup candidate that passes verification must also be in
+    the exact Jaccard pair set (verified-candidates ⊆ ground truth)."""
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        near_dup_pairs_verified,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_verified(spark, sf_dir).collect()
+    }
+    assert verified <= truth
+    # and at this corpus's injection rate the LSH should find most of them
+    if truth:
+        assert len(verified) / len(truth) >= 0.8
