@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pulsar_topic_deduplicator_spark.operators import (
+    asof,
     dedup,
     lineage,
     multimodal,
@@ -84,6 +85,7 @@ def queries() -> dict[str, QueryFn]:
         "union_segments": relational.union_segments,
         "orders_topk": relational.orders_topk,
         "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+        "asof_last_purchase": asof.asof_last_purchase,
         # ── text analysis tier ─────────────────────────────────────────────
         "text_stats": textops.text_stats,
         "token_count": textops.token_count,
@@ -115,6 +117,15 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
-    for module in (dedup, lineage, relational, textops, neardup, similarity, multimodal):
+    for module in (
+        asof,
+        dedup,
+        lineage,
+        relational,
+        textops,
+        neardup,
+        similarity,
+        multimodal,
+    ):
         oracles.update(module.ORACLES)
     return oracles

@@ -1,0 +1,117 @@
+"""Engine configuration — the reference's env-var surface, typed.
+
+The reference configures everything through environment variables with
+fail-fast validation (``src/config.ts:274-279``; readers at ``:44-98``).
+The engine keeps the same variable names and semantics so an operator of
+the reference can bring their deployment config across unchanged:
+
+| env var | reference | semantics |
+|---|---|---|
+| ``DEDUPLICATION_WINDOW_IN_SECONDS`` | ``src/config.ts:132-140`` | non-negative FLOAT seconds (not int), default 3600 |
+| ``CACHE_WINDOW_IN_SECONDS`` | ``src/config.ts:100-111`` | non-negative float seconds, default 172800 (48 h); ≤ 0 disables warm-up (``src/cacheBuilding.ts:71-77``) |
+| ``DEDUPLICATION_IGNORED_PROPERTIES`` | ``src/config.ts:113-130`` | JSON array of strings |
+| ``CACHE_REBUILD_DISABLE_SEEK`` | ``src/config.ts:94-98`` | boolean ("true"/"false") |
+| ``HEALTH_CHECK_PORT`` | ``src/config.ts:216-222`` | int port, default 8080 |
+
+Spark-specific additions use the ``SPARK_GRAFT_*`` prefix (CPUs, sf dir,
+driver memory) and are read in ``session.py`` / ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+class ConfigError(ValueError):
+    """Fail-fast configuration error (reference throws on invalid env,
+    ``src/config.ts:44-63``)."""
+
+
+def _read_float_nonneg(env: dict, name: str, default: float) -> float:
+    raw = env.get(name)
+    if raw is None:
+        return default
+    try:
+        v = float(raw)
+    except ValueError as exc:
+        raise ConfigError(f"{name} must parse as a float, got {raw!r}") from exc
+    if v < 0:
+        raise ConfigError(f"{name} must be non-negative, got {v}")
+    return v
+
+
+def _read_bool(env: dict, name: str, default: bool) -> bool:
+    raw = env.get(name)
+    if raw is None:
+        return default
+    if raw not in ("true", "false"):
+        raise ConfigError(f"{name} must be 'true' or 'false', got {raw!r}")
+    return raw == "true"
+
+
+def _read_str_list(env: dict, name: str, default: tuple[str, ...]) -> tuple[str, ...]:
+    raw = env.get(name)
+    if raw is None:
+        return default
+    try:
+        parsed = json.loads(raw)
+    except json.JSONDecodeError as exc:
+        raise ConfigError(f"{name} must be a JSON array of strings") from exc
+    if not isinstance(parsed, list) or not all(
+        isinstance(x, str) and x for x in parsed
+    ):
+        raise ConfigError(f"{name} must be a JSON array of non-empty strings")
+    return tuple(parsed)
+
+
+def _read_int(env: dict, name: str, default: int) -> int:
+    raw = env.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError as exc:
+        raise ConfigError(f"{name} must parse as an int, got {raw!r}") from exc
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Typed view of the reference's deduplication/cache-rebuild config
+    (``src/config.ts:37-42``)."""
+
+    dedup_window_seconds: float = 3600.0
+    cache_window_seconds: float = 172800.0
+    ignored_properties: tuple[str, ...] = ()
+    cache_rebuild_disable_seek: bool = False
+    health_check_port: int = 8080
+
+    @property
+    def dedup_window_ms(self) -> int:
+        return int(self.dedup_window_seconds * 1000)
+
+    @property
+    def warmup_enabled(self) -> bool:
+        """Warm-up runs only for a positive cache window
+        (``src/cacheBuilding.ts:71-77``)."""
+        return self.cache_window_seconds > 0
+
+    @classmethod
+    def from_env(cls, env: dict | None = None) -> "EngineConfig":
+        env = dict(os.environ) if env is None else env
+        return cls(
+            dedup_window_seconds=_read_float_nonneg(
+                env, "DEDUPLICATION_WINDOW_IN_SECONDS", 3600.0
+            ),
+            cache_window_seconds=_read_float_nonneg(
+                env, "CACHE_WINDOW_IN_SECONDS", 172800.0
+            ),
+            ignored_properties=_read_str_list(
+                env, "DEDUPLICATION_IGNORED_PROPERTIES", ()
+            ),
+            cache_rebuild_disable_seek=_read_bool(
+                env, "CACHE_REBUILD_DISABLE_SEEK", False
+            ),
+            health_check_port=_read_int(env, "HEALTH_CHECK_PORT", 8080),
+        )

@@ -1,0 +1,69 @@
+"""Batch source/sink formats beyond parquet.
+
+The reference's only I/O is Pulsar (ops #1–#3); an analytics engine needs
+the standard lake formats. All readers take EXPLICIT schemas (no inference
+— inference is a full extra pass over 100 TB and can mis-type columns), all
+writers support the engine's compression knob (reference op #3's ZSTD
+default, ``src/config.ts:198-214``).
+
+Kafka/Pulsar streaming connectors: the engine's streaming surface
+(streaming/source.py) reads any Structured Streaming source; the production
+line is ``spark.readStream.format("pulsar"|"kafka")`` with
+``topicsPattern``/``subscribePattern`` (reference op #1's regex
+subscription). No broker exists in the test container, so those lines are
+configuration, not code — see ``pulsar_reader_options``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_CODEC = "zstd"  # the reference's default sink compression
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", codec: str = DEFAULT_CODEC
+) -> None:
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.option("compression", codec).parquet(path)
+    elif fmt == "json":
+        writer.option("compression", "gzip" if codec == "zstd" else codec).json(path)
+    elif fmt == "csv":
+        writer.option("header", True).option(
+            "compression", "gzip" if codec == "zstd" else codec
+        ).csv(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_table(
+    spark: SparkSession, path: str, schema: T.StructType | str, fmt: str = "parquet"
+) -> DataFrame:
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    if fmt == "json":
+        return spark.read.schema(schema).json(path)
+    if fmt == "csv":
+        return spark.read.schema(schema).option("header", True).csv(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def pulsar_reader_options(
+    service_url: str,
+    topics_pattern: str,
+    start: str = "earliest",
+) -> dict[str, str]:
+    """Option map for the pulsar-spark connector mirroring the reference's
+    consumer config (regex subscription, Earliest start —
+    ``src/config.ts:236-239``, ``:257-262``). Usage:
+
+        (spark.readStream.format("pulsar")
+              .options(**pulsar_reader_options(url, pattern)).load())
+    """
+    return {
+        "service.url": service_url,
+        "topicsPattern": topics_pattern,
+        "startingOffsets": start,
+    }

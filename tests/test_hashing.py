@@ -1,0 +1,112 @@
+"""Hasher semantics ported from the reference's own unit tests
+(``src/deduplication.test.ts`` via FIXTURES.md §A.2/§A.3): equal/differing
+digests for every (data, properties, ignored, event_ts) combination, and the
+realistic APC duplicate pair."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+
+MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.BinaryType()),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+D1, D2 = b"foo", b"bar"
+P1 = {"baz": "qux"}
+P2 = {"plugh": "xyzzy"}
+P_IGN = {"corge": "grault"}
+T1, T2 = "2023-04-06 09:09:34.351", "2023-04-06 09:09:34.321"
+
+
+def _digests(spark, rows, ignored=()):
+    df = spark.createDataFrame(
+        [(v, p, None) for v, p in rows], schema=MSG_SCHEMA
+    )
+    return [r["d"] for r in df.select(message_digest(ignored).alias("d")).collect()]
+
+
+# (case name, data pair, props pair, ignored keys, expect-equal)
+# mirrors src/deduplication.test.ts:53-193 (FIXTURES.md §A.3 — event_ts is
+# not part of the digest at all, so the ts-differs cases are identical input
+# rows here; they are kept to document the contract)
+CASES = [
+    ("identical", (D1, D1), ({}, {}), (), True),
+    ("ts_differs", (D1, D1), ({}, {}), (), True),
+    ("ts_differs_props_equal", (D1, D1), (P1, P1), (), True),
+    ("only_ignored_and_ts_differ", (D1, D1), (P1 | P_IGN, P1 | P_IGN), tuple(P_IGN), True),
+    ("props_differ", (D1, D1), (P1, P2), (), False),
+    ("non_ignored_props_differ", (D1, D1), (P1 | P_IGN, P2 | P_IGN), tuple(P_IGN), False),
+    ("data_differs", (D1, D2), (P1, P1), (), False),
+]
+
+
+@pytest.mark.parametrize("name,data,props,ignored,equal", CASES)
+def test_hash_matrix(spark, name, data, props, ignored, equal):
+    d = _digests(spark, [(data[0], props[0]), (data[1], props[1])], ignored)
+    assert (d[0] == d[1]) == equal, name
+
+
+def test_ignored_keys_actually_ignored(spark):
+    """Presence vs absence of an ignored property must not change the digest
+    (src/deduplication.test.ts:115-128)."""
+    d = _digests(spark, [(D1, P1), (D1, P1 | P_IGN)], tuple(P_IGN))
+    assert d[0] == d[1]
+
+
+def test_digest_is_hex_string(spark):
+    """Digest column is a hex STRING, not binary — pins the reference's
+    ObliviousSet string-vs-Buffer behavior (src/deduplication.test.ts:249-275)."""
+    (d,) = _digests(spark, [(D1, P1)])
+    assert isinstance(d, str)
+    assert len(d) == 64
+    int(d, 16)  # parses as hex
+
+
+def test_realistic_apc_duplicate_pair(spark):
+    """FIXTURES.md §A.2: two replica messages differing only in eventTimestamp
+    (and MQTT transport flags, which are ignored) must hash equal
+    (src/deduplication.test.ts:195-245)."""
+    payload = json.dumps(
+        {
+            "APC": {
+                "tst": "2023-04-06T09:09:29Z",
+                "lat": 62.384937,
+                "long": 25.678112,
+                "vehiclecounts": {
+                    "vehicleload": 23,
+                    "doorcounts": [
+                        {"door": 1, "count": [{"class": "adult", "in": 3, "out": 0}]}
+                    ],
+                    "countquality": "regular",
+                },
+                "schemaVersion": "1-1-0",
+                "messageId": "eb7baf07-4f5c-463d-a91e-f501403c1a3f",
+            }
+        }
+    ).encode()
+    props_a = {
+        "mqttTopic": "apc-from-vehicle/v1/fi/waltti/telia/JL521-APC",
+        "mqttQos": "1",
+        "mqttIsRetained": "false",
+        "mqttIsDuplicate": "false",
+    }
+    props_b = dict(props_a, mqttIsDuplicate="true")  # replica transport flag
+    ignored = ("mqttQos", "mqttIsRetained", "mqttIsDuplicate")
+    d = _digests(spark, [(payload, props_a), (payload, props_b)], ignored)
+    assert d[0] == d[1]
+    # but a *content* difference must split them
+    d2 = _digests(
+        spark, [(payload, props_a), (payload + b" ", props_a)], ignored
+    )
+    assert d2[0] != d2[1]
