@@ -21,6 +21,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     neardup,
     relational,
     similarity,
+    sqlapi,
     textops,
 )
 
@@ -59,6 +60,16 @@ def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling counts with watermark (reference op #13 on event
+    time) — append mode emits watermark-finalized windows only."""
+    from pulsar_topic_deduplicator_spark.streaming.windows import (
+        run_windowed_counts_bounded,
+    )
+
+    return run_windowed_counts_bounded(spark, sf_dir, glob_filter="events.parquet")
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         # ── dedup family (reference tier R) ────────────────────────────────
@@ -85,7 +96,11 @@ def queries() -> dict[str, QueryFn]:
         "union_segments": relational.union_segments,
         "orders_topk": relational.orders_topk,
         "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+        "cube_sales": relational.cube_sales,
+        "running_value_per_user": relational.running_value_per_user,
         "asof_last_purchase": asof.asof_last_purchase,
+        # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
+        **sqlapi.QUERIES,
         # ── text analysis tier ─────────────────────────────────────────────
         "text_stats": textops.text_stats,
         "token_count": textops.token_count,
@@ -112,6 +127,7 @@ def queries() -> dict[str, QueryFn]:
         #    the same semantics is dedup_exact_keep_first) ───────────────────
         "stream_dedup": _stream_dedup_query,
         "stream_dedup_ttl": _stream_dedup_ttl_query,
+        "stream_windowed_counts": _stream_windowed_counts_query,
     }
 
 
@@ -122,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         lineage,
         relational,
+        sqlapi,
         textops,
         neardup,
         similarity,

@@ -193,6 +193,35 @@ def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations of returnflag ×
+    linestatus (completes the grouping-sets family next to ROLLUP)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(dec2("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: running sum + lag over each user's event
+    stream, deterministic ordering (ts, event_id); exact decimal
+    accumulation keeps the running sums bit-identical across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = (
+        F.sum(dec2("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).cast("double")
+    prev = F.lag(F.col("value")).over(w)
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        running.alias("running_value"),
+        prev.alias("prev_value"),
+    )
+
+
 def orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: ORDER BY + LIMIT — Spark executes as TakeOrderedAndProject
     (per-partition heap + driver merge of k rows), no global sort at scale."""
@@ -297,6 +326,23 @@ ORACLES: dict[str, str] = {
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
         UNION
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "cube_sales": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty")},
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "running_value_per_user": """
+        SELECT user_id, event_id, ts, value,
+               CAST(sum(CAST(value AS DECIMAL(12,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_value
+        FROM events
     """,
     "orders_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -1,0 +1,75 @@
+"""Streaming windowed aggregations — event-time windows + watermark.
+
+The reference's only windowing is a 60 s processing-time telemetry interval
+(op #13, ``src/deduplication.ts:80-95``); the engine provides the full
+event-time family: tumbling counts (the op #13 analog on event time) and
+session windows (gap-based activity grouping). Late data beyond the
+watermark is dropped — the documented Spark rendering of the reference's
+"TTL plays the watermark role" (SURVEY.md §2.3 late/out-of-order row).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .source import events_message_stream
+
+
+def windowed_counts(
+    messages: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time counts per topic — reference op #13 generalized
+    from a global processing-time counter to per-key event-time windows."""
+    return (
+        messages.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "topic")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "topic",
+            "n_messages",
+        )
+    )
+
+
+def session_activity(
+    messages: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows: bursts of messages per topic separated by ≥ gap of
+    silence — the dynamic-window member of the streaming-window family."""
+    return (
+        messages.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "topic")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "topic",
+            "n_messages",
+        )
+    )
+
+
+def run_windowed_counts_bounded(
+    spark: SparkSession, source_dir: str, glob_filter: str | None = None
+) -> DataFrame:
+    """Bounded run for the harness (availableNow → memory sink, append mode
+    emits only watermark-finalized windows)."""
+    name = f"win_counts_{uuid.uuid4().hex[:8]}"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    query = (
+        windowed_counts(messages)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

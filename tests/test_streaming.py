@@ -155,3 +155,40 @@ def test_ttl_expiry_readmits(spark, tmp_path):
         assert rows == {"1", "3"}
     finally:
         query.stop()
+
+
+def test_stream_windowed_counts_match_batch(spark):
+    """Windowed streaming counts (append mode) must equal the batch group-by
+    for every watermark-finalized window."""
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+    from pulsar_topic_deduplicator_spark.streaming.windows import (
+        run_windowed_counts_bounded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_windowed_counts_bounded(spark, sf, glob_filter="events.parquet")
+    got = {
+        (r["w_start"], r["topic"]): r["n_messages"] for r in streamed.collect()
+    }
+    assert got, "no finalized windows emitted"
+
+    ev = load_table(spark, sf, "events")
+    batch = (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.concat(F.lit("persistent://events/"), F.col("event_type")).alias(
+                "topic"
+            ),
+        )
+        .groupBy("w", "topic")
+        .count()
+        .select(F.col("w.start").alias("w_start"), "topic", F.col("count"))
+    )
+    expected = {(r["w_start"], r["topic"]): r["count"] for r in batch.collect()}
+    # every emitted window must match the batch count exactly; the stream may
+    # withhold only the windows still above the final watermark
+    for key, n in got.items():
+        assert expected.get(key) == n, key
+    max_ws = max(ws for ws, _ in expected)
+    missing = {k for k in expected if k not in got}
+    assert all(ws >= max_ws - __import__("datetime").timedelta(hours=3) for ws, _ in missing)
