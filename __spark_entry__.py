@@ -19,6 +19,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     lineage,
     multimodal,
     neardup,
+    pipeline,
     relational,
     similarity,
     sqlapi,
@@ -115,10 +116,12 @@ def queries() -> dict[str, QueryFn]:
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
         "simhash_docs": neardup.simhash_docs,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         # ── similarity search tier ─────────────────────────────────────────
         "embedding_topk_cosine": similarity.embedding_topk_cosine,
         "knn_self_join_top1": similarity.knn_self_join_top1,
         "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
         # ── multimodal tier ────────────────────────────────────────────────
         "multimodal_meta": multimodal.multimodal_meta,
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         asof,
         dedup,
         lineage,
+        pipeline,
         relational,
         sqlapi,
         textops,

@@ -235,7 +235,45 @@ def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
     return emb.mapInPandas(block, schema="vec_id long, nn_id long, cosine double")
 
 
+EMBED_NEAR_DUP_THRESHOLD = 0.4
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector member of the dedup
+    family): all pairs with cosine ≥ threshold, exact.
+
+    Quadratic ground truth — feasible at oracle scale; the 100 TB path is
+    the same LSH bucketing as ``ann_cosine_lsh`` (restrict to same-bucket
+    pairs) or blockwise matmul with a threshold, both of which this exact
+    set verifies. Exact HOF arithmetic keeps it oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_norm = emb.withColumn("nrm", l2_norm(F.col("v")))
+    a, b = with_norm.alias("a"), with_norm.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMBED_NEAR_DUP_THRESHOLD)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_near_dup_pairs": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+              >= {EMBED_NEAR_DUP_THRESHOLD}
+    """,
     "embedding_topk_cosine": f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
                    WHERE vec_id = {QUERY_VEC_ID})
