@@ -22,6 +22,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     pipeline,
     relational,
     similarity,
+    skew,
     sqlapi,
     textops,
 )
@@ -98,6 +99,7 @@ def queries() -> dict[str, QueryFn]:
         "orders_topk": relational.orders_topk,
         "agg_stats_per_event_type": relational.agg_stats_per_event_type,
         "cube_sales": relational.cube_sales,
+        "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
         "asof_last_purchase": asof.asof_last_purchase,
         # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
@@ -142,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         lineage,
         pipeline,
         relational,
+        skew,
         sqlapi,
         textops,
         neardup,

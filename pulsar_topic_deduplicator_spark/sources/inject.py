@@ -1,0 +1,56 @@
+"""Duplicate-injection generator — FIXTURES.md §A.4 recipe.
+
+Builds a duplicate-laden copy of the events table for dedup testing: a
+deterministic ~10% sample of rows is re-emitted with a shifted event
+timestamp (same content ⇒ same digest ⇒ must be dropped inside the window)
+and optionally an extra IGNORED property (must still be dropped — ignore
+lists exist exactly for replica-added transport noise,
+``src/deduplication.test.ts:197-201``).
+
+Determinism: sampling and shifts key off ``xxhash64(event_id)`` — no rand()
+— so every run and both sides of any comparison see identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+INJECT_RATE = 10  # 1-in-10 rows duplicated
+MAX_SHIFT_SECONDS = 300
+
+
+def events_with_duplicates(
+    spark: SparkSession,
+    sf_dir: str,
+    add_ignored_prop: bool = True,
+) -> DataFrame:
+    """events ∪ injected duplicates, in the raw events schema (ts is ns).
+
+    Duplicate rows keep event_type/value/props (the content identity) but
+    get a fresh event_id (negative, to stay collision-free), a time shift
+    of 0–300 s, and — when ``add_ignored_prop`` — a ``dupMarker`` property
+    that a correctly-configured ignore list must exclude from the digest."""
+    apply_runtime_confs(spark)
+    # raw read (ts stays a ns long) — the output of this generator is meant
+    # to be written back as a stream-source file in the raw schema
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.xxhash64("event_id")
+    dups = (
+        ev.filter(F.pmod(h, INJECT_RATE) == 0)
+        .withColumn("event_id", -F.col("event_id") - 1)
+        .withColumn(
+            "ts",
+            F.col("ts")
+            + (F.pmod(F.xxhash64("event_id"), MAX_SHIFT_SECONDS) + 1)
+            * F.lit(1_000_000_000).cast("long"),
+        )
+    )
+    if add_ignored_prop:
+        dups = dups.withColumn(
+            "props",
+            F.regexp_replace("props", r"\}$", ', "dupMarker": "1"}'),
+        )
+    return ev.unionByName(dups)

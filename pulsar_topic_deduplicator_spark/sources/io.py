@@ -65,9 +65,13 @@ def messages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("event_id").cast("string").alias("message_id"),
         F.concat(F.lit("persistent://events/"), F.col("event_type")).alias("topic"),
-        F.encode(
-            F.to_json(F.struct("event_type", "value", "props")), "UTF-8"
-        ).alias("value"),
+        # payload carries the business content ONLY; transport/metadata
+        # properties travel in the separate properties map (the reference's
+        # payload-vs-properties split, src/deduplication.ts:122-129) — a
+        # replica-added property must not change the payload bytes
+        F.encode(F.to_json(F.struct("event_type", "value")), "UTF-8").alias(
+            "value"
+        ),
         F.from_json("props", "map<string,string>").alias("properties"),
         F.col("ts").alias("event_ts"),
         F.col("ts").alias("publish_ts"),

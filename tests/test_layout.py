@@ -1,0 +1,54 @@
+"""Physical-layout guarantees: partition pruning and shuffle-free bucketed
+joins, asserted from the plans."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.plans import count_exchanges, formatted_plan
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+from pulsar_topic_deduplicator_spark.sources.layout import (
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = formatted_plan(back)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:1500]
+    # pruning is real: only the one directory's rows come back
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_bucketed_table(orders, "orders_b", "o_orderkey", 8, "o_orderkey")
+        write_bucketed_table(li, "lineitem_b", "l_orderkey", 8, "l_orderkey")
+
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        # co-located buckets: the join runs with ZERO shuffle exchanges
+        assert count_exchanges(joined) == 0, formatted_plan(joined)[:2000]
+        # and it is still correct
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

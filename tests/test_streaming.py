@@ -113,9 +113,9 @@ def test_ttl_dedup_warmup_seed(spark, source_dir, tmp_path):
     seed = (
         batch.filter(F.col("event_id") == 1)
         .select(
-            F.encode(
-                F.to_json(F.struct("event_type", "value", "props")), "UTF-8"
-            ).alias("value"),
+            F.encode(F.to_json(F.struct("event_type", "value")), "UTF-8").alias(
+                "value"
+            ),
             F.from_json("props", "map<string,string>").alias("properties"),
         )
         .withColumn("digest", message_digest())
