@@ -128,6 +128,9 @@ def queries() -> dict[str, QueryFn]:
         # ── multimodal tier ────────────────────────────────────────────────
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)
+        "multimodal_decode": multimodal.multimodal_decode,  # rows-only (stub codec)
+        "multimodal_resize": multimodal.multimodal_resize,  # rows-only (stub codec)
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # rows-only
         # ── streaming tier (rows-only: not SQL-oracle-able; batch parity of
         #    the same semantics is dedup_exact_keep_first) ───────────────────
         "stream_dedup": _stream_dedup_query,
