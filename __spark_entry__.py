@@ -95,6 +95,7 @@ def queries() -> dict[str, QueryFn]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "rollup_sales": relational.rollup_sales,
         "except_ordered_parts": relational.except_ordered_parts,
+        "intersect_nations": relational.intersect_nations,
         "union_segments": relational.union_segments,
         "orders_topk": relational.orders_topk,
         "agg_stats_per_event_type": relational.agg_stats_per_event_type,

@@ -30,8 +30,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_orders_per_customer",
+    "asof_last_purchase",
+    "event_type_stats_salted",
     "text_stats",
     "quality_score",
+    "corpus_clean_pipeline",
     "minhash_signatures",
     "near_dup_minhash",
     "near_dup_pairs_verified",  # LSH candidates + exact verify (scale path)

@@ -185,6 +185,17 @@ def except_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.distinct().exceptAll(large.distinct())
 
 
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: nation keys present among BOTH customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
 def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: UNION (distinct) of two customer segments' nation keys."""
     cust = load_table(spark, sf_dir, "customer")
@@ -321,6 +332,11 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT l_partkey AS partkey FROM lineitem
         EXCEPT
         SELECT DISTINCT p_partkey AS partkey FROM part WHERE p_size > 25
+    """,
+    "intersect_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
     """,
     "union_segments": """
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -110,3 +110,36 @@ def test_realistic_apc_duplicate_pair(spark):
         spark, [(payload, props_a), (payload + b" ", props_a)], ignored
     )
     assert d2[0] != d2[1]
+
+
+def test_canonical_json_property_vectorized(spark):
+    """Vectorized property test: for 200 pseudo-random string maps, the
+    engine's canonical JSON must equal the Python reference implementation
+    json.dumps(dict, sort_keys=True, separators=(',', ':')) — the
+    safe-stable-stringify contract."""
+    import json
+    import random
+
+    from pulsar_topic_deduplicator_spark.functions.canonical import canonical_json
+
+    rng = random.Random(1234)
+    alphabet = 'abcXYZ 09_"\\éü'
+    maps = []
+    for _ in range(200):
+        n = rng.randrange(0, 5)
+        maps.append(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 8))): "".join(
+                    rng.choice(alphabet) for _ in range(rng.randrange(0, 10))
+                )
+                for _ in range(n)
+            }
+        )
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(maps)], ["i", "m"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_json(F.col("m")).alias("c")).collect()
+    }
+    for i, m in enumerate(maps):
+        expected = json.dumps(m, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+        assert got[i] == expected, (m, got[i], expected)
