@@ -21,6 +21,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     neardup,
     pipeline,
     relational,
+    scalarfuncs,
     similarity,
     skew,
     sqlapi,
@@ -102,6 +103,10 @@ def queries() -> dict[str, QueryFn]:
         "cube_sales": relational.cube_sales,
         "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
+        "json_extract_props": scalarfuncs.json_extract_props,
+        "string_funcs_demo": scalarfuncs.string_funcs_demo,
+        "date_funcs_demo": scalarfuncs.date_funcs_demo,
+        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
         "asof_last_purchase": asof.asof_last_purchase,
         # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
         **sqlapi.QUERIES,
@@ -148,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         lineage,
         pipeline,
         relational,
+        scalarfuncs,
         skew,
         sqlapi,
         textops,

@@ -1,0 +1,120 @@
+"""Scalar-function families — string / date / math / JSON / percentile.
+
+The reference's scalar surface is tiny (JSON parse/serialize, hex encode,
+map filter/merge — SURVEY.md §2.3); an analytics engine needs the standard
+library. One query per family, every expression chosen to be bit-identical
+across engines (integer/date arithmetic, exact DP algorithms like
+Levenshtein, p=0.5 percentiles whose interpolation factor is exactly 0 or
+0.5 in binary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events props column: typed extraction
+    (get_json_object / from_json cast) — the op #12 parse generalized to
+    arbitrary JSON paths."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.from_json("props", "map<string,int>")["k"].alias("k_typed"),
+        F.length("props").alias("raw_len"),
+    )
+
+
+def string_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family over customer names: case, slicing, padding, search,
+    edit distance (exact DP — identical on any engine)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
+        F.instr(F.col("c_name"), "Customer").alias("pos_customer"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias(
+            "edit_dist"
+        ),
+        F.reverse(F.col("c_name")).alias("reversed"),
+        F.translate(F.col("c_name"), "#0", "_x").alias("translated"),
+    )
+
+
+def date_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family over order dates: parts extraction, truncation,
+    offset arithmetic, and day differencing (all integer-exact; day-of-week
+    conventions differ across engines and are deliberately avoided)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_1999"),
+    )
+
+
+def median_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p=0.5 percentile per group: the interpolation factor is exactly
+    0 or 0.5 (binary-exact), so linear interpolation agrees bit-for-bit
+    across engines — the one percentile that is safely oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "json_extract_props": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+               length(props) AS raw_len
+        FROM events
+    """,
+    "string_funcs_demo": """
+        SELECT c_custkey,
+               upper(c_name) AS upper_name,
+               substring(c_name, 1, 8) AS prefix8,
+               length(c_name) AS name_len,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+               instr(c_name, 'Customer') AS pos_customer,
+               levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+               reverse(c_name) AS reversed,
+               translate(c_name, '#0', '_x') AS translated
+        FROM customer
+    """,
+    "date_funcs_demo": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                 AS days_to_1999
+        FROM orders
+    """,
+    "median_quantity_per_flag": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}
