@@ -107,6 +107,7 @@ def queries() -> dict[str, QueryFn]:
         "string_funcs_demo": scalarfuncs.string_funcs_demo,
         "date_funcs_demo": scalarfuncs.date_funcs_demo,
         "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
+        "math_funcs_demo": scalarfuncs.math_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
         # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
         **sqlapi.QUERIES,

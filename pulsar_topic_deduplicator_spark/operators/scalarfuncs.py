@@ -78,7 +78,40 @@ def median_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def math_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family over lineitem measures — restricted to IEEE-exact
+    operations (abs/sqrt/floor/ceil/round/pmod are correctly-rounded or
+    integer-exact everywhere; log/exp/trig differ across libm builds and
+    are deliberately excluded from the oracle surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        # round() only off .5 boundaries: Spark rounds HALF_UP, DuckDB
+        # half-to-even (observed: 17.365 → 17.37 vs 17.36). discount×100 is
+        # integer-valued ±1 ulp, so its rounding never sits on a boundary.
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).alias("bucket97"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "math_funcs_demo": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS abs_dev,
+               sqrt(l_quantity) AS sqrt_qty,
+               CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+               l_orderkey % 97 AS bucket97,
+               greatest(l_tax, l_discount) AS max_rate
+        FROM lineitem
+    """,
     "json_extract_props": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
