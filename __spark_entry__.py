@@ -101,6 +101,10 @@ def queries() -> dict[str, QueryFn]:
         "orders_topk": relational.orders_topk,
         "agg_stats_per_event_type": relational.agg_stats_per_event_type,
         "cube_sales": relational.cube_sales,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "window_analytics_demo": relational.window_analytics_demo,
         "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
         "json_extract_props": scalarfuncs.json_extract_props,
@@ -108,6 +112,8 @@ def queries() -> dict[str, QueryFn]:
         "date_funcs_demo": scalarfuncs.date_funcs_demo,
         "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
         "math_funcs_demo": scalarfuncs.math_funcs_demo,
+        "array_funcs_demo": scalarfuncs.array_funcs_demo,
+        "map_funcs_demo": scalarfuncs.map_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
         # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
         **sqlapi.QUERIES,

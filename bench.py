@@ -29,6 +29,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "window_analytics_demo",
     "top_orders_per_customer",
     "asof_last_purchase",
     "event_type_stats_salted",

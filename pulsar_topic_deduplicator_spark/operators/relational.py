@@ -256,6 +256,99 @@ def agg_stats_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + global aggregate.
+
+    The whole query is a single scan with every predicate pushed to parquet
+    (plan-asserted in tests) and a two-row-ish partial agg — the cheapest
+    possible shape at 100 TB. Discount is compared in decimal space so the
+    selection boundary is exact on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = pct("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (disc >= F.lit("0.03").cast("decimal(4,2)"))
+            & (disc <= F.lit("0.05").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(dec2("l_extendedprice") * disc, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join, broadcast dim, grouped revenue,
+    global top-20. Revenue is decimal-exact so the LIMIT boundary is
+    deterministic; c_custkey breaks any remaining ties in BOTH engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(dec2("l_extendedprice") * (F.lit(1) - pct("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-table group-by feeding a join —
+    the aggregate runs first (map-side partial, one shuffle on l_orderkey),
+    then only the surviving ~1% of orders join customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(dec2("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def window_analytics_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family: lag/lead, ntile, percent_rank/cume_dist,
+    first_value, and a bounded ROWS frame — one shuffle on the partition key
+    serves every function. All outputs are exact: integers, carried values,
+    or ratios of identical integers (percent_rank/cume_dist divide the same
+    ints on both engines, so the doubles agree bit-for-bit)."""
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    trailing = F.sum(dec2("o_totalprice")).over(seq.rowsBetween(-2, 0))
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+        F.ntile(4).over(by_price).alias("price_quartile"),
+        F.percent_rank().over(by_price).alias("price_pct_rank"),
+        F.cume_dist().over(by_price).alias("price_cume_dist"),
+        F.first_value(F.col("o_orderkey")).over(seq).alias("first_orderkey"),
+        trailing.cast("double").alias("trailing3_spend"),
+    )
+
+
 def _dsum(expr: str, alias: str) -> str:
     """Oracle-side deterministic sum: the expression must already be exact
     decimal arithmetic (see ``dec2``)."""
@@ -363,6 +456,56 @@ ORACLES: dict[str, str] = {
     "orders_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))", "revenue")},
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {_dsum(_DEC_REVENUE, "revenue")}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q18_large_volume_customers": f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 {_dsum("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty")}
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "window_analytics_demo": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice)  OVER seq AS prev_price,
+               lead(o_totalprice) OVER seq AS next_price,
+               ntile(4)       OVER by_price AS price_quartile,
+               percent_rank() OVER by_price AS price_pct_rank,
+               cume_dist()    OVER by_price AS price_cume_dist,
+               first_value(o_orderkey) OVER seq AS first_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing3_spend
+        FROM orders
+        WINDOW seq      AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               by_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     """,
     "agg_stats_per_event_type": f"""
         SELECT event_type,

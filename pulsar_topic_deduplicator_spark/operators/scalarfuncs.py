@@ -100,7 +100,70 @@ def math_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized document text: size, distinct, indexing,
+    membership, slice+join, and sorted-order (binary collation on both
+    engines). `array_position` returns 0-when-absent on Spark; the oracle
+    coalesces DuckDB's NULL-when-absent to match."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_uniq"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "the").alias("has_the"),
+        F.array_position(words, "spark").alias("pos_spark"),
+        F.array_join(F.slice(words, 1, 3), "_").alias("head3"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(words)), 1, 3), "_"
+        ).alias("sorted3"),
+    )
+
+
+def map_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family over the events props (parsed from JSON): cardinality,
+    sorted key list, typed value lookup, and the reference's ignore-key
+    projection expressed as `map_filter` (op #4, SURVEY.md §2.2) — the
+    oracle mirrors each via DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_props"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.size(F.map_filter(m, lambda k, v: k != "k")).alias("n_after_ignore"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "array_funcs_demo": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               string_split(text, ' ')[1] AS first_word,
+               string_split(text, ' ')[-1] AS last_word,
+               list_contains(string_split(text, ' '), 'the') AS has_the,
+               CAST(coalesce(list_position(string_split(text, ' '), 'spark'), 0)
+                    AS BIGINT) AS pos_spark,
+               array_to_string(list_slice(string_split(text, ' '), 1, 3), '_')
+                 AS head3,
+               array_to_string(
+                 list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3),
+                 '_') AS sorted3
+        FROM documents
+    """,
+    "map_funcs_demo": """
+        SELECT event_id,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_props,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               CAST(len(list_filter(json_keys(props), x -> x != 'k'))
+                    AS INTEGER) AS n_after_ignore,
+        FROM events
+    """,
     "math_funcs_demo": """
         SELECT l_orderkey, l_linenumber,
                abs(l_discount - 0.05) AS abs_dev,

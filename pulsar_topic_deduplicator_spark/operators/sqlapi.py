@@ -43,6 +43,26 @@ PORTABLE_SQL: dict[str, str] = {
           AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         GROUP BY o_orderpriority
     """,
+    # explicit GROUPING SETS with grouping() markers — completes the
+    # grouping-sets family next to the DataFrame rollup/cube queries
+    "sql_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    # manual pivot via conditional aggregation (count-exact on both engines)
+    "sql_case_pivot_status": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     # "above the nation's average balance", phrased multiplicatively
     # (value*count > sum) so both engines compare identical doubles — a
     # floating avg() would round differently per accumulation order

@@ -82,3 +82,27 @@ def test_orders_topk_no_global_sort(spark, sf_dir):
     df = relational.orders_topk(spark, sf_dir)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_q6_single_exchange_with_pushdown(spark, sf_dir):
+    df = relational.q6_forecast_revenue(spark, sf_dir)
+    # whole query = scan + partial agg + 1 exchange + final agg
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert any("l_quantity" in f for f in filters), filters
+
+
+def test_q10_broadcast_dim_single_shuffle(spark, sf_dir):
+    df = relational.q10_returned_items(spark, sf_dir)
+    assert has_broadcast_join(df)
+    filters = pushed_filters(df)
+    assert any("l_returnflag" in f for f in filters), filters
+    assert any("o_orderdate" in f for f in filters), filters
+
+
+def test_window_analytics_one_shuffle_for_both_windows(spark, sf_dir):
+    # both window specs share the partition key, so Catalyst reuses a
+    # single hash-partitioning exchange for the two sort orders
+    df = relational.window_analytics_demo(spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
