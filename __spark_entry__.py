@@ -105,6 +105,12 @@ def queries() -> dict[str, QueryFn]:
         "q10_returned_items": relational.q10_returned_items,
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "window_analytics_demo": relational.window_analytics_demo,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "pivot_status_counts": relational.pivot_status_counts,
+        "unpivot_part_measures": relational.unpivot_part_measures,
+        "conditional_agg_demo": relational.conditional_agg_demo,
         "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
         "json_extract_props": scalarfuncs.json_extract_props,
@@ -125,6 +131,8 @@ def queries() -> dict[str, QueryFn]:
         "lang_distribution": textops.lang_distribution,
         "doc_fingerprint": textops.doc_fingerprint,
         "dedup_docs_exact": textops.dedup_docs_exact,
+        "top_terms": textops.top_terms,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         # ── near-duplicate tier ────────────────────────────────────────────
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
         "minhash_signatures": neardup.minhash_signatures,

@@ -38,6 +38,7 @@ HEADLINE = [
     "event_type_stats_salted",
     "text_stats",
     "quality_score",
+    "tfidf_top_terms",
     "corpus_clean_pipeline",
     "minhash_signatures",
     "near_dup_minhash",

@@ -349,6 +349,120 @@ def window_analytics_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    promo share of revenue in one month. Both sums are exact decimals cast
+    to double; the ratio is the same two doubles divided in the same order
+    on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = dec2("l_extendedprice") * (F.lit(1) - pct("l_discount"))
+    zero = F.lit("0").cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    the optimizer extracts the common l_partkey=p_partkey conjunct as the
+    join key and evaluates the residual disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & qty.between(1, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#19") & qty.between(10, 30) & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#5") & qty.between(20, 40) & F.col("p_size").between(1, 25))
+    )
+    return joined.filter(cond).agg(
+        dsum(dec2("l_extendedprice") * (F.lit(1) - pct("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min via struct-min aggregation: cheapest (price, supplier) per
+    part in ONE shuffle with map-side partial min — the window-function
+    formulation (row_number = 1) would shuffle every row; the struct's
+    (price, suppkey) field order doubles as the deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    best = F.min(
+        F.struct(dec2("l_extendedprice").alias("price"), F.col("l_suppkey").alias("s"))
+    ).alias("m")
+    return (
+        li.groupBy("l_partkey")
+        .agg(best)
+        .select(
+            "l_partkey",
+            F.col("m.price").cast("double").alias("min_price"),
+            F.col("m.s").alias("best_suppkey"),
+        )
+    )
+
+
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame pivot operator: order counts by priority × status. The
+    pivot values are pinned (F/O/P) so no value-discovery pass runs; the
+    plan is two aggregates — the first collapses the fact table to
+    |priority×status| rows map-side, the second pivots that tiny set."""
+    out = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part measures → long (measure, value) rows;
+    a zero-shuffle projection that doubles row count, not a join."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return part.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+def conditional_agg_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if, bool_and/bool_or,
+    filtered decimal sum, and min_by keyed on a unique column (o_orderkey —
+    uniqueness makes the arg-min deterministic on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    zero = F.lit("0").cast("decimal(12,2)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", dec2("o_totalprice")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("finished_revenue"),
+        F.min_by("o_orderdate", "o_orderkey").alias("first_order_date"),
+    )
+
+
 def _dsum(expr: str, alias: str) -> str:
     """Oracle-side deterministic sum: the expression must already be exact
     decimal arithmetic (see ``dec2``)."""
@@ -506,6 +620,73 @@ ORACLES: dict[str, str] = {
         FROM orders
         WINDOW seq      AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                by_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    "q14_promo_revenue": f"""
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DEC_REVENUE}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS total_revenue,
+               100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DEC_REVENUE}
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS promo_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    "q19_disjunctive_predicates": f"""
+        SELECT {_dsum(_DEC_REVENUE, "revenue")},
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 30
+               AND p_size BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#5'  AND l_quantity BETWEEN 20 AND 40
+               AND p_size BETWEEN 1 AND 25)
+    """,
+    "cheapest_supplier_per_part": """
+        WITH r AS (
+          SELECT l_partkey,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                 l_suppkey,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)),
+                                             l_suppkey) AS rn
+          FROM lineitem)
+        SELECT l_partkey,
+               CAST(price AS DOUBLE) AS min_price,
+               l_suppkey AS best_suppkey
+        FROM r WHERE rn = 1
+    """,
+    "pivot_status_counts": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "unpivot_part_measures": """
+        SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+        FROM part
+    """,
+    "conditional_agg_demo": """
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 200000) AS n_big,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               CAST(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(12,2))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 AS finished_revenue,
+               arg_min(o_orderdate, o_orderkey) AS first_order_date
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     "agg_stats_per_event_type": f"""
         SELECT event_type,

@@ -164,7 +164,71 @@ _WORDS = "string_split(text, ' ')"
 _NW = f"len({_WORDS})"
 _STOPN = f"len(list_filter({_WORDS}, w -> w IN ({_STOP_SQL})))"
 
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency top-50: explode → partial-agg count →
+    TakeOrdered. The explode multiplies rows ~20× but the map-side combine
+    collapses to vocabulary size before the single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free TF-IDF: weight = tf × N / df — the classic score with the
+    monotone ln() dropped so the result is a division of exact integers
+    (bit-identical on both engines; ln is libm-dependent). N is carried as
+    a broadcast one-row aggregate, not a driver-side collect, so the whole
+    computation is one plan: explode → (doc,term) counts → term df join →
+    weight."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    return (
+        # NOT an explicit broadcast: vocabulary size is corpus-dependent
+        # (unbounded at 100 TB) — AQE broadcasts it when it measures small
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_docs")
+            ).alias("weight"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "top_terms": """
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+        ORDER BY n DESC, term LIMIT 50
+    """,
+    "tfidf_top_terms": """
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, tf.term, tf, df_docs,
+               CAST(tf * n_docs AS DOUBLE) / df_docs AS weight
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    """,
     "text_stats": f"""
         SELECT doc_id, lang, source,
                {_NW} AS n_words,

@@ -101,6 +101,25 @@ def test_q10_broadcast_dim_single_shuffle(spark, sf_dir):
     assert any("o_orderdate" in f for f in filters), filters
 
 
+def test_cheapest_supplier_argmin_not_window(spark, sf_dir):
+    # struct-min aggregation: one exchange with map-side partial min; the
+    # row_number() formulation would shuffle the full fact table unreduced
+    df = relational.cheapest_supplier_per_part(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+    assert "Window" not in plan
+
+
+def test_top_terms_takeordered(spark, sf_dir):
+    plan = formatted_plan(textops.top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_unpivot_zero_shuffle(spark, sf_dir):
+    assert count_exchanges(relational.unpivot_part_measures(spark, sf_dir)) == 0
+
+
 def test_window_analytics_one_shuffle_for_both_windows(spark, sf_dir):
     # both window specs share the partition key, so Catalyst reuses a
     # single hash-partitioning exchange for the two sort orders
