@@ -73,6 +73,16 @@ def _stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_windowed_counts_bounded(spark, sf_dir, glob_filter="events.parquet")
 
 
+def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over the event stream (gap-based dynamic windows) —
+    append mode emits watermark-closed sessions only."""
+    from pulsar_topic_deduplicator_spark.streaming.windows import (
+        run_session_activity_bounded,
+    )
+
+    return run_session_activity_bounded(spark, sf_dir, glob_filter="events.parquet")
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         # ── dedup family (reference tier R) ────────────────────────────────
@@ -111,6 +121,10 @@ def queries() -> dict[str, QueryFn]:
         "pivot_status_counts": relational.pivot_status_counts,
         "unpivot_part_measures": relational.unpivot_part_measures,
         "conditional_agg_demo": relational.conditional_agg_demo,
+        "exact_variance_stats": relational.exact_variance_stats,
+        "range_frame_event_counts": relational.range_frame_event_counts,
+        "sessionize_events": relational.sessionize_events,
+        "full_outer_nation_activity": relational.full_outer_nation_activity,
         "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
         "json_extract_props": scalarfuncs.json_extract_props,
@@ -157,6 +171,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup": _stream_dedup_query,
         "stream_dedup_ttl": _stream_dedup_ttl_query,
         "stream_windowed_counts": _stream_windowed_counts_query,
+        "stream_session_activity": _stream_session_activity_query,
     }
 
 

@@ -463,6 +463,93 @@ def conditional_agg_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates made partitioning-independent: mean/variance/
+    stddev derived from exact decimal Σx and Σx² instead of the built-in
+    streaming (Welford) accumulators, whose float order differs per engine
+    and per partitioning. The final formula runs in double with an identical
+    operation order on both engines, so results are bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = dec2("value")
+    n = F.count(F.lit(1))
+    s = F.sum(v).cast("double")
+    ssq = F.sum(v * v).cast("double")
+    var_samp = (n * ssq - s * s) / (n * (n - 1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (s / n).alias("mean_value"),
+        var_samp.alias("var_samp"),
+        F.sqrt(var_samp).alias("stddev_samp"),
+    )
+
+
+def range_frame_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: how many events the same user
+    produced in the preceding 60 s (exclusive of now) — the interval-join
+    shape expressed as a range frame, one shuffle on user_id. Ordering is
+    by integer epoch-micros so frame boundaries are exact; ties are frame
+    peers, which RANGE handles deterministically."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-60_000_000, -1)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_60s"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts after
+    ≥ 30 min of user silence; session id is the running count of gap flags.
+    One shuffle on user_id serves the lag, the running sum, and (via
+    partial agg) the per-session rollup."""
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_sess = F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", sess_id.alias("session_id")
+    )
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation counts of BUILDING-segment customers vs
+    high-balance suppliers — either side may be absent, exercising the
+    null-completing join paths both engines must agree on."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.withColumnRenamed("nationkey", "c_nk")
+        .join(supp.withColumnRenamed("nationkey", "s_nk"),
+              F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 def _dsum(expr: str, alias: str) -> str:
     """Oracle-side deterministic sum: the expression must already be exact
     decimal arithmetic (see ``dec2``)."""
@@ -687,6 +774,58 @@ ORACLES: dict[str, str] = {
                arg_min(o_orderdate, o_orderkey) AS first_order_date
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    "exact_variance_stats": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                 AS mean_value,
+               (count(*) * CAST(sum(CAST(value AS DECIMAL(12,2))
+                                    * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                - CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                  * CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE))
+               / (count(*) * (count(*) - 1)) AS var_samp,
+               sqrt((count(*) * CAST(sum(CAST(value AS DECIMAL(12,2))
+                                         * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     - CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       * CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE))
+                    / (count(*) * (count(*) - 1))) AS stddev_samp
+        FROM events
+        GROUP BY event_type
+    """,
+    "range_frame_event_counts": """
+        SELECT event_id, user_id, ts,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 60000000 PRECEDING
+                                        AND 1 PRECEDING) AS n_prev_60s
+        FROM events
+    """,
+    "sessionize_events": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "full_outer_nation_activity": """
+        WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                   FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                   FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
     """,
     "agg_stats_per_event_type": f"""
         SELECT event_type,

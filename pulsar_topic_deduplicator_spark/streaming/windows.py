@@ -55,6 +55,26 @@ def session_activity(
     )
 
 
+def run_session_activity_bounded(
+    spark: SparkSession, source_dir: str, glob_filter: str | None = None
+) -> DataFrame:
+    """Bounded session-window run for the harness (availableNow → memory
+    sink; append emits sessions the watermark has closed)."""
+    name = f"sess_act_{uuid.uuid4().hex[:8]}"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    query = (
+        session_activity(messages)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def run_windowed_counts_bounded(
     spark: SparkSession, source_dir: str, glob_filter: str | None = None
 ) -> DataFrame:

@@ -120,6 +120,13 @@ def test_unpivot_zero_shuffle(spark, sf_dir):
     assert count_exchanges(relational.unpivot_part_measures(spark, sf_dir)) == 0
 
 
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # lag + running session-id sum + per-session rollup all share the
+    # user_id partitioning: exactly one exchange end-to-end
+    df = relational.sessionize_events(spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
 def test_window_analytics_one_shuffle_for_both_windows(spark, sf_dir):
     # both window specs share the partition key, so Catalyst reuses a
     # single hash-partitioning exchange for the two sort orders
