@@ -122,6 +122,7 @@ def queries() -> dict[str, QueryFn]:
         "unpivot_part_measures": relational.unpivot_part_measures,
         "conditional_agg_demo": relational.conditional_agg_demo,
         "exact_variance_stats": relational.exact_variance_stats,
+        "exact_corr_stats": relational.exact_corr_stats,
         "range_frame_event_counts": relational.range_frame_event_counts,
         "sessionize_events": relational.sessionize_events,
         "full_outer_nation_activity": relational.full_outer_nation_activity,
@@ -134,6 +135,8 @@ def queries() -> dict[str, QueryFn]:
         "math_funcs_demo": scalarfuncs.math_funcs_demo,
         "array_funcs_demo": scalarfuncs.array_funcs_demo,
         "map_funcs_demo": scalarfuncs.map_funcs_demo,
+        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
+        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # rows-only (sketch)
         "asof_last_purchase": asof.asof_last_purchase,
         # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
         **sqlapi.QUERIES,
@@ -160,6 +163,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
+        "label_centroids": similarity.label_centroids,  # rows-only (float sums)
         # ── multimodal tier ────────────────────────────────────────────────
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)

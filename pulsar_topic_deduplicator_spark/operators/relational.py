@@ -483,6 +483,36 @@ def exact_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group from exact decimal
+    Σx/Σy/Σxy/Σx²/Σy² — same partitioning-independence argument as
+    exact_variance_stats; the built-in corr/covar_samp accumulate floats in
+    partition order and would differ between engines.
+
+    All sums accumulate SCALE-0 integer decimals (values ×100, exact since
+    the inputs have ≤2 fractional digits). A scale-0 decimal→double cast is
+    a single int→double rounding in every engine; a fractional decimal whose
+    mantissa exceeds 2⁵³ casts with TWO roundings in DuckDB (int128→double,
+    then ÷10^scale) and one in Spark — observed 1-ulp Σy² disagreement.
+    Correlation is scale-invariant so the ×100 cancels; covariance divides
+    by the exact power 10⁴ at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (dec2("l_quantity") * 100).cast("decimal(14,0)")
+    y = (dec2("l_extendedprice") * 100).cast("decimal(14,0)")
+    n = F.count(F.lit(1))
+    sx, sy = F.sum(x).cast("double"), F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sxx, syy = F.sum(x * x).cast("double"), F.sum(y * y).cast("double")
+    cov_n = n * sxy - sx * sy
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (cov_n / (n * (n - 1)) / F.lit(10000.0)).alias("covar_samp"),
+        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
 def range_frame_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame over event time: how many events the same user
     produced in the preceding 60 s (exclusive of now) — the interval-join
@@ -792,6 +822,34 @@ ORACLES: dict[str, str] = {
                     / (count(*) * (count(*) - 1))) AS stddev_samp
         FROM events
         GROUP BY event_type
+    """,
+    "exact_corr_stats": """
+        WITH s AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                               AS DECIMAL(14,0))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                               AS DECIMAL(14,0))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                               AS DECIMAL(14,0))
+                          * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                                 AS DECIMAL(14,0))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                               AS DECIMAL(14,0))
+                          * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                                 AS DECIMAL(14,0))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                               AS DECIMAL(14,0))
+                          * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                                 AS DECIMAL(14,0))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy) / (n * (n - 1)) / 10000.0 AS covar_samp,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 AS corr_qty_price
+        FROM s
     """,
     "range_frame_event_counts": """
         SELECT event_id, user_id, ts,

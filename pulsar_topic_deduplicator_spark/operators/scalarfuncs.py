@@ -138,7 +138,44 @@ def map_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bit_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family over integer keys: xor/and, shifts, popcount — all
+    integer-exact on any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xor_keys"),
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("low_byte"),
+        F.shiftleft(F.col("l_linenumber").cast("int"), 3).alias("shl3"),
+        F.shiftright(F.col("l_partkey").cast("int"), 2).alias("shr2"),
+        F.bit_count("l_suppkey").alias("popcount_supp"),
+    )
+
+
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event type (Greenwald-Khanna sketch) —
+    rows-only: sketch internals differ across engines by design; the exact
+    p50 twin is median_quantity_per_flag."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "bit_funcs_demo": """
+        SELECT l_orderkey, l_linenumber,
+               xor(l_orderkey, l_partkey) AS xor_keys,
+               l_orderkey & 255 AS low_byte,
+               CAST(l_linenumber AS INTEGER) << 3 AS shl3,
+               CAST(l_partkey AS INTEGER) >> 2 AS shr2,
+               CAST(bit_count(l_suppkey) AS INTEGER) AS popcount_supp
+        FROM lineitem
+    """,
     "array_funcs_demo": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_words,

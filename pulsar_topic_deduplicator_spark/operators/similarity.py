@@ -264,6 +264,34 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector AGGREGATE
+    member of the similarity tier (topk/knn are vector×vector; this is
+    many-vectors→one). posexplode → groupBy(label, dim) keeps the shuffle
+    payload scalar-sized (rows×64 small values, map-side partial sums)
+    instead of collecting whole vectors per group; the 64-element centroid
+    is reassembled only after aggregation. rows-only: float sums are
+    accumulation-order-dependent — the numpy parity test pins values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "dim", (F.col("s") / F.col("n")).alias("mean_val"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda x: x["mean_val"],
+            ).alias("centroid"),
+            F.max("dim").alias("max_dim"),
+        )
+        .select("label", "centroid", (F.col("max_dim") + 1).alias("dim"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

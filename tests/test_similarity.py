@@ -60,3 +60,25 @@ def test_lsh_candidates_subset_of_exact_pairs(spark, sf_dir):
     # and at this corpus's injection rate the LSH should find most of them
     if truth:
         assert len(verified) / len(truth) >= 0.8
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    """Vector-aggregate centroids must equal numpy's per-label means
+    (allclose: Spark's partial-sum order differs from numpy's sequential
+    sum, so last-ulp differences are expected and fine)."""
+    import numpy as np
+
+    from pulsar_topic_deduplicator_spark.operators.similarity import label_centroids
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    expected = {k: np.mean(np.asarray(v, dtype=np.float64), axis=0) for k, v in by_label.items()}
+
+    got = {r["label"]: r for r in label_centroids(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for label, r in got.items():
+        assert r["dim"] == 64
+        assert np.allclose(np.asarray(r["centroid"]), expected[label], rtol=1e-12, atol=1e-12)
