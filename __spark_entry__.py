@@ -155,6 +155,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        "near_dup_clusters": neardup.near_dup_clusters,
         "simhash_docs": neardup.simhash_docs,
         "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         # ── similarity search tier ─────────────────────────────────────────

@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_signatures",
     "near_dup_minhash",
     "near_dup_pairs_verified",  # LSH candidates + exact verify (scale path)
+    "near_dup_clusters",  # iterative connected components over verified pairs
     "simhash_docs",
     "embedding_topk_cosine",
     "knn_topk_blockwise",  # BLAS blockwise brute force (scale path)

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_uint60
@@ -218,6 +218,66 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: cluster id =
+    min doc_id reachable through the duplicate graph — the step that turns
+    pairwise near-dup hits into dedup groups (keep one representative per
+    cluster).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(graph diameter)
+    rounds — near-dup components are small and dense, so 2-4 rounds in
+    practice. Each round is one distributed join + aggregate;
+    ``localCheckpoint`` truncates lineage so plans don't grow with rounds.
+    The changed-row count is folded into the same pass (a ``changed`` flag
+    aggregated off the checkpointed frame), so a round costs exactly one
+    edge join + one node join — no extra convergence-check shuffle.
+    The fixpoint is order-independent (min is commutative/associative), so
+    the result is deterministic on any cluster size. The driver loop is
+    control flow only — no data crosses to the driver except the 1-row
+    convergence count."""
+    pairs = near_dup_pairs_verified(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).cache()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("label").alias("l")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("l").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.agg(F.sum("changed")).collect()[0][0]
+        labels = stepped.select("id", "label")
+        if not changed:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    )
+
+
 # ─── DuckDB oracles ─────────────────────────────────────────────────────────
 
 _H60 = "CAST('0x' || substr(sha256(gram), 1, 15) AS BIGINT)"
@@ -312,6 +372,42 @@ ORACLES: dict[str, str] = {
         JOIN sizes x ON doc_a = x.doc_id
         JOIN sizes y ON doc_b = y.doc_id
         WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    "near_dup_clusters": f"""
+        WITH RECURSIVE {_SIG_CTE},
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+                >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS id, r.label
+          FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
     """,
     "simhash_docs": f"""
         WITH toks AS (
