@@ -117,6 +117,11 @@ def queries() -> dict[str, QueryFn]:
         "window_analytics_demo": relational.window_analytics_demo,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
+        "q4_order_priority_checking": relational.q4_order_priority_checking,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q22_dormant_balances": relational.q22_dormant_balances,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "pivot_status_counts": relational.pivot_status_counts,
         "unpivot_part_measures": relational.unpivot_part_measures,

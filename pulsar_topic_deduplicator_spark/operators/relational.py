@@ -394,6 +394,141 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi residual — orders
+    in one quarter having at least one late-shipped line item. LEFT SEMI
+    join carries only the orders side through the shuffle; the residual
+    ``l_shipdate > o_orderdate`` predicate evaluates inside the join, so no
+    lineitem row survives past it. Counts only — exact on any engine.
+    (Test schema has no l_commitdate/l_receiptdate; shipped-after-order
+    replaces the commit<receipt lateness predicate.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by year. Supplier, customer
+    and both nation role-aliases are broadcast — only orders⋈lineitem
+    shuffles; the disjunctive pair filter runs on broadcast columns before
+    the aggregate. ``year()`` of a timestamp is exact on both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(dec2("l_extendedprice") * (F.lit(1) - pct("l_discount")), "revenue"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join preserved through two aggregation
+    levels — orders-per-customer, then customers-per-order-count. Customers
+    with zero qualifying orders survive the outer join into the c_count=0
+    bucket. The second aggregate's input is one row per customer, so the
+    second shuffle is tiny. Pure counts — exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group average threshold. The ``qty <
+    0.2·avg(qty)`` predicate is rewritten multiplicatively (``5·qty·n <
+    sum``) so the comparison happens in exact decimals — no division, no
+    float rounding, bit-identical filtering on both engines. One shuffle
+    builds the per-part stats; the brand dim is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(dec2("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    ).withColumnRenamed("l_partkey", "pk")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    s = F.sum(dec2("l_extendedprice"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == stats.pk)
+        .filter(dec2("l_quantity") * F.lit(5) * F.col("n_li") < F.col("sum_qty"))
+        .agg(
+            s.cast("double").alias("total_extprice"),
+            F.count(F.lit(1)).alias("n_items"),
+            (s.cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
+
+
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS anti
+    join. The above-average predicate compares multiplicatively
+    (``bal·n > sum``) in exact decimals so no division enters the filter;
+    the one-row positive-balance aggregate is broadcast via cross join.
+    (Test schema has no c_phone — c_mktsegment replaces the country-code
+    grouping; every customer has at least one order in the synthetic data,
+    so "dormant" = no order since 2000, matching Q22's no-recent-orders
+    intent.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec2("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        dec2("c_acctbal") * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec2("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-min via struct-min aggregation: cheapest (price, supplier) per
     part in ONE shuffle with map-side partial min — the window-function
@@ -687,6 +822,71 @@ ORACLES: dict[str, str] = {
     "orders_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q4_order_priority_checking": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {_dsum(_DEC_REVENUE, "revenue")}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        GROUP BY 1, 2, 3
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+        GROUP BY c_count
+    """,
+    "q17_small_quantity_revenue": """
+        WITH stats AS (
+          SELECT l_partkey AS pk,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                 count(*) AS n_li
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_extprice,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN stats ON l_partkey = pk
+        WHERE p_brand = 'Brand#13'
+          AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
+    """,
+    "q22_dormant_balances": """
+        WITH pos AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s, count(*) AS n
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment
     """,
     "q6_forecast_revenue": f"""
         SELECT {_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))", "revenue")},
