@@ -84,8 +84,65 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def queries() -> dict[str, QueryFn]:
+    # Dict ORDER matters: the verify driver checks the first ~50 entries per
+    # round. Round 2 leads with the tiers the round-1 driver never reached
+    # (text/near-dup/similarity/multimodal/streaming), the round-1 hash
+    # failures (now fixed), and entries whose semantics changed this round;
+    # the round-1-green relational tier follows.
     return {
-        # ── dedup family (reference tier R) ────────────────────────────────
+        # ── text analysis tier ─────────────────────────────────────────────
+        "text_stats": textops.text_stats,
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        "lang_distribution": textops.lang_distribution,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_docs_exact": textops.dedup_docs_exact,
+        "top_terms": textops.top_terms,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        # ── near-duplicate tier ────────────────────────────────────────────
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "minhash_signatures": neardup.minhash_signatures,
+        "near_dup_minhash": neardup.near_dup_minhash,
+        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        "near_dup_clusters": neardup.near_dup_clusters,
+        "simhash_docs": neardup.simhash_docs,
+        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
+        # ── similarity search tier ─────────────────────────────────────────
+        "embedding_topk_cosine": similarity.embedding_topk_cosine,
+        "knn_self_join_top1": similarity.knn_self_join_top1,
+        "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
+        "knn_topk_tiled": similarity.knn_topk_tiled,  # rows-only (BLAS sums)
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
+        "label_centroids": similarity.label_centroids,  # rows-only (float sums)
+        # ── multimodal tier ────────────────────────────────────────────────
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)
+        "multimodal_decode": multimodal.multimodal_decode,  # rows-only (stub codec)
+        "multimodal_resize": multimodal.multimodal_resize,  # rows-only (stub codec)
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # rows-only
+        # ── streaming tier (rows-only: not SQL-oracle-able; batch parity of
+        #    the same semantics is dedup_exact_keep_first) ───────────────────
+        "stream_dedup": _stream_dedup_query,
+        "stream_dedup_ttl": _stream_dedup_ttl_query,
+        "stream_windowed_counts": _stream_windowed_counts_query,
+        "stream_session_activity": _stream_session_activity_query,
+        # ── scalar-function + asof entries unchecked in round 1 ────────────
+        "array_funcs_demo": scalarfuncs.array_funcs_demo,
+        "map_funcs_demo": scalarfuncs.map_funcs_demo,
+        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
+        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # rows-only (sketch)
+        "asof_last_purchase": asof.asof_last_purchase,
+        # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
+        **sqlapi.QUERIES,
+        # ── round-1 hash-fails (oracle types pinned this round) + changed──
+        "conditional_agg_demo": relational.conditional_agg_demo,
+        "sessionize_events": relational.sessionize_events,
+        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
+        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
         "dedup_within_window": dedup.dedup_within_window,
@@ -93,10 +150,8 @@ def queries() -> dict[str, QueryFn]:
         "first_per_key": dedup.first_per_key,
         "dedup_counters": dedup.dedup_counters,
         "distinct_digests": dedup.distinct_digests,
-        "approx_distinct_events": dedup.approx_distinct_events,  # rows-only
         # ── lineage / warm-up (tier R) ─────────────────────────────────────
         "origin_lineage": lineage.origin_lineage,
-        "warmup_digest_extract": lineage.warmup_digest_extract,
         # ── relational support tier ────────────────────────────────────────
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -125,11 +180,9 @@ def queries() -> dict[str, QueryFn]:
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "pivot_status_counts": relational.pivot_status_counts,
         "unpivot_part_measures": relational.unpivot_part_measures,
-        "conditional_agg_demo": relational.conditional_agg_demo,
         "exact_variance_stats": relational.exact_variance_stats,
         "exact_corr_stats": relational.exact_corr_stats,
         "range_frame_event_counts": relational.range_frame_event_counts,
-        "sessionize_events": relational.sessionize_events,
         "full_outer_nation_activity": relational.full_outer_nation_activity,
         "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
@@ -138,50 +191,6 @@ def queries() -> dict[str, QueryFn]:
         "date_funcs_demo": scalarfuncs.date_funcs_demo,
         "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
         "math_funcs_demo": scalarfuncs.math_funcs_demo,
-        "array_funcs_demo": scalarfuncs.array_funcs_demo,
-        "map_funcs_demo": scalarfuncs.map_funcs_demo,
-        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
-        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # rows-only (sketch)
-        "asof_last_purchase": asof.asof_last_purchase,
-        # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
-        **sqlapi.QUERIES,
-        # ── text analysis tier ─────────────────────────────────────────────
-        "text_stats": textops.text_stats,
-        "token_count": textops.token_count,
-        "quality_score": textops.quality_score,
-        "lang_id_heuristic": textops.lang_id_heuristic,
-        "lang_distribution": textops.lang_distribution,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "dedup_docs_exact": textops.dedup_docs_exact,
-        "top_terms": textops.top_terms,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        # ── near-duplicate tier ────────────────────────────────────────────
-        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
-        "minhash_signatures": neardup.minhash_signatures,
-        "near_dup_minhash": neardup.near_dup_minhash,
-        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        "near_dup_clusters": neardup.near_dup_clusters,
-        "simhash_docs": neardup.simhash_docs,
-        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
-        # ── similarity search tier ─────────────────────────────────────────
-        "embedding_topk_cosine": similarity.embedding_topk_cosine,
-        "knn_self_join_top1": similarity.knn_self_join_top1,
-        "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
-        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
-        "label_centroids": similarity.label_centroids,  # rows-only (float sums)
-        # ── multimodal tier ────────────────────────────────────────────────
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)
-        "multimodal_decode": multimodal.multimodal_decode,  # rows-only (stub codec)
-        "multimodal_resize": multimodal.multimodal_resize,  # rows-only (stub codec)
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # rows-only
-        # ── streaming tier (rows-only: not SQL-oracle-able; batch parity of
-        #    the same semantics is dedup_exact_keep_first) ───────────────────
-        "stream_dedup": _stream_dedup_query,
-        "stream_dedup_ttl": _stream_dedup_ttl_query,
-        "stream_windowed_counts": _stream_windowed_counts_query,
-        "stream_session_activity": _stream_session_activity_query,
     }
 
 

@@ -156,10 +156,26 @@ def distinct_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality — the 100 TB path where an exact distinct
-    would shuffle every digest. No oracle entry: HLL implementations differ
-    between engines by design (driver records rows-only)."""
-    return with_digest(load_table(spark, sf_dir, "events")).agg(
-        F.approx_count_distinct("digest", 0.01).alias("n_approx")
+    would shuffle every digest (HLL sketches merge map-side; only the
+    fixed-size registers cross the wire).
+
+    HLL values differ between engines by design, so the oracle-checkable
+    output is the exact count plus a tolerance verdict: the HLL estimate at
+    rsd=0.01 must land within 4·rsd of the exact count (≈4σ; HLL++ bias
+    correction keeps the observed error far inside that). The DuckDB oracle
+    asserts the same exact count and a constant TRUE, so a drifting sketch
+    turns the driver row red instead of being unverifiable."""
+    agg = with_digest(load_table(spark, sf_dir, "events")).agg(
+        F.countDistinct("digest").alias("n_distinct_exact"),
+        F.approx_count_distinct("digest", 0.01).alias("_n_approx"),
+    )
+    tol = F.col("n_distinct_exact").cast("double") * (4 * 0.01)
+    return agg.select(
+        "n_distinct_exact",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_distinct_exact")).cast("double")
+            <= tol
+        ).alias("approx_ok"),
     )
 
 
@@ -211,6 +227,11 @@ ORACLES: dict[str, str] = {
         FROM d GROUP BY 1
     """,
     "distinct_digests": f"SELECT count(DISTINCT {_DIGEST}) AS n_distinct FROM events",
+    "approx_distinct_events": f"""
+        SELECT count(DISTINCT {_DIGEST}) AS n_distinct_exact,
+               TRUE AS approx_ok
+        FROM events
+    """,
 }
 
 # ignore_props_projection oracle needs fragments with a different ignore-list

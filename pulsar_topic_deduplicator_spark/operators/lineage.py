@@ -41,18 +41,22 @@ def origin_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_origin_digests(df: DataFrame, origin_col: str = "origin") -> DataFrame:
     """Op #12: parse-and-validate ``origin`` into one digest per row.
 
-    Mirrors ``getDigests`` (``src/cacheBuilding.ts:6-63``): not-JSON /
-    not-an-array / non-string-or-empty elements are all dropped (the
-    reference warns and skips; we filter — the count of dropped rows is
-    observable via the input/output row delta).
+    Mirrors ``getDigests`` (``src/cacheBuilding.ts:6-63``): validation is
+    MESSAGE-granular — not-JSON, not-an-array, or ANY element that is not a
+    non-empty string rejects the whole message (the reference returns
+    ``undefined`` for the entire array, so ``'["a",""]'`` seeds nothing, not
+    ``'a'``). The reference warns and skips; we filter — the count of dropped
+    messages is observable via the input/output row delta.
     """
     parsed = df.withColumn(
         "_digests", F.from_json(F.col(origin_col), "array<string>")
     )
+    all_valid = F.forall(
+        "_digests", lambda d: d.isNotNull() & (d != F.lit(""))
+    )
     return (
-        parsed.filter(F.col("_digests").isNotNull())
+        parsed.filter(F.col("_digests").isNotNull() & all_valid)
         .select(F.explode("_digests").alias("digest"))
-        .filter(F.col("digest").isNotNull() & (F.col("digest") != ""))
     )
 
 

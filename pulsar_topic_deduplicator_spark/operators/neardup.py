@@ -179,6 +179,57 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 4 × 8-bit blocks
+SIMHASH_HAM_MAX = SIMHASH_BANDS - 1  # pigeonhole: full recall within radius 3
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup retrieval — the candidate path ``simhash_docs``
+    promises: band the 32-bit signature into 4 × 8-bit blocks, join on
+    (block index, block value), verify candidates by exact hamming distance.
+
+    The verify threshold equals bands-1, so pigeonhole makes the banded join
+    EXACT for this radius: any pair at hamming ≤ 3 has ≥ 1 identical block
+    and is guaranteed to surface (no recall loss, unlike probabilistic LSH).
+    Cost is linear: band keys are 1-byte values, the join is an equi-join on
+    (band_id, band_val), and only candidates reach the bit_count verify —
+    the same shape that scales MinHash/LSH to 100 TB. Fully oracle-checkable
+    (deterministic signature + integer hamming)."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    sig = simhash_docs(spark, sf_dir)
+    stack_args = ", ".join(
+        f"{i}, shiftright(simhash, {i * width}) & {mask}" for i in range(SIMHASH_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_id, band_val)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline: MinHash/LSH candidate generation
     (linear) followed by exact Jaccard verification of ONLY the candidate
@@ -416,5 +467,29 @@ ORACLES: dict[str, str] = {
           FROM documents),
         sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM toks GROUP BY doc_id)
         SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums
+    """,
+    "simhash_near_dup_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(sha256(unnest(string_split(text, ' '))), 1, 15) AS BIGINT) AS h
+          FROM documents),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM toks GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums),
+        bands AS (
+          SELECT doc_id, simhash, i AS band_id,
+                 (simhash >> (i * {SIMHASH_BITS // SIMHASH_BANDS}))
+                   & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
+          FROM sigs
+          CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS i) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
     """,
 }

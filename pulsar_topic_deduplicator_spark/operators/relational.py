@@ -994,7 +994,7 @@ ORACLES: dict[str, str] = {
     """,
     "conditional_agg_demo": """
         SELECT o_orderpriority,
-               count_if(o_totalprice > 200000) AS n_big,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                bool_and(o_totalprice > 1000) AS all_over_1k,
                bool_or(o_orderstatus = 'F') AS any_finished,
                CAST(sum(CASE WHEN o_orderstatus = 'F'
@@ -1067,9 +1067,10 @@ ORACLES: dict[str, str] = {
           FROM events),
         sess AS (
           SELECT user_id, ts,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND CURRENT ROW) AS session_id
+                 CAST(sum(new_sess)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS session_id
           FROM flagged)
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end

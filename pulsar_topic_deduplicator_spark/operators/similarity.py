@@ -63,6 +63,23 @@ def _query_vector(emb: DataFrame):
     return [float(x) for x in row["embedding"]]
 
 
+def _broadcast_catalog(emb: DataFrame):
+    """Collect the catalog ONCE and torrent-broadcast ``(ids, unit-rows)``.
+
+    Executors fetch the matrix once per node instead of deserializing it
+    from every task closure (the round-1 collect-into-closure hazard).
+    The driver still materializes one copy — acceptable for a dim-table-sized
+    catalog; when the catalog itself is huge, use ``knn_topk_tiled``, which
+    never assembles the matrix anywhere."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the corpus query vector (vec_id=0).
 
@@ -167,15 +184,15 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nn_id"))
 
-    # scoring: catalog matrix rides along (broadcast-variable pattern, tiled
-    # at scale); per candidate batch one vectorized gather + row product
-    catalog = emb.toPandas()
-    cat_ids = np.array(catalog["vec_id"], dtype=np.int64)
-    cat = np.array(catalog["embedding"].tolist(), dtype=np.float64)
-    cat = cat / np.linalg.norm(cat, axis=1, keepdims=True)
-    index_of = {int(i): k for k, i in enumerate(cat_ids)}
+    # scoring: catalog matrix is a broadcast VARIABLE (fetched once per
+    # executor, not shipped per task); per candidate batch one vectorized
+    # gather + row product. Tiled-join scoring (knn_topk_tiled) is the
+    # catalog-too-big-to-broadcast path.
+    bc = _broadcast_catalog(emb)
 
     def score(batches):
+        cat_ids, cat = bc.value
+        index_of = {int(i): k for k, i in enumerate(cat_ids)}
         for pdf in batches:
             ia = np.array([index_of[int(x)] for x in pdf["vec_id"]], dtype=np.int64)
             ib = np.array([index_of[int(x)] for x in pdf["nn_id"]], dtype=np.int64)
@@ -196,11 +213,15 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
-    """Blockwise brute-force k-NN: the way dense exact search actually runs
-    at scale — the catalog side rides along as one in-memory matrix (the
-    broadcast-variable pattern; tiled at 100 TB) and each Arrow batch of
-    query vectors hits it with a single BLAS matmul instead of millions of
-    per-pair fold expressions. ~40× faster than the HOF self-join at sf0.1.
+    """Blockwise brute-force k-NN: the catalog is a broadcast VARIABLE
+    (one torrent fetch per executor — not a per-task closure copy) and each
+    Arrow batch of query vectors hits it with a single BLAS matmul instead
+    of millions of per-pair fold expressions. ~40× faster than the HOF
+    self-join at sf0.1.
+
+    The driver materializes one catalog copy to build the broadcast — the
+    right trade while the catalog fits one machine; ``knn_topk_tiled`` is
+    the both-sides-distributed variant for when it doesn't.
 
     Rows-only in the oracle (numpy's pairwise summation differs from
     sequential sums in the last ulp); agreement with the exact
@@ -210,12 +231,10 @@ def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    catalog = emb.toPandas()
-    cat_ids = np.array(catalog["vec_id"], dtype=np.int64)
-    cat = np.array(catalog["embedding"].tolist(), dtype=np.float64)
-    cat_norm = cat / np.linalg.norm(cat, axis=1, keepdims=True)
+    bc = _broadcast_catalog(emb)
 
     def block(batches):
+        cat_ids, cat_norm = bc.value
         for pdf in batches:
             ids = np.array(pdf["vec_id"], dtype=np.int64)
             q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -233,6 +252,77 @@ def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
             )
 
     return emb.mapInPandas(block, schema="vec_id long, nn_id long, cosine double")
+
+
+def knn_topk_tiled(
+    spark: SparkSession, sf_dir: str, k: int = 1, tiles: int = 4
+) -> DataFrame:
+    """Block-partitioned exact k-NN — the 100 TB plan: NEITHER side is ever
+    assembled on the driver or broadcast whole.
+
+    Classic block matmul as a cogroup: queries are hashed into Q row-blocks
+    and replicated across the C catalog tiles; the catalog is hashed into C
+    tiles and replicated across the Q query blocks. Each (qb, c) cogroup
+    scores one query-block × catalog-tile pair with a single BLAS matmul and
+    emits its per-tile top-k; a final groupBy merges tiles to the global
+    top-k (the global top-k is a subset of the per-tile top-k's union, so
+    the merge shuffles only Q·C·k rows per query block — scalar-sized).
+
+    Communication is O(N·(Q+C)) vector transfers — choose Q=C≈√(cluster
+    parallelism) so each cogroup's tile fits executor memory; no single node
+    ever holds more than N/C catalog rows. Rows-only (BLAS sums); neighbor
+    identity vs ``knn_self_join_top1`` is pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rep = (
+        emb.withColumn("qb", F.pmod(F.hash("vec_id"), F.lit(tiles)))
+        .withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(tiles - 1))))
+    )
+    c_rep = (
+        emb.withColumn("c", F.pmod(F.hash("vec_id"), F.lit(tiles)))
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(tiles - 1))))
+    )
+
+    def score_tile(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "cosine": []}).astype(
+                {"vec_id": "int64", "nn_id": "int64", "cosine": "float64"}
+            )
+        qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+        cids = cpdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+        c = np.array(cpdf["embedding"].tolist(), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        sims = q @ c.T
+        sims[qids[:, None] == cids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        top = np.argsort(-sims, axis=1)[:, :kk]
+        cos = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = np.isfinite(cos)  # all-self tile edge case
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qids, kk)[keep],
+                "nn_id": cids[top].ravel()[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    partial = (
+        q_rep.groupBy("qb", "c")
+        .cogroup(c_rep.groupBy("qb", "c"))
+        .applyInPandas(score_tile, schema="vec_id long, nn_id long, cosine double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "nn_id", "cosine")
+    )
 
 
 EMBED_NEAR_DUP_THRESHOLD = 0.4

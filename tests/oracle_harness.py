@@ -38,6 +38,49 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(_cell(r[i]) for i in order) for r in rows)
 
 
+# Spark simpleString → DuckDB type names the driver's typed value-hash treats
+# as equal. Anything outside the map (HUGEINT, INT128, widened DECIMALs from
+# sum(int)/count_if) hashes differently even when the Python values compare
+# equal — the round-1 conditional_agg_demo / sessionize_events failure mode.
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}  # NOT HUGEINT/DECIMAL
+_TYPE_COMPAT = {
+    "tinyint": _INTS,
+    "smallint": _INTS,
+    "int": _INTS,
+    "bigint": _INTS,
+    "float": {"FLOAT"},
+    "double": {"DOUBLE"},
+    "boolean": {"BOOLEAN"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+}
+
+
+def _types_compatible(spark_type: str, duck_type: str) -> bool:
+    if spark_type in _TYPE_COMPAT:
+        return duck_type in _TYPE_COMPAT[spark_type]
+    if spark_type.startswith("decimal"):
+        return duck_type.replace(" ", "") == spark_type.upper().replace(" ", "")
+    if spark_type.startswith("timestamp"):
+        return duck_type.startswith("TIMESTAMP")
+    if spark_type.startswith("array<"):
+        inner = spark_type[6:-1]
+        return duck_type.endswith("[]") and _types_compatible(inner, duck_type[:-2])
+    return True  # map/struct: values-only comparison
+
+
+def type_check(spark_df, rel) -> str | None:
+    """Return a description of the first Spark↔DuckDB output-type mismatch
+    (in sorted-column order, as the driver hashes), or None if compatible."""
+    s = sorted((f.name, f.dataType.simpleString()) for f in spark_df.schema.fields)
+    d = sorted((c.lower(), str(t)) for c, t in zip(rel.columns, rel.types))
+    for (sn, st), (dn, dt) in zip(s, d):
+        if sn == dn and not _types_compatible(st, dt):
+            return f"column {sn}: spark={st} duck={dt}"
+    return None
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
@@ -54,6 +97,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     }
     if sorted(c.lower() for c in s_cols) != result["cols_duck"]:
         result["first_diff"] = "column names differ"
+        return result
+    type_diff = type_check(spark_df, rel)
+    if type_diff is not None:
+        result["first_diff"] = f"output types differ: {type_diff}"
         return result
     if len(s_rows) != len(d_rows):
         result["first_diff"] = "row counts differ"

@@ -1,7 +1,9 @@
 """Origin-parse validation — the reference's three warn-and-skip failure
 branches (``src/cacheBuilding.ts:15-24``, ``:36-45``, ``:50-59``): not JSON,
-not an array, non-string/empty elements. Plus canonical-JSON robustness
-(escaping, key-order invariance) beyond the happy path."""
+not an array, non-string/empty elements. Validation is MESSAGE-granular: one
+bad element rejects the whole array (the reference's getDigests returns
+undefined for the entire message). Plus canonical-JSON robustness (escaping,
+key-order invariance) beyond the happy path."""
 
 from __future__ import annotations
 
@@ -18,13 +20,14 @@ def test_malformed_origins_are_skipped(spark):
         ('["abc", "def"]',),  # valid, 2 digests
         ("not json at all",),  # branch 1: unparseable
         ('{"not": "an array"}',),  # branch 2: not an array
-        ('["ok", ""]',),  # branch 3: empty element dropped, "ok" kept
-        ('[null, "xyz"]',),  # null element dropped, "xyz" kept
+        ('["ok", ""]',),  # branch 3: one empty element rejects the message
+        ('[null, "xyz"]',),  # null element rejects the message
         (None,),  # missing property
+        ('["solo"]',),  # valid single-element (the write-path shape)
     ]
     df = spark.createDataFrame(rows, ["origin"])
     out = sorted(r["digest"] for r in extract_origin_digests(df).collect())
-    assert out == ["abc", "def", "ok", "xyz"]
+    assert out == ["abc", "def", "solo"]
 
 
 def test_canonical_json_key_order_invariance(spark):

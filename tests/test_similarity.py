@@ -9,6 +9,7 @@ from pulsar_topic_deduplicator_spark.operators.similarity import (
     ann_cosine_lsh,
     knn_self_join_top1,
     knn_topk_blockwise,
+    knn_topk_tiled,
 )
 
 
@@ -29,6 +30,36 @@ def test_blockwise_matches_exact_nn(spark, sf_dir):
         fnn, fcos = fast[vid]
         assert fnn == nn, f"vec {vid}: exact nn {nn} vs blockwise {fnn}"
         assert abs(fcos - cos) < 1e-9
+
+
+def test_tiled_matches_exact_nn(spark, sf_dir):
+    """Block-partitioned (cogroup) k-NN — the no-driver-matrix 100 TB path —
+    must agree with the exact self-join on neighbor identity, proving the
+    per-tile top-k + global merge loses nothing."""
+    exact = {
+        r["vec_id"]: (r["nn_id"], r["cosine"])
+        for r in knn_self_join_top1(spark, sf_dir).collect()
+    }
+    tiled = {
+        r["vec_id"]: (r["nn_id"], r["cosine"])
+        for r in knn_topk_tiled(spark, sf_dir, tiles=3).collect()
+    }
+    assert set(exact) == set(tiled)
+    for vid, (nn, cos) in exact.items():
+        tnn, tcos = tiled[vid]
+        assert tnn == nn, f"vec {vid}: exact nn {nn} vs tiled {tnn}"
+        assert abs(tcos - cos) < 1e-9
+
+
+def test_similarity_ships_no_driver_catalog_in_closures(spark):
+    """The round-1 scale hazard: a full-table toPandas() materialized in task
+    closures. The module must not call toPandas at all — catalog transfer
+    goes through a broadcast variable or the tiled cogroup join."""
+    import inspect
+
+    from pulsar_topic_deduplicator_spark.operators import similarity
+
+    assert "toPandas" not in inspect.getsource(similarity)
 
 
 def test_lsh_recall_against_exact(spark, sf_dir):
