@@ -50,8 +50,11 @@ def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-TTL stateful dedup (GroupState / transformWithState) — reference
-    ops #7+#11 with the ObliviousSet processing-time TTL clock."""
+    """Exact-TTL stateful dedup — reference ops #7+#11 with the ObliviousSet
+    processing-time TTL clock. Pinned to the GroupState kernel: the
+    transformWithState state server pays a pure-Python-protobuf round trip
+    per state op in this container (49 s vs 28 s at sf0.1); both kernels are
+    semantics-identical and cross-pinned in tests/test_streaming.py."""
     import tempfile
 
     from pulsar_topic_deduplicator_spark.streaming.dedup import (
@@ -59,7 +62,11 @@ def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_ttl_dedup_bounded(
-        spark, sf_dir, tempfile.mkdtemp("ttl_ckpt"), glob_filter="events.parquet"
+        spark,
+        sf_dir,
+        tempfile.mkdtemp("ttl_ckpt"),
+        glob_filter="events.parquet",
+        use_tws=False,
     )
 
 
@@ -142,6 +149,16 @@ def queries() -> dict[str, QueryFn]:
         "sessionize_events": relational.sessionize_events,
         "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
         "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        # ── new TPC-H shapes (round 2) ─────────────────────────────────────
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_value": relational.q11_important_value,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q12_late_shipment_priority": relational.q12_late_shipment_priority,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q20_heavy_shippers": relational.q20_heavy_shippers,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "ivf_topk_cosine": similarity.ivf_topk_cosine,  # rows-only (float cells)
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

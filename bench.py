@@ -32,6 +32,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q9_product_profit",  # widest star join (4 broadcast dims + fact shuffle)
+    "q21_sole_late_supplier",  # semi+anti self-join pair on l_orderkey
     "window_analytics_demo",
     "top_orders_per_customer",
     "asof_last_purchase",
@@ -45,10 +47,17 @@ HEADLINE = [
     "near_dup_pairs_verified",  # LSH candidates + exact verify (scale path)
     "near_dup_clusters",  # iterative connected components over verified pairs
     "simhash_docs",
+    "simhash_near_dup_pairs",  # banded hamming candidates + verify
+    "ngram_jaccard_pairs",  # exact shingle self-join (ground-truth tier)
     "embedding_topk_cosine",
     "knn_topk_blockwise",  # BLAS blockwise brute force (scale path)
+    "knn_topk_tiled",  # block-partitioned cogroup kNN (no driver matrix)
     "ann_cosine_lsh",
+    "ivf_topk_cosine",  # inverted-file ANN (1 Lloyd iter + probed scan)
+    "label_centroids",  # vector aggregate (posexplode partial sums)
+    "multimodal_features",  # Arrow mapInPandas over binary payloads
     "stream_dedup",
+    "stream_dedup_ttl",  # exact-TTL GroupState kernel (per-group Python)
 ]
 
 

@@ -12,6 +12,7 @@ the reference can bring their deployment config across unchanged:
 | ``DEDUPLICATION_IGNORED_PROPERTIES`` | ``src/config.ts:113-130`` | JSON array of strings |
 | ``CACHE_REBUILD_DISABLE_SEEK`` | ``src/config.ts:94-98`` | boolean ("true"/"false") |
 | ``HEALTH_CHECK_PORT`` | ``src/config.ts:216-222`` | int port, default 8080 |
+| ``PULSAR_OAUTH2_ISSUER_URL`` / ``_KEY_PATH`` / ``_AUDIENCE`` | ``src/config.ts:142-168`` | all-or-none group: set none (anonymous) or all three (client-credentials) |
 
 Spark-specific additions use the ``SPARK_GRAFT_*`` prefix (CPUs, sf dir,
 driver memory) and are read in ``session.py`` / ``bench.py``.
@@ -77,6 +78,41 @@ def _read_int(env: dict, name: str, default: int) -> int:
 
 
 @dataclass(frozen=True)
+class OAuth2Config:
+    """Pulsar OAuth2 client-credentials group (``src/config.ts:142-168``)."""
+
+    issuer_url: str
+    key_path: str
+    audience: str
+
+
+_OAUTH2_VARS = (
+    "PULSAR_OAUTH2_ISSUER_URL",
+    "PULSAR_OAUTH2_KEY_PATH",
+    "PULSAR_OAUTH2_AUDIENCE",
+)
+
+
+def _read_oauth2(env: dict) -> OAuth2Config | None:
+    """All-or-none rule (``src/config.ts:142-168``): if ANY of the three
+    OAuth2 variables is set, all three must be set and non-empty; with none
+    set, auth is simply absent (anonymous client)."""
+    vals = {name: env.get(name) for name in _OAUTH2_VARS}
+    if all(v is None for v in vals.values()):
+        return None
+    if not all(vals.values()):  # missing OR empty — the reference's !v check
+        raise ConfigError(
+            "If any of PULSAR_OAUTH2_ISSUER_URL, PULSAR_OAUTH2_KEY_PATH, "
+            "PULSAR_OAUTH2_AUDIENCE is defined, all must be defined."
+        )
+    return OAuth2Config(
+        issuer_url=vals["PULSAR_OAUTH2_ISSUER_URL"],
+        key_path=vals["PULSAR_OAUTH2_KEY_PATH"],
+        audience=vals["PULSAR_OAUTH2_AUDIENCE"],
+    )
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     """Typed view of the reference's deduplication/cache-rebuild config
     (``src/config.ts:37-42``)."""
@@ -86,6 +122,7 @@ class EngineConfig:
     ignored_properties: tuple[str, ...] = ()
     cache_rebuild_disable_seek: bool = False
     health_check_port: int = 8080
+    oauth2: OAuth2Config | None = None
 
     @property
     def dedup_window_ms(self) -> int:
@@ -114,4 +151,5 @@ class EngineConfig:
                 env, "CACHE_REBUILD_DISABLE_SEEK", False
             ),
             health_check_port=_read_int(env, "HEALTH_CHECK_PORT", 8080),
+            oauth2=_read_oauth2(env),
         )

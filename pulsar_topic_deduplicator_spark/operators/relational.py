@@ -715,6 +715,280 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional trade volume by year —
+    a five-way star join where every dimension side (part, supplier,
+    customer, both nation roles) is broadcast and only orders⋈lineitem
+    shuffles. Numerator and denominator are separate exact-decimal sums
+    surfaced as doubles, divided in the same order on both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.filter(F.col("n_regionkey") == 2).select(  # ASIA customers
+        F.col("n_nationkey").alias("c_nk")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = dec2("l_extendedprice") * (F.lit(1) - pct("l_discount"))
+    zero = F.lit("0").cast("decimal(18,4)")
+    national = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero)
+    )
+    total = F.sum(vol)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            national.cast("double").alias("national_volume"),
+            total.cast("double").alias("total_volume"),
+            (national.cast("double") / total.cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit per supplier nation per year.
+    The test schema has no partsupp, so supply cost is the documented
+    adaptation 0.60·p_retailprice (deterministic, exact in decimal). Profit
+    = Σ(revenue − cost·qty) in pure decimal arithmetic; part/supplier/nation
+    broadcast, orders⋈lineitem is the only shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = dec2("p_retailprice") * F.lit("0.60").cast("decimal(4,2)")
+    amount = dec2("l_extendedprice") * (F.lit(1) - pct("l_discount")) - cost * dec2(
+        "l_quantity"
+    )
+    # scale-0 accumulation: amount has scale 6, and Σ|amount|·10⁶ can exceed
+    # 2⁵³ — a fractional decimal that big casts to double with TWO roundings
+    # in DuckDB vs one in Spark (see exact_corr_stats). Summing exact 10⁻⁶
+    # units (scale-0 integers) keeps the cast a single rounding everywhere;
+    # the unit factor divides out in double, identically on both engines.
+    amount_u = (amount * F.lit(1_000_000)).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(amount_u).cast("double") / F.lit(1_000_000.0)).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one region's suppliers,
+    kept only when above a fraction of the GLOBAL total — a two-level
+    aggregate where the grand total joins back as a broadcast scalar
+    (1 row), the distributed rendering of Q11's scalar subquery. Value
+    arithmetic is exact decimal; the threshold compare runs in double
+    identically on both engines."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 3  # EUROPE
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # scale-0 10⁻⁴ units for the same double-cast-rounding reason as
+    # q9_product_profit: the grand total's mantissa flirts with 2⁵³
+    val_u = (dec2("l_extendedprice") * dec2("l_quantity") * 10_000).cast(
+        "decimal(38,0)"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val_u).alias("v"))
+    )
+    total = per_part.agg(F.sum("v").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("t").cast("double") * 0.0006)
+        .select(
+            "l_partkey",
+            (F.col("v").cast("double") / F.lit(10_000.0)).alias("part_value"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute triple,
+    with an exclusion filter on both dimensions (brand exclusion; negative
+    account balance stands in for the complaints anti-filter — the schema
+    has no comment column). count(DISTINCT) over the one fact shuffle;
+    both dimension joins broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lateness-bucketed priority counts — conditional
+    aggregation over the one orders⋈lineitem shuffle. The test schema has no
+    l_shipmode/commitdate/receiptdate, so the group key is l_linestatus and
+    "late" means shipped more than 60 days after the order date (exact
+    timestamp interval arithmetic, identical on both engines). Counts stay
+    BIGINT everywhere via count(CASE…) — DuckDB sum(int) would widen to
+    HUGEINT (see ``dedup_counters``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top supplier(s) by quarterly revenue — Q15's
+    revenue view + scalar-subquery max. The max is a global window over the
+    PER-SUPPLIER aggregate (bounded by supplier count, not fact rows), so
+    the fact table is scanned once — a broadcast-scalar rendering would
+    plan two full lineitem scans (Spark shares no uncached subplans). The
+    tie filter compares the EXACT decimal sums (never float equality), so
+    the winner set is partitioning-independent; revenue surfaces as double
+    only in the final projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = dec2("l_extendedprice") * (F.lit(1) - pct("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("r"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.withColumn("m", F.max("r").over(Window.partitionBy(F.lit(1))))
+        .filter(F.col("r") == F.col("m"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who moved serious volume of
+    a filtered part family — the aggregate-then-semi-join chain standing in
+    for Q20's partsupp availability subquery (the schema has no partsupp).
+    The volume threshold compares the exact decimal sum; part filter is a
+    broadcast semi join, and the per-supplier aggregate (bounded by supplier
+    count, not fact rows) broadcasts back against the supplier dim — the
+    fact table crosses the wire exactly once."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gizmo%")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit("50").cast("decimal(12,2)"))
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return supp.join(
+        F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order — EXISTS(other supplier on the order) AND
+    NOT EXISTS(other LATE supplier), as a semi + anti self-join pair. Both
+    self-joins key on l_orderkey, so the exchanges share one partitioning
+    of the fact table; supplier is broadcast. "Late" = shipped >60 days
+    after order date (no commit/receipt dates in the schema). Counts only —
+    exact on any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def _dsum(expr: str, alias: str) -> str:
     """Oracle-side deterministic sum: the expression must already be exact
     decimal arithmetic (see ``dec2``)."""
@@ -1095,5 +1369,124 @@ ORACLES: dict[str, str] = {
                count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY event_type
+    """,
+    "q8_market_share": f"""
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(sum(CASE WHEN n1.n_name = 'NATION_7' THEN {_DEC_REVENUE}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 AS national_volume,
+               CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS total_volume,
+               CAST(sum(CASE WHEN n1.n_name = 'NATION_7' THEN {_DEC_REVENUE}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey AND nc.n_regionkey = 2
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q9_product_profit": f"""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(sum(CAST(({_DEC_REVENUE}
+                              - CAST(p.p_retailprice AS DECIMAL(12,2))
+                                * CAST(0.60 AS DECIMAL(4,2))
+                                * CAST(l.l_quantity AS DECIMAL(12,2)))
+                             * 1000000 AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000.0 AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    """,
+    "q11_important_value": """
+        WITH eu_supp AS (
+          SELECT s_suppkey FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 3),
+        per_part AS (
+          SELECT l_partkey,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))
+                          * 10000 AS DECIMAL(38,0))) AS v
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+          GROUP BY l_partkey),
+        tot AS (SELECT sum(v) AS t FROM per_part)
+        SELECT l_partkey, CAST(v AS DOUBLE) / 10000.0 AS part_value
+        FROM per_part, tot
+        WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) * 0.0006
+    """,
+    "q12_late_shipment_priority": """
+        SELECT l.l_linestatus,
+               count(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1
+    """,
+    "q15_top_supplier": f"""
+        WITH pr AS (
+          SELECT l_suppkey, sum({_DEC_REVENUE}) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey),
+        ranked AS (SELECT l_suppkey, r, max(r) OVER () AS m FROM pr)
+        SELECT s.s_suppkey, s.s_name, CAST(pr.r AS DOUBLE) AS total_revenue
+        FROM ranked pr JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+        WHERE pr.r = pr.m
+    """,
+    "q20_heavy_shippers": """
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 1
+        WHERE s.s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%gizmo%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(12,2)))
+                 > CAST(50 AS DECIMAL(12,2)))
+    """,
+    "q21_sole_late_supplier": """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        SELECT s.s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+          AND l.l_suppkey IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal >= 0)
+        GROUP BY 1, 2, 3
     """,
 }

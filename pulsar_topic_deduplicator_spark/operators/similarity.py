@@ -73,9 +73,9 @@ def _broadcast_catalog(emb: DataFrame):
     never assembles the matrix anywhere."""
     import numpy as np
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    tbl = emb.select("vec_id", "embedding").toArrow()  # zero-copy columnar
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     return emb.sparkSession.sparkContext.broadcast((ids, mat))
 
@@ -322,6 +322,100 @@ def knn_topk_tiled(
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("vec_id", "nn_id", "cosine")
+    )
+
+
+IVF_CELLS = 16
+IVF_PROBES = 4
+
+
+def ivf_topk_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the index-backed scale path: coarse-quantize
+    the corpus into ``n_cells`` Voronoi cells, then answer a query by
+    scanning only the ``n_probe`` nearest cells' inverted lists (~n_probe/
+    n_cells of the corpus) instead of everything.
+
+    Training is one distributed Lloyd iteration over deterministic seeds
+    (the first ``n_cells`` vectors): assign = Arrow-batched matmul against
+    the broadcast centroid matrix (n_cells×dim — kilobytes); update =
+    per-cell mean via posexplode partial sums (the ``label_centroids``
+    shape, scalar-sized shuffle). At 100 TB the assignment column doubles as
+    a partition key, making each probe a partition-pruned scan. Candidate
+    scoring is the exact HOF cosine. Rows-only (cell boundaries come from
+    float matmuls); recall vs ``embedding_topk_cosine`` is pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sc = spark.sparkContext
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def norm_rows(m: np.ndarray) -> np.ndarray:
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    seeds_tbl = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .orderBy("vec_id")
+        .select("embedding")
+        .toArrow()
+    )
+    cents = norm_rows(np.array(seeds_tbl.column("embedding").to_pylist(), np.float64))
+
+    def assigner(bc):
+        def assign(batches):
+            c_mat = bc.value
+            for pdf in batches:
+                v = norm_rows(np.array(pdf["embedding"].tolist(), np.float64))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": np.argmax(v @ c_mat.T, axis=1).astype(np.int32),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, cell int, embedding array<float>"
+    assigned = emb.mapInPandas(assigner(sc.broadcast(cents)), schema=schema)
+
+    # one Lloyd update: per-cell mean, scalar-sized shuffle; n_cells×dim rows
+    # come back to the driver (kilobytes) to form the refined codebook
+    mean_rows = (
+        assigned.select("cell", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    refined = np.array(cents)
+    for r in mean_rows:
+        refined[r["cell"], r["dim"]] = r["m"]
+    refined = norm_rows(refined)
+    assigned = emb.mapInPandas(assigner(sc.broadcast(refined)), schema=schema)
+
+    q = _query_vector(emb)
+    q_arr = np.array(q, np.float64)
+    q_arr /= np.linalg.norm(q_arr)
+    probe_cells = [int(c) for c in np.argsort(-(refined @ q_arr))[:n_probe]]
+
+    q_lit = F.lit(q).cast("array<double>")
+    return (
+        assigned.filter(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "cell",
+            cosine_similarity(F.col("embedding"), q_lit).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
     )
 
 

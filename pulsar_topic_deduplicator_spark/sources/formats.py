@@ -54,6 +54,7 @@ def pulsar_reader_options(
     service_url: str,
     topics_pattern: str,
     start: str = "earliest",
+    oauth2=None,
 ) -> dict[str, str]:
     """Option map for the pulsar-spark connector mirroring the reference's
     consumer config (regex subscription, Earliest start —
@@ -61,9 +62,61 @@ def pulsar_reader_options(
 
         (spark.readStream.format("pulsar")
               .options(**pulsar_reader_options(url, pattern)).load())
-    """
-    return {
+
+    ``oauth2`` (a ``config.OAuth2Config``) maps the reference's
+    client-credentials auth (``src/pulsar.ts:4-16``) onto the connector's
+    documented ``pulsar.client.auth*`` options — the official Pulsar OAuth2
+    plugin class plus its JSON params blob."""
+    opts = {
         "service.url": service_url,
         "topicsPattern": topics_pattern,
+        "startingOffsets": start,
+    }
+    if oauth2 is not None:
+        import json
+
+        opts["pulsar.client.authPluginClassName"] = (
+            "org.apache.pulsar.client.impl.auth.oauth2.AuthenticationOAuth2"
+        )
+        opts["pulsar.client.authParams"] = json.dumps(
+            {
+                "type": "client_credentials",
+                "issuerUrl": oauth2.issuer_url,
+                "privateKey": oauth2.key_path,
+                "audience": oauth2.audience,
+            },
+            sort_keys=True,
+        )
+    return opts
+
+
+def pulsar_writer_options(
+    service_url: str,
+    topic: str,
+    compression: str = "ZSTD",
+) -> dict[str, str]:
+    """Producer-side option map (reference op #3: output topic + ZSTD
+    compression, ``src/config.ts:198-214``). The reference compresses at
+    the broker protocol level; the connector exposes the same knob via
+    producer conf."""
+    return {
+        "service.url": service_url,
+        "topic": topic,
+        "pulsar.producer.compressionType": compression,
+    }
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    subscribe_pattern: str,
+    start: str = "earliest",
+) -> dict[str, str]:
+    """The same subscription shape on the built-in Kafka source (the
+    connector every Spark distribution ships): regex subscription via
+    ``subscribePattern``, earliest start — the drop-in alternative when the
+    broker is Kafka rather than Pulsar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribePattern": subscribe_pattern,
         "startingOffsets": start,
     }

@@ -133,12 +133,13 @@ def run_stream_dedup_bounded(
 # actually does (it re-reads its own output topic through the same message
 # path, ``src/cacheBuilding.ts:141-153``).
 
-try:  # feature gate: protobuf is required by the transformWithState workers
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# feature gate: protobuf is required by the transformWithState state server
+# (driver and workers). _pbcompat can satisfy it from the container's
+# vendored pure-Python protobuf; without any protobuf the GroupState path
+# below carries the same semantics.
+from .._pbcompat import enable_vendored_protobuf
 
-    HAS_TRANSFORM_WITH_STATE = True
-except ImportError:
-    HAS_TRANSFORM_WITH_STATE = False
+HAS_TRANSFORM_WITH_STATE = enable_vendored_protobuf()
 
 _TTL_OUTPUT_SCHEMA = (
     "digest string, message_id string, event_ts timestamp, n_dropped bigint"
@@ -163,7 +164,14 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
 
     Seed rows (message_id == SEED_MESSAGE_ID) insert state without emitting —
     the warm-up path. Duplicates do NOT extend the TTL (the reference's set
-    only stamps insertion time, ``src/deduplication.ts:76``)."""
+    only stamps insertion time, ``src/deduplication.ts:76``).
+
+    Duplicates whose first occurrence is in a PRIOR batch (or a warm-up
+    seed) still produce a counter-only row — ``message_id`` NULL,
+    ``n_dropped`` = batch's duplicate count — so downstream dropped totals
+    match the reference's ``nRecentDropped`` (``src/deduplication.ts:80-95``)
+    instead of under-reporting to co-batched duplicates only. Consumers of
+    the message stream filter ``message_id IS NOT NULL``."""
 
     def kernel(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -172,7 +180,14 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
             return
-        rows = pd.concat(batches).sort_values(["event_ts", "message_id"])
+        # fast path: with crypto-uniform digests almost every group is a
+        # single row, and the kernel runs once PER GROUP — skipping the
+        # concat+sort there cuts the per-group Python overhead roughly in
+        # half at ~100k groups/batch
+        if len(batches) == 1 and len(batches[0]) == 1:
+            rows = batches[0]
+        else:
+            rows = pd.concat(batches).sort_values(["event_ts", "message_id"])
         now_ms = state.getCurrentProcessingTimeMs()
         prior = state.get if state.exists else None  # (first_seen_ms,)
         already = prior is not None and (now_ms - prior[0]) < ttl_ms
@@ -183,7 +198,18 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
             if use_timers:
                 state.setTimeoutDuration(ttl_ms)
         if already or has_seed:
-            return  # every live row here is a duplicate / warm-up hit
+            # every live row here is a duplicate / warm-up hit: drop them
+            # all, but surface the count as a message_id-less counter row
+            if len(live):
+                yield pd.DataFrame(
+                    {
+                        "digest": [key[0]],
+                        "message_id": [None],
+                        "event_ts": [pd.NaT],
+                        "n_dropped": [len(live)],
+                    }
+                )
+            return
         if len(live):
             first = live.iloc[0]
             yield pd.DataFrame(
@@ -244,6 +270,17 @@ class TtlDedupProcessor(StatefulProcessor):
                     "n_dropped": [n_dropped],
                 }
             )
+        elif n_dropped:
+            # duplicates of a prior batch's (or warm-up) first occurrence:
+            # counter-only row so dropped telemetry matches nRecentDropped
+            yield pd.DataFrame(
+                {
+                    "digest": [key[0]],
+                    "message_id": [None],
+                    "event_ts": [pd.NaT],
+                    "n_dropped": [n_dropped],
+                }
+            )
 
     def close(self) -> None:
         pass
@@ -256,9 +293,16 @@ def start_ttl_dedup(
     ttl_ms: int = 3_600_000,
     seed_digests: DataFrame | None = None,
     glob_filter: str | None = None,
+    use_tws: bool | None = None,
 ):
     """Start the exact-TTL dedup as a live streaming query; returns
     ``(StreamingQuery, output_table_name)`` (memory sink).
+
+    ``use_tws`` selects the kernel: True = transformWithStateInPandas
+    (native TTL value state), False = applyInPandasWithState (GroupState),
+    None = transformWithState when protobuf is available. Both kernels
+    carry identical semantics (pinned against each other in
+    tests/test_streaming.py).
 
     ``seed_digests`` (a batch DataFrame with a ``digest`` column) replays
     the reference's warm-up (op #11): those digests start out "seen" and
@@ -276,7 +320,11 @@ def start_ttl_dedup(
         "digest", "message_id", "event_ts"
     )
 
-    if HAS_TRANSFORM_WITH_STATE:
+    if use_tws is None:
+        use_tws = HAS_TRANSFORM_WITH_STATE
+    # re-run so the NOW-active SparkContext's worker env gets the vendored
+    # protobuf path (enable() at import time may have preceded the session)
+    if use_tws and enable_vendored_protobuf():
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
@@ -324,6 +372,45 @@ def start_ttl_dedup(
     return query, name
 
 
+def drain_bounded(
+    spark: SparkSession,
+    query,
+    table_name: str,
+    settle_s: float = 2.0,
+    timeout_s: float = 120.0,
+) -> None:
+    """Drain a bounded run of a TTL'd stateful query without
+    ``processAllAvailable``.
+
+    TTL'd transformWithState state (and GroupState processing-time timers)
+    make the micro-batch engine schedule "no new data but cleaning up state"
+    batches indefinitely — correct state-eviction behavior for a live query,
+    but ``processAllAvailable`` never returns against it (observed: batchId
+    75+ on a drained 5-row source). For a bounded source the observable
+    fixpoint is: latest progress reads zero input rows AND the sink row
+    count has been stable for ``settle_s`` (batches cycle every few hundred
+    ms here, so pending files surface well inside the settle window)."""
+    import time
+
+    deadline = time.time() + timeout_s
+    last_rows = -1
+    stable_since: float | None = None
+    while time.time() < deadline:
+        n = spark.table(table_name).count()
+        prog = query.recentProgress
+        zero_input = bool(prog) and prog[-1]["numInputRows"] == 0
+        if n == last_rows and zero_input:
+            if stable_since is None:
+                stable_since = time.time()
+            elif time.time() - stable_since >= settle_s:
+                return
+        else:
+            stable_since = None
+            last_rows = n
+        time.sleep(0.3)
+    raise TimeoutError(f"streaming sink {table_name} did not settle")
+
+
 def run_ttl_dedup_bounded(
     spark: SparkSession,
     source_dir: str,
@@ -331,18 +418,27 @@ def run_ttl_dedup_bounded(
     ttl_ms: int = 3_600_000,
     seed_digests: DataFrame | None = None,
     glob_filter: str | None = None,
+    use_tws: bool | None = None,
 ) -> DataFrame:
     """Bounded run of the exact-TTL dedup: start → drain → stop.
 
-    Default micro-batch trigger + processAllAvailable, NOT availableNow:
-    with processing-time state timers registered, availableNow keeps
-    scheduling micro-batches until every timer has fired (observed: 150+
-    empty epochs against a 1 h TTL before we stopped it)."""
+    Default micro-batch trigger, NOT availableNow: with TTL'd state or
+    processing-time timers, availableNow keeps scheduling micro-batches
+    until every timer has fired (observed: 150+ empty epochs against a 1 h
+    TTL). The GroupState path drains with processAllAvailable; the
+    transformWithState path needs the settle-based ``drain_bounded`` (its
+    TTL cleanup batches never stop arriving)."""
+    if use_tws is None:
+        use_tws = HAS_TRANSFORM_WITH_STATE
     query, name = start_ttl_dedup(
-        spark, source_dir, checkpoint_dir, ttl_ms, seed_digests, glob_filter
+        spark, source_dir, checkpoint_dir, ttl_ms, seed_digests, glob_filter,
+        use_tws=use_tws,
     )
     try:
-        query.processAllAvailable()
+        if use_tws:
+            drain_bounded(spark, query, name)
+        else:
+            query.processAllAvailable()
     finally:
         query.stop()
     return spark.table(name)

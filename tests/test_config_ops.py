@@ -55,6 +55,92 @@ def test_ignored_properties_invalid_rejected(raw):
         EngineConfig.from_env({"DEDUPLICATION_IGNORED_PROPERTIES": raw})
 
 
+_OAUTH_FULL = {
+    "PULSAR_OAUTH2_ISSUER_URL": "https://issuer.example",
+    "PULSAR_OAUTH2_KEY_PATH": "/run/secrets/key.json",
+    "PULSAR_OAUTH2_AUDIENCE": "urn:example:aud",
+}
+
+
+def test_oauth2_absent_when_unset():
+    assert EngineConfig.from_env({}).oauth2 is None
+
+
+def test_oauth2_all_three_accepted():
+    cfg = EngineConfig.from_env(dict(_OAUTH_FULL))
+    assert cfg.oauth2 is not None
+    assert cfg.oauth2.issuer_url == "https://issuer.example"
+    assert cfg.oauth2.key_path == "/run/secrets/key.json"
+    assert cfg.oauth2.audience == "urn:example:aud"
+
+
+@pytest.mark.parametrize("missing", sorted(_OAUTH_FULL))
+def test_oauth2_all_or_none_rejects_partial(missing):
+    """config.ts:142-168: any subset of the three set -> fail fast."""
+    env = {k: v for k, v in _OAUTH_FULL.items() if k != missing}
+    with pytest.raises(ConfigError, match="all must be defined"):
+        EngineConfig.from_env(env)
+
+
+@pytest.mark.parametrize("empty", sorted(_OAUTH_FULL))
+def test_oauth2_empty_string_counts_as_missing(empty):
+    """The reference's !v check treats '' as missing too."""
+    env = dict(_OAUTH_FULL)
+    env[empty] = ""
+    with pytest.raises(ConfigError, match="all must be defined"):
+        EngineConfig.from_env(env)
+
+
+def test_pulsar_reader_option_contract():
+    """Pin the emitted option names against the documented pulsar-spark
+    connector surface (service.url/topicsPattern/startingOffsets, auth via
+    pulsar.client.authPluginClassName+authParams) — reference consumer
+    config src/config.ts:236-262, client auth src/pulsar.ts:4-16."""
+    import json
+
+    from pulsar_topic_deduplicator_spark.config import OAuth2Config
+    from pulsar_topic_deduplicator_spark.sources.formats import (
+        kafka_reader_options,
+        pulsar_reader_options,
+        pulsar_writer_options,
+    )
+
+    plain = pulsar_reader_options("pulsar://broker:6650", "persistent://t/ns/.*")
+    assert plain == {
+        "service.url": "pulsar://broker:6650",
+        "topicsPattern": "persistent://t/ns/.*",
+        "startingOffsets": "earliest",
+    }
+
+    auth = pulsar_reader_options(
+        "pulsar+ssl://broker:6651",
+        "persistent://t/ns/.*",
+        oauth2=OAuth2Config("https://iss", "/k.json", "aud"),
+    )
+    assert (
+        auth["pulsar.client.authPluginClassName"]
+        == "org.apache.pulsar.client.impl.auth.oauth2.AuthenticationOAuth2"
+    )
+    assert json.loads(auth["pulsar.client.authParams"]) == {
+        "type": "client_credentials",
+        "issuerUrl": "https://iss",
+        "privateKey": "/k.json",
+        "audience": "aud",
+    }
+
+    assert pulsar_writer_options("pulsar://b:6650", "persistent://t/ns/out") == {
+        "service.url": "pulsar://b:6650",
+        "topic": "persistent://t/ns/out",
+        "pulsar.producer.compressionType": "ZSTD",
+    }
+
+    assert kafka_reader_options("b1:9092,b2:9092", "events[.].*") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribePattern": "events[.].*",
+        "startingOffsets": "earliest",
+    }
+
+
 def test_bool_parse_strict():
     assert EngineConfig.from_env(
         {"CACHE_REBUILD_DISABLE_SEEK": "true"}

@@ -43,6 +43,62 @@ def test_q3_customer_broadcast(spark, sf_dir):
     assert has_broadcast_join(relational.q3_shipping_priority(spark, sf_dir))
 
 
+def test_q8_dimensions_broadcast_one_fact_shuffle(spark, sf_dir):
+    """q8's five dimension sides must broadcast; only orders⋈lineitem plus
+    the final 1-key groupBy may exchange."""
+    df = relational.q8_market_share(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert count_exchanges(df) <= 3, plan[:2000]
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    df = relational.q9_product_profit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert count_exchanges(df) <= 3, plan[:2000]
+
+
+def test_q11_total_is_broadcast_scalar(spark, sf_dir):
+    """The grand total must reach the per-part rows as a broadcast (nested
+    loop over 1 row), never a shuffled join."""
+    df = relational.q11_important_value(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:2000]
+    )
+
+
+def test_q15_single_fact_scan(spark, sf_dir):
+    """q15's max-over-revenue must come from a window over the per-supplier
+    aggregate, NOT a second scan of lineitem (Spark shares no uncached
+    subplans, so a scalar-subquery rendering doubles the fact I/O); the
+    supplier dim must broadcast."""
+    df = relational.q15_top_supplier(spark, sf_dir)
+    scans = read_schema_columns(df)
+    assert len(scans) == 2, scans  # lineitem once + supplier once
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_q20_aggregate_broadcasts_back(spark, sf_dir):
+    """q20's part filter and per-supplier volume aggregate must both reach
+    the supplier dim as broadcasts — no shuffle of the dim side."""
+    df = relational.q20_heavy_shippers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_q21_self_joins_share_orderkey_partitioning(spark, sf_dir):
+    """q21's semi + anti self-joins both key on l_orderkey; supplier is
+    broadcast. Exchanges stay bounded (late-set build + self-join sides +
+    final 1-key agg), with no cartesian anywhere."""
+    df = relational.q21_sole_late_supplier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert has_broadcast_join(df), plan[:2000]
+    assert count_exchanges(df) <= 6, plan[:2000]
+
+
 def test_dedup_single_shuffle_with_partial_agg(spark, sf_dir):
     df = dedup.dedup_exact_keep_first(spark, sf_dir)
     plan = formatted_plan(df)

@@ -62,6 +62,23 @@ def test_similarity_ships_no_driver_catalog_in_closures(spark):
     assert "toPandas" not in inspect.getsource(similarity)
 
 
+def test_ivf_recall_against_exact(spark, sf_dir):
+    """IVF with 4/16 probes must recover most of the brute-force top-20
+    (observed 0.85 at sf0.001); the returned cosines must be the exact HOF
+    values (identical to brute force for every common vec_id)."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        embedding_topk_cosine,
+        ivf_topk_cosine,
+    )
+
+    exact = {r["vec_id"]: r["cosine"] for r in embedding_topk_cosine(spark, sf_dir).collect()}
+    ivf = {r["vec_id"]: r["cosine"] for r in ivf_topk_cosine(spark, sf_dir).collect()}
+    common = set(exact) & set(ivf)
+    assert len(common) / len(exact) >= 0.5, f"IVF recall {len(common)}/{len(exact)}"
+    for vid in common:
+        assert ivf[vid] == exact[vid]  # same exact-decimal dot product
+
+
 def test_lsh_recall_against_exact(spark, sf_dir):
     """Random-hyperplane LSH is approximate; require ≥60% top-1 recall and
     cosine within the bucket's best (sanity that bucketing is not broken)."""

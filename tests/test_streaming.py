@@ -14,9 +14,20 @@ import pytest
 from pyspark.sql import functions as F
 
 from pulsar_topic_deduplicator_spark.streaming.dedup import (
+    HAS_TRANSFORM_WITH_STATE,
+    drain_bounded,
     run_stream_dedup_bounded,
     run_ttl_dedup_bounded,
 )
+
+
+def _drain(spark, query, name):
+    """Path-appropriate bounded drain: processAllAvailable hangs forever on
+    TTL'd transformWithState (endless state-cleanup batches)."""
+    if HAS_TRANSFORM_WITH_STATE:
+        drain_bounded(spark, query, name)
+    else:
+        query.processAllAvailable()
 
 NS = 1_000_000_000
 BASE_TS = 1_704_067_200 * NS  # 2024-01-01T00:00:00Z in epoch-ns
@@ -92,9 +103,27 @@ def test_checkpoint_restart_keeps_state(spark, source_dir, tmp_path):
     assert rows == {"1", "2", "4", "6"}
 
 
-def test_ttl_dedup_exact_path(spark, source_dir, tmp_path):
+@pytest.mark.parametrize(
+    "use_tws",
+    [
+        False,
+        pytest.param(
+            True,
+            marks=pytest.mark.skipif(
+                not HAS_TRANSFORM_WITH_STATE, reason="no protobuf runtime"
+            ),
+        ),
+    ],
+    ids=["groupstate", "transformWithState"],
+)
+def test_ttl_dedup_exact_path(spark, source_dir, tmp_path, use_tws):
+    """Both kernels (GroupState and native-TTL transformWithState) must
+    produce identical forwarded sets and per-first n_dropped counts."""
     result = run_ttl_dedup_bounded(
-        spark, source_dir, checkpoint_dir=str(tmp_path / "ckpt_ttl")
+        spark,
+        source_dir,
+        checkpoint_dir=str(tmp_path / f"ckpt_ttl_{use_tws}"),
+        use_tws=use_tws,
     )
     out = {r["message_id"]: r["n_dropped"] for r in result.collect()}
     assert set(out) == {"1", "2", "4"}
@@ -127,9 +156,40 @@ def test_ttl_dedup_warmup_seed(spark, source_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt_seed"),
         seed_digests=seed,
     )
-    out = {r["message_id"] for r in result.collect()}
+    forwarded = {
+        r["message_id"] for r in result.collect() if r["message_id"] is not None
+    }
     # events 1 and 3 share the seeded digest -> both suppressed
-    assert out == {"2", "4"}
+    assert forwarded == {"2", "4"}
+    # ...but not silently: their drops surface as a counter-only row
+    counters = [r for r in result.collect() if r["message_id"] is None]
+    assert sum(r["n_dropped"] for r in counters) == 2
+
+
+def test_later_batch_duplicate_emits_counter_row(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch (first occurrence already
+    in state) must not vanish silently: the kernel emits a message_id-less
+    counter row so dropped totals match the reference's nRecentDropped."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import start_ttl_dedup
+
+    src = str(tmp_path / "late_src")
+    _write_batch(spark, src, BATCH1[:1])  # message 1
+    query, name = start_ttl_dedup(
+        spark, src, str(tmp_path / "ckpt_late"), ttl_ms=3_600_000
+    )
+    try:
+        _drain(spark, query, name)
+        first = spark.table(name).collect()
+        assert {r["message_id"] for r in first} == {"1"}
+        _write_batch(spark, src, BATCH1[2:3])  # event 3 = duplicate of 1
+        _drain(spark, query, name)
+        rows = spark.table(name).collect()
+        counters = [r for r in rows if r["message_id"] is None]
+        assert len(counters) == 1
+        assert counters[0]["n_dropped"] == 1
+        assert counters[0]["digest"] == first[0]["digest"]
+    finally:
+        query.stop()
 
 
 def test_ttl_expiry_readmits(spark, tmp_path):
@@ -145,11 +205,11 @@ def test_ttl_expiry_readmits(spark, tmp_path):
         spark, src, str(tmp_path / "ckpt_exp"), ttl_ms=1500
     )
     try:
-        query.processAllAvailable()
+        _drain(spark, query, name)
         assert {r["message_id"] for r in spark.table(name).collect()} == {"1"}
         time.sleep(2.0)  # let the TTL lapse (processing-time clock)
         _write_batch(spark, src, BATCH1[2:3])  # duplicate content (event 3)
-        query.processAllAvailable()
+        _drain(spark, query, name)
         rows = {r["message_id"] for r in spark.table(name).collect()}
         # duplicate arrived AFTER expiry -> re-admitted as a fresh first
         assert rows == {"1", "3"}
