@@ -70,6 +70,20 @@ def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash/LSH near-dup filter (foreachBatch + persistent
+    bucket index) — the near-dup generalization of the reference's
+    first-wins stream dedup; greedy-by-doc_id semantics pinned against the
+    batch LSH candidate set in tests/test_streaming_neardup.py."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+        run_stream_near_dup_bounded,
+    )
+
+    return run_stream_near_dup_bounded(spark, sf_dir, tempfile.mkdtemp("nd_work"))
+
+
 def _stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling counts with watermark (reference op #13 on event
     time) — append mode emits watermark-finalized windows only."""
@@ -159,6 +173,8 @@ def queries() -> dict[str, QueryFn]:
         "q20_heavy_shippers": relational.q20_heavy_shippers,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         "ivf_topk_cosine": similarity.ivf_topk_cosine,  # rows-only (float cells)
+        "ivf_topk_indexed": similarity.ivf_topk_indexed,  # rows-only (same, pruned scan)
+        "stream_near_dup": _stream_near_dup_query,  # rows-only (streaming)
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

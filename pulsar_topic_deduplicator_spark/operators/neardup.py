@@ -130,18 +130,25 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dup_candidates(_signature_wide(spark, sf_dir))
 
 
-def _near_dup_candidates(wide: DataFrame) -> DataFrame:
+def band_rows(wide: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH bucket membership rows derived
+    from a wide signature table. Shared by the batch candidate join below
+    and the streaming near-dup filter (``streaming/neardup_stream.py``)."""
     n_bands = NUM_HASHES // BAND_ROWS
     band_cols = []
     for band in range(n_bands):
         cols = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
         band_cols.append(F.concat_ws("-", *cols))
     stack_args = ", ".join(f"{i}, b_{i}" for i in range(n_bands))
-    bands = wide.select(
+    return wide.select(
         "doc_id", *[c.alias(f"b_{i}") for i, c in enumerate(band_cols)]
     ).select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, band_key)")
     )
+
+
+def _near_dup_candidates(wide: DataFrame) -> DataFrame:
+    bands = band_rows(wide)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -329,27 +329,14 @@ IVF_CELLS = 16
 IVF_PROBES = 4
 
 
-def ivf_topk_cosine(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = TOP_K,
-    n_cells: int = IVF_CELLS,
-    n_probe: int = IVF_PROBES,
-) -> DataFrame:
-    """IVF (inverted-file) ANN — the index-backed scale path: coarse-quantize
-    the corpus into ``n_cells`` Voronoi cells, then answer a query by
-    scanning only the ``n_probe`` nearest cells' inverted lists (~n_probe/
-    n_cells of the corpus) instead of everything.
-
-    Training is one distributed Lloyd iteration over deterministic seeds
-    (the first ``n_cells`` vectors): assign = Arrow-batched matmul against
-    the broadcast centroid matrix (n_cells×dim — kilobytes); update =
-    per-cell mean via posexplode partial sums (the ``label_centroids``
-    shape, scalar-sized shuffle). At 100 TB the assignment column doubles as
-    a partition key, making each probe a partition-pruned scan. Candidate
-    scoring is the exact HOF cosine. Rows-only (cell boundaries come from
-    float matmuls); recall vs ``embedding_topk_cosine`` is pinned in tests.
-    """
+def _ivf_train_assign(spark: SparkSession, sf_dir: str, n_cells: int):
+    """Shared IVF trainer: one distributed Lloyd iteration over
+    deterministic seeds (the first ``n_cells`` vectors). Assign =
+    Arrow-batched matmul against the broadcast centroid matrix
+    (n_cells×dim — kilobytes); update = per-cell mean via posexplode
+    partial sums (the ``label_centroids`` shape, scalar-sized shuffle).
+    Returns ``(assigned_df, refined_centroids)`` where assigned_df carries
+    (vec_id, cell, embedding)."""
     import numpy as np
     import pandas as pd
 
@@ -397,12 +384,41 @@ def ivf_topk_cosine(
     for r in mean_rows:
         refined[r["cell"], r["dim"]] = r["m"]
     refined = norm_rows(refined)
-    assigned = emb.mapInPandas(assigner(sc.broadcast(refined)), schema=schema)
+    return emb.mapInPandas(assigner(sc.broadcast(refined)), schema=schema), refined
+
+
+def _ivf_probe_cells(emb: DataFrame, refined, n_probe: int):
+    """The query vector's ``n_probe`` nearest cells + its normalized self."""
+    import numpy as np
 
     q = _query_vector(emb)
     q_arr = np.array(q, np.float64)
     q_arr /= np.linalg.norm(q_arr)
-    probe_cells = [int(c) for c in np.argsort(-(refined @ q_arr))[:n_probe]]
+    return q, [int(c) for c in np.argsort(-(refined @ q_arr))[:n_probe]]
+
+
+def ivf_topk_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the index-backed scale path: coarse-quantize
+    the corpus into ``n_cells`` Voronoi cells, then answer a query by
+    scanning only the ``n_probe`` nearest cells' inverted lists (~n_probe/
+    n_cells of the corpus) instead of everything.
+
+    This entry computes assignments inline (index build + probe in one
+    plan); ``ivf_topk_indexed`` materializes the same assignments as a
+    cell-partitioned table so the probe is a partition-pruned scan — the
+    100 TB deployment shape. Candidate scoring is the exact HOF cosine.
+    Rows-only (cell boundaries come from float matmuls); recall vs
+    ``embedding_topk_cosine`` is pinned in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, refined = _ivf_train_assign(spark, sf_dir, n_cells)
+    q, probe_cells = _ivf_probe_cells(emb, refined, n_probe)
 
     q_lit = F.lit(q).cast("array<double>")
     return (
@@ -412,6 +428,48 @@ def ivf_topk_cosine(
         .select(
             "vec_id",
             "cell",
+            cosine_similarity(F.col("embedding"), q_lit).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF ANN against a MATERIALIZED index: the cell assignments are
+    written once as a parquet table partitioned BY ``cell``, and each probe
+    is then a partition-pruned scan that reads only ``n_probe``/``n_cells``
+    of the corpus from disk (PartitionFilters in the plan — asserted in
+    tests). This is the deployment shape at 100 TB: train/assign cost is
+    paid once per index build, probes touch ~n_probe/n_cells of the data,
+    and new vectors append to their cell partition without touching the
+    rest. Results are identical to ``ivf_topk_cosine`` (same assignments,
+    same exact-cosine scoring)."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, refined = _ivf_train_assign(spark, sf_dir, n_cells)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp("ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+
+    q, probe_cells = _ivf_probe_cells(emb, refined, n_probe)
+    q_lit = F.lit(q).cast("array<double>")
+    index = spark.read.parquet(index_dir)
+    return (
+        index.filter(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
             cosine_similarity(F.col("embedding"), q_lit).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))

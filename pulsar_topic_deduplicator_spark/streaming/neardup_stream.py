@@ -1,0 +1,165 @@
+"""Streaming near-duplicate filter — MinHash/LSH first-wins over a document
+stream.
+
+The reference dedups exact byte-identical payloads in a stream (op #6/#7,
+``src/deduplication.ts:76-95``); this is the near-dup generalization of the
+same first-wins stream semantics: a document is forwarded only if no
+previously-kept document occupies any of its LSH band buckets, and a kept
+document claims all of its buckets.
+
+Rendering: ``foreachBatch`` + a persistent bucket index table — the
+production shape for stream dedup against unbounded state that must outlive
+the query (the bucket index is a plain partitioned parquet table here; at
+100 TB it is the same table bucketed BY ``band_key`` so the per-batch probe
+is a shuffle-free semi join, and micro-batch appends are small files
+compacted asynchronously). Stateful-operator APIs are the wrong tool for
+this one: a document's fate depends on FOUR keys (its band buckets), and
+chaining a per-bucket stateful op into a per-doc aggregation is two stateful
+operators in sequence — unsupported in a single query.
+
+Within-batch semantics are GREEDY BY doc_id: the lowest doc_id in a bucket
+owns it; any higher doc_id colliding there is dropped, even if the owner
+itself was dropped by a state hit in another bucket. Strictly sequential
+one-at-a-time semantics (the reference's loop) would re-admit such chained
+drops; the greedy rule is deterministic, batch-expressible without
+iteration, and converges to the same answer as batch LSH dedup when the
+whole corpus arrives in one batch (pinned in tests). The deviation is the
+streaming analog of ``corpus_clean_pipeline``'s documented non-transitive
+pair-drop.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import stable_uint60
+from ..functions.text import shingles
+from ..operators.neardup import (
+    MINHASH_P,
+    SHINGLE_N,
+    _signature_wide_from,
+    band_rows,
+)
+
+#: raw schema of documents.parquet for the file-source stream
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_BUCKET_SCHEMA = "band_id int, band_key string"
+
+
+def doc_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) for any (doc_id, text) DataFrame — the
+    same fixed-seed MinHash/LSH expressions as the batch tier, so streaming
+    and batch agree bucket-for-bucket."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+    ).select("doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h"))
+    return band_rows(_signature_wide_from(sh))
+
+
+def near_dup_filter_batch(
+    docs: DataFrame, seen_buckets: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the filter: returns ``(kept_docs, new_buckets)``.
+
+    A doc is dropped when any of its buckets is in ``seen_buckets`` (kept
+    docs from prior batches) or is owned by a lower doc_id in this batch;
+    ``new_buckets`` are the kept docs' buckets, for appending to the index.
+    """
+    bands = doc_band_rows(docs)
+    state_hit = (
+        bands.join(
+            seen_buckets, ["band_id", "band_key"], "left_semi"
+        ).select("doc_id")
+        if seen_buckets is not None
+        else None
+    )
+    w = Window.partitionBy("band_id", "band_key")
+    batch_hit = (
+        bands.withColumn("owner", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select("doc_id")
+    )
+    dup_ids = (
+        batch_hit if state_hit is None else batch_hit.unionByName(state_hit)
+    ).distinct()
+    kept = docs.join(dup_ids, "doc_id", "left_anti")
+    new_buckets = (
+        bands.join(kept.select("doc_id"), "doc_id", "left_semi")
+        .select("band_id", "band_key")
+        .distinct()
+    )
+    return kept, new_buckets
+
+
+def run_stream_near_dup_bounded(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    glob_filter: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Bounded run: stream documents through the near-dup filter, persisting
+    the bucket index under ``work_dir``; returns the kept documents.
+
+    The bucket index and kept-docs output are parquet tables written inside
+    ``foreachBatch`` — exactly-once per batch via the sink's batchId-named
+    subdirectories (re-run of a batch overwrites its own output, the
+    idempotent-foreachBatch pattern).
+    """
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    state_dir = f"{work_dir}/buckets"
+    out_dir = f"{work_dir}/kept"
+    ckpt_dir = f"{work_dir}/ckpt_{uuid.uuid4().hex[:8]}"
+
+    reader = spark.readStream.schema(DOCS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("pathGlobFilter", glob_filter).parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            seen = sess.read.schema(_BUCKET_SCHEMA).parquet(state_dir)
+            if not seen.take(1):
+                seen = None
+        except Exception:
+            seen = None
+        kept, new_buckets = near_dup_filter_batch(batch_df, seen)
+        # materialize kept BEFORE appending buckets: new_buckets derives
+        # from kept, and writing buckets first would double-count a batch's
+        # own buckets on failure-replay
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        new_buckets.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # the batch=N layout adds a partition column; project it away so the
+    # result schema is exactly the documents schema
+    return (
+        spark.read.schema(DOCS_RAW_SCHEMA)
+        .parquet(out_dir)
+        .select([f.name for f in DOCS_RAW_SCHEMA.fields])
+    )

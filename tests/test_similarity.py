@@ -79,6 +79,28 @@ def test_ivf_recall_against_exact(spark, sf_dir):
         assert ivf[vid] == exact[vid]  # same exact-decimal dot product
 
 
+def test_ivf_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The materialized-index probe must return exactly the inline IVF's
+    results AND read only the probed cells' partitions (PartitionFilters on
+    `cell` in the scan)."""
+    import re
+
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        ivf_topk_cosine,
+        ivf_topk_indexed,
+    )
+    from pulsar_topic_deduplicator_spark.plans import formatted_plan
+
+    inline = {(r["vec_id"], r["cosine"]) for r in ivf_topk_cosine(spark, sf_dir).collect()}
+    indexed_df = ivf_topk_indexed(spark, sf_dir, index_dir=str(tmp_path / "ivf"))
+    indexed = {(r["vec_id"], r["cosine"]) for r in indexed_df.collect()}
+    assert indexed == inline
+
+    plan = formatted_plan(indexed_df)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "cell" in m.group(1), plan[:1500]
+
+
 def test_lsh_recall_against_exact(spark, sf_dir):
     """Random-hyperplane LSH is approximate; require ≥60% top-1 recall and
     cosine within the bucket's best (sanity that bucketing is not broken)."""

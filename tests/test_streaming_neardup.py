@@ -1,0 +1,80 @@
+"""Streaming MinHash/LSH near-dup filter: batch-parity + cross-batch state.
+
+Parity anchor: with the WHOLE corpus in one micro-batch, the stream's greedy
+first-wins rule keeps exactly the docs that never appear as the higher
+doc_id of a batch LSH candidate pair (operators/neardup.near_dup_minhash) —
+an independent derivation of the same semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators.neardup import near_dup_minhash
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+    near_dup_filter_batch,
+    run_stream_near_dup_bounded,
+)
+
+
+def test_stream_single_batch_matches_batch_greedy(spark, sf_dir, tmp_path):
+    kept = run_stream_near_dup_bounded(spark, sf_dir, str(tmp_path / "nd"))
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+    all_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    dropped = {
+        r["doc_b"]
+        for r in near_dup_minhash(spark, sf_dir).select("doc_b").collect()
+    }
+    assert kept_ids == all_ids - dropped
+    assert kept_ids  # corpus is not degenerate
+    assert dropped  # the sf0.001 corpus does contain near-dups
+
+
+def test_stream_two_batches_persist_bucket_state(spark, sf_dir, tmp_path):
+    """Splitting the corpus into two micro-batches must equal composing the
+    per-batch filter sequentially (state = kept docs' buckets only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two flat files (the testdata layout) -> two micro-batches with
+    # maxFilesPerTrigger=1; file order follows modification time, so write
+    # batch 1 first
+    pq.write_table(pa.Table.from_pandas(b1.toPandas()), str(src / "b1.parquet"))
+    pq.write_table(pa.Table.from_pandas(b2.toPandas()), str(src / "b2.parquet"))
+
+    kept_stream = run_stream_near_dup_bounded(
+        spark,
+        str(src),
+        str(tmp_path / "nd2"),
+        glob_filter="*.parquet",
+        max_files_per_trigger=1,
+    )
+    got = {r["doc_id"] for r in kept_stream.select("doc_id").collect()}
+
+    kept1, buckets1 = near_dup_filter_batch(b1, None)
+    kept2, _ = near_dup_filter_batch(b2, buckets1)
+    want = {
+        r["doc_id"]
+        for r in kept1.select("doc_id").unionByName(kept2.select("doc_id")).collect()
+    }
+    assert got == want
+
+    # the split must actually exercise cross-batch suppression: some batch-2
+    # doc collides with a batch-1 kept doc
+    solo2, _ = near_dup_filter_batch(b2, None)
+    assert {r["doc_id"] for r in solo2.select("doc_id").collect()} != {
+        r["doc_id"] for r in kept2.select("doc_id").collect()
+    }
