@@ -84,6 +84,17 @@ def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_near_dup_bounded(spark, sf_dir, tempfile.mkdtemp("nd_work"))
 
 
+def _stream_warmup_flagged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: live messages flagged against the
+    bootstrap-time warm-up digest set (op #11 surfaced as a column); batch
+    parity pinned in tests/test_streaming.py."""
+    from pulsar_topic_deduplicator_spark.streaming.enrich import (
+        run_warmup_flagged_bounded,
+    )
+
+    return run_warmup_flagged_bounded(spark, sf_dir, glob_filter="events.parquet")
+
+
 def _stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling counts with watermark (reference op #13 on event
     time) — append mode emits watermark-finalized windows only."""
@@ -175,6 +186,7 @@ def queries() -> dict[str, QueryFn]:
         "ivf_topk_cosine": similarity.ivf_topk_cosine,  # rows-only (float cells)
         "ivf_topk_indexed": similarity.ivf_topk_indexed,  # rows-only (same, pruned scan)
         "stream_near_dup": _stream_near_dup_query,  # rows-only (streaming)
+        "stream_warmup_flagged": _stream_warmup_flagged_query,  # rows-only
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

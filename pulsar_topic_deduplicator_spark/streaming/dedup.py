@@ -342,12 +342,24 @@ def start_ttl_dedup(
         )
     else:
         if seed_digests is not None:
+            from ..sources.retry import with_warmup_retries
+
             seed_dir = tempfile.mkdtemp(f"seed_{uuid.uuid4().hex[:8]}")
-            seed_digests.select(
-                F.col("digest").cast("string").alias("digest"),
-                F.lit(SEED_MESSAGE_ID).alias("message_id"),
-                F.lit("1970-01-01 00:00:00").cast("timestamp").alias("event_ts"),
-            ).write.mode("overwrite").parquet(seed_dir)
+            # the warm-up scan may race a concurrent writer's commit on the
+            # output table; retry with the reference's backoff policy
+            # (src/cacheBuilding.ts:90-131) rather than failing startup on
+            # the first transient error
+            with_warmup_retries(
+                lambda: seed_digests.select(
+                    F.col("digest").cast("string").alias("digest"),
+                    F.lit(SEED_MESSAGE_ID).alias("message_id"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp").alias(
+                        "event_ts"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(seed_dir)
+            )
             seed_stream = (
                 spark.readStream.schema(
                     "digest string, message_id string, event_ts timestamp"

@@ -166,6 +166,26 @@ def test_ttl_dedup_warmup_seed(spark, source_dir, tmp_path):
     assert sum(r["n_dropped"] for r in counters) == 2
 
 
+def test_stream_static_warmup_flag_batch_parity(spark, sf_dir):
+    """Stream-static enrichment: every live message's seen_in_warmup flag
+    must equal batch membership of its digest in the warm-up scan."""
+    from pulsar_topic_deduplicator_spark.sources.io import messages_view
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+    from pulsar_topic_deduplicator_spark.streaming.enrich import (
+        run_warmup_flagged_bounded,
+        warmup_message_digests,
+    )
+
+    out = run_warmup_flagged_bounded(spark, sf_dir, glob_filter="events.parquet")
+    got = {r["message_id"]: r["seen_in_warmup"] for r in out.collect()}
+
+    warm = {r["digest"] for r in warmup_message_digests(spark, sf_dir).collect()}
+    mv = messages_view(spark, sf_dir).withColumn("digest", message_digest())
+    want = {r["message_id"]: r["digest"] in warm for r in mv.collect()}
+    assert got == want
+    assert any(got.values()) and not all(got.values())
+
+
 def test_later_batch_duplicate_emits_counter_row(spark, tmp_path):
     """A duplicate arriving in a LATER micro-batch (first occurrence already
     in state) must not vanish silently: the kernel emits a message_id-less
