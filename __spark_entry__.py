@@ -187,6 +187,8 @@ def queries() -> dict[str, QueryFn]:
         "ivf_topk_indexed": similarity.ivf_topk_indexed,  # rows-only (same, pruned scan)
         "stream_near_dup": _stream_near_dup_query,  # rows-only (streaming)
         "stream_warmup_flagged": _stream_warmup_flagged_query,  # rows-only
+        "winnow_fingerprints": textops.winnow_fingerprints,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

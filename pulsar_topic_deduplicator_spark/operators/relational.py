@@ -853,6 +853,50 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per part among one region's
+    suppliers — Q2's correlated min-subquery rendered as a struct-argmin
+    aggregation (min(struct(cost, suppkey)) gives the min cost with
+    smallest-suppkey tie-break, no window, no second scan). The schema has
+    no partsupp, so supply cost is the observed min unit price
+    l_extendedprice/l_quantity over that (part, supplier)'s lineitems — a
+    SINGLE double division per row, bit-deterministic on both engines
+    (sum-order hazards don't apply to one operation). Supplier and part
+    dims broadcast; the fact shuffles once on (partkey, suppkey)."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_cost = F.col("l_extendedprice").cast("double") / F.col(
+        "l_quantity"
+    ).cast("double")
+    costs = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cost).alias("unit_cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost", "l_suppkey")).alias("b")
+    )
+    supp_dim = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+            F.col("b.unit_cost").alias("unit_cost"),
+        )
+        .join(F.broadcast(supp_dim), "s_suppkey")
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_cost")
+    )
+
+
 def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: lateness-bucketed priority counts — conditional
     aggregation over the one orders⋈lineitem shuffle. The test schema has no
@@ -1421,6 +1465,28 @@ ORACLES: dict[str, str] = {
         SELECT l_partkey, CAST(v AS DOUBLE) / 10000.0 AS part_value
         FROM per_part, tot
         WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) * 0.0006
+    """,
+    "q2_min_cost_supplier": """
+        WITH costs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(l_extendedprice AS DOUBLE)
+                     / CAST(l_quantity AS DOUBLE)) AS unit_cost
+          FROM lineitem
+          WHERE l_suppkey IN (
+                  SELECT s_suppkey FROM supplier s
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  WHERE n.n_regionkey = 3)
+            AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                       ORDER BY unit_cost, l_suppkey) AS rn
+          FROM costs)
+        SELECT r.l_partkey AS p_partkey, r.l_suppkey AS s_suppkey,
+               s.s_name, s.s_acctbal, r.unit_cost
+        FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.rn = 1
     """,
     "q12_late_shipment_priority": """
         SELECT l.l_linestatus,

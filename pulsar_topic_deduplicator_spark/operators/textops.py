@@ -146,6 +146,51 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken): character
+#: k-grams of K_GRAM chars, guarantee window of WINNOW_WINDOW grams
+K_GRAM = 8
+WINNOW_WINDOW = 16
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing: hash every
+    ``K_GRAM``-char gram, then keep the minimum hash of each
+    ``WINNOW_WINDOW``-gram sliding window — any shared substring of
+    ``K_GRAM + WINNOW_WINDOW - 1`` chars between two documents is guaranteed
+    to surface as a shared fingerprint (the plagiarism-detection /
+    partial-overlap dedup primitive, complementing shingle MinHash which
+    fingerprints whole-document similarity).
+
+    The whole construction is per-document HOF expressions (transform /
+    slice / array_min) — ZERO shuffle, no explode of intermediate grams;
+    only the final (doc_id, fp) rows leave the scan stage, ~n_chars /
+    (WINNOW_WINDOW/2) of them in expectation. Documents shorter than one
+    full window contribute their single global-min fingerprint. Explicit
+    sha2-based gram hashes make it oracle-checkable (same rule as MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h_expr = (
+        f"transform(sequence(1, length(text) - {K_GRAM - 1}), i -> "
+        f"cast(conv(substring(sha2(substring(text, i, {K_GRAM}), 256), 1, 15),"
+        f" 16, 10) as bigint))"
+    )
+    hs = F.when(F.length("text") >= K_GRAM, F.expr(h_expr)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    with_h = docs.select("doc_id", hs.alias("hs"))
+    minima_expr = (
+        f"transform(sequence(1, size(hs) - {WINNOW_WINDOW - 1}), j -> "
+        f"array_min(slice(hs, j, {WINNOW_WINDOW})))"
+    )
+    fps = (
+        F.when(F.size("hs") >= WINNOW_WINDOW, F.expr(minima_expr))
+        .when(F.size("hs") >= 1, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return with_h.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
 def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document dedup: keep the lowest doc_id per distinct text —
     the reference's keep-first semantics applied to a document corpus
@@ -290,5 +335,25 @@ ORACLES: dict[str, str] = {
                count(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    "winnow_fingerprints": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= {K_GRAM} THEN
+                   list_transform(range(1, length(text) - {K_GRAM} + 2),
+                     i -> CAST('0x' || substr(sha256(substr(text, i, {K_GRAM})), 1, 15)
+                               AS BIGINT))
+                 ELSE CAST([] AS BIGINT[]) END AS hs
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= {WINNOW_WINDOW} THEN
+                        list_transform(range(1, len(hs) - {WINNOW_WINDOW} + 2),
+                          j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))
+                      WHEN len(hs) >= 1 THEN [list_min(hs)]
+                      ELSE CAST([] AS BIGINT[]) END AS fps
+          FROM h)
+        SELECT DISTINCT doc_id, fp
+        FROM (SELECT doc_id, unnest(fps) AS fp FROM w)
     """,
 }

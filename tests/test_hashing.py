@@ -143,3 +143,41 @@ def test_canonical_json_property_vectorized(spark):
     for i, m in enumerate(maps):
         expected = json.dumps(m, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
         assert got[i] == expected, (m, got[i], expected)
+
+
+def test_winnow_guarantee_shared_substring(spark, tmp_path):
+    """Winnowing's core property: two documents sharing a substring of at
+    least K_GRAM + WINNOW_WINDOW - 1 chars MUST share a fingerprint; fully
+    disjoint documents (no common k-gram) must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        K_GRAM,
+        WINNOW_WINDOW,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 chars
+    assert len(shared) >= K_GRAM + WINNOW_WINDOW - 1
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "AAAA start padding " + shared + " end one",
+            "BBBB other padding " + shared + " tail two",
+            "zzzzzzz completely unrelated content qqqqqq",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [0, 0, 0],
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(docs), str(d / "documents.parquet"))
+
+    fps = winnow_fingerprints(spark, str(d)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])

@@ -176,6 +176,13 @@ def test_unpivot_zero_shuffle(spark, sf_dir):
     assert count_exchanges(relational.unpivot_part_measures(spark, sf_dir)) == 0
 
 
+def test_winnow_zero_shuffle(spark, sf_dir):
+    """Winnowing is per-document HOF work — fingerprints must come straight
+    out of the scan stage with no exchange anywhere."""
+    df = textops.winnow_fingerprints(spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     # lag + running session-id sum + per-session rollup all share the
     # user_id partitioning: exactly one exchange end-to-end
