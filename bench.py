@@ -58,6 +58,8 @@ HEADLINE = [
     "multimodal_features",  # Arrow mapInPandas over binary payloads
     "stream_dedup",
     "stream_dedup_ttl",  # exact-TTL GroupState kernel (per-group Python)
+    "stream_near_dup",  # streaming LSH filter (foreachBatch + bucket index)
+    "winnow_fingerprints",  # rolling-hash winnowing (zero-shuffle HOF)
 ]
 
 

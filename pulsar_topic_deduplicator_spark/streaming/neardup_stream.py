@@ -72,14 +72,20 @@ def doc_band_rows(docs: DataFrame) -> DataFrame:
 
 def near_dup_filter_batch(
     docs: DataFrame, seen_buckets: DataFrame | None
-) -> tuple[DataFrame, DataFrame]:
-    """One micro-batch of the filter: returns ``(kept_docs, new_buckets)``.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One micro-batch of the filter: returns ``(kept_docs, new_buckets,
+    bands_handle)`` — unpersist the handle once both outputs are written.
 
     A doc is dropped when any of its buckets is in ``seen_buckets`` (kept
     docs from prior batches) or is owned by a lower doc_id in this batch;
     ``new_buckets`` are the kept docs' buckets, for appending to the index.
+
+    ``bands`` feeds three consumers (state probe, within-batch ownership,
+    new-bucket projection); without a persist the shingle→MinHash sub-DAG
+    would execute once per consumer — cache it for the duration of the
+    batch (caller-visible plans all read the cached pass).
     """
-    bands = doc_band_rows(docs)
+    bands = doc_band_rows(docs).persist()
     state_hit = (
         bands.join(
             seen_buckets, ["band_id", "band_key"], "left_semi"
@@ -102,7 +108,7 @@ def near_dup_filter_batch(
         .select("band_id", "band_key")
         .distinct()
     )
-    return kept, new_buckets
+    return kept, new_buckets, bands
 
 
 def run_stream_near_dup_bounded(
@@ -140,14 +146,17 @@ def run_stream_near_dup_bounded(
                 seen = None
         except Exception:
             seen = None
-        kept, new_buckets = near_dup_filter_batch(batch_df, seen)
-        # materialize kept BEFORE appending buckets: new_buckets derives
-        # from kept, and writing buckets first would double-count a batch's
-        # own buckets on failure-replay
-        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        new_buckets.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}"
-        )
+        kept, new_buckets, bands = near_dup_filter_batch(batch_df, seen)
+        try:
+            # materialize kept BEFORE appending buckets: new_buckets derives
+            # from kept, and writing buckets first would double-count a
+            # batch's own buckets on failure-replay
+            kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+            new_buckets.write.mode("overwrite").parquet(
+                f"{state_dir}/batch={batch_id}"
+            )
+        finally:
+            bands.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(process)

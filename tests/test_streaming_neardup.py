@@ -64,8 +64,8 @@ def test_stream_two_batches_persist_bucket_state(spark, sf_dir, tmp_path):
     )
     got = {r["doc_id"] for r in kept_stream.select("doc_id").collect()}
 
-    kept1, buckets1 = near_dup_filter_batch(b1, None)
-    kept2, _ = near_dup_filter_batch(b2, buckets1)
+    kept1, buckets1, _h1 = near_dup_filter_batch(b1, None)
+    kept2, _, _h2 = near_dup_filter_batch(b2, buckets1)
     want = {
         r["doc_id"]
         for r in kept1.select("doc_id").unionByName(kept2.select("doc_id")).collect()
@@ -74,7 +74,7 @@ def test_stream_two_batches_persist_bucket_state(spark, sf_dir, tmp_path):
 
     # the split must actually exercise cross-batch suppression: some batch-2
     # doc collides with a batch-1 kept doc
-    solo2, _ = near_dup_filter_batch(b2, None)
+    solo2, _, _h3 = near_dup_filter_batch(b2, None)
     assert {r["doc_id"] for r in solo2.select("doc_id").collect()} != {
         r["doc_id"] for r in kept2.select("doc_id").collect()
     }
