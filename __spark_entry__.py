@@ -189,6 +189,8 @@ def queries() -> dict[str, QueryFn]:
         "stream_warmup_flagged": _stream_warmup_flagged_query,  # rows-only
         "winnow_fingerprints": textops.winnow_fingerprints,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

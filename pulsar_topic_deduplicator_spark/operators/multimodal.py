@@ -241,6 +241,159 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ─── REAL codecs: PPM (P6) images, WAV (PCM16) audio ────────────────────────
+#
+# Unlike the stubbed stages above, these two decode paths parse actual wire
+# formats (pure numpy/struct — functions/codecs.py): header validation,
+# dimension extraction, RIFF chunk walking. The synthetic encode stage
+# manufactures deterministic assets from the documents (encode → binary
+# column → decode is exactly an ingest pipeline's shape), including a
+# deliberately CORRUPTED asset per 50 so the decode stage's per-asset error
+# handling — error row, never a task failure — is exercised end-to-end.
+
+PPM_W = PPM_H = 8
+WAV_RATE = 8000
+WAV_SAMPLES = 256
+#: assets with asset_id % 50 == CORRUPT_MOD are truncated mid-payload
+CORRUPT_MOD = 13
+
+
+def _doc_bytes(text: str, n: int) -> bytes:
+    raw = text.encode("utf-8") or b"\x00"
+    return (raw * (n // len(raw) + 1))[:n]
+
+
+def _encode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import encode_ppm_p6
+
+    n = PPM_W * PPM_H * 3
+    for pdf in batches:
+        payloads = []
+        for asset_id, text in zip(pdf["asset_id"], pdf["text"]):
+            arr = np.frombuffer(_doc_bytes(text, n), np.uint8).reshape(
+                PPM_H, PPM_W, 3
+            )
+            buf = encode_ppm_p6(arr)
+            if asset_id % 50 == CORRUPT_MOD:
+                buf = buf[: len(buf) // 2]  # truncated upload
+            payloads.append(buf)
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+
+def ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-but-real PPM image column: one P6 file per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("asset_id"), "text").mapInPandas(
+        _encode_ppm_batches, schema="asset_id long, payload binary"
+    )
+
+
+_PPM_DECODE_SCHEMA = (
+    "asset_id long, ok boolean, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def _decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.codecs import CodecError, decode_ppm_p6
+
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            try:
+                w, h, arr = decode_ppm_p6(bytes(payload))
+                m = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (asset_id, True, w, h, float(m[0]), float(m[1]), float(m[2]), None)
+                )
+            except CodecError as exc:
+                rows.append(
+                    (asset_id, False, None, None, None, None, None, str(exc))
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "ok", "width", "height",
+                "mean_r", "mean_g", "mean_b", "err",
+            ],
+        )
+
+
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: scan → encode stage → P6 parser → channel means.
+    Corrupt payloads surface as ok=false error rows (the behavior a 100 TB
+    ingest needs — one bad file must not kill a task, let alone a stage)."""
+    return ppm_assets(spark, sf_dir).mapInPandas(
+        _decode_ppm_batches, schema=_PPM_DECODE_SCHEMA
+    )
+
+
+def _encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import encode_wav_pcm16
+
+    for pdf in batches:
+        payloads = []
+        for asset_id, text in zip(pdf["asset_id"], pdf["text"]):
+            raw = np.frombuffer(_doc_bytes(text, WAV_SAMPLES), np.uint8)
+            samples = ((raw.astype(np.int32) - 128) * 256).astype(np.int16)
+            buf = encode_wav_pcm16(samples, WAV_RATE)
+            if asset_id % 50 == CORRUPT_MOD:
+                buf = buf[:20]  # header torn off mid-fmt
+            payloads.append(buf)
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+
+def wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-but-real WAV (RIFF/PCM16) audio column per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("asset_id"), "text").mapInPandas(
+        _encode_wav_batches, schema="asset_id long, payload binary"
+    )
+
+
+_WAV_SCHEMA = (
+    "asset_id long, ok boolean, sample_rate int, frame_idx int, rms double, "
+    "err string"
+)
+
+
+def _wav_frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import CodecError, decode_wav_pcm16
+
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            try:
+                rate, _ch, samples = decode_wav_pcm16(bytes(payload))
+                frames = np.array_split(
+                    samples.astype(np.float64), FRAMES_PER_ASSET
+                )
+                for k, fr in enumerate(frames):
+                    rms = float(np.sqrt(np.mean(fr * fr))) if len(fr) else 0.0
+                    rows.append((asset_id, True, rate, k, rms, None))
+            except CodecError as exc:
+                rows.append((asset_id, False, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=["asset_id", "ok", "sample_rate", "frame_idx", "rms", "err"],
+        )
+
+
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF chunk walk → PCM16 samples → per-frame RMS
+    (the frame-sample stage with an actual codec instead of the byte-window
+    stub above)."""
+    return wav_assets(spark, sf_dir).mapInPandas(
+        _wav_frame_energy, schema=_WAV_SCHEMA
+    )
+
+
 ORACLES: dict[str, str] = {
     "multimodal_meta": """
         SELECT doc_id AS asset_id,

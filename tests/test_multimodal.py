@@ -56,3 +56,122 @@ def test_python_stages_have_no_shuffle(spark, sf_dir):
         multimodal_frame_sample(spark, sf_dir),
     ):
         assert count_exchanges(df) == 0, formatted_plan(df)[:1200]
+
+
+# ─── real codecs: PPM / WAV ─────────────────────────────────────────────────
+
+
+def test_ppm_round_trip_and_errors():
+    import numpy as np
+    import pytest
+
+    from pulsar_topic_deduplicator_spark.functions.codecs import (
+        CodecError,
+        decode_ppm_p6,
+        encode_ppm_p6,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    w, h, back = decode_ppm_p6(encode_ppm_p6(arr))
+    assert (w, h) == (9, 5)
+    assert (back == arr).all()
+    # comment-tolerant header
+    buf = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert decode_ppm_p6(buf)[0] == 2
+    with pytest.raises(CodecError, match="magic"):
+        decode_ppm_p6(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(CodecError, match="short pixel"):
+        decode_ppm_p6(encode_ppm_p6(arr)[:-1])
+
+
+def test_wav_round_trip_and_errors():
+    import numpy as np
+    import pytest
+
+    from pulsar_topic_deduplicator_spark.functions.codecs import (
+        CodecError,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32767, size=300, dtype=np.int16)
+    rate, ch, back = decode_wav_pcm16(encode_wav_pcm16(samples, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert (back == samples).all()
+    with pytest.raises(CodecError, match="RIFF"):
+        decode_wav_pcm16(b"OggS" + bytes(40))
+    with pytest.raises(CodecError, match="short fmt"):
+        decode_wav_pcm16(encode_wav_pcm16(samples, 16000)[:30])
+    with pytest.raises(CodecError, match="no data chunk"):
+        decode_wav_pcm16(encode_wav_pcm16(samples, 16000)[:38])
+
+
+def test_decode_ppm_end_to_end(spark, sf_dir):
+    """Real P6 parsing over the synthetic image column: every non-corrupted
+    asset decodes to 8x8 with channel means matching a driver-side numpy
+    recompute; corrupted assets surface as ok=false rows, not failures."""
+    import numpy as np
+
+    from pulsar_topic_deduplicator_spark.operators.multimodal import (
+        CORRUPT_MOD,
+        PPM_H,
+        PPM_W,
+        _doc_bytes,
+        multimodal_decode_ppm,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    rows = {r["asset_id"]: r for r in multimodal_decode_ppm(spark, sf_dir).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(rows) == set(texts)
+    bad = {a for a in rows if a % 50 == CORRUPT_MOD}
+    assert bad, "corpus should contain corrupted assets"
+    for a, r in rows.items():
+        if a in bad:
+            assert not r["ok"] and r["err"]
+        else:
+            assert r["ok"] and (r["width"], r["height"]) == (PPM_W, PPM_H)
+    probe = next(iter(sorted(set(rows) - bad)))
+    arr = np.frombuffer(
+        _doc_bytes(texts[probe], PPM_W * PPM_H * 3), np.uint8
+    ).reshape(-1, 3)
+    assert rows[probe]["mean_r"] == float(arr.mean(axis=0)[0])
+
+
+def test_wav_energy_end_to_end(spark, sf_dir):
+    import numpy as np
+
+    from pulsar_topic_deduplicator_spark.operators.multimodal import (
+        CORRUPT_MOD,
+        FRAMES_PER_ASSET,
+        WAV_SAMPLES,
+        _doc_bytes,
+        multimodal_wav_energy,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    out = multimodal_wav_energy(spark, sf_dir).collect()
+    ok_rows = [r for r in out if r["ok"]]
+    bad_rows = [r for r in out if not r["ok"]]
+    assert bad_rows and all(r["err"] for r in bad_rows)
+    per_asset = {}
+    for r in ok_rows:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+    assert all(len(v) == FRAMES_PER_ASSET for v in per_asset.values())
+    # driver-side RMS parity for one asset's first frame
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    probe = min(per_asset)
+    raw = np.frombuffer(_doc_bytes(texts[probe], WAV_SAMPLES), np.uint8)
+    samples = ((raw.astype(np.int32) - 128) * 256).astype(np.float64)
+    fr = np.array_split(samples, FRAMES_PER_ASSET)[0]
+    want = float(np.sqrt(np.mean(fr * fr)))
+    got = next(r["rms"] for r in per_asset[probe] if r["frame_idx"] == 0)
+    assert got == want
