@@ -191,6 +191,8 @@ def queries() -> dict[str, QueryFn]:
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
         "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
+        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
+        "pq_topk_cosine": similarity.pq_topk_cosine,  # rows-only (ADC + exact re-rank)
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -336,6 +336,109 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components_lss(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph shape, where min-label propagation
+    (``near_dup_clusters``) needs O(diameter) rounds and loses badly on long
+    chains. Every step is min/least arithmetic, so the fixpoint (each node
+    labeled with its component's minimum id) is deterministic on any
+    partitioning.
+
+    ``edges``: (src, dst) directed pairs covering each undirected edge at
+    least once; self-loops ignored. Returns (id, label).
+
+    large-star hangs every larger neighbor of u off m(u) = min(N(u) ∪ {u});
+    small-star re-hangs the smaller neighbors (and u itself). Both strictly
+    shrink the potential Σ depth, and at the fixpoint the edge set is a star
+    forest rooted at component minima. Convergence is detected with an exact
+    two-aggregate checksum (count + sum of pair-hashes) — one extra scalar
+    aggregate per round, no driver-side edge data."""
+    E = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def min_nbr(s: DataFrame) -> DataFrame:
+        return (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+
+    def checksum(e: DataFrame) -> tuple:
+        # decimal accumulation: exact, order-independent, and immune to the
+        # ANSI-mode long-overflow a plain sum of 64-bit hashes would hit
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = checksum(E)
+    for _ in range(max_rounds):
+        s = sym(E)
+        m = min_nbr(s)
+        large = (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        kept_small = (
+            s.join(m, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        E = (
+            large.union(kept_small)
+            .union(m.filter(F.col("u") != F.col("m")).select(
+                F.col("u").alias("a"), F.col("m").alias("b")
+            ))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(E)
+        if cur == prev:
+            break
+        prev = cur
+
+    return (
+        sym(E)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("mn"), F.col("u")).alias("label"),
+        )
+    )
+
+
+def near_dup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``near_dup_clusters`` semantics via large-star/small-star — identical
+    output (same fixpoint), O(log n) rounds instead of O(diameter); the
+    variant to prefer when duplicate chains are long (boilerplate families,
+    templated pages). Parity with the propagation version is pinned in
+    tests; the oracle is the same recursive-CTE fixpoint."""
+    pairs = near_dup_pairs_verified(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_lss(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 # ─── DuckDB oracles ─────────────────────────────────────────────────────────
 
 _H60 = "CAST('0x' || substr(sha256(gram), 1, 15) AS BIGINT)"
@@ -432,6 +535,42 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
     """,
     "near_dup_clusters": f"""
+        WITH RECURSIVE {_SIG_CTE},
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+                >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS id, r.label
+          FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """,
+    "near_dup_clusters_lss": f"""
         WITH RECURSIVE {_SIG_CTE},
         keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
         bands AS ({_BAND_UNION}),

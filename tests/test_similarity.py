@@ -101,6 +101,23 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     assert m and "cell" in m.group(1), plan[:1500]
 
 
+def test_pq_recall_and_exact_rerank(spark, sf_dir):
+    """PQ/ADC with an exact re-rank: decent shortlist recall (observed
+    18/20 at sf0.001) and — because the final scoring joins back to the
+    full vectors — EXACT cosines for every returned id."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        embedding_topk_cosine,
+        pq_topk_cosine,
+    )
+
+    exact = {r["vec_id"]: r["cosine"] for r in embedding_topk_cosine(spark, sf_dir).collect()}
+    pq = {r["vec_id"]: r["cosine"] for r in pq_topk_cosine(spark, sf_dir).collect()}
+    common = set(exact) & set(pq)
+    assert len(common) / len(exact) >= 0.5, f"PQ recall {len(common)}/{len(exact)}"
+    for vid in common:
+        assert pq[vid] == exact[vid]
+
+
 def test_lsh_recall_against_exact(spark, sf_dir):
     """Random-hyperplane LSH is approximate; require ≥60% top-1 recall and
     cosine within the bucket's best (sanity that bucketing is not broken)."""
