@@ -21,6 +21,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     neardup,
     pipeline,
     relational,
+    sampling,
     scalarfuncs,
     similarity,
     skew,
@@ -193,6 +194,10 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
         "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
         "pq_topk_cosine": similarity.pq_topk_cosine,  # rows-only (ADC + exact re-rank)
+        "hash_sample_events": sampling.hash_sample_events,
+        "train_val_test_split": sampling.train_val_test_split,
+        "source_mixture_sample": sampling.source_mixture_sample,
+        "substring_overlap_pairs": textops.substring_overlap_pairs,
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -253,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         lineage,
         pipeline,
         relational,
+        sampling,
         scalarfuncs,
         skew,
         sqlapi,

@@ -1,0 +1,110 @@
+"""Deterministic sampling & splitting — the selection operators a training
+pipeline runs before anything else.
+
+NOT in the reference (it forwards everything it doesn't drop); mandated by
+the training-data-pipeline extension tier. Everything here is HASH-BASED
+selection, never RNG sampling: ``rand()``-style samples change with
+partitioning, retries, and cluster size, which silently breaks lineage and
+makes A/B runs incomparable. A stable content/key hash makes every decision
+a pure function of the row — reproducible on any cluster, incrementally
+consistent as the corpus grows (a document keeps its split forever), and
+exactly reproducible in the DuckDB oracle (same sha2 construction as the
+MinHash seeds).
+
+All three operators are single-scan, shuffle-free selections (the plan is
+scan → filter/project), so they run at 100 TB for the cost of reading the
+input once — and the hash predicate could push into a smarter source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_uint60
+from ..sources.io import load_table
+
+#: train/val/test boundaries in hash-percent space
+SPLIT_TRAIN = 80
+SPLIT_VAL = 90
+
+#: per-source keep rates for the mixture (hash-percent thresholds); sources
+#: not listed keep the default. Deterministic stand-in for the "upsample
+#: books, downsample web" mixture step of corpus curation.
+MIXTURE_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+MIXTURE_DEFAULT = 75
+
+
+def _hash_pct(c: Column) -> Column:
+    """Stable per-row percentile bucket 0..99 from the 60-bit content hash."""
+    return stable_uint60(c) % 100
+
+
+def hash_sample_events(spark: SparkSession, sf_dir: str, pct: int = 10) -> DataFrame:
+    """Deterministic ``pct``% sample of events keyed on event_id: a row is
+    in the sample iff hash(id) lands under the threshold — same rows on
+    every run, every cluster, every retry."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        _hash_pct(F.col("event_id").cast("string")) < pct
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split of the document corpus keyed on doc content (not id:
+    re-ingesting the same text under a new id must not leak it across
+    splits — the classic eval-contamination bug)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _hash_pct(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(pct < SPLIT_TRAIN, "train")
+        .when(pct < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture: each source keeps its configured hash-percent
+    of documents (upsample-by-keeping-more, downsample-by-keeping-less) —
+    the curation step that rebalances web/books/code proportions. The rate
+    lookup is a small CASE expression (JVM-side, no join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIXTURE_DEFAULT)
+    for src, r in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("source") == src, r).otherwise(rate)
+    return docs.filter(_hash_pct(F.col("text")) < rate).select(
+        "doc_id", "source", "lang"
+    )
+
+
+_H_PCT = "(CAST('0x' || substr(sha256({expr}), 1, 15) AS BIGINT) % 100)"
+
+_MIX_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIXTURE_RATES.items())
+    )
+    + f" ELSE {MIXTURE_DEFAULT} END"
+)
+
+ORACLES: dict[str, str] = {
+    "hash_sample_events": f"""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE {_H_PCT.format(expr="CAST(event_id AS VARCHAR)")} < 10
+    """,
+    "train_val_test_split": f"""
+        SELECT doc_id,
+               CASE WHEN {_H_PCT.format(expr="text")} < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {_H_PCT.format(expr="text")} < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "source_mixture_sample": f"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE {_H_PCT.format(expr="text")} < {_MIX_CASE}
+    """,
+}

@@ -191,6 +191,48 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: minimum shared winnow fingerprints to call two docs overlapping
+OVERLAP_MIN_FPS = 2
+#: fingerprints occurring in more documents than this are dropped before
+#: the self-join — hot common-phrase grams would otherwise make the join
+#: quadratic in their document frequency (the stop-shingle hazard)
+FP_DF_CAP = 10
+
+
+def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs via shared winnow fingerprints — the
+    use winnowing exists for: two documents sharing ≥ ``OVERLAP_MIN_FPS``
+    RARE fingerprints very likely share substrings of ≥ K+W-1 chars (quoted
+    passages, boilerplate headers), which whole-document MinHash misses when
+    the rest of the text differs. Same candidates-then-verify economics as
+    LSH: the self-join runs on 8-byte fingerprints (never text), and hot
+    fingerprints (document frequency > ``FP_DF_CAP``) are dropped first —
+    common-phrase grams would otherwise blow the join up quadratically in
+    their df. The df filter and the self-join share the one shuffle on
+    ``fp``."""
+    fps = winnow_fingerprints(spark, sf_dir)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= FP_DF_CAP)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp", "left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= OVERLAP_MIN_FPS)
+    )
+
+
 def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact document dedup: keep the lowest doc_id per distinct text —
     the reference's keep-first semantics applied to a document corpus
@@ -355,5 +397,33 @@ ORACLES: dict[str, str] = {
           FROM h)
         SELECT DISTINCT doc_id, fp
         FROM (SELECT doc_id, unnest(fps) AS fp FROM w)
+    """,
+    "substring_overlap_pairs": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= {K_GRAM} THEN
+                   list_transform(range(1, length(text) - {K_GRAM} + 2),
+                     i -> CAST('0x' || substr(sha256(substr(text, i, {K_GRAM})), 1, 15)
+                               AS BIGINT))
+                 ELSE CAST([] AS BIGINT[]) END AS hs
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= {WINNOW_WINDOW} THEN
+                        list_transform(range(1, len(hs) - {WINNOW_WINDOW} + 2),
+                          j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))
+                      WHEN len(hs) >= 1 THEN [list_min(hs)]
+                      ELSE CAST([] AS BIGINT[]) END AS fps
+          FROM h),
+        f0 AS (SELECT DISTINCT doc_id, fp
+               FROM (SELECT doc_id, unnest(fps) AS fp FROM w)),
+        rare AS (SELECT fp FROM f0 GROUP BY fp
+                 HAVING count(*) <= {FP_DF_CAP}),
+        f AS (SELECT doc_id, f0.fp FROM f0 JOIN rare ON f0.fp = rare.fp)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_fps
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {OVERLAP_MIN_FPS}
     """,
 }

@@ -176,6 +176,21 @@ def test_unpivot_zero_shuffle(spark, sf_dir):
     assert count_exchanges(relational.unpivot_part_measures(spark, sf_dir)) == 0
 
 
+def test_sampling_ops_zero_shuffle(spark, sf_dir):
+    """Hash-based selection is a pure scan→filter plan: no exchange, and
+    the untouched columns are pruned from the read."""
+    from pulsar_topic_deduplicator_spark.operators import sampling
+
+    for df in (
+        sampling.hash_sample_events(spark, sf_dir),
+        sampling.train_val_test_split(spark, sf_dir),
+        sampling.source_mixture_sample(spark, sf_dir),
+    ):
+        assert count_exchanges(df) == 0, formatted_plan(df)[:1500]
+    (cols,) = read_schema_columns(sampling.train_val_test_split(spark, sf_dir))
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
 def test_winnow_zero_shuffle(spark, sf_dir):
     """Winnowing is per-document HOF work — fingerprints must come straight
     out of the scan stage with no exchange anywhere."""
