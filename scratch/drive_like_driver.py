@@ -1,0 +1,50 @@
+"""Simulate the verify driver: vanilla SparkSession (none of our tuned
+configs), import the entry module, run entry() + a sample of queries()
+against oracle_sql() through DuckDB, exactly like CORRECTNESS_r{N}."""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# deliberately plain session — the driver won't use our session.py
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+rows = df.collect()
+print("ENTRY rows:", len(rows), "| schema:", [f.name for f in df.schema.fields])
+print("ENTRY sample:", rows[0])
+# driver retries: a second entry() in the same session must be stable
+df2 = e.entry(spark)
+assert len(df2.collect()) == len(rows) and df2.schema == df.schema, "entry() unstable"
+print("ENTRY retry: stable")
+
+import duckdb
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
+
+qs, os_ = e.queries(), e.oracle_sql()
+print(f"{len(qs)} queries, {len(os_)} oracles")
+import math
+def cell(v):
+    return repr(v) if isinstance(v, float) else str(v)
+mismatch = 0
+for name in sorted(os_):
+    sdf = qs[name](spark, "/root/testdata/sf0.01")
+    srows = sorted(tuple(cell(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect())
+    rel = con.sql(os_[name])
+    dcols = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    drows = sorted(tuple(cell(r[i]) for i in dcols) for r in rel.fetchall())
+    ok = srows == drows
+    mismatch += not ok
+    print(("OK  " if ok else "FAIL"), name, len(srows), "rows")
+print("mismatches:", mismatch)
+for name in sorted(set(qs) - set(os_)):
+    df = qs[name](spark, "/root/testdata/sf0.01")
+    print("ROWS", name, df.count())
+# sf0.1 spot-checks: hardcoded-path and nanos-timestamp hazards at scale
+for name in ["q1_pricing_summary", "dedup_exact_keep_first", "text_stats"]:
+    print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
+spark.stop()
