@@ -68,8 +68,18 @@ def enable_vendored_protobuf() -> bool:
     propagation is in place). Call again right before defining a
     transformWithState query so an active SparkContext picks up the env."""
     try:
-        import google.protobuf  # noqa: F401  (a real install wins)
+        import google.protobuf
 
+        vendored = (google.protobuf.__file__ or "").startswith(
+            VENDORED_PROTOBUF_DIR
+        )
+        if not vendored:
+            # a REAL install wins outright: workers resolve it from
+            # site-packages on their own, and the runtime-version gate must
+            # stay ACTIVE (it exists to catch gencode/runtime skew; only the
+            # known-compatible vendored 6.32 earns the exemption). Patching
+            # or propagating here would shadow the real install in workers.
+            return True
         _patch_runtime_gate()
         _propagate_to_workers()
         return True

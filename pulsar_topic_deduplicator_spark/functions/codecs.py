@@ -110,6 +110,8 @@ def decode_wav_pcm16(buf: bytes) -> tuple[int, int, np.ndarray]:
                 raise CodecError("data chunk before fmt chunk")
             if len(body) != size:
                 raise CodecError(f"short data chunk: {len(body)} != {size}")
+            if size % 2:
+                raise CodecError(f"odd data chunk size {size} for 16-bit PCM")
             return rate, channels, np.frombuffer(body, dtype=np.int16)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise CodecError("no data chunk")

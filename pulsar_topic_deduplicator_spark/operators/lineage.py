@@ -48,15 +48,21 @@ def extract_origin_digests(df: DataFrame, origin_col: str = "origin") -> DataFra
     ``'a'``). The reference warns and skips; we filter — the count of dropped
     messages is observable via the input/output row delta.
     """
+    # from_json(…, array<string>) would COERCE numbers/objects to their JSON
+    # text ('["a",42]' -> ['a','42']) — the reference's typeof check rejects
+    # them. Inspect element types through the variant parser instead: valid
+    # iff the value parses, is an array, and every element is a non-empty
+    # JSON *string*.
+    variant_arr = f"try_cast(try_parse_json({origin_col}) as array<variant>)"
+    strictly_strings = F.expr(
+        f"{variant_arr} IS NOT NULL AND forall({variant_arr}, "
+        "e -> schema_of_variant(e) = 'STRING' AND cast(e AS string) != '')"
+    )
     parsed = df.withColumn(
         "_digests", F.from_json(F.col(origin_col), "array<string>")
     )
-    all_valid = F.forall(
-        "_digests", lambda d: d.isNotNull() & (d != F.lit(""))
-    )
-    return (
-        parsed.filter(F.col("_digests").isNotNull() & all_valid)
-        .select(F.explode("_digests").alias("digest"))
+    return parsed.filter(strictly_strings).select(
+        F.explode("_digests").alias("digest")
     )
 
 

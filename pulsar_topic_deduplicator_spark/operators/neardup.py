@@ -570,42 +570,6 @@ ORACLES: dict[str, str] = {
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
     """,
-    "near_dup_clusters_lss": f"""
-        WITH RECURSIVE {_SIG_CTE},
-        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
-        bands AS ({_BAND_UNION}),
-        cands AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a
-          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS n_common
-          FROM cands c
-          JOIN sh a ON a.doc_id = c.doc_a
-          JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT doc_a, doc_b
-          FROM inter
-          JOIN sizes x ON doc_a = x.doc_id
-          JOIN sizes y ON doc_b = y.doc_id
-          WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
-                >= {JACCARD_THRESHOLD}),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-        reach AS (
-          SELECT DISTINCT src AS id, src AS label FROM edges
-          UNION
-          SELECT e.dst AS id, r.label
-          FROM reach r JOIN edges e ON e.src = r.id),
-        comp AS (SELECT id AS doc_id, min(label) AS cluster_id
-                 FROM reach GROUP BY id)
-        SELECT doc_id, cluster_id,
-               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        FROM comp
-    """,
     "simhash_docs": f"""
         WITH toks AS (
           SELECT doc_id,
@@ -639,3 +603,7 @@ ORACLES: dict[str, str] = {
         WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
     """,
 }
+
+# same fixpoint, same verification — the LSS variant shares the
+# propagation version's oracle by construction
+ORACLES["near_dup_clusters_lss"] = ORACLES["near_dup_clusters"]

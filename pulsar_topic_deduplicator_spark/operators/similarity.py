@@ -77,7 +77,9 @@ def _broadcast_catalog(emb: DataFrame):
     ids = tbl.column("vec_id").to_numpy()
     mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    return emb.sparkSession.sparkContext.broadcast((ids, mat))
+    # id→row-index map built ONCE here, not O(catalog) per task in scorers
+    index_of = {int(i): k for k, i in enumerate(ids)}
+    return emb.sparkSession.sparkContext.broadcast((ids, mat, index_of))
 
 
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,8 +193,7 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = _broadcast_catalog(emb)
 
     def score(batches):
-        cat_ids, cat = bc.value
-        index_of = {int(i): k for k, i in enumerate(cat_ids)}
+        cat_ids, cat, index_of = bc.value
         for pdf in batches:
             ia = np.array([index_of[int(x)] for x in pdf["vec_id"]], dtype=np.int64)
             ib = np.array([index_of[int(x)] for x in pdf["nn_id"]], dtype=np.int64)
@@ -234,7 +235,7 @@ def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
     bc = _broadcast_catalog(emb)
 
     def block(batches):
-        cat_ids, cat_norm = bc.value
+        cat_ids, cat_norm, _index_of = bc.value
         for pdf in batches:
             ids = np.array(pdf["vec_id"], dtype=np.int64)
             q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -372,12 +373,19 @@ def _ivf_train_assign(spark: SparkSession, sf_dir: str, n_cells: int):
     schema = "vec_id long, cell int, embedding array<float>"
     assigned = emb.mapInPandas(assigner(sc.broadcast(cents)), schema=schema)
 
-    # one Lloyd update: per-cell mean, scalar-sized shuffle; n_cells×dim rows
-    # come back to the driver (kilobytes) to form the refined codebook
+    # one Lloyd update: per-cell mean of UNIT-normalized components (the
+    # assigner scores unit vectors — averaging raw components would bias
+    # centroids toward long vectors); scalar-sized shuffle, n_cells×dim rows
+    # back to the driver (kilobytes) to form the refined codebook
+    vecs_nrm = assigned.withColumn(
+        "nrm", l2_norm(F.col("embedding").cast("array<double>"))
+    )
     mean_rows = (
-        assigned.select("cell", F.posexplode("embedding").alias("dim", "val"))
+        vecs_nrm.select(
+            "cell", "nrm", F.posexplode("embedding").alias("dim", "val")
+        )
         .groupBy("cell", "dim")
-        .agg(F.avg("val").alias("m"))
+        .agg(F.avg(F.col("val") / F.col("nrm")).alias("m"))
         .collect()
     )
     refined = np.array(cents)
@@ -545,7 +553,6 @@ def pq_topk_cosine(
         return encode
 
     schema = "vec_id long, codes array<int>"
-    assigned = emb.mapInPandas(encoder(sc.broadcast(books)), schema=schema)
 
     # one Lloyd update per subspace: mean of member (unit-normalized, same
     # as the encoder sees them) sub-vector values per (subspace, code, dim)

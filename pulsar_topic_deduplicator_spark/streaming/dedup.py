@@ -248,11 +248,15 @@ class TtlDedupProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
+        # a key's batch rows can span several Arrow chunks: collect the
+        # per-chunk minima BEFORE picking the winner, or a first-occurrence
+        # in a later chunk would lose to chunk 1's local minimum (the
+        # GroupState kernel concats-then-sorts; the two must agree)
         first_rows = []
         n_dropped = 0
         already = self.seen.exists()
         for pdf in rows:
-            if already:
+            if already and not first_rows:
                 n_dropped += len(pdf)
                 continue
             pdf = pdf.sort_values(["event_ts", "message_id"])
@@ -261,7 +265,13 @@ class TtlDedupProcessor(StatefulProcessor):
             already = True
             self.seen.update((1,))
         if first_rows:
-            out = first_rows[0]
+            out = (
+                pd.concat(first_rows).sort_values(["event_ts", "message_id"])
+                if len(first_rows) > 1
+                else first_rows[0]
+            )
+            out = out.iloc[:1]
+            n_dropped += len(first_rows) - 1
             yield pd.DataFrame(
                 {
                     "digest": [key[0]],

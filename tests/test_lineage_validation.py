@@ -24,6 +24,11 @@ def test_malformed_origins_are_skipped(spark):
         ('[null, "xyz"]',),  # null element rejects the message
         (None,),  # missing property
         ('["solo"]',),  # valid single-element (the write-path shape)
+        ('["abc", 42]',),  # number element: typeof !== string -> whole
+        #   message rejected (from_json alone would coerce 42 -> '42')
+        ('["x", {"y": 1}]',),  # object element likewise
+        ('["a", true]',),  # boolean element likewise
+        ("[]",),  # valid-but-empty array seeds nothing (and drops nothing)
     ]
     df = spark.createDataFrame(rows, ["origin"])
     out = sorted(r["digest"] for r in extract_origin_digests(df).collect())

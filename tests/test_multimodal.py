@@ -106,6 +106,13 @@ def test_wav_round_trip_and_errors():
         decode_wav_pcm16(encode_wav_pcm16(samples, 16000)[:30])
     with pytest.raises(CodecError, match="no data chunk"):
         decode_wav_pcm16(encode_wav_pcm16(samples, 16000)[:38])
+    # odd-sized data chunk: must be CodecError, not numpy's ValueError
+    import struct
+
+    good = encode_wav_pcm16(samples[:4], 8000)  # data chunk at offset 36
+    odd = good[:36] + b"data" + struct.pack("<I", 5) + good[44:49]
+    with pytest.raises(CodecError, match="odd data chunk"):
+        decode_wav_pcm16(odd)
 
 
 def test_decode_ppm_end_to_end(spark, sf_dir):

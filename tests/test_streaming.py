@@ -166,6 +166,32 @@ def test_ttl_dedup_warmup_seed(spark, source_dir, tmp_path):
     assert sum(r["n_dropped"] for r in counters) == 2
 
 
+@pytest.mark.skipif(not HAS_TRANSFORM_WITH_STATE, reason="no protobuf runtime")
+def test_tws_first_wins_across_arrow_chunks(spark, tmp_path):
+    """A key's rows can arrive in SEVERAL Arrow chunks; the TWS kernel must
+    pick the global (event_ts, message_id) minimum, not chunk 1's local one.
+    Forced with maxRecordsPerBatch=1 and the earliest event written last."""
+    src = str(tmp_path / "chunk_src")
+    rows = [
+        (11, BASE_TS + 500 * NS, 1, "click", 9.0, '{"k": 9}'),
+        (12, BASE_TS + 400 * NS, 1, "click", 9.0, '{"k": 9}'),
+        (13, BASE_TS + 100 * NS, 1, "click", 9.0, '{"k": 9}'),  # earliest, last
+    ]
+    _write_batch(spark, src, rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        result = run_ttl_dedup_bounded(
+            spark, src, checkpoint_dir=str(tmp_path / "ckpt_chunks"), use_tws=True
+        )
+        out = [r for r in result.collect() if r["message_id"] is not None]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(out) == 1
+    assert out[0]["message_id"] == "13"
+    assert out[0]["n_dropped"] == 2
+
+
 def test_stream_static_warmup_flag_batch_parity(spark, sf_dir):
     """Stream-static enrichment: every live message's seen_in_warmup flag
     must equal batch membership of its digest in the warm-up scan."""
@@ -202,9 +228,16 @@ def test_later_batch_duplicate_emits_counter_row(spark, tmp_path):
         first = spark.table(name).collect()
         assert {r["message_id"] for r in first} == {"1"}
         _write_batch(spark, src, BATCH1[2:3])  # event 3 = duplicate of 1
-        _drain(spark, query, name)
-        rows = spark.table(name).collect()
-        counters = [r for r in rows if r["message_id"] is None]
+        import time
+
+        deadline = time.time() + 60
+        counters = []
+        while time.time() < deadline and not counters:
+            _drain(spark, query, name)
+            rows = spark.table(name).collect()
+            counters = [r for r in rows if r["message_id"] is None]
+            if not counters:
+                time.sleep(0.5)  # drain can settle before file discovery
         assert len(counters) == 1
         assert counters[0]["n_dropped"] == 1
         assert counters[0]["digest"] == first[0]["digest"]
@@ -227,10 +260,20 @@ def test_ttl_expiry_readmits(spark, tmp_path):
     try:
         _drain(spark, query, name)
         assert {r["message_id"] for r in spark.table(name).collect()} == {"1"}
-        time.sleep(2.0)  # let the TTL lapse (processing-time clock)
+        time.sleep(3.0)  # let the TTL lapse (processing-time clock; margin
+        # over the 1.5 s TTL — under heavy load batch timestamps lag)
         _write_batch(spark, src, BATCH1[2:3])  # duplicate content (event 3)
-        _drain(spark, query, name)
-        rows = {r["message_id"] for r in spark.table(name).collect()}
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            _drain(spark, query, name)
+            rows = {
+                r["message_id"]
+                for r in spark.table(name).collect()
+                if r["message_id"] is not None  # drop-counter rows aside
+            }
+            if rows == {"1", "3"}:
+                break
+            time.sleep(0.5)  # file not picked up yet — drain raced discovery
         # duplicate arrived AFTER expiry -> re-admitted as a fresh first
         assert rows == {"1", "3"}
     finally:
