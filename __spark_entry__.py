@@ -198,6 +198,7 @@ def queries() -> dict[str, QueryFn]:
         "train_val_test_split": sampling.train_val_test_split,
         "source_mixture_sample": sampling.source_mixture_sample,
         "substring_overlap_pairs": textops.substring_overlap_pairs,
+        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

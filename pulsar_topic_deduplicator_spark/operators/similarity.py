@@ -647,6 +647,26 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups over the embedding-cosine near-dup graph: connected
+    components (large-star/small-star, O(log n) rounds) of the exact
+    ≥-threshold pair set — the vector-modality twin of
+    ``near_dup_clusters_lss``, composing two already-verified operators.
+    Cluster id = component's minimum vec_id; deterministic fixpoint."""
+    from pyspark.sql import Window
+
+    from .neardup import connected_components_lss
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components_lss(pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("vec_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column — the vector AGGREGATE
     member of the similarity tier (topk/knn are vector×vector; this is
@@ -684,6 +704,28 @@ ORACLES: dict[str, str] = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
               >= {EMBED_NEAR_DUP_THRESHOLD}
+    """,
+    "embedding_near_dup_clusters": f"""
+        WITH RECURSIVE
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                >= {EMBED_NEAR_DUP_THRESHOLD}),
+        edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                  UNION SELECT vec_b, vec_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS id, r.label
+          FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS vec_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id)
+        SELECT vec_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
     """,
     "embedding_topk_cosine": f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
