@@ -37,6 +37,21 @@ VENDORED_PROTOBUF_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
 SHIMS_DIR = str(pathlib.Path(__file__).resolve().parent / "shims")
 
 
+def _gencode_gate_passes() -> bool:
+    """Import PySpark's transformWithState generated module — the exact
+    import the state server performs, so this passes iff the ACTIVE
+    protobuf runtime satisfies the gencode's version requirement."""
+    import importlib
+
+    try:
+        importlib.import_module(
+            "pyspark.sql.streaming.proto.StateMessage_pb2"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _patch_runtime_gate() -> None:
     from google.protobuf import runtime_version
 
@@ -74,11 +89,23 @@ def enable_vendored_protobuf() -> bool:
             VENDORED_PROTOBUF_DIR
         )
         if not vendored:
-            # a REAL install wins outright: workers resolve it from
-            # site-packages on their own, and the runtime-version gate must
-            # stay ACTIVE (it exists to catch gencode/runtime skew; only the
-            # known-compatible vendored 6.32 earns the exemption). Patching
-            # or propagating here would shadow the real install in workers.
+            # a REAL install: if it satisfies the gencode's version gate
+            # outright, do nothing — workers resolve the same install from
+            # site-packages and the gate stays ACTIVE (it exists to catch
+            # gencode/runtime skew). Verified by importing the exact module
+            # the state server loads, not by comparing version strings.
+            if _gencode_gate_passes():
+                return True
+            # real but OLDER than the gencode: cross-MAJOR skew is a hard
+            # no (wire compat not guaranteed); same-major earns the same
+            # scoped exemption as the vendored 6.32, driver AND workers
+            # (the shim no longer shadows a real install — it only patches
+            # the gate).
+            major = getattr(google.protobuf, "__version__", "0").split(".")[0]
+            if not major.isdigit() or int(major) < 6:
+                return False
+            _patch_runtime_gate()
+            _propagate_to_workers()
             return True
         _patch_runtime_gate()
         _propagate_to_workers()

@@ -52,17 +52,21 @@ def extract_origin_digests(df: DataFrame, origin_col: str = "origin") -> DataFra
     # text ('["a",42]' -> ['a','42']) — the reference's typeof check rejects
     # them. Inspect element types through the variant parser instead: valid
     # iff the value parses, is an array, and every element is a non-empty
-    # JSON *string*.
-    variant_arr = f"try_cast(try_parse_json({origin_col}) as array<variant>)"
-    strictly_strings = F.expr(
-        f"{variant_arr} IS NOT NULL AND forall({variant_arr}, "
-        "e -> schema_of_variant(e) = 'STRING' AND cast(e AS string) != '')"
+    # JSON *string*. The variant array is bound ONCE as a column, so each
+    # row pays a single parse for validation AND extraction.
+    parsed = df.select(
+        F.expr(f"try_cast(try_parse_json({origin_col}) as array<variant>)").alias(
+            "_va"
+        )
     )
-    parsed = df.withColumn(
-        "_digests", F.from_json(F.col(origin_col), "array<string>")
+    strictly_strings = F.col("_va").isNotNull() & F.expr(
+        "forall(_va, e -> schema_of_variant(e) = 'STRING' "
+        "AND cast(e AS string) != '')"
     )
     return parsed.filter(strictly_strings).select(
-        F.explode("_digests").alias("digest")
+        F.explode(
+            F.expr("transform(_va, e -> cast(e AS string))")
+        ).alias("digest")
     )
 
 

@@ -441,7 +441,9 @@ def near_dup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ─── DuckDB oracles ─────────────────────────────────────────────────────────
 
-_H60 = "CAST('0x' || substr(sha256(gram), 1, 15) AS BIGINT)"
+from ._oracle_fragments import duck_stable_uint60
+
+_H60 = duck_stable_uint60("gram")
 
 _SHINGLES_CTE = f"""
     words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

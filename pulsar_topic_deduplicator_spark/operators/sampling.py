@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_uint60
 from ..sources.io import load_table
+from ._oracle_fragments import duck_stable_uint60
 
 #: train/val/test boundaries in hash-percent space
 SPLIT_TRAIN = 80
@@ -79,7 +80,7 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_H_PCT = "(CAST('0x' || substr(sha256({expr}), 1, 15) AS BIGINT) % 100)"
+_H_PCT = "(" + duck_stable_uint60("{expr}") + " % 100)"
 
 _MIX_CASE = (
     "CASE "

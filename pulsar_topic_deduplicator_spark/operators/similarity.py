@@ -695,25 +695,23 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {
-    "embedding_near_dup_pairs": f"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-              >= {EMBED_NEAR_DUP_THRESHOLD}
-    """,
-    "embedding_near_dup_clusters": f"""
-        WITH RECURSIVE
+_PAIRS_CTE = f"""
         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
         pairs AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
           FROM n a JOIN n b ON a.vec_id < b.vec_id
           WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-                >= {EMBED_NEAR_DUP_THRESHOLD}),
+                >= {EMBED_NEAR_DUP_THRESHOLD})"""
+
+ORACLES: dict[str, str] = {
+    "embedding_near_dup_pairs": f"""
+        WITH {_PAIRS_CTE}
+        SELECT vec_a, vec_b, cosine FROM pairs
+    """,
+    "embedding_near_dup_clusters": f"""
+        WITH RECURSIVE {_PAIRS_CTE},
         edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
                   UNION SELECT vec_b, vec_a FROM pairs),
         reach AS (

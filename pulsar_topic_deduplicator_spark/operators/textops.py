@@ -297,6 +297,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_CTE = f"""
+        h AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= {K_GRAM} THEN
+                   list_transform(range(1, length(text) - {K_GRAM} + 2),
+                     i -> CAST('0x' || substr(sha256(substr(text, i, {K_GRAM})), 1, 15)
+                               AS BIGINT))
+                 ELSE CAST([] AS BIGINT[]) END AS hs
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= {WINNOW_WINDOW} THEN
+                        list_transform(range(1, len(hs) - {WINNOW_WINDOW} + 2),
+                          j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))
+                      WHEN len(hs) >= 1 THEN [list_min(hs)]
+                      ELSE CAST([] AS BIGINT[]) END AS fps
+          FROM h)"""
+
 ORACLES: dict[str, str] = {
     "top_terms": """
         SELECT term, count(*) AS n
@@ -379,42 +397,12 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "winnow_fingerprints": f"""
-        WITH h AS (
-          SELECT doc_id,
-                 CASE WHEN length(text) >= {K_GRAM} THEN
-                   list_transform(range(1, length(text) - {K_GRAM} + 2),
-                     i -> CAST('0x' || substr(sha256(substr(text, i, {K_GRAM})), 1, 15)
-                               AS BIGINT))
-                 ELSE CAST([] AS BIGINT[]) END AS hs
-          FROM documents),
-        w AS (
-          SELECT doc_id,
-                 CASE WHEN len(hs) >= {WINNOW_WINDOW} THEN
-                        list_transform(range(1, len(hs) - {WINNOW_WINDOW} + 2),
-                          j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))
-                      WHEN len(hs) >= 1 THEN [list_min(hs)]
-                      ELSE CAST([] AS BIGINT[]) END AS fps
-          FROM h)
+        WITH {_WINNOW_CTE}
         SELECT DISTINCT doc_id, fp
         FROM (SELECT doc_id, unnest(fps) AS fp FROM w)
     """,
     "substring_overlap_pairs": f"""
-        WITH h AS (
-          SELECT doc_id,
-                 CASE WHEN length(text) >= {K_GRAM} THEN
-                   list_transform(range(1, length(text) - {K_GRAM} + 2),
-                     i -> CAST('0x' || substr(sha256(substr(text, i, {K_GRAM})), 1, 15)
-                               AS BIGINT))
-                 ELSE CAST([] AS BIGINT[]) END AS hs
-          FROM documents),
-        w AS (
-          SELECT doc_id,
-                 CASE WHEN len(hs) >= {WINNOW_WINDOW} THEN
-                        list_transform(range(1, len(hs) - {WINNOW_WINDOW} + 2),
-                          j -> list_min(list_slice(hs, j, j + {WINNOW_WINDOW - 1})))
-                      WHEN len(hs) >= 1 THEN [list_min(hs)]
-                      ELSE CAST([] AS BIGINT[]) END AS fps
-          FROM h),
+        WITH {_WINNOW_CTE},
         f0 AS (SELECT DISTINCT doc_id, fp
                FROM (SELECT doc_id, unnest(fps) AS fp FROM w)),
         rare AS (SELECT fp FROM f0 GROUP BY fp

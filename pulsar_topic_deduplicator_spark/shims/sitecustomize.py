@@ -11,8 +11,11 @@ repo on their import path when this runs. Mirrors
 import sys
 
 _VENDORED = "/usr/lib/google-cloud-sdk/platform/google_appengine"
-if _VENDORED not in sys.path:
-    sys.path.insert(0, _VENDORED)
+try:
+    import google.protobuf  # noqa: F401 — a real install stays in charge
+except ImportError:
+    if _VENDORED not in sys.path:
+        sys.path.insert(0, _VENDORED)
 try:
     from google.protobuf import runtime_version
 

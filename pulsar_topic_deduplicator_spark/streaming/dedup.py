@@ -256,6 +256,8 @@ class TtlDedupProcessor(StatefulProcessor):
         n_dropped = 0
         already = self.seen.exists()
         for pdf in rows:
+            if not len(pdf):
+                continue  # empty Arrow chunk: no state/counter effects
             if already and not first_rows:
                 n_dropped += len(pdf)
                 continue
