@@ -69,6 +69,32 @@ def test_q11_total_is_broadcast_scalar(spark, sf_dir):
     )
 
 
+def test_q12_fact_join_with_pushed_date_filter(spark, sf_dir):
+    """q12's ship-date range must reach the lineitem scan; the only
+    exchanges are the orders⋈lineitem join sides + the 1-key groupBy."""
+    df = relational.q12_late_shipment_priority(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert count_exchanges(df) <= 3, formatted_plan(df)[:2000]
+
+
+def test_q16_dims_broadcast(spark, sf_dir):
+    """q16's part/supplier filters must broadcast; the fact shuffles for
+    the distinct-count aggregate only."""
+    df = relational.q16_supplier_part_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_q2_argmin_no_window_over_fact(spark, sf_dir):
+    """q2's min-cost supplier must be a struct-argmin aggregation with
+    broadcast dims — no window function anywhere in the plan."""
+    df = relational.q2_min_cost_supplier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
 def test_q15_single_fact_scan(spark, sf_dir):
     """q15's max-over-revenue must come from a window over the per-supplier
     aggregate, NOT a second scan of lineitem (Spark shares no uncached
