@@ -668,13 +668,28 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid of the embedding column — the vector AGGREGATE
-    member of the similarity tier (topk/knn are vector×vector; this is
-    many-vectors→one). posexplode → groupBy(label, dim) keeps the shuffle
-    payload scalar-sized (rows×64 small values, map-side partial sums)
-    instead of collecting whole vectors per group; the 64-element centroid
-    is reassembled only after aggregation. rows-only: float sums are
-    accumulation-order-dependent — the numpy parity test pins values."""
+    """Per-label centroid of the embedding column in LONG form
+    ``(label, dim, mean_val)`` — the vector AGGREGATE member of the
+    similarity tier (topk/knn are vector×vector; this is many-vectors→one).
+    posexplode → groupBy(label, dim) keeps the shuffle payload scalar-sized
+    (rows×64 small values, map-side partial sums). ``mean_val`` is rounded
+    to 9 decimals at the query boundary: double partial-sum order differs
+    per engine/partitioning by last-ulp only, and the rounding makes the
+    result deterministic and oracle-hashable (the exact-vector form is
+    ``label_centroid_vectors``; numpy parity pinned in test_similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 9).alias("mean_val"))
+    )
+
+
+def label_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids reassembled into ``array<double>`` vectors (one row per
+    label) — the API a downstream vector consumer wants; the long-form
+    driver-facing twin is ``label_centroids``. Full precision (no rounding):
+    values are pinned against numpy in test_similarity."""
     emb = load_table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
@@ -706,6 +721,15 @@ _PAIRS_CTE = f"""
                 >= {EMBED_NEAR_DUP_THRESHOLD})"""
 
 ORACLES: dict[str, str] = {
+    "label_centroids": """
+        WITH exploded AS (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                 unnest(embedding) AS val
+          FROM embeddings)
+        SELECT label, dim, round(avg(CAST(val AS DOUBLE)), 9) AS mean_val
+        FROM exploded GROUP BY label, dim
+    """,
     "embedding_near_dup_pairs": f"""
         WITH {_PAIRS_CTE}
         SELECT vec_a, vec_b, cosine FROM pairs

@@ -155,7 +155,9 @@ def test_label_centroids_match_numpy(spark, sf_dir):
     sum, so last-ulp differences are expected and fine)."""
     import numpy as np
 
-    from pulsar_topic_deduplicator_spark.operators.similarity import label_centroids
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        label_centroid_vectors,
+    )
     from pulsar_topic_deduplicator_spark.sources.io import load_table
 
     rows = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
@@ -164,7 +166,7 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         by_label.setdefault(r["label"], []).append(r["embedding"])
     expected = {k: np.mean(np.asarray(v, dtype=np.float64), axis=0) for k, v in by_label.items()}
 
-    got = {r["label"]: r for r in label_centroids(spark, sf_dir).collect()}
+    got = {r["label"]: r for r in label_centroid_vectors(spark, sf_dir).collect()}
     assert set(got) == set(expected)
     for label, r in got.items():
         assert r["dim"] == 64
