@@ -42,12 +42,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming dedup (watermark + dropDuplicatesWithinWatermark)
-    over the sf events, bounded with availableNow — reference op #7 live path."""
+    over the sf events, bounded with availableNow — reference op #7 live path.
+
+    The map-typed ``properties`` column is serialized to canonical JSON at
+    this harness boundary: the driver canon sorts/hashes columns with pandas,
+    which cannot hash a dict (the label_centroids boundary discipline)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.functions.canonical import canonical_json
     from pulsar_topic_deduplicator_spark.streaming.dedup import (
         run_stream_dedup_bounded,
     )
 
-    return run_stream_dedup_bounded(spark, sf_dir, glob_filter="events.parquet")
+    out = run_stream_dedup_bounded(spark, sf_dir, glob_filter="events.parquet")
+    return out.withColumn("properties", canonical_json(F.col("properties")))
 
 
 def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,87 +126,68 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 2 leads with the tiers the round-1 driver never reached
-    # (text/near-dup/similarity/multimodal/streaming), the round-1 hash
-    # failures (now fixed), and entries whose semantics changed this round;
-    # the round-1-green relational tier follows.
+    # round. Round 4 leads with (a) the 20 round-2 entries that have never
+    # been driver-checked, (b) the round-3 ERR/zero-row entries fixed this
+    # round (timestamp migration + harness-canonicalizable boundaries), then
+    # (c) rows-only twins and the r1-green tiers; the freshly r3-green
+    # text/near-dup/similarity tier sits last (most recently re-verified).
     return {
-        # ── text analysis tier ─────────────────────────────────────────────
-        "text_stats": textops.text_stats,
-        "token_count": textops.token_count,
-        "quality_score": textops.quality_score,
-        "lang_id_heuristic": textops.lang_id_heuristic,
-        "lang_distribution": textops.lang_distribution,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "dedup_docs_exact": textops.dedup_docs_exact,
-        "top_terms": textops.top_terms,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        # ── near-duplicate tier ────────────────────────────────────────────
-        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
-        "minhash_signatures": neardup.minhash_signatures,
-        "near_dup_minhash": neardup.near_dup_minhash,
-        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        "near_dup_clusters": neardup.near_dup_clusters,
-        "simhash_docs": neardup.simhash_docs,
-        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
-        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
-        # ── similarity search tier ─────────────────────────────────────────
-        "embedding_topk_cosine": similarity.embedding_topk_cosine,
-        "knn_self_join_top1": similarity.knn_self_join_top1,
-        "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
-        "knn_topk_tiled": similarity.knn_topk_tiled,  # rows-only (BLAS sums)
-        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
-        "label_centroids": similarity.label_centroids,  # rows-only (float sums)
-        # ── multimodal tier ────────────────────────────────────────────────
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_features": multimodal.multimodal_features,  # rows-only (Python stage)
-        "multimodal_decode": multimodal.multimodal_decode,  # rows-only (stub codec)
-        "multimodal_resize": multimodal.multimodal_resize,  # rows-only (stub codec)
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # rows-only
-        # ── streaming tier (rows-only: not SQL-oracle-able; batch parity of
-        #    the same semantics is dedup_exact_keep_first) ───────────────────
-        "stream_dedup": _stream_dedup_query,
-        "stream_dedup_ttl": _stream_dedup_ttl_query,
-        "stream_windowed_counts": _stream_windowed_counts_query,
-        "stream_session_activity": _stream_session_activity_query,
-        # ── scalar-function + asof entries unchecked in round 1 ────────────
-        "array_funcs_demo": scalarfuncs.array_funcs_demo,
-        "map_funcs_demo": scalarfuncs.map_funcs_demo,
-        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
-        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # rows-only (sketch)
-        "asof_last_purchase": asof.asof_last_purchase,
-        # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
-        **sqlapi.QUERIES,
-        # ── round-1 hash-fails (oracle types pinned this round) + changed──
-        "conditional_agg_demo": relational.conditional_agg_demo,
-        "sessionize_events": relational.sessionize_events,
-        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
-        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
-        # ── new TPC-H shapes (round 2) ─────────────────────────────────────
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q11_important_value": relational.q11_important_value,
-        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        # ── (a) never driver-checked (round-2 additions) ───────────────────
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q12_late_shipment_priority": relational.q12_late_shipment_priority,
         "q15_top_supplier": relational.q15_top_supplier,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "q20_heavy_shippers": relational.q20_heavy_shippers,
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "winnow_fingerprints": textops.winnow_fingerprints,
+        "substring_overlap_pairs": textops.substring_overlap_pairs,
+        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
+        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
         "ivf_topk_cosine": similarity.ivf_topk_cosine,  # rows-only (float cells)
         "ivf_topk_indexed": similarity.ivf_topk_indexed,  # rows-only (same, pruned scan)
-        "stream_near_dup": _stream_near_dup_query,  # rows-only (streaming)
-        "stream_warmup_flagged": _stream_warmup_flagged_query,  # rows-only
-        "winnow_fingerprints": textops.winnow_fingerprints,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "pq_topk_cosine": similarity.pq_topk_cosine,  # rows-only (ADC + exact re-rank)
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
         "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
-        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
-        "pq_topk_cosine": similarity.pq_topk_cosine,  # rows-only (ADC + exact re-rank)
         "hash_sample_events": sampling.hash_sample_events,
         "train_val_test_split": sampling.train_val_test_split,
         "source_mixture_sample": sampling.source_mixture_sample,
-        "substring_overlap_pairs": textops.substring_overlap_pairs,
-        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
+        "stream_near_dup": _stream_near_dup_query,  # rows-only (streaming)
+        "stream_warmup_flagged": _stream_warmup_flagged_query,  # rows-only
+        # ── (b) round-3 ERR / zero-row entries, fixed in round 4 ───────────
+        "sessionize_events": relational.sessionize_events,
+        "range_frame_event_counts": relational.range_frame_event_counts,
+        "stream_dedup": _stream_dedup_query,  # rows-only; properties JSON-ified
+        "stream_windowed_counts": _stream_windowed_counts_query,
+        "stream_session_activity": _stream_session_activity_query,
+        "multimodal_features": multimodal.multimodal_features_long,  # long-form boundary
+        "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
+        "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
+        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # long-form sketch
+        # ── rows-only twins / least-recently-checked supporting entries ────
+        "stream_dedup_ttl": _stream_dedup_ttl_query,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # rows-only
+        "multimodal_meta": multimodal.multimodal_meta,
+        "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
+        "knn_topk_tiled": similarity.knn_topk_tiled,  # rows-only (BLAS sums)
+        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
+        "label_centroids": similarity.label_centroids,  # long-form, rounded 9dp (oracle-hashed)
+        # (label_centroid_vectors is deliberately NOT registered: its
+        # array<double> centroid column is not canonicalizable by the driver
+        # harness — it is the consumer-API twin, pytest-pinned against numpy)
+        # ── scalar-function + asof entries ─────────────────────────────────
+        "array_funcs_demo": scalarfuncs.array_funcs_demo,
+        "map_funcs_demo": scalarfuncs.map_funcs_demo,
+        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
+        "asof_last_purchase": asof.asof_last_purchase,
+        # ── SQL surface (same SQL text runs on Spark AND DuckDB) ───────────
+        **sqlapi.QUERIES,
+        "conditional_agg_demo": relational.conditional_agg_demo,
+        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
+        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        # ── TPC-H shapes driver-checked r1/r3 ──────────────────────────────
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_value": relational.q11_important_value,
         # ── dedup family (reference tier R; driver-green in round 1) ───────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -209,7 +198,7 @@ def queries() -> dict[str, QueryFn]:
         "distinct_digests": dedup.distinct_digests,
         # ── lineage / warm-up (tier R) ─────────────────────────────────────
         "origin_lineage": lineage.origin_lineage,
-        # ── relational support tier ────────────────────────────────────────
+        # ── relational support tier (r1-green) ─────────────────────────────
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -239,7 +228,6 @@ def queries() -> dict[str, QueryFn]:
         "unpivot_part_measures": relational.unpivot_part_measures,
         "exact_variance_stats": relational.exact_variance_stats,
         "exact_corr_stats": relational.exact_corr_stats,
-        "range_frame_event_counts": relational.range_frame_event_counts,
         "full_outer_nation_activity": relational.full_outer_nation_activity,
         "event_type_stats_salted": skew.event_type_stats_salted,
         "running_value_per_user": relational.running_value_per_user,
@@ -248,6 +236,27 @@ def queries() -> dict[str, QueryFn]:
         "date_funcs_demo": scalarfuncs.date_funcs_demo,
         "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
         "math_funcs_demo": scalarfuncs.math_funcs_demo,
+        # ── text / near-dup / similarity tiers (freshly r3-green) ──────────
+        "text_stats": textops.text_stats,
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        "lang_distribution": textops.lang_distribution,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_docs_exact": textops.dedup_docs_exact,
+        "top_terms": textops.top_terms,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "minhash_signatures": neardup.minhash_signatures,
+        "near_dup_minhash": neardup.near_dup_minhash,
+        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        "near_dup_clusters": neardup.near_dup_clusters,
+        "simhash_docs": neardup.simhash_docs,
+        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
+        "embedding_topk_cosine": similarity.embedding_topk_cosine,
+        "knn_self_join_top1": similarity.knn_self_join_top1,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     }
 
 

@@ -35,6 +35,8 @@ HEADLINE = [
     "q9_product_profit",  # widest star join (4 broadcast dims + fact shuffle)
     "q21_sole_late_supplier",  # semi+anti self-join pair on l_orderkey
     "window_analytics_demo",
+    "sessionize_events",  # gaps-and-islands windows over the events ts
+    "range_frame_event_counts",  # RANGE frame on epoch-micros ordering
     "top_orders_per_customer",
     "asof_last_purchase",
     "event_type_stats_salted",

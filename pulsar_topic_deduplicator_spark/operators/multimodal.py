@@ -106,6 +106,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_features`` in LONG FORM — one (asset, dim) row per
+    feature cell, every column a sortable scalar — the harness-boundary
+    shape (the label_centroids discipline: a double[] column cannot be
+    canonicalized by the driver's pandas sort/hash). Values rounded to 9 dp
+    so any cross-run float jitter cannot flip a hash."""
+    wide = multimodal_features(spark, sf_dir)
+    return wide.select(
+        "asset_id",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "feature"),
+    ).withColumn("feature", F.round("feature", 9))
+
+
 # ─── decode / resize / frame-sample stages ──────────────────────────────────
 #
 # Real pipelines decode with PIL/ffmpeg/torchaudio — none of which exist in
@@ -174,6 +188,22 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pixels_long(decoded: DataFrame) -> DataFrame:
+    """Wide thumbnail rows → one (asset, pixel_idx) row per pixel: the
+    harness-boundary long form (int[] columns are not canonicalizable)."""
+    return decoded.select(
+        "asset_id",
+        "width",
+        "height",
+        F.posexplode("pixels").alias("pixel_idx", "pixel"),
+    )
+
+
+def multimodal_decode_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_decode`` in long form — the driver-checkable shape."""
+    return _pixels_long(multimodal_decode(spark, sf_dir))
+
+
 def multimodal_resize(
     spark: SparkSession, sf_dir: str, out_w: int = 2, out_h: int = 2
 ) -> DataFrame:
@@ -202,6 +232,11 @@ def multimodal_resize(
         F.lit(out_h).alias("height"),
         F.array(*blocks).alias("pixels"),
     )
+
+
+def multimodal_resize_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_resize`` in long form — the driver-checkable shape."""
+    return _pixels_long(multimodal_resize(spark, sf_dir))
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -394,6 +429,31 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE for the real-codec oracles: per-document byte values of the
+# utf8 text, tiled to `lim` bytes (_doc_bytes), extracted in pure SQL via
+# hex-pair -> int (DuckDB has no byte-indexing on BLOB; hex() + strpos is
+# exact). Corrupt assets (asset_id % 50 == CORRUPT_MOD) are excluded here
+# and re-added as error rows with the codec's literal message.
+_TILED_BYTES_CTE = """
+        WITH d AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN 1 ELSE octet_length(encode(text)) END AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT asset_id, i,
+                   (strpos('0123456789ABCDEF',
+                           substr(hx, 2 * (i %% n) + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, 2 * (i %% n) + 2, 1)) - 1) AS v
+            FROM d, UNNEST(range(0, %(lim)d)) AS t(i)
+            WHERE asset_id %% 50 != 13
+        )
+"""
+
 ORACLES: dict[str, str] = {
     "multimodal_meta": """
         SELECT doc_id AS asset_id,
@@ -402,5 +462,40 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS content_sha -- this DuckDB's sha256 takes VARCHAR only; payload is utf8(text), same bytes
         FROM documents
+    """,
+    # P6 decode: payload = 11-byte header + text bytes tiled to 8*8*3; the
+    # channel means are exact (sum of 64 uint8 is exact in double; /64 is a
+    # power-of-two division) so Spark/numpy and DuckDB agree bit-for-bit.
+    # Corrupt assets are truncated to 101 bytes -> 90 pixel bytes survive.
+    "multimodal_decode_ppm": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3}
+    + """
+        SELECT asset_id, TRUE AS ok,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               avg(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
+               avg(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
+               avg(CASE WHEN i % 3 = 2 THEN v END) AS mean_b,
+               CAST(NULL AS VARCHAR) AS err
+        FROM b GROUP BY asset_id
+        UNION ALL
+        SELECT asset_id, FALSE, NULL, NULL, NULL, NULL, NULL,
+               'short pixel data: 90 != 192'
+        FROM d WHERE asset_id % 50 = 13
+    """,
+    # WAV decode: sample k = (byte(k) - 128) * 256 over 256 tiled bytes;
+    # 4 frames of 64 samples, rms = sqrt(avg(v^2)) — v^2 <= 2^30 so the
+    # 64-term sum is exact in double and sqrt is correctly rounded on both
+    # engines. Corrupt assets keep only 20 header bytes -> torn fmt chunk.
+    "multimodal_wav_energy": _TILED_BYTES_CTE % {"lim": WAV_SAMPLES}
+    + """
+        SELECT asset_id, TRUE AS ok,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(i // 64 AS INTEGER) AS frame_idx,
+               sqrt(avg(CAST((v - 128) * 256 AS DOUBLE)
+                        * CAST((v - 128) * 256 AS DOUBLE))) AS rms,
+               CAST(NULL AS VARCHAR) AS err
+        FROM b GROUP BY asset_id, i // 64
+        UNION ALL
+        SELECT asset_id, FALSE, NULL, NULL, NULL, 'short fmt chunk'
+        FROM d WHERE asset_id % 50 = 13
     """,
 }

@@ -156,13 +156,27 @@ def bit_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per event type (Greenwald-Khanna sketch) —
     rows-only: sketch internals differ across engines by design; the exact
-    p50 twin is median_quantity_per_flag."""
+    p50 twin is median_quantity_per_flag.
+
+    Output is LONG FORM — one (event_type, quantile) row per sketch cell —
+    so every column is a sortable scalar at the harness boundary (the
+    label_centroids discipline; a double[] column is not canonicalizable)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
-            "p50_p95"
-        ),
+    qs = [0.5, 0.95]
+    agg = ev.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.array(*[F.lit(q) for q in qs]), 10000
+        ).alias("ps"),
         F.count(F.lit(1)).alias("n"),
+    )
+    pos = F.posexplode("ps")
+    return agg.select("event_type", "n", pos.alias("q_idx", "q_value")).select(
+        "event_type",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("q_idx") + 1).alias(
+            "quantile"
+        ),
+        "q_value",
+        "n",
     )
 
 

@@ -674,9 +674,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode → groupBy(label, dim) keeps the shuffle payload scalar-sized
     (rows×64 small values, map-side partial sums). ``mean_val`` is rounded
     to 9 decimals at the query boundary: double partial-sum order differs
-    per engine/partitioning by last-ulp only, and the rounding makes the
-    result deterministic and oracle-hashable (the exact-vector form is
-    ``label_centroid_vectors``; numpy parity pinned in test_similarity)."""
+    per engine/partitioning by last-ulp only, and 9-dp rounding makes a
+    cross-engine hash match overwhelmingly likely — not guaranteed (Spark
+    rounds via HALF_UP on the shortest decimal repr, DuckDB via double
+    arithmetic; a mean landing at a 9th-decimal half-boundary could still
+    differ). The exact-vector form is ``label_centroid_vectors``; numpy
+    parity pinned in test_similarity."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
@@ -689,7 +692,11 @@ def label_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroids reassembled into ``array<double>`` vectors (one row per
     label) — the API a downstream vector consumer wants; the long-form
     driver-facing twin is ``label_centroids``. Full precision (no rounding):
-    values are pinned against numpy in test_similarity."""
+    values are pinned against numpy in test_similarity.
+
+    Intentionally NOT in ``__spark_entry__.queries()``: the array column is
+    not canonicalizable by the driver harness (pandas cannot sort/hash list
+    cells); it is a consumer/test helper outside the driver surface."""
     emb = load_table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))

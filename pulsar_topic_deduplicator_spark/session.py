@@ -18,8 +18,10 @@ from pyspark.sql import SparkSession
 # ``__spark_entry__``; ``apply_runtime_confs`` is invoked from every loader so
 # those sessions behave identically to ours).
 RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses to read as
-    # a timestamp; read it as long (ns) and convert explicitly (sources/io.py)
+    # legacy events.parquet generations stored TIMESTAMP(NANOS), which Spark 4
+    # refuses to read as a timestamp; with this conf they arrive as ns-longs
+    # and the loaders convert explicitly. Current files are timestamp[us]
+    # (read as TIMESTAMP_NTZ, cast in sources/io.py); the conf is inert there.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic timestamp rendering; matches DuckDB's naive timestamps
     "spark.sql.session.timeZone": "UTC",

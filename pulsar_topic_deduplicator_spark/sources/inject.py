@@ -27,26 +27,29 @@ def events_with_duplicates(
     sf_dir: str,
     add_ignored_prop: bool = True,
 ) -> DataFrame:
-    """events ∪ injected duplicates, in the raw events schema (ts is ns).
+    """events ∪ injected duplicates, in the raw events schema (ts kept in
+    whatever physical type the source file uses — ns-long legacy or the
+    current timestamp[us]/NTZ — so the output can be written back as a
+    stream-source file in the same raw schema).
 
     Duplicate rows keep event_type/value/props (the content identity) but
     get a fresh event_id (negative, to stay collision-free), a time shift
     of 0–300 s, and — when ``add_ignored_prop`` — a ``dupMarker`` property
     that a correctly-configured ignore list must exclude from the digest."""
     apply_runtime_confs(spark)
-    # raw read (ts stays a ns long) — the output of this generator is meant
-    # to be written back as a stream-source file in the raw schema
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     h = F.xxhash64("event_id")
+    # shift in the column's own type: long ns for the legacy ns-long
+    # encoding, SECOND timestampadd for timestamp/NTZ (works for both)
+    shift_s = F.pmod(F.xxhash64("event_id"), F.lit(MAX_SHIFT_SECONDS)) + 1
+    if dict(ev.dtypes).get("ts") == "bigint":
+        shifted = F.col("ts") + shift_s * F.lit(1_000_000_000).cast("long")
+    else:
+        shifted = F.timestamp_add("SECOND", shift_s.cast("int"), F.col("ts"))
     dups = (
         ev.filter(F.pmod(h, INJECT_RATE) == 0)
         .withColumn("event_id", -F.col("event_id") - 1)
-        .withColumn(
-            "ts",
-            F.col("ts")
-            + (F.pmod(F.xxhash64("event_id"), MAX_SHIFT_SECONDS) + 1)
-            * F.lit(1_000_000_000).cast("long"),
-        )
+        .withColumn("ts", shifted)
     )
     if add_ignored_prop:
         dups = dups.withColumn(

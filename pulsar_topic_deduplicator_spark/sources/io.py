@@ -33,18 +33,29 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; normalize the events nanosecond timestamp.
+    """Read one test table; normalize the events timestamp to TIMESTAMP (LTZ).
 
-    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4
-    cannot map to TimestampType directly; we read it as a long via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and truncate ns -> µs exactly the
-    way DuckDB does (integer floor division), so oracle comparisons agree to
-    the microsecond.
+    events.parquet has shipped two physical ``ts`` encodings across driver
+    generations, and this loader accepts both:
+
+    * parquet TIMESTAMP(NANOS) — Spark 4 cannot map nanos to TimestampType,
+      so it is read as a long via ``spark.sql.legacy.parquet.nanosAsLong``
+      and truncated ns -> µs by integer floor division (exactly DuckDB's
+      behavior);
+    * parquet ``timestamp[us]`` with isAdjustedToUTC=false (the current
+      generation) — Spark reads it as TIMESTAMP_NTZ, which breaks
+      ``unix_micros`` / watermarks downstream; it is cast to TIMESTAMP,
+      which under the engine's pinned UTC session zone is value-identical
+      and matches DuckDB's naive microsecond timestamps.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as ns-long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # current timestamp[us] generation
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

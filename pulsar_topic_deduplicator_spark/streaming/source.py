@@ -11,24 +11,49 @@ file source, which exercises the identical downstream pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import apply_runtime_confs
 
-#: raw schema of events.parquet as the file source reads it (ts is parquet
-#: TIMESTAMP(NANOS) -> long via nanosAsLong; converted below)
-EVENTS_RAW_SCHEMA = T.StructType(
+#: logical schema of the events stream after normalization (ts is TIMESTAMP)
+EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def _probe_raw_schema(
+    spark: SparkSession, source_dir: str, glob_filter: str | None
+) -> T.StructType:
+    """Read the physical schema of the source files with a batch probe.
+
+    The file source needs an up-front schema; pinning one is how the engine
+    silently mis-scaled timestamps when the driver migrated events.parquet
+    from TIMESTAMP(NANOS) (read as ns-long under nanosAsLong) to
+    ``timestamp[us]``/NTZ — so probe the files as written instead.
+    """
+    reader = spark.read
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    return reader.parquet(source_dir).schema
+
+
+def _normalize_ts(raw: DataFrame) -> Column:
+    """``ts`` as TIMESTAMP regardless of the physical encoding: ns-long
+    (legacy) -> floor-truncate to µs; TIMESTAMP_NTZ (current) -> cast, which
+    is value-identical under the pinned UTC session zone."""
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def events_message_stream(
@@ -45,7 +70,8 @@ def events_message_stream(
     a backlog replay cannot blow past executor memory.
     """
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw_schema = _probe_raw_schema(spark, source_dir, glob_filter)
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if glob_filter:
@@ -53,6 +79,7 @@ def events_message_stream(
         # selects individual files inside it (e.g. just events.parquet)
         reader = reader.option("pathGlobFilter", glob_filter)
     raw = reader.parquet(source_dir)
+    ts = _normalize_ts(raw)
     return raw.select(
         F.col("event_id").cast("string").alias("message_id"),
         F.concat(F.lit("persistent://events/"), F.col("event_type")).alias("topic"),
@@ -64,6 +91,6 @@ def events_message_stream(
             "value"
         ),
         F.from_json("props", "map<string,string>").alias("properties"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_ts"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("publish_ts"),
+        ts.alias("event_ts"),
+        ts.alias("publish_ts"),
     )

@@ -149,7 +149,7 @@ def test_lsh_candidates_subset_of_exact_pairs(spark, sf_dir):
         assert len(verified) / len(truth) >= 0.8
 
 
-def test_label_centroids_match_numpy(spark, sf_dir):
+def test_label_centroid_vectors_match_numpy(spark, sf_dir):
     """Vector-aggregate centroids must equal numpy's per-label means
     (allclose: Spark's partial-sum order differs from numpy's sequential
     sum, so last-ulp differences are expected and fine)."""
@@ -171,3 +171,25 @@ def test_label_centroids_match_numpy(spark, sf_dir):
     for label, r in got.items():
         assert r["dim"] == 64
         assert np.allclose(np.asarray(r["centroid"]), expected[label], rtol=1e-12, atol=1e-12)
+
+
+def test_label_centroids_long_form_equals_rounded_vectors(spark, sf_dir):
+    """The driver-facing long form is a reshape+round of the vector form:
+    (label, dim, mean_val) must equal round(centroid[dim], 9)."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        label_centroid_vectors,
+        label_centroids,
+    )
+
+    vecs = {
+        r["label"]: r["centroid"]
+        for r in label_centroid_vectors(spark, sf_dir).collect()
+    }
+    long_rows = label_centroids(spark, sf_dir).collect()
+    assert {r["label"] for r in long_rows} == set(vecs)
+    assert len(long_rows) == sum(len(v) for v in vecs.values())
+    for r in long_rows:
+        # tolerance half-a-unit-in-the-9th-decimal: Spark rounds HALF_UP on
+        # the shortest decimal repr, Python round() half-even — equal except
+        # at exact half-boundaries, so compare within the rounding quantum
+        assert abs(r["mean_val"] - vecs[r["label"]][r["dim"]]) <= 5.1e-10

@@ -135,9 +135,12 @@ def test_ttl_dedup_warmup_seed(spark, source_dir, tmp_path):
     # warm-up: pretend digests of messages 1/3 were already forwarded before
     # the restart — their live occurrences must be suppressed entirely
     from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
-    from pulsar_topic_deduplicator_spark.streaming.source import EVENTS_RAW_SCHEMA
 
-    batch = spark.createDataFrame(_events_pdf(BATCH1), schema=EVENTS_RAW_SCHEMA)
+    batch = spark.createDataFrame(
+        _events_pdf(BATCH1),
+        schema="event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
     # seed with the digest of event 1 only
     seed = (
         batch.filter(F.col("event_id") == 1)
