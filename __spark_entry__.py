@@ -3,8 +3,12 @@
 ``entry(spark)`` — flagship query (exact keep-first dedup, the reference's
 core semantics) at sf0.001. ``queries()`` — one entry per implemented
 operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
-every SQL-expressible operator; streaming / approximate / Python-stage
-operators are rows-only by design and documented as such on each callable.
+every SQL-expressible operator, including the bounded streaming harnesses
+(deterministic single-batch runs) and the integer-exact multimodal stages.
+Only five entries remain rows-only, each for a stated reason: seeded numpy
+LSH planes (``ann_cosine_lsh``), numpy-trained codebooks (``ivf_*``,
+``pq_topk_cosine``), and greedy order-dependent streaming selection
+(``stream_near_dup``).
 """
 
 from __future__ import annotations
@@ -44,9 +48,16 @@ def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming dedup (watermark + dropDuplicatesWithinWatermark)
     over the sf events, bounded with availableNow — reference op #7 live path.
 
-    The map-typed ``properties`` column is serialized to canonical JSON at
-    this harness boundary: the driver canon sorts/hashes columns with pandas,
-    which cannot hash a dict (the label_centroids boundary discipline)."""
+    The harness boundary projects the DETERMINISTIC columns only: which
+    digests survive (all distinct ones, single-batch run) and their
+    topic/enriched properties are well-defined, but WHICH duplicate row
+    represents a digest is engine-arbitrary under dropDuplicates first-seen
+    semantics — so message_id/event_ts are meaningless to value-compare and
+    are left to the full operator (``run_stream_dedup_bounded``; its
+    restart/first-wins behavior is pinned in tests/test_streaming.py). The
+    map-typed ``properties`` is serialized to canonical JSON (the driver
+    canon cannot sort/hash dict cells). The exact-TTL twin
+    ``stream_dedup_ttl`` value-checks a deterministic winner per digest."""
     from pyspark.sql import functions as F
 
     from pulsar_topic_deduplicator_spark.functions.canonical import canonical_json
@@ -55,7 +66,11 @@ def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = run_stream_dedup_bounded(spark, sf_dir, glob_filter="events.parquet")
-    return out.withColumn("properties", canonical_json(F.col("properties")))
+    return out.select(
+        "digest",
+        "topic",
+        canonical_json(F.col("properties")).alias("properties"),
+    )
 
 
 def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +92,25 @@ def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob_filter="events.parquet",
         use_tws=False,
     )
+
+
+def _knn_blockwise_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_topk_blockwise`` with the cosine rounded to 6 dp at the harness
+    boundary: the BLAS matmul's partial-sum order differs from the oracle's
+    sequential fold by last-ulp only, and the rounding makes the value
+    hash-comparable (neighbor identity is ulp-robust and unrounded)."""
+    from pyspark.sql import functions as F
+
+    out = similarity.knn_topk_blockwise(spark, sf_dir)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def _knn_tiled_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_topk_tiled`` with the same 6-dp boundary rounding."""
+    from pyspark.sql import functions as F
+
+    out = similarity.knn_topk_tiled(spark, sf_dir)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,24 +185,24 @@ def queries() -> dict[str, QueryFn]:
         "hash_sample_events": sampling.hash_sample_events,
         "train_val_test_split": sampling.train_val_test_split,
         "source_mixture_sample": sampling.source_mixture_sample,
-        "stream_near_dup": _stream_near_dup_query,  # rows-only (streaming)
-        "stream_warmup_flagged": _stream_warmup_flagged_query,  # rows-only
+        "stream_near_dup": _stream_near_dup_query,  # rows-only (greedy sequential semantics)
+        "stream_warmup_flagged": _stream_warmup_flagged_query,  # exact oracle (plain append)
         # ── (b) round-3 ERR / zero-row entries, fixed in round 4 ───────────
         "sessionize_events": relational.sessionize_events,
         "range_frame_event_counts": relational.range_frame_event_counts,
-        "stream_dedup": _stream_dedup_query,  # rows-only; properties JSON-ified
-        "stream_windowed_counts": _stream_windowed_counts_query,
-        "stream_session_activity": _stream_session_activity_query,
+        "stream_dedup": _stream_dedup_query,  # deterministic projection (oracle-hashed)
+        "stream_windowed_counts": _stream_windowed_counts_query,  # exact oracle (watermark cutoff)
+        "stream_session_activity": _stream_session_activity_query,  # exact oracle (watermark cutoff)
         "multimodal_features": multimodal.multimodal_features_long,  # long-form boundary
         "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
         "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # long-form sketch
         # ── rows-only twins / least-recently-checked supporting entries ────
-        "stream_dedup_ttl": _stream_dedup_ttl_query,
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # rows-only
+        "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle
         "multimodal_meta": multimodal.multimodal_meta,
-        "knn_topk_blockwise": similarity.knn_topk_blockwise,  # rows-only (BLAS sums)
-        "knn_topk_tiled": similarity.knn_topk_tiled,  # rows-only (BLAS sums)
+        "knn_topk_blockwise": _knn_blockwise_rounded,  # 6-dp boundary (oracle-hashed)
+        "knn_topk_tiled": _knn_tiled_rounded,  # 6-dp boundary (oracle-hashed)
         "ann_cosine_lsh": similarity.ann_cosine_lsh,  # rows-only (seeded LSH)
         "label_centroids": similarity.label_centroids,  # long-form, rounded 9dp (oracle-hashed)
         # (label_centroid_vectors is deliberately NOT registered: its
@@ -278,4 +312,16 @@ def oracle_sql() -> dict[str, str]:
         multimodal,
     ):
         oracles.update(module.ORACLES)
+    # bounded streaming harnesses with exact SQL oracles: the single-batch
+    # availableNow runs are deterministic (see each module's ORACLES notes)
+    from pulsar_topic_deduplicator_spark.streaming import enrich, windows
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        BOUNDED_STREAM_DEDUP_ORACLE,
+        BOUNDED_TTL_ORACLE,
+    )
+
+    oracles["stream_dedup_ttl"] = BOUNDED_TTL_ORACLE
+    oracles["stream_dedup"] = BOUNDED_STREAM_DEDUP_ORACLE
+    oracles.update(windows.ORACLES)
+    oracles.update(enrich.ORACLES)
     return oracles

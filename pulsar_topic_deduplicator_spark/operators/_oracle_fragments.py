@@ -39,6 +39,20 @@ def duck_events_digest(ignored: Iterable[str] = ()) -> str:
     )
 
 
+def duck_message_digest(ignored: Iterable[str] = ()) -> str:
+    """DuckDB equivalent of ``streaming.dedup.message_digest`` applied to the
+    events test corpus's message view (``sources/io.messages_view``):
+    sha256(payload_bytes || canonical_props) where the payload is
+    ``to_json(struct(event_type, value))``. DuckDB's shortest-repr double
+    CAST matches Spark's Jackson JSON double rendering."""
+    return (
+        "sha256('{\"event_type\":\"' || event_type || '\",\"value\":' || "
+        "CAST(value AS VARCHAR) || '}' || "
+        + duck_canon_props("props", ignored)
+        + ")"
+    )
+
+
 def duck_stable_uint60(expr: str) -> str:
     """DuckDB equivalent of ``stable_uint60``."""
     return f"CAST('0x' || substr(sha256({expr}), 1, 15) AS BIGINT)"

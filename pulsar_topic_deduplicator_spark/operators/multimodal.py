@@ -110,14 +110,15 @@ def multimodal_features_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``multimodal_features`` in LONG FORM — one (asset, dim) row per
     feature cell, every column a sortable scalar — the harness-boundary
     shape (the label_centroids discipline: a double[] column cannot be
-    canonicalized by the driver's pandas sort/hash). Values rounded to 9 dp
-    so any cross-run float jitter cannot flip a hash."""
+    canonicalized by the driver's pandas sort/hash). No rounding needed:
+    each feature is one exact int/int double division (bucket_count/total),
+    bit-identical on any engine."""
     wide = multimodal_features(spark, sf_dir)
     return wide.select(
         "asset_id",
         "n_bytes",
         F.posexplode("features").alias("dim", "feature"),
-    ).withColumn("feature", F.round("feature", 9))
+    )
 
 
 # ─── decode / resize / frame-sample stages ──────────────────────────────────
@@ -480,6 +481,149 @@ ORACLES: dict[str, str] = {
         SELECT asset_id, FALSE, NULL, NULL, NULL, NULL, NULL,
                'short pixel data: 90 != 192'
         FROM d WHERE asset_id % 50 = 13
+    """,
+    # Byte-histogram features (stub stage, but integer-exact): feature[dim]
+    # = count(byte % 8 == dim) / max(L, 1) — one int/int double division,
+    # bit-identical across engines. Empty docs produce all-zero features.
+    "multimodal_features": """
+        WITH d AS (
+            SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS L
+            FROM documents
+        ),
+        b AS (
+            SELECT asset_id,
+                   (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS v
+            FROM d, UNNEST(range(0, L)) AS t(i)
+        )
+        SELECT d.asset_id, CAST(d.L AS INTEGER) AS n_bytes,
+               CAST(t.dim AS INTEGER) AS dim,
+               coalesce(sum(CASE WHEN b.v % 8 = t.dim THEN 1 ELSE 0 END), 0)
+                 / greatest(d.L, 1) AS feature
+        FROM d
+        CROSS JOIN UNNEST(range(0, 8)) AS t(dim)
+        LEFT JOIN b ON b.asset_id = d.asset_id
+        GROUP BY d.asset_id, d.L, t.dim
+    """,
+    # Stub image decode (integer-exact): 16 grid-strided chunks, pixel =
+    # floor-mean of each chunk's bytes; chunks past a short payload fall
+    # back to the last byte (Python's `or buf[-1:]`). '00' fallback for
+    # empty docs mirrors `bytes(payload) or b"\\x00"`.
+    "multimodal_decode": """
+        WITH d AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN 1 ELSE octet_length(encode(text)) END AS n
+            FROM documents
+        ),
+        cells AS (
+            SELECT asset_id, hx, n, CAST(i AS INTEGER) AS pixel_idx,
+                   i * greatest(n // 16, 1) AS lo,
+                   least((i + 1) * greatest(n // 16, 1), n) AS hi
+            FROM d, UNNEST(range(0, 16)) AS t(i)
+        ),
+        b AS (
+            SELECT asset_id, pixel_idx,
+                   (strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1) AS v
+            FROM cells, UNNEST(range(lo, hi)) AS u(j)
+        ),
+        agg AS (
+            SELECT asset_id, pixel_idx,
+                   CAST(sum(v) // count(*) AS INTEGER) AS pixel
+            FROM b GROUP BY asset_id, pixel_idx
+            UNION ALL
+            SELECT asset_id, pixel_idx,
+                   CAST((strpos('0123456789ABCDEF',
+                                substr(hx, 2*(n-1) + 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                                substr(hx, 2*(n-1) + 2, 1)) - 1) AS INTEGER)
+            FROM cells WHERE lo >= n
+        )
+        SELECT asset_id, CAST(4 AS INTEGER) AS width,
+               CAST(4 AS INTEGER) AS height, pixel_idx, pixel
+        FROM agg
+    """,
+    # 2x2 block-mean downsample of the decoded 4x4 thumbnail: out pixel =
+    # trunc(mean of its 2x2 source block) — Spark computes (sum/4) cast to
+    # int (trunc == floor on non-negative), DuckDB integer floor division.
+    "multimodal_resize": """
+        WITH d AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN 1 ELSE octet_length(encode(text)) END AS n
+            FROM documents
+        ),
+        cells AS (
+            SELECT asset_id, hx, n, CAST(i AS INTEGER) AS pixel_idx,
+                   i * greatest(n // 16, 1) AS lo,
+                   least((i + 1) * greatest(n // 16, 1), n) AS hi
+            FROM d, UNNEST(range(0, 16)) AS t(i)
+        ),
+        b AS (
+            SELECT asset_id, pixel_idx,
+                   (strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1) AS v
+            FROM cells, UNNEST(range(lo, hi)) AS u(j)
+        ),
+        decoded AS (
+            SELECT asset_id, pixel_idx,
+                   CAST(sum(v) // count(*) AS INTEGER) AS pixel
+            FROM b GROUP BY asset_id, pixel_idx
+            UNION ALL
+            SELECT asset_id, pixel_idx,
+                   CAST((strpos('0123456789ABCDEF',
+                                substr(hx, 2*(n-1) + 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                                substr(hx, 2*(n-1) + 2, 1)) - 1) AS INTEGER)
+            FROM cells WHERE lo >= n
+        )
+        SELECT asset_id, CAST(2 AS INTEGER) AS width,
+               CAST(2 AS INTEGER) AS height,
+               CAST((pixel_idx // 4 // 2) * 2 + (pixel_idx % 4) // 2
+                    AS INTEGER) AS pixel_idx,
+               CAST(sum(pixel) // 4 AS INTEGER) AS pixel
+        FROM decoded
+        GROUP BY asset_id, (pixel_idx // 4 // 2) * 2 + (pixel_idx % 4) // 2
+    """,
+    # Frame sampling (stub codec, but integer-exact): 4 evenly-strided
+    # 32-byte windows over the raw utf8 payload; energy = mean byte value
+    # (exact int sum / window length on both engines). Offsets replicate
+    # _sample_frames: stride = max((L-32) // 3, 1), off = min(k*stride,
+    # max(L-32, 0)), window = bytes[off : min(off+32, L)) — nonempty for
+    # L >= 1, and L >= 1 by the '00' empty-payload fallback.
+    "multimodal_frame_sample": """
+        WITH d AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN 1 ELSE octet_length(encode(text)) END AS n
+            FROM documents
+        ),
+        f AS (
+            SELECT asset_id, hx, n, CAST(k AS INTEGER) AS frame_idx,
+                   CAST(least(k * greatest((n - 32) // 3, 1),
+                              greatest(n - 32, 0)) AS INTEGER) AS frame_offset
+            FROM d, UNNEST(range(0, 4)) AS t(k)
+        ),
+        b AS (
+            SELECT asset_id, frame_idx, frame_offset,
+                   (strpos('0123456789ABCDEF',
+                           substr(hx, 2 * (frame_offset + j) + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, 2 * (frame_offset + j) + 2, 1)) - 1) AS v
+            FROM f, UNNEST(range(0, 32)) AS w(j)
+            WHERE frame_offset + j < n
+        )
+        SELECT asset_id, frame_idx, frame_offset,
+               avg(v) AS frame_energy
+        FROM b GROUP BY asset_id, frame_idx, frame_offset
     """,
     # WAV decode: sample k = (byte(k) - 128) * 256 over 256 tiled bytes;
     # 4 frames of 64 samples, rms = sqrt(avg(v^2)) — v^2 <= 2^30 so the

@@ -782,3 +782,28 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, nn_id, cosine FROM pairs WHERE rn = 1
     """,
 }
+
+# The BLAS-backed kNN twins (blockwise / tiled) compute the same exact top-1
+# as knn_self_join_top1 — neighbor identity is ulp-robust — but their matmul
+# partial-sum order differs from a sequential fold, so the cosine VALUE can
+# differ in the last ulp. The driver-facing entries round to 6 dp at the
+# harness boundary (__spark_entry__), making a cross-engine hash match
+# overwhelmingly likely (a value within ~1e-15 of a 6-dp half-boundary could
+# still flip — same caveat as label_centroids). Oracle = the exact SQL kNN
+# with the same rounding.
+_KNN_TOP1_ROUNDED_ORACLE = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        pairs AS (
+          SELECT a.vec_id, b.vec_id AS nn_id,
+                 list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY list_dot_product(a.e, b.e) / (a.nrm * b.nrm) DESC,
+                                             b.vec_id) AS rn
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        SELECT vec_id, nn_id, round(cosine, 6) AS cosine
+        FROM pairs WHERE rn = 1
+    """
+
+ORACLES["knn_topk_blockwise"] = _KNN_TOP1_ROUNDED_ORACLE
+ORACLES["knn_topk_tiled"] = _KNN_TOP1_ROUNDED_ORACLE

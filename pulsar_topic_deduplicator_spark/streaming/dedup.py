@@ -93,8 +93,11 @@ def run_stream_dedup_bounded(
     (the memory sink cannot recover from a checkpoint — restart tests need
     the file sink), then return the cumulative output as a batch DataFrame.
 
-    (Driver records rows-only — a streaming query is not SQL-oracle-able;
-    batch parity of the same semantics is ``dedup_exact_keep_first``.)"""
+    (The driver checks the deterministic projection of this output —
+    digest/topic/canonical properties — against BOUNDED_STREAM_DEDUP_ORACLE;
+    which duplicate ROW survives is engine-arbitrary, so message_id/event_ts
+    stay outside the value comparison. Batch parity of the same semantics is
+    ``dedup_exact_keep_first``.)"""
     run_id = uuid.uuid4().hex[:8]
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(f"ckpt_{run_id}")
     # output co-located with the checkpoint so a restart appends to the same
@@ -466,3 +469,56 @@ def run_ttl_dedup_bounded(
     finally:
         query.stop()
     return spark.table(name)
+
+
+#: DuckDB oracle for the BOUNDED TTL-dedup harness run over the driver's
+#: events table. Valid because the bounded run is deterministic: one source
+#: file → one micro-batch (file source with no maxFilesPerTrigger cap), so
+#: every duplicate is co-batched with its first occurrence — the kernel
+#: emits exactly one row per distinct digest, winner = min (event_ts,
+#: message_id-as-string), n_dropped = group size − 1, and no counter-only
+#: rows exist. The digest is re-derived in SQL via the shared
+#: ``duck_message_digest`` fragment (payload JSON + canonical props). A
+#: processing-time TTL (3 600 s) cannot expire inside a seconds-long run,
+#: so expiry never shapes the bounded result.
+from ..operators._oracle_fragments import duck_message_digest as _duck_msg_digest
+
+BOUNDED_TTL_ORACLE = f"""
+    WITH m AS (
+      SELECT {_duck_msg_digest()} AS digest,
+             CAST(event_id AS VARCHAR) AS message_id,
+             ts AS event_ts
+      FROM events
+    ),
+    r AS (
+      SELECT digest, message_id, event_ts,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY event_ts, message_id) AS rn,
+             count(*) OVER (PARTITION BY digest) AS n
+      FROM m
+    )
+    SELECT digest, message_id, event_ts, CAST(n - 1 AS BIGINT) AS n_dropped
+    FROM r WHERE rn = 1
+"""
+
+
+#: DuckDB oracle for the deterministic PROJECTION of the bounded built-in
+#: stream-dedup harness (__spark_entry__._stream_dedup_query): one row per
+#: distinct digest with its topic and origin-enriched canonical properties.
+#: (Which duplicate ROW survives dropDuplicatesWithinWatermark is
+#: engine-arbitrary, so message_id/event_ts are excluded at the boundary;
+#: the TTL twin value-checks a deterministic winner.) Canonical properties
+#: are re-derived from the test corpus's single-key props plus the
+#: engine-appended origin entry, JSON-escaped the same way.
+BOUNDED_STREAM_DEDUP_ORACLE = f"""
+    WITH m AS (
+      SELECT {_duck_msg_digest()} AS digest,
+             'persistent://events/' || event_type AS topic,
+             json_extract_string(props, '$.k') AS k_val
+      FROM events
+    )
+    SELECT DISTINCT digest, topic,
+           '{{"k":"' || k_val || '","origin":"[\\"' || digest || '\\"]"}}'
+             AS properties
+    FROM m
+"""

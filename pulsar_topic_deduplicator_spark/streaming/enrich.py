@@ -82,3 +82,28 @@ def run_warmup_flagged_bounded(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+#: DuckDB oracle for the bounded warm-up-flag harness: no aggregation and no
+#: watermark filtering (plain append), so every message appears exactly once
+#: — fully deterministic. The digest is the shared message-digest fragment;
+#: the warm-up set is the same digest over the pre-cutoff scan.
+from ..operators._oracle_fragments import duck_message_digest as _dmd
+from ..operators.lineage import WARMUP_CUTOFF as _CUTOFF
+
+ORACLES: dict[str, str] = {
+    "stream_warmup_flagged": f"""
+        WITH m AS (
+          SELECT CAST(event_id AS VARCHAR) AS message_id,
+                 'persistent://events/' || event_type AS topic,
+                 {_dmd()} AS digest,
+                 ts AS event_ts
+          FROM events
+        ),
+        w AS (SELECT DISTINCT {_dmd()} AS digest FROM events
+              WHERE ts < TIMESTAMP '{_CUTOFF}')
+        SELECT m.message_id, m.topic, m.digest, m.event_ts,
+               (w.digest IS NOT NULL) AS seen_in_warmup
+        FROM m LEFT JOIN w ON m.digest = w.digest
+    """,
+}

@@ -93,3 +93,47 @@ def run_windowed_counts_bounded(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+#: DuckDB oracles for the BOUNDED window harnesses. Valid because the
+#: bounded availableNow run is deterministic: one source file → one data
+#: micro-batch, after which the watermark is max(event_ts) − 2 h and append
+#: mode has emitted exactly the windows/sessions whose END is at or below
+#: that watermark. The SQL recomputes the same aggregates and applies the
+#: same cutoff. (Session semantics: an event extends a session while it
+#: falls strictly inside [start, last + gap); a gap ≥ 30 min starts a new
+#: one; session_end = last event + gap — Spark's session_window contract.)
+ORACLES: dict[str, str] = {
+    "stream_windowed_counts": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+        SELECT date_trunc('hour', ts) AS w_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+               'persistent://events/' || event_type AS topic,
+               count(*) AS n_messages
+        FROM events, wm
+        GROUP BY date_trunc('hour', ts), topic, wm.w
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    """,
+    "stream_session_activity": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+        e AS (SELECT 'persistent://events/' || event_type AS topic, ts
+              FROM events),
+        g AS (SELECT topic, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY topic ORDER BY ts)
+                               IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY topic ORDER BY ts)
+                               >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+        s AS (SELECT topic, ts,
+                     sum(brk) OVER (PARTITION BY topic ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+        agg AS (SELECT topic, min(ts) AS session_start,
+                       max(ts) + INTERVAL 30 MINUTE AS session_end,
+                       count(*) AS n_messages
+                FROM s GROUP BY topic, sid)
+        SELECT session_start, session_end, topic, n_messages
+        FROM agg, wm WHERE session_end <= wm.w
+    """,
+}

@@ -236,3 +236,10 @@ def test_window_analytics_one_shuffle_for_both_windows(spark, sf_dir):
     # single hash-partitioning exchange for the two sort orders
     df = relational.window_analytics_demo(spark, sf_dir)
     assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_range_frame_single_shuffle(spark, sf_dir):
+    # the RANGE frame orders by epoch-micros inside the user_id partition:
+    # one exchange serves the whole window computation
+    df = relational.range_frame_event_counts(spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
