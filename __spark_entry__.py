@@ -197,6 +197,8 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
         "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # long-form sketch
+        # ── new in round 4 ─────────────────────────────────────────────────
+        "bloom_digest_prefilter": dedup.bloom_digest_prefilter,  # contract oracle
         # ── rows-only twins / least-recently-checked supporting entries ────
         "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle

@@ -244,3 +244,152 @@ ORACLES["ignore_props_projection"] = f"""
            {duck_events_digest(REFERENCE_IGNORED)} AS digest_ign
     FROM events
 """
+
+
+# ─── Bloom-filter membership prefilter ──────────────────────────────────────
+#
+# At 100 TB the warm-up digest set (op #11) outgrows a broadcastable exact
+# dimension; the standard scale pattern is a Bloom prefilter: a fixed-size
+# bitset answers "definitely new" locally on every executor, and only the
+# maybe-seen minority pays the exact state lookup. PySpark does not expose
+# the JVM DataFrameStatFunctions.bloomFilter, so the engine builds its own
+# with the same distributed shape: per-partition bitsets built in one
+# Arrow-batched pass (map-side, like treeAggregate's leaves), OR-merged on
+# the driver (the merged filter is the only thing collected — m/8 bytes,
+# independent of row count), then re-broadcast for the vectorized probe.
+# Hash derivation is JVM-side (two 32-bit lanes from the hex digest via
+# conv()), so the Python stages do pure numpy bit arithmetic — no per-row
+# Python in either pass.
+
+BLOOM_FPP = 0.01
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln p / ln²2 bits (rounded up to whole
+    longs), k = (m/n)·ln 2 probes."""
+    import math
+
+    n = max(n_items, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _with_hash_lanes(df: DataFrame) -> DataFrame:
+    """Two independent 32-bit hash lanes from the hex digest, derived
+    JVM-side (conv runs in codegen; the Python stages see plain longs).
+    h2 is forced odd — the classic double-hashing stride guard."""
+    h1 = F.conv(F.substring("digest", 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring("digest", 9, 8), 16, 10).cast("long")
+    return df.withColumn("h1", h1).withColumn("h2", h2.bitwiseOR(F.lit(1)))
+
+
+def _bloom_build(warm: DataFrame, m: int, k: int) -> bytes:
+    """Per-partition bitsets OR-merged on the driver. Each partition ships
+    exactly m/8 bytes regardless of its row count — the same wire cost as
+    Spark's native bloomFilter treeAggregate."""
+    import numpy as np
+
+    def build(batches):
+        import pandas as pd
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            touched = True
+            h1 = pdf["h1"].to_numpy(np.int64)[:, None]
+            h2 = pdf["h2"].to_numpy(np.int64)[:, None]
+            pos = (h1 + np.arange(k)[None, :] * h2) % m
+            np.bitwise_or.at(
+                bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+        if touched:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = _with_hash_lanes(warm).select("h1", "h2").mapInPandas(
+        build, schema="bits binary"
+    )
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts.collect():  # one m/8-byte row per non-empty partition
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_digest_prefilter(
+    spark: SparkSession, sf_dir: str, fpp: float = BLOOM_FPP
+) -> DataFrame:
+    """Bloom prefilter of the live event stream against the warm-up digest
+    set, verified: the output is the aggregate CONTRACT of a Bloom filter —
+    exact totals plus two verdicts the oracle pins as constants (the
+    approx_distinct_events tolerance-oracle pattern):
+
+    * ``no_false_negatives`` — every true warm-up member was flagged
+      maybe-seen (a Bloom filter can never miss; a false here is a bug);
+    * ``fp_rate_ok`` — the observed false-positive rate on true negatives
+      is within 5× the configured fpp (sizing math holds).
+
+    The per-row flag column itself is engine-specific (bit positions depend
+    on this engine's hash lanes), which is exactly why the driver-checked
+    surface is the contract, not the bits."""
+    import numpy as np
+
+    warm = (
+        with_digest(load_table(spark, sf_dir, "events"))
+        .filter(F.col("ts") < F.lit(_WARMUP_CUTOFF).cast("timestamp"))
+        .select("digest")
+        .distinct()
+    )
+    n_items = warm.count()  # scalar for sizing (same pass native bloom needs)
+    m, k = _bloom_params(n_items, fpp)
+    bits_bytes = _bloom_build(warm, m, k)
+    bc = spark.sparkContext.broadcast(bits_bytes)
+
+    def probe(batches):
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["h1"].to_numpy(np.int64)[:, None]
+            h2 = pdf["h2"].to_numpy(np.int64)[:, None]
+            pos = (h1 + np.arange(k)[None, :] * h2) % m
+            hit = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+            yield pd.DataFrame({"digest": pdf["digest"], "maybe_seen": hit})
+
+    flagged = (
+        _with_hash_lanes(with_digest(load_table(spark, sf_dir, "events")))
+        .select("digest", "h1", "h2")
+        .mapInPandas(probe, schema="digest string, maybe_seen boolean")
+    )
+    is_warm = F.broadcast(warm.withColumn("is_warm", F.lit(True)))
+    joined = flagged.join(is_warm, "digest", "left").withColumn(
+        "is_warm", F.coalesce("is_warm", F.lit(False))
+    )
+    fn = F.count(F.when(F.col("is_warm") & ~F.col("maybe_seen"), 1))
+    fp = F.count(F.when(~F.col("is_warm") & F.col("maybe_seen"), 1))
+    tn = F.count(F.when(~F.col("is_warm"), 1))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count(F.when(F.col("is_warm"), 1)).alias("n_warmup_hits"),
+        (fn == 0).alias("no_false_negatives"),
+        (fp.cast("double") <= tn.cast("double") * F.lit(5 * fpp)).alias(
+            "fp_rate_ok"
+        ),
+    )
+
+
+from ..operators.lineage import WARMUP_CUTOFF as _WARMUP_CUTOFF  # noqa: E402
+
+ORACLES["bloom_digest_prefilter"] = f"""
+    WITH m AS (SELECT {_DIGEST} AS digest, ts FROM events),
+    w AS (SELECT DISTINCT digest FROM m WHERE ts < TIMESTAMP '{_WARMUP_CUTOFF}')
+    SELECT count(*) AS n_messages,
+           count(CASE WHEN w.digest IS NOT NULL THEN 1 END) AS n_warmup_hits,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_ok
+    FROM m LEFT JOIN w ON m.digest = w.digest
+"""
