@@ -120,3 +120,93 @@ def kafka_reader_options(
         "subscribePattern": subscribe_pattern,
         "startingOffsets": start,
     }
+
+
+# ─── Connector envelope mappings ────────────────────────────────────────────
+#
+# The piece between "reader options" and the engine's operators: each
+# connector emits its own raw envelope schema, and everything downstream
+# (message_digest, dedup_stream, enrichment, windows) consumes the engine's
+# message schema (FIXTURES.md §A.1). These mappings are plain column
+# expressions, so they work identically on a readStream DataFrame and on a
+# batch DataFrame — which is what makes them testable without a broker:
+# construct the connector's documented schema locally, map, and run the
+# real pipeline. Switching to a live broker is then exactly one line
+# (.format("kafka"|"pulsar") + the option map above).
+
+def from_kafka_envelope(raw: DataFrame) -> DataFrame:
+    """Built-in Kafka source envelope -> message schema.
+
+    Kafka's envelope (fixed by the connector): key/value binary, topic,
+    partition, offset, timestamp, headers array<struct<key,value binary>>.
+    The message id is the (topic, partition, offset) coordinate — Kafka's
+    identity for a record; headers carry the string properties."""
+    from pyspark.sql import functions as F
+
+    props = F.map_from_entries(
+        F.transform(
+            F.coalesce("headers", F.array()),
+            lambda h: F.struct(
+                h["key"].alias("key"),
+                F.decode(h["value"], "UTF-8").alias("value"),
+            ),
+        )
+    )
+    return raw.select(
+        F.concat_ws(
+            "-", "topic", F.col("partition").cast("string"),
+            F.col("offset").cast("string")
+        ).alias("message_id"),
+        F.col("topic"),
+        F.col("value"),
+        props.alias("properties"),
+        F.col("timestamp").alias("event_ts"),
+        F.col("timestamp").alias("publish_ts"),
+    )
+
+
+def from_pulsar_envelope(raw: DataFrame) -> DataFrame:
+    """pulsar-spark connector envelope -> message schema.
+
+    The connector surfaces the reference's own accessors as metadata
+    columns (``src/deduplication.ts:108-129`` reads the same fields via the
+    client API): __messageId bytes, __topic, __eventTime, __publishTime,
+    __properties map. Event time falls back to publish time when the
+    producer set none — the reference's ``getEventTimestamp() || 
+    getPublishTimestamp()`` fallback."""
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        F.hex(F.col("__messageId")).alias("message_id"),
+        F.col("__topic").alias("topic"),
+        F.col("value"),
+        F.coalesce("__properties", F.create_map()).alias("properties"),
+        F.coalesce(
+            F.when(F.col("__eventTime") > F.lit(0).cast("timestamp"),
+                   F.col("__eventTime")),
+            F.col("__publishTime"),
+        ).alias("event_ts"),
+        F.col("__publishTime").alias("publish_ts"),
+    )
+
+
+def to_kafka_envelope(messages: DataFrame) -> DataFrame:
+    """Message schema -> the envelope the built-in Kafka SINK expects
+    (key/value binary + topic + headers); properties ride as headers so a
+    Kafka round-trip preserves them (the reference forwards properties
+    verbatim, ``src/deduplication.ts:122-129``)."""
+    from pyspark.sql import functions as F
+
+    headers = F.transform(
+        F.map_entries(F.coalesce("properties", F.create_map())),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.encode(e["value"], "UTF-8").alias("value"),
+        ),
+    )
+    return messages.select(
+        F.encode("message_id", "UTF-8").alias("key"),
+        F.col("value"),
+        F.col("topic"),
+        headers.alias("headers"),
+    )

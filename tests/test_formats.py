@@ -37,3 +37,137 @@ def test_pulsar_options_shape():
     )
     assert opts["topicsPattern"].endswith("topic-.*")
     assert opts["startingOffsets"] == "earliest"
+
+
+# ─── connector envelope mappings (no broker needed: the mappings are plain
+#     column expressions over the connectors' documented schemas) ───────────
+
+
+def _kafka_raw(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+            T.StructField(
+                "headers",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", T.StringType()),
+                            T.StructField("value", T.BinaryType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    import datetime
+
+    rows = [
+        (
+            b"k1",
+            b'{"event_type":"click","value":1.0}',
+            "persistent://events/click",
+            0,
+            42,
+            datetime.datetime(2024, 1, 1, 0, 0, 0),
+            0,
+            [("k", b"1"), ("mqttQos", b"0")],
+        ),
+        (
+            b"k2",
+            b'{"event_type":"view","value":2.0}',
+            "persistent://events/view",
+            1,
+            7,
+            datetime.datetime(2024, 1, 1, 1, 0, 0),
+            0,
+            None,  # headers may be absent entirely
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_kafka_envelope_maps_to_message_schema(spark):
+    from pulsar_topic_deduplicator_spark.sources.formats import from_kafka_envelope
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+
+    msgs = from_kafka_envelope(_kafka_raw(spark))
+    assert [f.name for f in msgs.schema.fields] == [
+        "message_id", "topic", "value", "properties", "event_ts", "publish_ts",
+    ]
+    rows = {r["message_id"]: r for r in msgs.collect()}
+    assert set(rows) == {"persistent://events/click-0-42",
+                         "persistent://events/view-1-7"}
+    assert rows["persistent://events/click-0-42"]["properties"] == {
+        "k": "1", "mqttQos": "0",
+    }
+    assert rows["persistent://events/view-1-7"]["properties"] == {}
+    # the mapped stream is digestible by the real dedup pipeline, and the
+    # reference ignore-list strips transport noise from the hash input
+    digs = msgs.withColumn("d", message_digest(("mqttQos",))).collect()
+    assert all(len(r["d"]) == 64 for r in digs)
+
+
+def test_kafka_envelope_round_trip_preserves_content(spark):
+    from pulsar_topic_deduplicator_spark.sources.formats import (
+        from_kafka_envelope,
+        to_kafka_envelope,
+    )
+
+    msgs = from_kafka_envelope(_kafka_raw(spark))
+    sink = to_kafka_envelope(msgs)
+    assert [f.name for f in sink.schema.fields] == [
+        "key", "value", "topic", "headers",
+    ]
+    back = {
+        r["topic"]: (bytes(r["value"]), sorted((h["key"], bytes(h["value"]))
+                                               for h in r["headers"]))
+        for r in sink.collect()
+    }
+    orig = {
+        r["topic"]: (bytes(r["value"]),
+                     sorted((k, v.encode()) for k, v in r["properties"].items()))
+        for r in msgs.collect()
+    }
+    assert back == orig  # payload bytes + properties survive the round trip
+
+
+def test_pulsar_envelope_maps_and_falls_back_to_publish_time(spark):
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pulsar_topic_deduplicator_spark.sources.formats import from_pulsar_envelope
+
+    schema = T.StructType(
+        [
+            T.StructField("__messageId", T.BinaryType()),
+            T.StructField("__topic", T.StringType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("__properties", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("__eventTime", T.TimestampType()),
+            T.StructField("__publishTime", T.TimestampType()),
+        ]
+    )
+    pub = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    evt = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (b"\x01\x02", "persistent://events/click", b"p1", {"k": "1"}, evt, pub),
+        # producer set no event time (connector surfaces epoch 0) -> fallback
+        (b"\x03\x04", "persistent://events/view", b"p2", None,
+         datetime.datetime(1970, 1, 1, 0, 0, 0), pub),
+    ]
+    msgs = from_pulsar_envelope(spark.createDataFrame(rows, schema))
+    got = {r["message_id"]: r for r in msgs.collect()}
+    assert set(got) == {"0102", "0304"}
+    assert got["0102"]["event_ts"] == evt
+    assert got["0304"]["event_ts"] == pub  # the reference's || fallback
+    assert got["0304"]["properties"] == {}

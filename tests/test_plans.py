@@ -243,3 +243,15 @@ def test_range_frame_single_shuffle(spark, sf_dir):
     # one exchange serves the whole window computation
     df = relational.range_frame_event_counts(spark, sf_dir)
     assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_bloom_prefilter_broadcast_verify_no_probe_shuffle(spark, sf_dir):
+    # probe path is scan → project(hash lanes) → mapInPandas → broadcast
+    # verify-join → global agg: the only exchanges are the distinct for the
+    # warm-up dim and the single-row final aggregate — the probed stream
+    # itself never shuffles
+    from pulsar_topic_deduplicator_spark.operators import dedup as dedup_ops
+
+    df = dedup_ops.bloom_digest_prefilter(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)[:1500]
+    assert count_exchanges(df) <= 2, formatted_plan(df)[:2000]
