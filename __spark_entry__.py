@@ -5,10 +5,14 @@ core semantics) at sf0.001. ``queries()`` — one entry per implemented
 operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
 every SQL-expressible operator, including the bounded streaming harnesses
 (deterministic single-batch runs) and the integer-exact multimodal stages.
-Only five entries remain rows-only, each for a stated reason: seeded numpy
+Only six entries remain rows-only, each for a stated reason: seeded numpy
 LSH planes (``ann_cosine_lsh``), numpy-trained codebooks (``ivf_*``,
-``pq_topk_cosine``), and greedy order-dependent streaming selection
-(``stream_near_dup``).
+``pq_topk_cosine``), greedy order-dependent streaming selection
+(``stream_near_dup``), and cross-engine sketch internals
+(``approx_quantiles_value``; its exact p50 twin is oracle-checked). The
+approximate tier's usefulness property is still driver-checked:
+``ann_recall_contracts`` pins recall-vs-exact verdicts the oracle compares
+as constants.
 """
 
 from __future__ import annotations
@@ -199,6 +203,7 @@ def queries() -> dict[str, QueryFn]:
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # long-form sketch
         # ── new in round 4 ─────────────────────────────────────────────────
         "bloom_digest_prefilter": dedup.bloom_digest_prefilter,  # contract oracle
+        "ann_recall_contracts": similarity.ann_recall_contracts,  # contract oracle
         # ── rows-only twins / least-recently-checked supporting entries ────
         "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle

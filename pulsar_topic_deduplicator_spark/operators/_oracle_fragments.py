@@ -43,13 +43,24 @@ def duck_message_digest(ignored: Iterable[str] = ()) -> str:
     """DuckDB equivalent of ``streaming.dedup.message_digest`` applied to the
     events test corpus's message view (``sources/io.messages_view``):
     sha256(payload_bytes || canonical_props) where the payload is
-    ``to_json(struct(event_type, value))``. DuckDB's shortest-repr double
-    CAST matches Spark's Jackson JSON double rendering."""
+    ``to_json(struct(event_type, value))``.
+
+    CORPUS-SPECIFIC double rendering caveat: DuckDB's shortest-repr
+    ``CAST(double AS VARCHAR)`` matches Spark's Jackson JSON rendering only
+    for magnitudes in roughly [1e-3, 1e7) — outside that Jackson switches
+    to E-notation ('1.0E-4') where DuckDB stays positional ('0.0001'). The
+    current corpus values sit in [0.01, 490]; the per-round driver parity
+    run is the guard if the corpus is ever regenerated outside that range.
+    NULL values are handled exactly: Spark's to_json DROPS a null field,
+    mirrored by the CASE below."""
+    payload = (
+        "CASE WHEN value IS NULL "
+        "THEN '{\"event_type\":\"' || event_type || '\"}' "
+        "ELSE '{\"event_type\":\"' || event_type || '\",\"value\":' || "
+        "CAST(value AS VARCHAR) || '}' END"
+    )
     return (
-        "sha256('{\"event_type\":\"' || event_type || '\",\"value\":' || "
-        "CAST(value AS VARCHAR) || '}' || "
-        + duck_canon_props("props", ignored)
-        + ")"
+        "sha256(" + payload + " || " + duck_canon_props("props", ignored) + ")"
     )
 
 

@@ -451,7 +451,7 @@ _TILED_BYTES_CTE = """
                  + (strpos('0123456789ABCDEF',
                            substr(hx, 2 * (i %% n) + 2, 1)) - 1) AS v
             FROM d, UNNEST(range(0, %(lim)d)) AS t(i)
-            WHERE asset_id %% 50 != 13
+            WHERE asset_id %% 50 != %(corrupt)d
         )
 """
 
@@ -468,20 +468,20 @@ ORACLES: dict[str, str] = {
     # channel means are exact (sum of 64 uint8 is exact in double; /64 is a
     # power-of-two division) so Spark/numpy and DuckDB agree bit-for-bit.
     # Corrupt assets are truncated to 101 bytes -> 90 pixel bytes survive.
-    "multimodal_decode_ppm": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3}
+    "multimodal_decode_ppm": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
     + """
         SELECT asset_id, TRUE AS ok,
                CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
-               avg(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
-               avg(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
-               avg(CASE WHEN i % 3 = 2 THEN v END) AS mean_b,
+               avg(CASE WHEN i %% 3 = 0 THEN v END) AS mean_r,
+               avg(CASE WHEN i %% 3 = 1 THEN v END) AS mean_g,
+               avg(CASE WHEN i %% 3 = 2 THEN v END) AS mean_b,
                CAST(NULL AS VARCHAR) AS err
         FROM b GROUP BY asset_id
         UNION ALL
         SELECT asset_id, FALSE, NULL, NULL, NULL, NULL, NULL,
                'short pixel data: 90 != 192'
-        FROM d WHERE asset_id % 50 = 13
-    """,
+        FROM d WHERE asset_id %% 50 = %(corrupt)d
+    """ % {"corrupt": CORRUPT_MOD},
     # Byte-histogram features (stub stage, but integer-exact): feature[dim]
     # = count(byte % 8 == dim) / max(L, 1) — one int/int double division,
     # bit-identical across engines. Empty docs produce all-zero features.
@@ -629,7 +629,7 @@ ORACLES: dict[str, str] = {
     # 4 frames of 64 samples, rms = sqrt(avg(v^2)) — v^2 <= 2^30 so the
     # 64-term sum is exact in double and sqrt is correctly rounded on both
     # engines. Corrupt assets keep only 20 header bytes -> torn fmt chunk.
-    "multimodal_wav_energy": _TILED_BYTES_CTE % {"lim": WAV_SAMPLES}
+    "multimodal_wav_energy": _TILED_BYTES_CTE % {"lim": WAV_SAMPLES, "corrupt": CORRUPT_MOD}
     + """
         SELECT asset_id, TRUE AS ok,
                CAST(8000 AS INTEGER) AS sample_rate,
@@ -640,6 +640,6 @@ ORACLES: dict[str, str] = {
         FROM b GROUP BY asset_id, i // 64
         UNION ALL
         SELECT asset_id, FALSE, NULL, NULL, NULL, 'short fmt chunk'
-        FROM d WHERE asset_id % 50 = 13
-    """,
+        FROM d WHERE asset_id %% 50 = %(corrupt)d
+    """ % {"corrupt": CORRUPT_MOD},
 }

@@ -807,3 +807,50 @@ _KNN_TOP1_ROUNDED_ORACLE = """
 
 ORACLES["knn_topk_blockwise"] = _KNN_TOP1_ROUNDED_ORACLE
 ORACLES["knn_topk_tiled"] = _KNN_TOP1_ROUNDED_ORACLE
+
+
+def ann_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CONTRACT of the approximate-retrieval tier (the
+    bloom_digest_prefilter pattern): the ANN results themselves are
+    engine-specific (seeded hyperplanes, numpy-trained codebooks), but the
+    property that makes them USEFUL — recall against the exact brute-force
+    answer — is a verdict the oracle pins as a constant, so a recall
+    collapse turns a CORRECTNESS row red instead of hiding behind a
+    rows-only check. Floors match the pytest gates (tests/test_similarity):
+    IVF/PQ top-20 ≥ 0.5 (observed ~0.85/0.9), LSH top-1 ≥ 0.6.
+
+    All comparisons are Spark-side joins over k-sized results — driver
+    work is nil, and the exact sides reuse the oracle-checked operators."""
+    exact_topk = embedding_topk_cosine(spark, sf_dir).select("vec_id")
+    rows = []
+
+    def topk_recall(method: str, approx: DataFrame, floor: float):
+        n_exact = exact_topk.count()
+        n_hit = approx.select("vec_id").join(exact_topk, "vec_id").count()
+        rows.append((method, TOP_K, floor, n_hit / max(n_exact, 1) >= floor))
+
+    topk_recall("ivf", ivf_topk_cosine(spark, sf_dir), 0.5)
+    topk_recall("pq", pq_topk_cosine(spark, sf_dir), 0.5)
+
+    exact_nn = knn_self_join_top1(spark, sf_dir).select(
+        "vec_id", F.col("nn_id").alias("exact_nn")
+    )
+    lsh = ann_cosine_lsh(spark, sf_dir).select("vec_id", "nn_id")
+    joined = lsh.join(exact_nn, "vec_id")
+    n = joined.count()
+    n_hit = joined.filter(F.col("nn_id") == F.col("exact_nn")).count()
+    rows.append(("lsh", 1, 0.6, n_hit / max(n, 1) >= 0.6))
+
+    return spark.createDataFrame(
+        rows, schema="method string, top_k int, recall_floor double, recall_ok boolean"
+    )
+
+
+ORACLES["ann_recall_contracts"] = """
+    SELECT 'ivf' AS method, CAST(20 AS INTEGER) AS top_k,
+           CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+    UNION ALL
+    SELECT 'pq', CAST(20 AS INTEGER), CAST(0.5 AS DOUBLE), TRUE
+    UNION ALL
+    SELECT 'lsh', CAST(1 AS INTEGER), CAST(0.6 AS DOUBLE), TRUE
+"""

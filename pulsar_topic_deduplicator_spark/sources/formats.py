@@ -143,15 +143,25 @@ def from_kafka_envelope(raw: DataFrame) -> DataFrame:
     identity for a record; headers carry the string properties."""
     from pyspark.sql import functions as F
 
-    props = F.map_from_entries(
-        F.transform(
-            F.coalesce("headers", F.array()),
-            lambda h: F.struct(
-                h["key"].alias("key"),
-                F.decode(h["value"], "UTF-8").alias("value"),
-            ),
-        )
+    entries = F.transform(
+        F.coalesce("headers", F.array()),
+        lambda h: F.struct(
+            h["key"].alias("key"),
+            F.decode(h["value"], "UTF-8").alias("value"),
+        ),
     )
+    # Kafka legally repeats header keys (tracing/retry interceptors);
+    # map_from_entries throws DUPLICATED_MAP_KEY on them — keep the LAST
+    # occurrence per key (Kafka convention), i.e. drop any entry that a
+    # later entry shadows. O(n²) but header lists are tiny.
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    props = F.map_from_entries(deduped)
     return raw.select(
         F.concat_ws(
             "-", "topic", F.col("partition").cast("string"),

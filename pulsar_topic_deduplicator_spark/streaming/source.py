@@ -40,10 +40,18 @@ def _probe_raw_schema(
     from TIMESTAMP(NANOS) (read as ns-long under nanosAsLong) to
     ``timestamp[us]``/NTZ — so probe the files as written instead.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     reader = spark.read
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
-    return reader.parquet(source_dir).schema
+    try:
+        return reader.parquet(source_dir).schema
+    except AnalysisException:
+        # empty directory (consumer started before the first producer file,
+        # the normal deploy order for a file stream): fall back to the
+        # current-generation logical schema; _normalize_ts handles it
+        return EVENTS_SCHEMA
 
 
 def _normalize_ts(raw: DataFrame) -> Column:

@@ -171,3 +171,52 @@ def test_pulsar_envelope_maps_and_falls_back_to_publish_time(spark):
     assert got["0102"]["event_ts"] == evt
     assert got["0304"]["event_ts"] == pub  # the reference's || fallback
     assert got["0304"]["properties"] == {}
+
+
+def test_kafka_envelope_duplicate_header_keys_keep_last(spark):
+    """Kafka legally repeats header keys (tracing/retry interceptors); the
+    mapping must keep the LAST occurrence instead of throwing
+    DUPLICATED_MAP_KEY and killing the stream."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pulsar_topic_deduplicator_spark.sources.formats import from_kafka_envelope
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+            T.StructField(
+                "headers",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", T.StringType()),
+                            T.StructField("value", T.BinaryType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (
+            b"k",
+            b"p",
+            "t",
+            0,
+            1,
+            datetime.datetime(2024, 1, 1),
+            0,
+            [("trace", b"first"), ("other", b"x"), ("trace", b"last")],
+        )
+    ]
+    msgs = from_kafka_envelope(spark.createDataFrame(rows, schema))
+    props = msgs.collect()[0]["properties"]
+    assert props == {"trace": "last", "other": "x"}

@@ -92,24 +92,17 @@ def test_load_table_handles_both_encodings(spark, tmp_path):
 
 
 def test_streaming_source_handles_both_encodings(spark, tmp_path):
-    from pulsar_topic_deduplicator_spark.streaming.windows import (
-        run_windowed_counts_bounded,
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
     )
 
     for sub, writer in (("us", _write_us_ntz), ("ns", _write_ns_long)):
         d = tmp_path / f"src_{sub}"
         d.mkdir()
         writer(str(d / "events.parquet"))
-        out = run_windowed_counts_bounded(spark, str(d))
-        rows = out.collect()
-        # the 00:00 window closes once the 01:00 event pushes the watermark
-        # past it under a <=1h delay... with the default 2h watermark nothing
-        # closes on 2 rows, so assert on the un-watermarked aggregate instead
-        # via the raw message stream: event_ts must land in 2024, not 1970.
-        from pulsar_topic_deduplicator_spark.streaming.source import (
-            events_message_stream,
-        )
-
+        # 2 rows never close a 2 h-watermark window, so assert on the raw
+        # message stream: event_ts must land in 2024, not 1970 (the silent
+        # 1000x mis-scale the pinned-schema bug produced)
         mv = events_message_stream(spark, str(d))
         q = (
             mv.writeStream.format("memory")
@@ -121,7 +114,7 @@ def test_streaming_source_handles_both_encodings(spark, tmp_path):
         q.awaitTermination()
         got = spark.table(f"probe_{sub}").select("event_ts").collect()
         assert len(got) == 2
-        assert all(r["event_ts"].year == 2024 for r in got), rows
+        assert all(r["event_ts"].year == 2024 for r in got)
 
 
 def test_bounded_streaming_windows_nonzero_on_driver_parquet(spark, sf_dir):
@@ -137,3 +130,39 @@ def test_bounded_streaming_windows_nonzero_on_driver_parquet(spark, sf_dir):
     sa = run_session_activity_bounded(spark, sf_dir, glob_filter="events.parquet")
     assert wc.count() > 0
     assert sa.count() > 0
+
+
+def test_streaming_source_starts_on_empty_directory(spark, tmp_path):
+    """A file-stream consumer normally starts BEFORE the first producer
+    file exists; the schema probe must fall back to the logical schema
+    instead of failing stream construction, and pick up data on restart."""
+    d = tmp_path / "empty_src"
+    d.mkdir()
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
+    )
+
+    mv = events_message_stream(spark, str(d))  # must not raise
+    q = (
+        mv.writeStream.format("memory")
+        .queryName("empty_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("empty_probe").count() == 0
+    # first file lands; a fresh bounded run must now see it
+    _write_us_ntz(str(d / "events.parquet"))
+    mv2 = events_message_stream(spark, str(d))
+    q2 = (
+        mv2.writeStream.format("memory")
+        .queryName("empty_probe2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = spark.table("empty_probe2").collect()
+    assert len(got) == 2
+    assert all(r["event_ts"].year == 2024 for r in got)
