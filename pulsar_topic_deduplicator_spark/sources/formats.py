@@ -28,6 +28,8 @@ def write_table(
     writer = df.write.mode("overwrite")
     if fmt == "parquet":
         writer.option("compression", codec).parquet(path)
+    elif fmt == "orc":
+        writer.option("compression", codec).orc(path)
     elif fmt == "json":
         writer.option("compression", "gzip" if codec == "zstd" else codec).json(path)
     elif fmt == "csv":
@@ -43,6 +45,8 @@ def read_table(
 ) -> DataFrame:
     if fmt == "parquet":
         return spark.read.schema(schema).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
     if fmt == "json":
         return spark.read.schema(schema).json(path)
     if fmt == "csv":
