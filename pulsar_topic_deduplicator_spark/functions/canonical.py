@@ -29,12 +29,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _escape(c: Column) -> Column:
-    # JSON string escaping for the two characters that can occur in practice;
-    # control characters are not expected in property keys/values.
-    return F.replace(
-        F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+#: JSON string-escape table: backslash FIRST (it is the escape introducer),
+#: then quote, then every control character U+0000–U+001F — the named short
+#: escapes where JSON defines them, ``\u00xx`` (lowercase hex, as
+#: JSON.stringify emits) for the rest. This is the full mandatory escape set
+#: of RFC 8259 §7, matching the reference's ``safe-stable-stringify``
+#: (= JSON.stringify escaping, ``src/deduplication.ts:20-23``): any
+#: map<string,string> canonicalizes to parseable JSON, so the hash key — the
+#: reference's core contract — is well-defined for adversarial values too.
+_ESCAPES: list[tuple[str, str]] = [("\\", "\\\\"), ('"', '\\"')] + [
+    (
+        chr(i),
+        {"\b": "\\b", "\t": "\\t", "\n": "\\n", "\f": "\\f", "\r": "\\r"}.get(
+            chr(i), f"\\u{i:04x}"
+        ),
     )
+    for i in range(0x20)
+]
+
+
+def _escape(c: Column) -> Column:
+    # chained replaces stay inside whole-stage codegen (no UDF); ~34 string
+    # passes per key/value, each O(len) on short property strings
+    for raw, esc in _ESCAPES:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
 
 
 def filter_ignored_keys(props: Column, ignored: Iterable[str]) -> Column:
