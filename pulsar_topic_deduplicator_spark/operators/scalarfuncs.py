@@ -180,7 +180,60 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CONTRACT of the GK-sketch percentiles (the
+    ann_recall_contracts pattern): the sketch VALUES are engine-specific by
+    design (``approx_quantiles_value`` stays rows-only), but the property
+    that makes a sketch correct — every returned value's exact rank lies
+    inside the Greenwald-Khanna bracket ``[(q-ε)·n, (q+ε)·n]`` with
+    ε = 1/accuracy — is a verdict the oracle pins per (event_type, quantile)
+    row, so a broken sketch turns a CORRECTNESS row red.
+
+    The bracket check is exact and distributed: one fan-out join of the
+    events against the per-type sketch rows (2 quantiles → 2× one column),
+    then a count aggregation — no driver-side values beyond the verdict."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.95]
+    accuracy = 10000
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    agg = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", q_arr, accuracy).alias("ps"),
+        F.count("value").alias("n"),  # percentile ignores NULLs; count must too
+    )
+    pos = F.posexplode("ps")
+    sk = agg.select("event_type", "n", pos.alias("q_idx", "q_value")).select(
+        "event_type",
+        F.element_at(q_arr, F.col("q_idx") + 1).alias("quantile"),
+        "q_value",
+        "n",
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(sk, "event_type")
+        .groupBy("event_type", "quantile", "n")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("q_value"), 1)).alias("n_lt"),
+            F.count(F.when(F.col("value") <= F.col("q_value"), 1)).alias("n_le"),
+        )
+    )
+    eps = 1.0 / accuracy
+    # the returned value's rank interval is (n_lt, n_le]; it must intersect
+    # the GK bracket (±1 row of slack for the rank-vs-count boundary)
+    within = (
+        F.col("n_lt") <= (F.col("quantile") + eps) * F.col("n") + 1
+    ) & (F.col("n_le") >= (F.col("quantile") - eps) * F.col("n") - 1)
+    return ranks.select(
+        "event_type", "quantile", within.alias("within_bracket")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "approx_quantiles_contracts": """
+        SELECT event_type, CAST(q AS DOUBLE) AS quantile,
+               TRUE AS within_bracket
+        FROM (SELECT DISTINCT event_type FROM events)
+        CROSS JOIN (SELECT 0.5 AS q UNION ALL SELECT 0.95) quantiles
+    """,
     "bit_funcs_demo": """
         SELECT l_orderkey, l_linenumber,
                xor(l_orderkey, l_partkey) AS xor_keys,

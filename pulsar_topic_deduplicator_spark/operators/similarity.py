@@ -213,7 +213,21 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+#: knn_topk_blockwise refuses to broadcast a catalog estimated above this —
+#: a broadcast variable is fetched onto EVERY executor, so a multi-GB
+#: catalog multiplies across the cluster and evicts executor memory; the
+#: tiled cogroup twin handles that regime without assembling the matrix
+#: anywhere. 1 GiB is the conventional ceiling for comfortable torrent
+#: broadcast on mainstream executor sizes.
+MAX_BROADCAST_CATALOG_BYTES = 1 << 30
+
+
+def knn_topk_blockwise(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 1,
+    max_broadcast_bytes: int = MAX_BROADCAST_CATALOG_BYTES,
+) -> DataFrame:
     """Blockwise brute-force k-NN: the catalog is a broadcast VARIABLE
     (one torrent fetch per executor — not a per-task closure copy) and each
     Arrow batch of query vectors hits it with a single BLAS matmul instead
@@ -221,8 +235,13 @@ def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
     self-join at sf0.1.
 
     The driver materializes one catalog copy to build the broadcast — the
-    right trade while the catalog fits one machine; ``knn_topk_tiled`` is
-    the both-sides-distributed variant for when it doesn't.
+    right trade while the catalog fits one machine. This is explicitly the
+    SMALL-CATALOG variant: the catalog size is estimated (row count ×
+    dim × 8 bytes — parquet metadata count, no scan) before collecting
+    anything, and a catalog above ``max_broadcast_bytes`` raises rather
+    than silently assembling a cluster-killing broadcast; use
+    ``knn_topk_tiled``, the both-sides-distributed variant, for that
+    regime.
 
     Rows-only in the oracle (numpy's pairwise summation differs from
     sequential sums in the last ulp); agreement with the exact
@@ -232,6 +251,14 @@ def knn_topk_blockwise(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    est_bytes = emb.count() * EMBEDDING_DIM * 8
+    if est_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"catalog estimated at {est_bytes} bytes exceeds the broadcast "
+            f"ceiling ({max_broadcast_bytes}); knn_topk_blockwise is the "
+            "small-catalog variant — use knn_topk_tiled, which keeps both "
+            "sides distributed and never assembles the catalog matrix"
+        )
     bc = _broadcast_catalog(emb)
 
     def block(batches):
@@ -830,6 +857,7 @@ def ann_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((method, TOP_K, floor, n_hit / max(n_exact, 1) >= floor))
 
     topk_recall("ivf", ivf_topk_cosine(spark, sf_dir), 0.5)
+    topk_recall("ivf_indexed", ivf_topk_indexed(spark, sf_dir), 0.5)
     topk_recall("pq", pq_topk_cosine(spark, sf_dir), 0.5)
 
     exact_nn = knn_self_join_top1(spark, sf_dir).select(
@@ -849,6 +877,8 @@ def ann_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_recall_contracts"] = """
     SELECT 'ivf' AS method, CAST(20 AS INTEGER) AS top_k,
            CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivf_indexed', CAST(20 AS INTEGER), CAST(0.5 AS DOUBLE), TRUE
     UNION ALL
     SELECT 'pq', CAST(20 AS INTEGER), CAST(0.5 AS DOUBLE), TRUE
     UNION ALL

@@ -140,12 +140,18 @@ def run_stream_near_dup_bounded(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
-            seen = sess.read.schema(_BUCKET_SCHEMA).parquet(state_dir)
-            if not seen.take(1):
-                seen = None
-        except Exception:
-            seen = None
+        # probe existence through the FS API instead of read-and-catch: an
+        # AnalysisException on the missing first-batch index would be
+        # swallowed here, but Spark's FileStreamSink.hasMetadata probe has
+        # already logged it WITH a stack trace by then — noise in every
+        # bench/driver log tail (VERDICT r4 item 5)
+        jpath = sess._jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        seen = None
+        if fs.exists(jpath):
+            candidate = sess.read.schema(_BUCKET_SCHEMA).parquet(state_dir)
+            if candidate.take(1):
+                seen = candidate
         kept, new_buckets, bands = near_dup_filter_batch(batch_df, seen)
         try:
             # materialize kept BEFORE appending buckets: new_buckets derives
@@ -172,3 +178,104 @@ def run_stream_near_dup_bounded(
         .parquet(out_dir)
         .select([f.name for f in DOCS_RAW_SCHEMA.fields])
     )
+
+
+def stream_near_dup_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CONTRACT of the streaming near-dup filter (the
+    ann_recall_contracts pattern): the kept SET is greedy order-dependent —
+    not SQL-expressible, so ``stream_near_dup`` itself stays rows-only — but
+    its invariants ARE checkable, and the oracle pins them as verdicts plus
+    one exact total, so a broken filter turns a CORRECTNESS row red:
+
+    * ``stream_equals_batch`` — the bounded single-batch run must equal the
+      batch greedy filter on the same corpus (bounded harness runs are
+      deterministic: one source file → one availableNow micro-batch);
+    * ``greedy_invariant_ok`` — every kept doc owns (is the minimum doc_id
+      of) every LSH bucket it occupies;
+    * ``no_kept_collision`` — no two kept docs share any bucket (first-wins
+      actually deduplicated the stream);
+    * ``dropped_have_cause`` — every dropped doc collides with a strictly
+      lower doc_id in at least one bucket (nothing was dropped for free).
+
+    All checks are bucket-join aggregations over the banded rows — the same
+    shuffle shape as the filter itself, nothing driver-side but verdicts."""
+    import tempfile
+
+    kept = run_stream_near_dup_bounded(
+        spark, sf_dir, tempfile.mkdtemp("nd_contract")
+    )
+    docs = (
+        spark.read.schema(DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    bands = doc_band_rows(docs).persist()
+    try:
+        k_ids = kept.select("doc_id")
+        batch_kept, _, batch_bands = near_dup_filter_batch(docs, None)
+        b_ids = batch_kept.select("doc_id")
+        stream_equals_batch = (
+            k_ids.exceptAll(b_ids).count() == 0
+            and b_ids.exceptAll(k_ids).count() == 0
+        )
+        batch_bands.unpersist()
+
+        owners = bands.groupBy("band_id", "band_key").agg(
+            F.min("doc_id").alias("owner")
+        )
+        kept_bands = bands.join(k_ids, "doc_id", "left_semi")
+        greedy_invariant_ok = (
+            kept_bands.join(owners, ["band_id", "band_key"])
+            .filter(F.col("doc_id") > F.col("owner"))
+            .count()
+            == 0
+        )
+        no_kept_collision = (
+            kept_bands.groupBy("band_id", "band_key")
+            .agg(F.count_distinct("doc_id").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+            == 0
+        )
+        dropped = docs.select("doc_id").join(k_ids, "doc_id", "left_anti")
+        caused = (
+            bands.join(dropped, "doc_id", "left_semi")
+            .join(owners, ["band_id", "band_key"])
+            .filter(F.col("owner") < F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        dropped_have_cause = dropped.join(caused, "doc_id", "left_anti").count() == 0
+        n_docs = docs.count()
+    finally:
+        bands.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                stream_equals_batch,
+                greedy_invariant_ok,
+                no_kept_collision,
+                dropped_have_cause,
+            )
+        ],
+        schema=(
+            "n_docs bigint, stream_equals_batch boolean, "
+            "greedy_invariant_ok boolean, no_kept_collision boolean, "
+            "dropped_have_cause boolean"
+        ),
+    )
+
+
+#: the oracle pins the invariant verdicts as constants + one exact total —
+#: the contract-oracle pattern (see bloom_digest_prefilter)
+ORACLES: dict[str, str] = {
+    "stream_near_dup_contracts": """
+        SELECT count(*) AS n_docs,
+               TRUE AS stream_equals_batch,
+               TRUE AS greedy_invariant_ok,
+               TRUE AS no_kept_collision,
+               TRUE AS dropped_have_cause
+        FROM documents
+    """,
+}

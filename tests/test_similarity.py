@@ -193,3 +193,18 @@ def test_label_centroids_long_form_equals_rounded_vectors(spark, sf_dir):
         # the shortest decimal repr, Python round() half-even — equal except
         # at exact half-boundaries, so compare within the rounding quantum
         assert abs(r["mean_val"] - vecs[r["label"]][r["dim"]]) <= 5.1e-10
+
+
+def test_blockwise_refuses_oversized_catalog(spark, sf_dir):
+    """The broadcast-catalog variant must fail LOUDLY above the size ceiling
+    (VERDICT r4 item 4): a broadcast is replicated onto every executor, so a
+    silently-accepted huge catalog is a cluster-killer; the error must point
+    at the tiled twin, which keeps both sides distributed."""
+    import pytest as _pytest
+
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        knn_topk_blockwise,
+    )
+
+    with _pytest.raises(ValueError, match="knn_topk_tiled"):
+        knn_topk_blockwise(spark, sf_dir, max_broadcast_bytes=1024)
