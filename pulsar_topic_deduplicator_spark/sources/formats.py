@@ -204,6 +204,24 @@ def from_pulsar_envelope(raw: DataFrame) -> DataFrame:
     )
 
 
+def to_pulsar_envelope(messages: DataFrame) -> DataFrame:
+    """Message schema -> the envelope the pulsar-spark SINK expects: the
+    connector writes ``value`` plus the ``__topic`` / ``__key`` /
+    ``__eventTime`` / ``__properties`` metadata columns; the broker assigns
+    ``__messageId`` and ``__publishTime`` on publish (which is why they are
+    absent here — the reference likewise sends only
+    ``{data, properties, eventTimestamp}``, ``src/deduplication.ts:122-129``)."""
+    from pyspark.sql import functions as F
+
+    return messages.select(
+        F.col("value"),
+        F.col("topic").alias("__topic"),
+        F.encode("message_id", "UTF-8").alias("__key"),
+        F.col("event_ts").alias("__eventTime"),
+        F.coalesce("properties", F.create_map()).alias("__properties"),
+    )
+
+
 def to_kafka_envelope(messages: DataFrame) -> DataFrame:
     """Message schema -> the envelope the built-in Kafka SINK expects
     (key/value binary + topic + headers); properties ride as headers so a

@@ -220,3 +220,74 @@ def test_kafka_envelope_duplicate_header_keys_keep_last(spark):
     msgs = from_kafka_envelope(spark.createDataFrame(rows, schema))
     props = msgs.collect()[0]["properties"]
     assert props == {"trace": "last", "other": "x"}
+
+
+def test_envelope_digest_stable_end_to_end(spark, sf_dir):
+    """The last pre-broker confidence step for ops #1/#3 (VERDICT r4 item 6):
+    push the whole sf corpus message view through the SINK envelope, simulate
+    the broker's redelivery columns, map back through the SOURCE envelope,
+    and require every message's content digest to be IDENTICAL — i.e. a
+    message surviving a Kafka (and Pulsar) hop deduplicates exactly like the
+    original, which is the reference's whole contract.
+    """
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.sources.formats import (
+        from_kafka_envelope,
+        from_pulsar_envelope,
+        to_kafka_envelope,
+        to_pulsar_envelope,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import messages_view
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+
+    msgs = messages_view(spark, sf_dir)
+    orig = {
+        r["message_id"]: r["d"]
+        for r in msgs.withColumn("d", message_digest()).collect()
+    }
+    assert len(orig) > 0
+
+    # Kafka hop: sink envelope + what the broker/consumer adds on redelivery
+    # (partition/offset/timestamp); message identity changes — Kafka's id is
+    # the coordinate — so rejoin on the key we sent
+    kafka_raw = (
+        to_kafka_envelope(msgs)
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.current_timestamp())
+    )
+    back = from_kafka_envelope(kafka_raw).withColumn("d", message_digest())
+    k_digests = {
+        r["orig_id"]: r["d"]
+        for r in back.join(
+            kafka_raw.select(
+                F.decode("key", "UTF-8").alias("orig_id"),
+                F.concat_ws(
+                    "-", "topic", F.col("partition").cast("string"),
+                    F.col("offset").cast("string")
+                ).alias("message_id"),
+            ),
+            "message_id",
+        ).collect()
+    }
+    assert k_digests == orig
+
+    # Pulsar hop: sink envelope + broker-assigned __messageId/__publishTime
+    pulsar_raw = (
+        to_pulsar_envelope(msgs)
+        .withColumn("__messageId", F.col("__key"))
+        .withColumn("__publishTime", F.current_timestamp())
+    )
+    back_p = from_pulsar_envelope(pulsar_raw).withColumn("d", message_digest())
+    p_digests = {
+        r["orig_id"]: r["d"]
+        for r in back_p.join(
+            pulsar_raw.select(
+                F.decode("__key", "UTF-8").alias("orig_id"),
+                F.hex("__messageId").alias("message_id"),
+            ),
+            "message_id",
+        ).collect()
+    }
+    assert p_digests == orig

@@ -318,3 +318,55 @@ def test_stream_windowed_counts_match_batch(spark):
     max_ws = max(ws for ws, _ in expected)
     missing = {k for k in expected if k not in got}
     assert all(ws >= max_ws - __import__("datetime").timedelta(hours=3) for ws, _ in missing)
+
+
+def test_dedup_state_skew_resilience_measured(spark, tmp_path):
+    """Skew proof for streaming dedup state (VERDICT r4 item 7). A hot
+    CONTENT key cannot skew the state store, for two measured reasons:
+
+    1. all exact duplicates of one message share ONE digest, so a
+       duplicate flood adds exactly one state entry — the flood's row mass
+       is eliminated by the dedup itself at first touch, and row skew on a
+       hot digest equals exact-duplicate mass by construction;
+    2. across DISTINCT contents the digest is a crypto hash (sha256), so
+       state entries spread uniformly over HashPartitioning(digest) — the
+       same hash family streaming state uses for its shuffle — regardless
+       of how skewed the business keys (user_id, event_type) are.
+
+    Injected distribution: 5,000 copies of one hot message + 1,000 distinct
+    messages ALL sharing one hot business key; measured: the surviving
+    state-key set is 1,001 digests whose per-partition histogram is
+    near-uniform (max ≤ 2× mean over 32 partitions).
+    """
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+
+    hot = [
+        (10_000 + i, BASE_TS + i * NS, 7, "hot", -1.0, '{"k": -1}')
+        for i in range(5000)
+    ]
+    distinct = [
+        (20_000 + i, BASE_TS + i * NS, 7, "hot", float(i), f'{{"k": {i}}}')
+        for i in range(1000)
+    ]
+    src = str(tmp_path / "skew_src")
+    _write_batch(spark, src, hot + distinct)
+    result = run_stream_dedup_bounded(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt_skew")
+    )
+    kept = result.select("digest").distinct()
+    assert kept.count() == 1001  # the 5,000-row flood collapsed to 1 entry
+
+    # partition-balance histogram of the state keys under the dedup's own
+    # shuffle partitioning: HashPartitioning = murmur3(key) mod numPartitions,
+    # computed directly (spark_partition_id after a repartition would show
+    # AQE's post-coalesce view, not the state store's layout)
+    hist = (
+        kept.groupBy(F.pmod(F.hash("digest"), F.lit(32)).alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in hist]
+    mean = sum(counts) / 32  # over ALL 32 partitions, incl. any empty ones
+    assert max(counts) <= 2 * mean, counts
