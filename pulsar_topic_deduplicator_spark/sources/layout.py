@@ -63,8 +63,16 @@ def compact_files(
     directory; callers swap directories atomically at the catalog/manifest
     level, which is why dst is not an in-place overwrite.
 
+    A Hive-partitioned source tree (``col=value`` directories) is detected
+    from the file paths and PRESERVED: the rewrite goes through
+    ``partitionBy`` on the same columns, so partition pruning keeps working
+    on the compacted copy (flattening the tree would silently turn pruned
+    scans into full scans — the exact failure mode compaction exists to
+    prevent).
+
     Returns the compaction report (input file count/bytes, output
-    partition count) so an orchestrator can log/act on it."""
+    partition count, preserved partition columns) so an orchestrator can
+    log/act on it."""
     import math
 
     df = spark.read.format(fmt).load(src_path)
@@ -72,9 +80,11 @@ def compact_files(
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = root.getFileSystem(hconf)
+    root_uniform = fs.makeQualified(root).toString().rstrip("/")
     files = fs.listFiles(root, True)
     total_bytes = 0
     n_files = 0
+    part_cols: list[str] = []
     while files.hasNext():
         st = files.next()
         name = st.getPath().getName()
@@ -82,10 +92,28 @@ def compact_files(
             continue  # commit markers / checksums, not data
         total_bytes += st.getLen()
         n_files += 1
+        # partition columns = the ordered col=value directory levels between
+        # the root and the file (identical for every file in a valid tree;
+        # the first data file is representative)
+        if not part_cols:
+            rel = fs.makeQualified(st.getPath()).toString()[len(root_uniform):]
+            part_cols = [
+                seg.split("=", 1)[0]
+                for seg in rel.strip("/").split("/")[:-1]
+                if "=" in seg
+            ]
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
-    df.repartition(n_out).write.mode("overwrite").format(fmt).save(dst_path)
+    writer = df.repartition(n_out).write.mode("overwrite").format(fmt)
+    if part_cols:
+        # round-robin + partitionBy can emit up to n_out files per partition
+        # value — fine for the target regime (few, large partitions); a tree
+        # with thousands of tiny partition values should be compacted
+        # per-partition instead of through this helper
+        writer = writer.partitionBy(*part_cols)
+    writer.save(dst_path)
     return {
         "n_input_files": n_files,
         "input_bytes": total_bytes,
         "n_output_partitions": n_out,
+        "partition_columns": part_cols,
     }

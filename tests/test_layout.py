@@ -91,3 +91,39 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     write_table(nat, path, fmt="orc")
     back = read_table(spark, path, nat.schema, fmt="orc")
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nat.collect()}
+
+
+def test_compact_files_preserves_hive_partitioning(spark, sf_dir, tmp_path):
+    """Compacting a Hive-partitioned tree must PRESERVE the col=value layout
+    (ADVICE r4): flattening would turn pruned scans into full scans on the
+    compacted copy. The report names the preserved columns, the output tree
+    has the same partition directories, and a filtered read of the compacted
+    copy still partition-prunes."""
+    import os
+
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+    from pulsar_topic_deduplicator_spark.sources.layout import (
+        compact_files,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "part_src")
+    write_partitioned(ev, src, ["event_type"])
+    out = str(tmp_path / "part_out")
+    report = compact_files(spark, src, out, target_mb=128)
+    assert report["partition_columns"] == ["event_type"]
+
+    src_dirs = {d for d in os.listdir(src) if d.startswith("event_type=")}
+    out_dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert out_dirs == src_dirs and src_dirs
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    plan = (
+        back.filter(back.event_type == "click")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
