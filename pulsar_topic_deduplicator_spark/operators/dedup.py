@@ -329,7 +329,14 @@ def bloom_digest_prefilter(
     * ``no_false_negatives`` — every true warm-up member was flagged
       maybe-seen (a Bloom filter can never miss; a false here is a bug);
     * ``fp_rate_ok`` — the observed false-positive rate on true negatives
-      is within 5× the configured fpp (sizing math holds).
+      is within 5× the configured fpp (sizing math holds). The observed
+      rate is a binomial draw over the corpus's true negatives, so this
+      verdict has a STATED failure probability: with ~49k true negatives
+      at fpp=0.01 the Chernoff tail gives
+      P[rate > 5·fpp] ≤ exp(−n·fpp·(5·ln5−4)) ≈ e^−2000 — a regenerated
+      corpus cannot plausibly flip it without an engine bug; the margin
+      only matters (and should be re-derived from the binomial tail) if
+      the true-negative population drops below a few thousand.
 
     The per-row flag column itself is engine-specific (bit positions depend
     on this engine's hash lanes), which is exactly why the driver-checked

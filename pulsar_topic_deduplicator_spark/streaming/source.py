@@ -48,9 +48,16 @@ def _probe_raw_schema(
     try:
         return reader.parquet(source_dir).schema
     except AnalysisException:
-        # empty directory (consumer started before the first producer file,
+        # Empty directory (consumer started before the first producer file,
         # the normal deploy order for a file stream): fall back to the
-        # current-generation logical schema; _normalize_ts handles it
+        # current-generation logical schema. CAVEAT (documented contract):
+        # the fallback PINS the current encoding for the lifetime of the
+        # query — if legacy ns-long files later land in a query started
+        # against an empty dir, the bigint ts column would be misread until
+        # a restart re-probes. Acceptable because mixed-generation files in
+        # one directory are themselves invalid input (the file source
+        # assumes one schema per path); a restart after any backfill of
+        # legacy data is the operational rule.
         return EVENTS_SCHEMA
 
 
