@@ -192,6 +192,9 @@ def queries() -> dict[str, QueryFn]:
         # ── (a) NEW contract-oracle entries (never driver-checked) ─────────
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
+        "doc_repetition_stats": textops.doc_repetition_stats,
+        "gopher_quality_flags": textops.gopher_quality_flags,
+        "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

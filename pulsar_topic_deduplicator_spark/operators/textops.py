@@ -246,6 +246,129 @@ def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: prefix-dedup granularity: documents sharing their first PREFIX_WORDS
+#: words are treated as boilerplate copies of one another
+PREFIX_WORDS = 16
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules repetition
+    family, word-granular for this corpus): duplicate-word fraction,
+    most-frequent-word fraction, most-frequent-bigram fraction.
+
+    Shape at 100 TB: explode → per-(doc, gram) partial-agg count → per-doc
+    max — two map-side-combined aggregations keyed by doc_id, NOT a per-doc
+    quadratic higher-order-function scan; the explode multiplies rows ~60×
+    but combines collapse to per-doc gram vocabularies before the shuffle.
+    All ratios are exact-integer divisions (identical doubles on both
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    base = docs.select("doc_id", words.alias("ws")).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n_words"),
+        # both sides sliced to n-1: zip_with PADS the shorter array with
+        # nulls, which would fabricate a trailing unigram "bigram"
+        F.zip_with(
+            F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+            F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("bgs"),
+    )
+    top_word = (
+        base.select("doc_id", "n_words", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "n_words", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_words")
+        .agg(F.max("c").alias("top_word_c"), F.count(F.lit(1)).alias("n_distinct"))
+    )
+    top_bigram = (
+        base.select("doc_id", F.explode("bgs").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_c"), F.sum("c").alias("n_bigrams"))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        top_word.join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            ((dbl("n_words") - dbl("n_distinct")) / dbl("n_words")).alias(
+                "dup_word_fraction"
+            ),
+            (dbl("top_word_c") / dbl("n_words")).alias("top_word_fraction"),
+            F.coalesce(
+                dbl("top_bigram_c") / dbl("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_fraction"),
+        )
+    )
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate with NAMED per-rule verdicts (the published
+    Gopher filter shape, thresholds adapted to this corpus's word-soup
+    text): word-count band, mean-word-length band, minimum stopword hits,
+    lexical diversity floor, short-word-fraction ceiling, and the AND of
+    all rules. One codegen'd projection over the scan — zero shuffle, and
+    a pipeline drops low-quality docs with ``filter(passes_gopher)`` that
+    pushes straight down to the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    # total word chars = text length minus the single separators (exact)
+    mean_wl = (F.length("text") - (n - F.lit(1))).cast("double") / n.cast("double")
+    short_frac = (
+        F.size(F.filter(words, lambda w: F.length(w) <= 2)).cast("double")
+        / n.cast("double")
+    )
+    word_count_ok = (n >= 20) & (n <= 100_000)
+    mean_word_len_ok = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    stopword_ok = _stop_count(words) >= 2
+    diversity_ok = nd.cast("double") / n.cast("double") >= 0.2
+    short_word_ok = short_frac <= 0.25
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        diversity_ok.alias("diversity_ok"),
+        short_word_ok.alias("short_word_ok"),
+        (
+            word_count_ok
+            & mean_word_len_ok
+            & stopword_ok
+            & diversity_ok
+            & short_word_ok
+        ).alias("passes_gopher"),
+    )
+
+
+def dedup_docs_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/prefix dedup: documents sharing their first
+    ``PREFIX_WORDS`` words collapse to the lowest doc_id — the
+    template-page pattern (near-identical headers with differing tails)
+    that exact dedup misses and MinHash may keep. Same single-shuffle
+    min-aggregation plan as ``dedup_docs_exact``, keyed on the prefix
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(_words(F.col("text")), 1, PREFIX_WORDS), " "
+    )
+    return (
+        docs.select(F.sha2(prefix, 256).alias("prefix_key"), "doc_id")
+        .groupBy("prefix_key")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_docs_sharing"),
+        )
+    )
+
+
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 _WORDS = "string_split(text, ' ')"
 _NW = f"len({_WORDS})"
@@ -316,6 +439,57 @@ _WINNOW_CTE = f"""
           FROM h)"""
 
 ORACLES: dict[str, str] = {
+    "doc_repetition_stats": f"""
+        WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        w AS (SELECT doc_id, unnest(ws) AS g FROM d),
+        nw AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id),
+        wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY doc_id, g),
+        tw AS (SELECT doc_id, max(c) AS top_word_c, count(*) AS n_distinct
+               FROM wc GROUP BY doc_id),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ws)),
+                                            i -> ws[i] || ' ' || ws[i + 1])) AS g
+               FROM d),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        tb AS (SELECT doc_id, max(c) AS top_bigram_c, sum(c) AS n_bigrams
+               FROM bc GROUP BY doc_id)
+        SELECT nw.doc_id, CAST(nw.n_words AS INTEGER) AS n_words,
+               CAST(nw.n_words - tw.n_distinct AS DOUBLE) / nw.n_words
+                 AS dup_word_fraction,
+               CAST(tw.top_word_c AS DOUBLE) / nw.n_words AS top_word_fraction,
+               coalesce(CAST(tb.top_bigram_c AS DOUBLE) / CAST(tb.n_bigrams AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)) AS top_bigram_fraction
+        FROM nw JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+    """,
+    "gopher_quality_flags": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 {_NW} AS n,
+                 len(list_distinct({_WORDS})) AS nd,
+                 CAST(length(text) - ({_NW} - 1) AS DOUBLE) / {_NW} AS mwl,
+                 CAST(len(list_filter({_WORDS}, w -> length(w) <= 2)) AS DOUBLE)
+                   / {_NW} AS shortf,
+                 {_STOPN} AS stopn
+          FROM documents)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+               (n >= 20 AND n <= 100000) AS word_count_ok,
+               (mwl >= 3.0 AND mwl <= 10.0) AS mean_word_len_ok,
+               (stopn >= 2) AS stopword_ok,
+               (CAST(nd AS DOUBLE) / n >= 0.2) AS diversity_ok,
+               (shortf <= 0.25) AS short_word_ok,
+               ((n >= 20 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                AND (stopn >= 2) AND (CAST(nd AS DOUBLE) / n >= 0.2)
+                AND (shortf <= 0.25)) AS passes_gopher
+        FROM f
+    """,
+    "dedup_docs_by_prefix": f"""
+        SELECT sha256(array_to_string(list_slice({_WORDS}, 1, {PREFIX_WORDS}), ' '))
+                 AS prefix_key,
+               min(doc_id) AS kept_doc_id,
+               count(*) AS n_docs_sharing
+        FROM documents
+        GROUP BY 1
+    """,
     "top_terms": """
         SELECT term, count(*) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

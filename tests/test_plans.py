@@ -255,3 +255,28 @@ def test_bloom_prefilter_broadcast_verify_no_probe_shuffle(spark, sf_dir):
     df = dedup_ops.bloom_digest_prefilter(spark, sf_dir)
     assert has_broadcast_join(df), formatted_plan(df)[:1500]
     assert count_exchanges(df) <= 2, formatted_plan(df)[:2000]
+
+
+def test_gopher_flags_zero_shuffle(spark, sf_dir):
+    """The named quality gates are one codegen'd projection over the scan —
+    no exchange, and only doc_id+text are read."""
+    df = textops.gopher_quality_flags(spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:1500]
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_prefix_dedup_single_shuffle_partial_agg(spark, sf_dir):
+    """Prefix dedup is the dedup_exact_keep_first plan on the prefix hash:
+    ONE exchange with a map-side partial min before it."""
+    df = textops.dedup_docs_by_prefix(spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:1500]
+    assert "partial_min" in formatted_plan(df), formatted_plan(df)[:2000]
+
+
+def test_repetition_stats_aggregations_have_partial_combine(spark, sf_dir):
+    """The repetition signals must be explode→partial-agg shapes (map-side
+    combine collapses the exploded grams before any shuffle), not per-doc
+    quadratic HOF scans."""
+    plan = formatted_plan(textops.doc_repetition_stats(spark, sf_dir))
+    assert "partial_count" in plan, plan[:2000]
