@@ -117,3 +117,72 @@ def compact_files(
         "n_output_partitions": n_out,
         "partition_columns": part_cols,
     }
+
+
+#: z-order bits per dimension: 8 bits × up to 4 dims stays inside a long
+ZORDER_BITS = 8
+
+
+def zorder_value(df: DataFrame, cols: list[str]):
+    """Z-order (Morton) key column for ``cols``: each column is scaled to a
+    ``ZORDER_BITS``-bit bucket between its min and max, and the bucket bits
+    are interleaved — rows close in the key are close in EVERY listed
+    column, so range predicates on any of them cluster into few files.
+
+    This is the multi-column complement of partitioning/bucketing: a
+    Hive partition handles ONE coarse column; sorting handles one ordered
+    column; z-ordering gives min/max file-skipping on several numeric
+    columns at once (the Delta/Iceberg OPTIMIZE ZORDER idea, built from
+    plain expressions). The min/max calibration is one aggregate row —
+    scalar-sized driver data, same budget as a broadcast codebook; at
+    100 TB use a sampled calibration or known domain bounds instead.
+
+    All bit math is built-in integer expressions (codegen'd); nulls sort
+    into bucket 0.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    max_bucket = (1 << ZORDER_BITS) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn = float(stats[f"mn_{c}"])
+        span = float(stats[f"mx_{c}"]) - mn
+        scaled = (
+            ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span or 1.0))
+            * max_bucket
+        )
+        bucket = F.least(
+            F.greatest(F.coalesce(scaled, F.lit(0.0)), F.lit(0.0)),
+            F.lit(float(max_bucket)),
+        ).cast("long")
+        for bit in range(ZORDER_BITS):
+            # bit b of column ci lands at interleaved position b*n_cols + ci
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + ci,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 16
+) -> None:
+    """Rewrite ``df`` clustered by the z-order key: range-partition on the
+    key (so each output file owns a contiguous z-range) and sort within
+    files (so parquet row-group min/max stats are tight). Readers filtering
+    on any of ``cols`` then skip most files on footer stats alone —
+    measured in tests/test_layout.py against a round-robin layout."""
+    (
+        df.withColumn("__z", zorder_value(df, cols))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

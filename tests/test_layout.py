@@ -127,3 +127,55 @@ def test_compact_files_preserves_hive_partitioning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "event_type" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordering must deliver MEASURED multi-column file-skipping: after
+    clustering events by (user_id, value), a quarter-domain range predicate
+    on EITHER column overlaps at most half the files' [min, max] footer
+    ranges, while the round-robin baseline overlaps essentially all of
+    them. This is the parquet row-group/footer pruning a 100 TB scan lives
+    on — checked from the actual file statistics, not the plan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+    from pulsar_topic_deduplicator_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zdir = str(tmp_path / "zorder")
+    rdir = str(tmp_path / "roundrobin")
+    write_zordered(ev, zdir, ["user_id", "value"], n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rdir)
+
+    def file_ranges(d, col):
+        out = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def touched(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+
+    stats = ev.agg(
+        {"user_id": "min", "value": "min"}
+    ).first()  # noqa: F841 — corpus sanity probe only
+    for col, lo_q, hi_q in (("user_id", 0.25, 0.5), ("value", 0.25, 0.5)):
+        mn, mx = ev.agg({col: "min"}).first()[0], ev.agg({col: "max"}).first()[0]
+        lo = mn + (mx - mn) * lo_q
+        hi = mn + (mx - mn) * hi_q
+        z_touch = touched(file_ranges(zdir, col), lo, hi)
+        rr_touch = touched(file_ranges(rdir, col), lo, hi)
+        n_z = len(file_ranges(zdir, col))
+        assert rr_touch >= n_z - 1, (col, rr_touch)  # baseline: ~every file
+        assert z_touch <= n_z // 2, (col, z_touch, rr_touch)
