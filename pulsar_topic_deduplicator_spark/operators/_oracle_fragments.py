@@ -10,6 +10,12 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+#: warm-up cutoff for the test corpus: events start 2024-01-01 (TESTDATA.md);
+#: 48 h mirrors the reference's default cache window. Lives here (the shared
+#: leaf module) so dedup/lineage/enrich can all reference it without import
+#: cycles.
+WARMUP_CUTOFF = "2024-01-03 00:00:00"
+
 
 def duck_canon_props(col: str = "props", ignored: Iterable[str] = ()) -> str:
     """DuckDB equivalent of ``canonical_props``: sorted-key JSON of a JSON

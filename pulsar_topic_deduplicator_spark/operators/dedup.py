@@ -389,7 +389,7 @@ def bloom_digest_prefilter(
     )
 
 
-from ..operators.lineage import WARMUP_CUTOFF as _WARMUP_CUTOFF  # noqa: E402
+from ._oracle_fragments import WARMUP_CUTOFF as _WARMUP_CUTOFF  # noqa: E402
 
 ORACLES["bloom_digest_prefilter"] = f"""
     WITH m AS (SELECT {_DIGEST} AS digest, ts FROM events),

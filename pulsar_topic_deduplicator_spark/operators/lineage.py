@@ -20,12 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from ._oracle_fragments import duck_events_digest
+from ._oracle_fragments import WARMUP_CUTOFF, duck_events_digest
 from .dedup import with_digest
 
-#: warm-up cutoff for the test corpus: events start 2024-01-01 (TESTDATA.md);
-#: 48 h mirrors the reference's default cache window.
-WARMUP_CUTOFF = "2024-01-03 00:00:00"
+__all__ = [
+    "WARMUP_CUTOFF",  # re-exported; canonical home is _oracle_fragments
+    "origin_lineage",
+    "extract_origin_digests",
+    "warmup_digest_extract",
+]
 
 
 def origin_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -309,9 +309,13 @@ def start_ttl_dedup(
     seed_digests: DataFrame | None = None,
     glob_filter: str | None = None,
     use_tws: bool | None = None,
+    ignored: tuple[str, ...] = (),
 ):
     """Start the exact-TTL dedup as a live streaming query; returns
     ``(StreamingQuery, output_table_name)`` (memory sink).
+
+    ``ignored`` is the reference's ``DEDUPLICATION_IGNORED_PROPERTIES``
+    projection (op #4) applied to the hash input.
 
     ``use_tws`` selects the kernel: True = transformWithStateInPandas
     (native TTL value state), False = applyInPandasWithState (GroupState),
@@ -331,7 +335,7 @@ def start_ttl_dedup(
 
     name = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
     messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
-    keyed = messages.withColumn("digest", message_digest()).select(
+    keyed = messages.withColumn("digest", message_digest(ignored)).select(
         "digest", "message_id", "event_ts"
     )
 
@@ -446,6 +450,7 @@ def run_ttl_dedup_bounded(
     seed_digests: DataFrame | None = None,
     glob_filter: str | None = None,
     use_tws: bool | None = None,
+    ignored: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bounded run of the exact-TTL dedup: start → drain → stop.
 
@@ -459,7 +464,7 @@ def run_ttl_dedup_bounded(
         use_tws = HAS_TRANSFORM_WITH_STATE
     query, name = start_ttl_dedup(
         spark, source_dir, checkpoint_dir, ttl_ms, seed_digests, glob_filter,
-        use_tws=use_tws,
+        use_tws=use_tws, ignored=ignored,
     )
     try:
         if use_tws:

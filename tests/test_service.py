@@ -1,0 +1,116 @@
+"""End-to-end service composition — the reference's main() order
+(src/index.ts:107-213): env config → warm-up from the service's OWN prior
+output → live dedup with the ignored-properties projection → health /
+counters / graceful stop."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.config import EngineConfig
+from pulsar_topic_deduplicator_spark.service import (
+    run_dedup_service_bounded,
+    start_dedup_service,
+    warmup_seed_digests,
+)
+
+BASE_TS = 1704067200 * 1_000_000_000  # 2024-01-01 UTC in ns
+NS = 1_000_000_000
+
+
+def _write_events(spark, path, rows):
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        schema=(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ),
+    )
+    sdf.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_service_end_to_end_with_warmup_and_ignored_props(spark, tmp_path):
+    """Full wiring: a prior-output table carrying origin digests seeds the
+    state (op #11), so live re-deliveries of already-output messages are
+    suppressed; the ignored-properties projection (op #4) makes two live
+    messages differing only in an ignored key collapse to one."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+
+    config = EngineConfig.from_env(
+        {
+            "DEDUPLICATION_WINDOW_IN_SECONDS": "3600",
+            "CACHE_WINDOW_IN_SECONDS": "172800",
+            "DEDUPLICATION_IGNORED_PROPERTIES": '["mqttQos"]',
+        }
+    )
+    assert config.ignored_properties == ("mqttQos",)
+
+    sf_style_dir = str(tmp_path / "svc_src")
+    src = f"{sf_style_dir}/events.parquet"  # sf-layout: a parquet dir per table
+    rows = [
+        # pair differing ONLY in the ignored property -> one survivor
+        (1, BASE_TS + 0 * NS, 1, "click", 1.0, '{"k": "1", "mqttQos": "0"}'),
+        (2, BASE_TS + 60 * NS, 1, "click", 1.0, '{"k": "1", "mqttQos": "1"}'),
+        # distinct content
+        (3, BASE_TS + 120 * NS, 2, "view", 2.0, '{"k": "2"}'),
+        # re-delivery of a message the service already output (warm-up hit)
+        (4, BASE_TS + 180 * NS, 3, "purchase", 3.0, '{"k": "3"}'),
+    ]
+    _write_events(spark, src, rows)
+
+    # the service's prior output: message 4's content, with origin lineage —
+    # exactly what the reference re-reads from its output topic
+    from pulsar_topic_deduplicator_spark.sources.io import messages_view
+
+    prior = (
+        messages_view(spark, sf_style_dir)
+        .filter(F.col("message_id") == "4")
+        .withColumn("digest", message_digest(config.ignored_properties))
+        .select(
+            "publish_ts",
+            "event_ts",
+            F.to_json(F.array(F.col("digest"))).alias("origin"),
+        )
+    )
+    out = run_dedup_service_bounded(
+        spark,
+        config,
+        src,
+        str(tmp_path / "svc_ckpt"),
+        prior_output=prior,
+        now_ts="2024-01-01 01:00:00",
+        use_tws=False,
+    )
+    emitted = {r["message_id"] for r in out.collect() if r["message_id"]}
+    # 1 wins over its ignored-prop twin 2; 3 is unique; 4 was warm-up-seeded
+    assert emitted == {"1", "3"}
+    # the suppressed duplicates surface in dropped telemetry rows
+    n_dropped = out.agg(F.sum("n_dropped")).first()[0]
+    assert n_dropped == 2
+
+
+def test_service_lifecycle_health_counters_stop(spark, tmp_path):
+    """Ops #13-#15 through the service handle: healthy while active,
+    graceful stop terminates, unhealthy afterwards."""
+    src = str(tmp_path / "live_src")
+    _write_events(
+        spark, src, [(1, BASE_TS, 1, "click", 1.0, '{"k": "1"}')]
+    )
+    config = EngineConfig.from_env({"CACHE_WINDOW_IN_SECONDS": "0"})
+    assert not config.warmup_enabled  # src/cacheBuilding.ts:71-77
+    svc = start_dedup_service(
+        spark, config, src, str(tmp_path / "live_ckpt"), use_tws=False
+    )
+    try:
+        svc.query.processAllAvailable()
+        assert svc.health() == (204, "")
+        assert svc.output().count() == 1
+    finally:
+        assert svc.stop()
+    status, _body = svc.health()
+    assert status == 500
