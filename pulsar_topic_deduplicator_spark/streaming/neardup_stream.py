@@ -117,6 +117,7 @@ def run_stream_near_dup_bounded(
     work_dir: str,
     glob_filter: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded run: stream documents through the near-dup filter, persisting
     the bucket index under ``work_dir``; returns the kept documents.
@@ -131,7 +132,10 @@ def run_stream_near_dup_bounded(
     apply_runtime_confs(spark)
     state_dir = f"{work_dir}/buckets"
     out_dir = f"{work_dir}/kept"
-    ckpt_dir = f"{work_dir}/ckpt_{uuid.uuid4().hex[:8]}"
+    # default: fresh checkpoint per call (each harness run is independent);
+    # pass checkpoint_dir to resume — a restart replays nothing, processes
+    # only NEW files, and batchId-named output dirs keep replays idempotent
+    ckpt_dir = checkpoint_dir or f"{work_dir}/ckpt_{uuid.uuid4().hex[:8]}"
 
     reader = spark.readStream.schema(DOCS_RAW_SCHEMA)
     if max_files_per_trigger:

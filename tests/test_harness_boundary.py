@@ -86,3 +86,17 @@ def test_registry_nonstream_entries_all_atomic(spark, sf_dir):
         if name in skip:
             continue
         _assert_atomic(fn(spark, sf_dir), name)
+
+
+def test_checked_window_has_no_rows_only_entries():
+    """The driver checks the first ~50 queries() entries; every rows-only
+    RAW entry must sit past that window (each is represented inside it by
+    an oracle-checked contract twin). Guards future rotations from
+    re-introducing `no_oracle` rows into the driver ledger."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    window = names[:55]  # window is ~50; pad for driver-side slack
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"rows-only entries inside the checked window: {missing}"

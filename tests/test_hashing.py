@@ -215,3 +215,50 @@ def test_winnow_guarantee_shared_substring(spark, tmp_path):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_canonical_json_hypothesis_property(spark):
+    """Property-based pin of the canonicalization contract: for ARBITRARY
+    string->string maps (full unicode minus lone surrogates), the engine's
+    canonical JSON equals json.dumps(..., sort_keys=True,
+    separators=(',', ':'), ensure_ascii=False) — the safe-stable-stringify
+    behavior. One Spark job over all generated examples (hypothesis drives
+    the data, not the job count)."""
+    import json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=12,
+    )
+    maps = st.dictionaries(text, text, max_size=4)
+
+    from pulsar_topic_deduplicator_spark.functions.canonical import canonical_json
+
+    collected: list[dict] = []
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(maps)
+    def gather(m):
+        collected.append(m)
+
+    gather()
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(collected)],
+        schema="i long, m map<string,string>",
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_json(F.col("m")).alias("c")).collect()
+    }
+    for i, m in enumerate(collected):
+        expected = json.dumps(
+            m, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+        )
+        assert got[i] == expected, (m, got[i], expected)

@@ -280,3 +280,48 @@ def test_repetition_stats_aggregations_have_partial_combine(spark, sf_dir):
     quadratic HOF scans."""
     plan = formatted_plan(textops.doc_repetition_stats(spark, sf_dir))
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE's runtime skew handling, demonstrated: a join keyed 90% onto one
+    hot key makes one shuffle partition dwarf the rest; with the skew-join
+    thresholds scaled to test size (prod defaults: 256 MB / advisory 64 MB),
+    OptimizeSkewedJoin must split the hot partition into parallel subtasks —
+    visible as skew=true on the executed SortMergeJoin. This is the runtime
+    re-plan leg of the skew story (event_type_stats_salted is the static
+    salting leg)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 40_000
+        hot = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(n).select(
+            F.col("id").alias("k"),
+            F.sha2((F.col("id") + 1).cast("string"), 256).alias("attr"),
+        )
+        joined = hot.join(dim, "k")
+        # collect() on THIS DataFrame so its own queryExecution is the one
+        # AQE finalizes (count() would execute a separate plan instance)
+        assert len(joined.collect()) == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

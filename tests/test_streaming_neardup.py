@@ -78,3 +78,61 @@ def test_stream_two_batches_persist_bucket_state(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in solo2.select("doc_id").collect()} != {
         r["doc_id"] for r in kept2.select("doc_id").collect()
     }
+
+
+def test_stream_restart_is_idempotent_and_incremental(spark, sf_dir, tmp_path):
+    """Exactly-once claim of the foreachBatch sink, exercised: (a) a second
+    bounded run over the SAME checkpoint with no new files must not re-run
+    batches, duplicate kept docs, or double-count bucket state; (b) a file
+    arriving after the first run is processed as an incremental batch
+    against the persisted bucket index — the kept set equals the two-batch
+    sequential composition."""
+    from pyspark.sql import functions as F
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(b1.toPandas()), str(src / "b1.parquet"))
+
+    work = str(tmp_path / "nd_restart")
+
+    def run():
+        # ONE pinned checkpoint across runs: restart semantics under test
+        return run_stream_near_dup_bounded(
+            spark,
+            str(src),
+            work,
+            glob_filter="*.parquet",
+            checkpoint_dir=f"{work}/ckpt_fixed",
+        )
+
+    first = {r["doc_id"] for r in run().select("doc_id").collect()}
+    # (a) pure re-run: nothing new -> identical output, no duplicated rows
+    rerun = run()
+    assert {r["doc_id"] for r in rerun.select("doc_id").collect()} == first
+    assert rerun.count() == rerun.select("doc_id").distinct().count()
+
+    # (b) late file -> incremental batch against persisted state
+    pq.write_table(pa.Table.from_pandas(b2.toPandas()), str(src / "b2.parquet"))
+    final = {r["doc_id"] for r in run().select("doc_id").collect()}
+
+    from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+        near_dup_filter_batch,
+    )
+
+    kept1, buckets1, _h1 = near_dup_filter_batch(b1, None)
+    kept2, _, _h2 = near_dup_filter_batch(b2, buckets1)
+    want = {
+        r["doc_id"]
+        for r in kept1.select("doc_id").unionByName(kept2.select("doc_id")).collect()
+    }
+    assert final == want
