@@ -195,6 +195,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_repetition_stats": textops.doc_repetition_stats,
         "gopher_quality_flags": textops.gopher_quality_flags,
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
+        "corpus_curation_report": pipeline.corpus_curation_report,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

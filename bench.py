@@ -62,6 +62,12 @@ HEADLINE = [
     "stream_dedup_ttl",  # exact-TTL GroupState kernel (per-group Python)
     "stream_near_dup",  # streaming LSH filter (foreachBatch + bucket index)
     "winnow_fingerprints",  # rolling-hash winnowing (zero-shuffle HOF)
+    # round-5 additions (no round-2 baseline; regression-gate vs their own
+    # first measurement — see BASELINE.md round-5 note)
+    "doc_repetition_stats",  # explode→combine repetition signals
+    "gopher_quality_flags",  # zero-shuffle named quality gates
+    "dedup_docs_by_prefix",  # boilerplate prefix dedup (min-agg)
+    "corpus_curation_report",  # per-source curation funnel composite
 ]
 
 

@@ -68,6 +68,51 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation FUNNEL over the round-5 operators: how many docs
+    survive each sequential stage — exact dedup → boilerplate prefix dedup →
+    Gopher quality gate — the per-mixture-component attrition table a
+    training-data curation run reports.
+
+    Shape: three survivor-id sets (two min-aggregations + one pushed-down
+    filter) left-joined back and counted per source — at 100 TB every stage
+    is the already-plan-asserted single-shuffle shape, the id sets are
+    join-reduced (AQE broadcasts them when small), and the final aggregate
+    is per-source scalar rows."""
+    from .textops import PREFIX_WORDS, gopher_pass
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_ids = (
+        docs.select(F.sha2(F.col("text"), 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(exact_ids, "doc_id", "left_semi")
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, PREFIX_WORDS), " ")
+    prefix_ids = (
+        d1.select(F.sha2(prefix, 256).alias("pk"), "doc_id")
+        .groupBy("pk")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d2 = d1.join(prefix_ids, "doc_id", "left_semi")
+    quality_ids = d2.filter(gopher_pass(F.col("text"))).select("doc_id")
+
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(exact_ids.withColumn("s1", F.lit(1)), "doc_id", "left")
+        .join(prefix_ids.withColumn("s2", F.lit(1)), "doc_id", "left")
+        .join(quality_ids.withColumn("s3", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("s1").alias("n_after_exact"),
+        F.count("s2").alias("n_after_prefix"),
+        F.count("s3").alias("n_after_quality"),
+    )
+
+
 # the oracle composes the already-verified near-dup CTE chain with the
 # exact-dedup and quality stages
 _NEAR_DUP_SQL = NEARDUP_ORACLES["near_dup_pairs_verified"].strip().rstrip()
@@ -100,3 +145,38 @@ ORACLES: dict[str, str] = {
           AND s.quality >= {QUALITY_THRESHOLD}
     """,
 }
+
+
+def _curation_oracle() -> str:
+    from .textops import PREFIX_KEY_SQL, GOPHER_PASS_SQL, gopher_stats_sql
+
+    return f"""
+        WITH e AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+        ),
+        p AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents WHERE doc_id IN (SELECT doc_id FROM e)
+          GROUP BY {PREFIX_KEY_SQL}
+        ),
+        g AS (
+          SELECT doc_id
+          FROM ({gopher_stats_sql(
+              src="(SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM p)) d2"
+          )}) stats
+          WHERE {GOPHER_PASS_SQL}
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               count(e.doc_id) AS n_after_exact,
+               count(p.doc_id) AS n_after_prefix,
+               count(g.doc_id) AS n_after_quality
+        FROM documents d
+        LEFT JOIN e ON d.doc_id = e.doc_id
+        LEFT JOIN p ON d.doc_id = p.doc_id
+        LEFT JOIN g ON d.doc_id = g.doc_id
+        GROUP BY d.source
+    """
+
+
+ORACLES["corpus_curation_report"] = _curation_oracle()

@@ -307,44 +307,49 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based quality gate with NAMED per-rule verdicts (the published
-    Gopher filter shape, thresholds adapted to this corpus's word-soup
-    text): word-count band, mean-word-length band, minimum stopword hits,
-    lexical diversity floor, short-word-fraction ceiling, and the AND of
-    all rules. One codegen'd projection over the scan — zero shuffle, and
-    a pipeline drops low-quality docs with ``filter(passes_gopher)`` that
-    pushes straight down to the parquet scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """The named Gopher-style gates as reusable Column expressions over a
+    text column (thresholds adapted to this corpus's word-soup text)."""
+    words = _words(text)
     n = F.size(words)
     nd = F.size(F.array_distinct(words))
     # total word chars = text length minus the single separators (exact)
-    mean_wl = (F.length("text") - (n - F.lit(1))).cast("double") / n.cast("double")
+    mean_wl = (F.length(text) - (n - F.lit(1))).cast("double") / n.cast("double")
     short_frac = (
         F.size(F.filter(words, lambda w: F.length(w) <= 2)).cast("double")
         / n.cast("double")
     )
-    word_count_ok = (n >= 20) & (n <= 100_000)
-    mean_word_len_ok = (mean_wl >= 3.0) & (mean_wl <= 10.0)
-    stopword_ok = _stop_count(words) >= 2
-    diversity_ok = nd.cast("double") / n.cast("double") >= 0.2
-    short_word_ok = short_frac <= 0.25
+    return {
+        "word_count_ok": (n >= 20) & (n <= 100_000),
+        "mean_word_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "stopword_ok": _stop_count(words) >= 2,
+        "diversity_ok": nd.cast("double") / n.cast("double") >= 0.2,
+        "short_word_ok": short_frac <= 0.25,
+    }
+
+
+def gopher_pass(text: Column) -> Column:
+    """AND of every named rule — the pipeline's quality gate."""
+    import functools
+    import operator
+
+    return functools.reduce(operator.and_, gopher_rules(text).values())
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate with NAMED per-rule verdicts (the published
+    Gopher filter shape): word-count band, mean-word-length band, minimum
+    stopword hits, lexical diversity floor, short-word-fraction ceiling,
+    and the AND of all rules. One codegen'd projection over the scan —
+    zero shuffle, and a pipeline drops low-quality docs with
+    ``filter(gopher_pass(text))`` that pushes straight down to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
     return docs.select(
         "doc_id",
-        n.alias("n_words"),
-        word_count_ok.alias("word_count_ok"),
-        mean_word_len_ok.alias("mean_word_len_ok"),
-        stopword_ok.alias("stopword_ok"),
-        diversity_ok.alias("diversity_ok"),
-        short_word_ok.alias("short_word_ok"),
-        (
-            word_count_ok
-            & mean_word_len_ok
-            & stopword_ok
-            & diversity_ok
-            & short_word_ok
-        ).alias("passes_gopher"),
+        F.size(_words(F.col("text"))).alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        gopher_pass(F.col("text")).alias("passes_gopher"),
     )
 
 
@@ -461,27 +466,7 @@ ORACLES: dict[str, str] = {
                         CAST(0.0 AS DOUBLE)) AS top_bigram_fraction
         FROM nw JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
     """,
-    "gopher_quality_flags": f"""
-        WITH f AS (
-          SELECT doc_id,
-                 {_NW} AS n,
-                 len(list_distinct({_WORDS})) AS nd,
-                 CAST(length(text) - ({_NW} - 1) AS DOUBLE) / {_NW} AS mwl,
-                 CAST(len(list_filter({_WORDS}, w -> length(w) <= 2)) AS DOUBLE)
-                   / {_NW} AS shortf,
-                 {_STOPN} AS stopn
-          FROM documents)
-        SELECT doc_id, CAST(n AS INTEGER) AS n_words,
-               (n >= 20 AND n <= 100000) AS word_count_ok,
-               (mwl >= 3.0 AND mwl <= 10.0) AS mean_word_len_ok,
-               (stopn >= 2) AS stopword_ok,
-               (CAST(nd AS DOUBLE) / n >= 0.2) AS diversity_ok,
-               (shortf <= 0.25) AS short_word_ok,
-               ((n >= 20 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
-                AND (stopn >= 2) AND (CAST(nd AS DOUBLE) / n >= 0.2)
-                AND (shortf <= 0.25)) AS passes_gopher
-        FROM f
-    """,
+    "gopher_quality_flags": None,  # assigned below from the shared fragments
     "dedup_docs_by_prefix": f"""
         SELECT sha256(array_to_string(list_slice({_WORDS}, 1, {PREFIX_WORDS}), ' '))
                  AS prefix_key,
@@ -589,3 +574,43 @@ ORACLES: dict[str, str] = {
         HAVING count(*) >= {OVERLAP_MIN_FPS}
     """,
 }
+
+
+# ─── shared Gopher SQL fragments (reused by pipeline.corpus_curation_report) ─
+
+def gopher_stats_sql(src: str = "documents", extra_cols: str = "") -> str:
+    """Per-doc stats subquery feeding the rule expressions; ``src`` is any
+    table/subquery with (doc_id, text) columns."""
+    return f"""SELECT doc_id, {extra_cols}
+                 {_NW} AS n,
+                 len(list_distinct({_WORDS})) AS nd,
+                 CAST(length(text) - ({_NW} - 1) AS DOUBLE) / {_NW} AS mwl,
+                 CAST(len(list_filter({_WORDS}, w -> length(w) <= 2)) AS DOUBLE)
+                   / {_NW} AS shortf,
+                 {_STOPN} AS stopn
+          FROM {src}"""
+
+
+#: rule expressions over a gopher_stats_sql row — mirror textops.gopher_rules
+GOPHER_RULES_SQL: dict[str, str] = {
+    "word_count_ok": "(n >= 20 AND n <= 100000)",
+    "mean_word_len_ok": "(mwl >= 3.0 AND mwl <= 10.0)",
+    "stopword_ok": "(stopn >= 2)",
+    "diversity_ok": "(CAST(nd AS DOUBLE) / n >= 0.2)",
+    "short_word_ok": "(shortf <= 0.25)",
+}
+
+GOPHER_PASS_SQL = " AND ".join(GOPHER_RULES_SQL.values())
+
+#: prefix-dedup key, SQL rendering (mirrors dedup_docs_by_prefix)
+PREFIX_KEY_SQL = (
+    f"sha256(array_to_string(list_slice({_WORDS}, 1, {PREFIX_WORDS}), ' '))"
+)
+
+ORACLES["gopher_quality_flags"] = f"""
+    WITH f AS ({gopher_stats_sql()})
+    SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+           {", ".join(f"{sql} AS {name}" for name, sql in GOPHER_RULES_SQL.items())},
+           ({GOPHER_PASS_SQL}) AS passes_gopher
+    FROM f
+"""

@@ -165,6 +165,16 @@ def run_stream_near_dup_bounded(
             new_buckets.write.mode("overwrite").parquet(
                 f"{state_dir}/batch={batch_id}"
             )
+            # telemetry (reference op #13, src/deduplication.ts:80-95): one
+            # forwarded/dropped counter row per micro-batch interval,
+            # batchId-keyed so failure-replay stays idempotent. n_in/n_kept
+            # are metadata-count reads of files just written — no recompute.
+            n_in = batch_df.count()
+            n_kept = sess.read.parquet(f"{out_dir}/batch={batch_id}").count()
+            sess.createDataFrame(
+                [(batch_id, n_in, n_kept, n_in - n_kept)],
+                schema="batch_id long, n_in long, n_forwarded long, n_dropped long",
+            ).write.mode("overwrite").parquet(f"{work_dir}/metrics/batch={batch_id}")
         finally:
             bands.unpersist()
 
@@ -181,6 +191,19 @@ def run_stream_near_dup_bounded(
         spark.read.schema(DOCS_RAW_SCHEMA)
         .parquet(out_dir)
         .select([f.name for f in DOCS_RAW_SCHEMA.fields])
+    )
+
+
+_METRICS_SCHEMA = "batch_id long, n_in long, n_forwarded long, n_dropped long"
+
+
+def read_near_dup_metrics(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Per-micro-batch forwarded/dropped counters written by the filter —
+    the near-dup analog of the reference's 60 s telemetry (op #13)."""
+    return (
+        spark.read.schema(_METRICS_SCHEMA)
+        .parquet(f"{work_dir}/metrics")
+        .select("batch_id", "n_in", "n_forwarded", "n_dropped")
     )
 
 

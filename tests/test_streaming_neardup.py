@@ -136,3 +136,24 @@ def test_stream_restart_is_idempotent_and_incremental(spark, sf_dir, tmp_path):
         for r in kept1.select("doc_id").unionByName(kept2.select("doc_id")).collect()
     }
     assert final == want
+
+
+def test_stream_metrics_match_output(spark, sf_dir, tmp_path):
+    """Telemetry parity (reference op #13): per-batch forwarded/dropped
+    counters must reconcile exactly with the corpus size and the kept
+    output — nRecentForwarded + nRecentDropped = messages seen."""
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+    from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+        read_near_dup_metrics,
+    )
+
+    work = str(tmp_path / "nd_metrics")
+    kept = run_stream_near_dup_bounded(spark, sf_dir, work)
+    m = read_near_dup_metrics(spark, work).collect()
+    assert m, "no metrics rows written"
+    total_in = sum(r["n_in"] for r in m)
+    total_fwd = sum(r["n_forwarded"] for r in m)
+    total_drop = sum(r["n_dropped"] for r in m)
+    assert total_in == load_table(spark, sf_dir, "documents").count()
+    assert total_fwd == kept.count()
+    assert total_fwd + total_drop == total_in
