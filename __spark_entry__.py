@@ -196,6 +196,7 @@ def queries() -> dict[str, QueryFn]:
         "gopher_quality_flags": textops.gopher_quality_flags,
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
         "corpus_curation_report": pipeline.corpus_curation_report,
+        "centroid_outlier_flags": similarity.centroid_outlier_flags,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

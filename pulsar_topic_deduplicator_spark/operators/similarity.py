@@ -715,6 +715,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a vector anti-correlated with its own label centroid is a mislabel /
+#: noise suspect — ~5% of the corpus at this threshold (measured p5 ≈ −0.05)
+CENTROID_OUTLIER_THRESHOLD = 0.0
+
+
+def centroid_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER detection for curation: cosine of every
+    vector to its own label centroid; vectors below
+    ``CENTROID_OUTLIER_THRESHOLD`` are flagged as mislabel/noise suspects —
+    the embedding-modality member of the quality-gate family
+    (gopher_quality_flags is the text twin).
+
+    Long-form math end to end: posexplode → per-(label, dim) mean →
+    broadcast-joined back per dim → one groupBy(vec_id) for the dot/norm
+    sums — the centroid side is labels×64 rows (broadcast), the vector side
+    never leaves long form, one shuffle total. ``cos_to_centroid`` is
+    rounded 6 dp at the boundary and the flag derives from the ROUNDED
+    value on both engines (the label_centroids last-ulp discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    cent = ex.groupBy("label", "dim").agg(F.avg("v").alias("m"))
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("m")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("n1"),
+            F.sum(F.col("m") * F.col("m")).alias("n2"),
+        )
+    )
+    cos = F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6)
+    return per_vec.select(
+        "vec_id",
+        "label",
+        cos.alias("cos_to_centroid"),
+        (cos < CENTROID_OUTLIER_THRESHOLD).alias("is_outlier"),
+    )
+
+
 def label_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroids reassembled into ``array<double>`` vectors (one row per
     label) — the API a downstream vector consumer wants; the long-form
@@ -763,6 +806,24 @@ ORACLES: dict[str, str] = {
           FROM embeddings)
         SELECT label, dim, round(avg(CAST(val AS DOUBLE)), 9) AS mean_val
         FROM exploded GROUP BY label, dim
+    """,
+    "centroid_outlier_flags": """
+        WITH ex AS (
+          SELECT vec_id, label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        c AS (SELECT label, dim, avg(v) AS m FROM ex GROUP BY label, dim),
+        j AS (
+          SELECT e.vec_id, e.label,
+                 sum(e.v * c.m) AS dot, sum(e.v * e.v) AS n1,
+                 sum(c.m * c.m) AS n2
+          FROM ex e JOIN c ON e.label = c.label AND e.dim = c.dim
+          GROUP BY e.vec_id, e.label)
+        SELECT vec_id, label,
+               round(dot / sqrt(n1 * n2), 6) AS cos_to_centroid,
+               (round(dot / sqrt(n1 * n2), 6) < 0.0) AS is_outlier
+        FROM j
     """,
     "embedding_near_dup_pairs": f"""
         WITH {_PAIRS_CTE}

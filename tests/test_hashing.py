@@ -262,3 +262,19 @@ def test_canonical_json_hypothesis_property(spark):
             m, sort_keys=True, separators=(",", ":"), ensure_ascii=False
         )
         assert got[i] == expected, (m, got[i], expected)
+
+
+def test_null_properties_equal_empty_map(spark):
+    """A NULL properties map canonicalizes to '{}' — identical to an empty
+    map (the envelope mappings' coalesce semantics) — and the payload still
+    differentiates digests. Pins the no-properties edge so a broker row
+    with absent headers can never produce a NULL digest that groups
+    unrelated payloads."""
+    df = spark.createDataFrame(
+        [(D1, None, None), (D1, {}, None), (D2, None, None)], schema=MSG_SCHEMA
+    )
+    rows = df.select(message_digest().alias("d")).collect()
+    d = [r["d"] for r in rows]
+    assert d[0] == d[1]  # null props == empty props
+    assert d[0] != d[2]  # payload still splits
+    assert all(x is not None for x in d)
