@@ -135,6 +135,17 @@ def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_near_dup_bounded(spark, sf_dir, tempfile.mkdtemp("nd_work"))
 
 
+def _stream_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming Gopher gate over the document stream — the SAME
+    Column expression as the batch gate, so batch/stream parity is by
+    construction; exact oracle (append mode, no state)."""
+    from pulsar_topic_deduplicator_spark.streaming.quality import (
+        run_quality_gate_bounded,
+    )
+
+    return run_quality_gate_bounded(spark, sf_dir)
+
+
 def _stream_near_dup_contracts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract twin of ``stream_near_dup``: invariant verdicts the oracle
     pins as constants (see streaming/neardup_stream.py docstring)."""
@@ -197,6 +208,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
         "corpus_curation_report": pipeline.corpus_curation_report,
         "centroid_outlier_flags": similarity.centroid_outlier_flags,
+        "stream_quality_gate": _stream_quality_gate_query,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -369,4 +381,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(windows.ORACLES)
     oracles.update(enrich.ORACLES)
     oracles.update(neardup_stream.ORACLES)
+    from pulsar_topic_deduplicator_spark.streaming import quality
+
+    oracles.update(quality.ORACLES)
     return oracles

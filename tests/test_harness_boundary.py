@@ -76,7 +76,7 @@ def test_registry_nonstream_entries_all_atomic(spark, sf_dir):
         # bounded streaming runs execute on construction
         "stream_dedup", "stream_dedup_ttl", "stream_windowed_counts",
         "stream_session_activity", "stream_near_dup", "stream_warmup_flagged",
-        "stream_near_dup_contracts",
+        "stream_near_dup_contracts", "stream_quality_gate",
         # collect codebooks / write an index / run counts on construction
         "ivf_topk_cosine", "ivf_topk_indexed", "pq_topk_cosine",
         "near_dup_clusters_lss", "embedding_near_dup_clusters",

@@ -370,3 +370,26 @@ def test_dedup_state_skew_resilience_measured(spark, tmp_path):
     counts = [r["count"] for r in hist]
     mean = sum(counts) / 32  # over ALL 32 partitions, incl. any empty ones
     assert max(counts) <= 2 * mean, counts
+
+
+def test_stream_quality_gate_matches_batch_and_counts(spark, sf_dir):
+    """The streaming Gopher gate shares the batch gate's Column expression,
+    so the kept set must equal the batch filter exactly, and the observe()
+    counter must equal the kept count (telemetry op #13)."""
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+    from pulsar_topic_deduplicator_spark.streaming.quality import (
+        run_quality_gate_bounded,
+    )
+
+    kept = run_quality_gate_bounded(spark, sf_dir)
+    got = {r["doc_id"] for r in kept.collect()}
+    want = {
+        r["doc_id"]
+        for r in gopher_quality_flags(spark, sf_dir)
+        .filter("passes_gopher")
+        .collect()
+    }
+    assert got == want
+    assert got and got != set()  # gate is non-degenerate on the corpus
