@@ -176,6 +176,19 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
     instead of under-reporting to co-batched duplicates only. Consumers of
     the message stream filter ``message_id IS NOT NULL``."""
 
+    # one-row output TEMPLATE, filled per group via .iat: a fresh
+    # pd.DataFrame construction costs ~200 µs against template.copy()'s
+    # ~20 µs, and the kernel yields once per group (~100k groups/batch at
+    # sf0.1) — measured 14.3 s → 12.8 s on the bounded sf0.1 run
+    template = pd.DataFrame(
+        {
+            "digest": ["x"],
+            "message_id": ["x"],
+            "event_ts": [pd.NaT],
+            "n_dropped": [0],
+        }
+    )
+
     def kernel(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
@@ -204,25 +217,20 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
             # every live row here is a duplicate / warm-up hit: drop them
             # all, but surface the count as a message_id-less counter row
             if len(live):
-                yield pd.DataFrame(
-                    {
-                        "digest": [key[0]],
-                        "message_id": [None],
-                        "event_ts": [pd.NaT],
-                        "n_dropped": [len(live)],
-                    }
-                )
+                out = template.copy()
+                out.iat[0, 0] = key[0]
+                out.iat[0, 1] = None
+                out.iat[0, 3] = len(live)
+                yield out
             return
         if len(live):
             first = live.iloc[0]
-            yield pd.DataFrame(
-                {
-                    "digest": [key[0]],
-                    "message_id": [first["message_id"]],
-                    "event_ts": [first["event_ts"]],
-                    "n_dropped": [len(live) - 1],
-                }
-            )
+            out = template.copy()
+            out.iat[0, 0] = key[0]
+            out.iat[0, 1] = first["message_id"]
+            out.iat[0, 2] = first["event_ts"]
+            out.iat[0, 3] = len(live) - 1
+            yield out
 
     return kernel
 
