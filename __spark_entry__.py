@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pulsar_topic_deduplicator_spark.operators import (
     asof,
+    curation,
     dedup,
     lineage,
     multimodal,
@@ -209,6 +210,9 @@ def queries() -> dict[str, QueryFn]:
         "corpus_curation_report": pipeline.corpus_curation_report,
         "centroid_outlier_flags": similarity.centroid_outlier_flags,
         "stream_quality_gate": _stream_quality_gate_query,
+        "decontaminate_overlap": curation.decontaminate_overlap,
+        "pack_sequences": curation.pack_sequences,
+        "pii_scan": curation.pii_scan,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -257,11 +261,11 @@ def queries() -> dict[str, QueryFn]:
         "date_funcs_demo": scalarfuncs.date_funcs_demo,
         "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
         "math_funcs_demo": scalarfuncs.math_funcs_demo,
-        # ── text tier head (last driver-checked round 3) ───────────────────
+        # ── end of the ~50-entry checked window ────────────────────────────
+        # text tier (r3-green)
         "text_stats": textops.text_stats,
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
-        # ── end of the ~50-entry checked window ────────────────────────────
         # text / near-dup / similarity tiers (r3-green)
         "lang_id_heuristic": textops.lang_id_heuristic,
         "lang_distribution": textops.lang_distribution,
@@ -350,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
     for module in (
         asof,
+        curation,
         dedup,
         lineage,
         pipeline,

@@ -68,6 +68,9 @@ HEADLINE = [
     "gopher_quality_flags",  # zero-shuffle named quality gates
     "dedup_docs_by_prefix",  # boilerplate prefix dedup (min-agg)
     "corpus_curation_report",  # per-source curation funnel composite
+    "decontaminate_overlap",  # benchmark n-gram leak scan (broadcast probe)
+    "pack_sequences",  # concat-then-chunk packing (bucketed window)
+    "pii_scan",  # regex scan + redaction digest (zero-shuffle)
 ]
 
 
@@ -75,6 +78,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("pulsar_topic_deduplicator_spark-bench")
+    # FATAL, not ERROR: bounded streaming stops can race an async
+    # StreamExecution ERROR log into the output tail after the headline
+    # JSON (seen once in a recorded run); the bench artifact must end
+    # with the JSON line and nothing else.
+    spark.sparkContext.setLogLevel("FATAL")
     qs = entrymod.queries()
 
     # warm the JVM/codegen once with a trivial action so q1 doesn't pay
@@ -91,6 +99,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # stop BEFORE printing: once the JVM is down no logging thread can
+    # interleave output after the headline JSON line
+    spark.stop()
     print(
         json.dumps(
             {
@@ -102,7 +113,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

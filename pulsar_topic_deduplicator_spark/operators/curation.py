@@ -1,0 +1,278 @@
+"""Corpus-curation operators: benchmark decontamination, sequence packing,
+and PII scan/redaction.
+
+NOT in the reference (its payload is opaque bytes — SURVEY.md §2.3); these
+are the remaining training-data-pipeline steps between "deduplicated corpus"
+(``operators/neardup.py``) and "training batches": strip eval-benchmark
+contamination, pack documents into fixed-token training sequences, and
+scrub personally-identifying strings.
+
+Scale notes (100 TB):
+
+* ``decontaminate_overlap`` — the benchmark n-gram set is derived from an
+  eval suite, which is MB-sized in production, so it is ``F.broadcast``;
+  the corpus side is a single scan + explode + map-side hash probe, no
+  corpus-sized shuffle. The per-doc aggregate shuffles doc_id-keyed counts
+  only (two ints per doc).
+* ``pack_sequences`` — GPT-style concat-then-chunk packing. One shuffle
+  (hash-bucket the docs), one window sort per bucket; bucket count scales
+  with the cluster, and no state crosses buckets, so packing is
+  embarrassingly parallel and incremental (a new shard = new buckets).
+* ``pii_scan`` — pure codegen'd regexp expressions over the scan; zero
+  shuffle, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_uint60
+from ..functions.text import shingles, whitespace_tokens
+from ..sources.io import load_table
+from ._oracle_fragments import duck_stable_uint60
+from .sampling import SPLIT_VAL
+
+#: decontamination n-gram width. 4 balances precision and recall on the
+#: test corpus's small vocabulary (3-grams collide by chance between
+#: unrelated docs; 5-grams only catch verbatim passages).
+DECON_N = 4
+
+#: a corpus doc is dropped when at least this fraction of its distinct
+#: n-grams also appear in the benchmark set (near-verbatim leak).
+DECON_FLAG_RATE = 0.5
+
+#: sequence-packing token budget (tokens per training sequence)
+PACK_BUDGET = 512
+
+#: number of independent packing streams; at cluster scale this is
+#: O(executors × k) so every core packs its own stream
+PACK_BUCKETS = 16
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split-percentile, 60-bit gram hash) — one row per DISTINCT
+    word 4-gram per document. Grams travel as ints, not strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (stable_uint60(F.col("text")) % 100).alias("pct"),
+        F.explode(shingles(F.col("text"), DECON_N)).alias("gram"),
+    ).select("doc_id", "pct", stable_uint60(F.col("gram")).alias("h"))
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training-corpus document, the count and
+    fraction of its distinct word 4-grams that also occur in the held-out
+    benchmark split, plus the drop verdict.
+
+    The benchmark here is the ``train_val_test_split`` test split (content
+    keyed, so the same selector reproduces it anywhere); in production it
+    would be an external eval-suite table — which is tiny, hence the
+    broadcast. Docs shorter than 4 words have no grams and are absent from
+    the output (vacuously uncontaminated), identically in the oracle.
+    """
+    grams = _doc_grams(spark, sf_dir)
+    bench = (
+        grams.filter(F.col("pct") >= SPLIT_VAL)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("pct") < SPLIT_VAL)
+    joined = corpus.join(F.broadcast(bench), "h", "left")
+    n_grams = F.count(F.lit(1))
+    n_cont = F.coalesce(F.sum("hit"), F.lit(0))
+    rate = n_cont.cast("double") / n_grams.cast("double")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            n_grams.alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            rate.alias("contamination_rate"),
+            (rate >= DECON_FLAG_RATE).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (whitespace tokens)
+    in deterministic doc_id order within a content-hash bucket, then chunk
+    the token stream into ``PACK_BUDGET``-token training sequences. Emits
+    each document's placement: its bucket, token offset, and the first/last
+    pack (sequence) it lands in — a doc longer than the remaining room
+    SPANS packs, exactly like production packing with cross-doc attention
+    masking.
+
+    Deterministic and exactly SQL-expressible: placement is a running sum
+    over (bucket, doc_id) order, so the same corpus packs identically on
+    any cluster, any partitioning, any retry.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(whitespace_tokens(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        (stable_uint60(F.col("text")) % PACK_BUCKETS).alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    token_start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "token_start"
+    )
+    out = base.select("doc_id", "bucket", "n_tokens", token_start)
+    return out.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "token_start",
+        F.floor(F.col("token_start") / PACK_BUDGET).alias("first_pack"),
+        F.floor(
+            (F.col("token_start") + F.col("n_tokens") - 1) / PACK_BUDGET
+        ).alias("last_pack"),
+    )
+
+
+def _augmented_text(sel):
+    """Deterministic PII test fixture: a hash-selected ~10% of docs get one
+    synthetic contact line (one email, one IPv4, one phone) appended. The
+    injection is the FIXTURE — the scan/redact expressions below are the
+    production surface — and it is mirrored verbatim in the oracle, so
+    extraction and redaction are value-checked against known-planted PII
+    (same pattern as the multimodal synthetic assets)."""
+    contact = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ph 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return F.when(sel, F.concat(F.col("text"), contact)).otherwise(
+        F.col("text")
+    )
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scan + redaction digest: counts of email / IPv4 /
+    phone-pattern matches and the sha256 of the text after typed-sentinel
+    redaction ([EMAIL] / [IP] / [PHONE], applied in that fixed order).
+
+    The digest proves the redacted text byte-for-byte without shipping it;
+    for an unselected doc it is simply the digest of the original text.
+    All counting and replacement is codegen'd regexp over the scan — this
+    runs at 100 TB as a single projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sel = stable_uint60(F.concat(F.col("text"), F.lit("#pii"))) % 10 == 0
+    aug = _augmented_text(sel)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _IPV4_RE, "[IP]"
+        ),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
+        (
+            F.regexp_count(aug, F.lit(_EMAIL_RE))
+            + F.regexp_count(aug, F.lit(_IPV4_RE))
+            + F.regexp_count(aug, F.lit(_PHONE_RE))
+            > 0
+        ).alias("has_pii"),
+        F.sha2(redacted, 256).alias("redacted_digest"),
+    )
+
+
+_H60_TEXT = duck_stable_uint60("text")
+_GRAM4 = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_N))
+
+#: shared CTE: distinct 4-gram hashes per doc + the doc's split percentile
+_DECON_CTE = f"""
+    words AS (SELECT doc_id, {_H60_TEXT} % 100 AS pct,
+                     string_split(text, ' ') AS w
+              FROM documents),
+    grams AS (
+      SELECT doc_id, pct,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {DECON_N - 1}, 0)),
+               i -> {_GRAM4}))) AS gram
+      FROM words),
+    sh AS (SELECT doc_id, pct,
+                  {duck_stable_uint60("gram")} AS h
+           FROM grams)
+"""
+
+_DUCK_CONTACT = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 ph 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+ORACLES: dict[str, str] = {
+    "decontaminate_overlap": f"""
+        WITH {_DECON_CTE},
+        bench AS (SELECT DISTINCT h FROM sh WHERE pct >= {SPLIT_VAL}),
+        corpus AS (SELECT doc_id, h FROM sh WHERE pct < {SPLIT_VAL})
+        SELECT doc_id,
+               count(*) AS n_grams,
+               count(*) FILTER (h IN (SELECT h FROM bench)) AS n_contaminated,
+               CAST(count(*) FILTER (h IN (SELECT h FROM bench)) AS DOUBLE)
+                 / count(*) AS contamination_rate,
+               CAST(count(*) FILTER (h IN (SELECT h FROM bench)) AS DOUBLE)
+                 / count(*) >= {DECON_FLAG_RATE} AS contaminated
+        FROM corpus
+        GROUP BY doc_id
+    """,
+    "pack_sequences": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 {_H60_TEXT} % {PACK_BUCKETS} AS bucket,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+        placed AS (
+          SELECT doc_id, bucket, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS token_start
+          FROM base)
+        SELECT doc_id, bucket, n_tokens, token_start,
+               CAST(floor(CAST(token_start AS DOUBLE) / {PACK_BUDGET})
+                    AS BIGINT) AS first_pack,
+               CAST(floor(CAST(token_start + n_tokens - 1 AS DOUBLE)
+                    / {PACK_BUDGET}) AS BIGINT) AS last_pack
+        FROM placed
+    """,
+    "pii_scan": f"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 CASE WHEN {duck_stable_uint60("text || '#pii'")} % 10 = 0
+                      THEN text || {_DUCK_CONTACT}
+                      ELSE text END AS t
+          FROM documents)
+        SELECT doc_id, source,
+               len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{_IPV4_RE}')) AS n_ipv4,
+               len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+               len(regexp_extract_all(t, '{_EMAIL_RE}'))
+                 + len(regexp_extract_all(t, '{_IPV4_RE}'))
+                 + len(regexp_extract_all(t, '{_PHONE_RE}')) > 0 AS has_pii,
+               sha256(regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                    '{_IPV4_RE}', '[IP]', 'g'),
+                    '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_digest
+        FROM aug
+    """,
+}

@@ -1,0 +1,176 @@
+"""Semantic invariants for the curation tier (decontamination, sequence
+packing, PII scan) — oracle parity is covered by test_oracle_parity; these
+pin the properties parity alone can't state."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators import curation
+from pulsar_topic_deduplicator_spark.operators.curation import (
+    DECON_FLAG_RATE,
+    DECON_N,
+    PACK_BUDGET,
+    PACK_BUCKETS,
+)
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+
+def _grams(text: str) -> set[str]:
+    w = text.split(" ")
+    return {
+        " ".join(w[i : i + DECON_N]) for i in range(len(w) - DECON_N + 1)
+    }
+
+
+def test_pack_sequences_partitions_every_doc_once(spark, sf_dir, docs):
+    rows = curation.pack_sequences(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(docs)
+    # per bucket: ordered by doc_id, offsets are contiguous (concat-then-
+    # chunk leaves no holes) and pack ids follow from the offsets
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) > 1
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r["doc_id"])
+        expected_start = 0
+        for r in bucket_rows:
+            assert r["token_start"] == expected_start
+            assert r["n_tokens"] == len(docs[r["doc_id"]].split(" "))
+            assert r["first_pack"] == r["token_start"] // PACK_BUDGET
+            assert (
+                r["last_pack"]
+                == (r["token_start"] + r["n_tokens"] - 1) // PACK_BUDGET
+            )
+            assert r["first_pack"] <= r["last_pack"]
+            expected_start += r["n_tokens"]
+
+
+def test_pack_sequences_span_only_at_boundaries(spark, sf_dir):
+    rows = curation.pack_sequences(spark, sf_dir).collect()
+    spanners = [r for r in rows if r["last_pack"] > r["first_pack"]]
+    # chunking must split exactly the docs that straddle a budget boundary
+    for r in spanners:
+        assert r["token_start"] % PACK_BUDGET + r["n_tokens"] > PACK_BUDGET
+    # the corpus is big enough that boundaries exist
+    assert spanners
+
+
+def test_pack_bucket_assignment_is_content_keyed(spark, sf_dir, docs):
+    rows = curation.pack_sequences(spark, sf_dir).collect()
+    for r in rows[:50]:
+        h = int(
+            hashlib.sha256(docs[r["doc_id"]].encode()).hexdigest()[:15], 16
+        )
+        assert r["bucket"] == h % PACK_BUCKETS
+
+
+def test_decontaminate_flags_match_recomputed_overlap(spark, sf_dir, docs):
+    out = {
+        r["doc_id"]: r
+        for r in curation.decontaminate_overlap(spark, sf_dir).collect()
+    }
+    # benchmark docs (test split) are never in the decontamination output
+    def pct(text: str) -> int:
+        return int(hashlib.sha256(text.encode()).hexdigest()[:15], 16) % 100
+
+    bench_grams: set[str] = set()
+    for did, text in docs.items():
+        if pct(text) >= 90:
+            assert did not in out
+            bench_grams |= _grams(text)
+    checked_hits = 0
+    for did, text in docs.items():
+        if pct(text) >= 90 or not _grams(text):
+            continue
+        g = _grams(text)
+        n_cont = len(g & bench_grams)
+        r = out[did]
+        assert r["n_grams"] == len(g)
+        assert r["n_contaminated"] == n_cont
+        assert r["contaminated"] == (n_cont / len(g) >= DECON_FLAG_RATE)
+        checked_hits += n_cont > 0
+    assert checked_hits > 0, "fixture has no contamination signal"
+
+
+_PII_RES = {
+    "n_emails": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "n_phones": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def test_pii_scan_finds_exactly_the_planted_pii(spark, sf_dir, docs):
+    rows = curation.pii_scan(spark, sf_dir).collect()
+    planted = clean = 0
+    for r in rows:
+        text = docs[r["doc_id"]]
+        sel = (
+            int(
+                hashlib.sha256((text + "#pii").encode()).hexdigest()[:15], 16
+            )
+            % 10
+            == 0
+        )
+        if sel:
+            assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 1, 1)
+            assert r["has_pii"]
+            # digest proves the typed-sentinel redaction byte-for-byte
+            aug = (
+                f"{text} contact user{r['doc_id']}@example.com "
+                f"ip 10.0.{r['doc_id'] % 256}.7 "
+                f"ph 555-010-{r['doc_id'] % 10000:04d}"
+            )
+            red = aug
+            for pat, sub in (
+                (_PII_RES["n_emails"], "[EMAIL]"),
+                (_PII_RES["n_ipv4"], "[IP]"),
+                (_PII_RES["n_phones"], "[PHONE]"),
+            ):
+                red = re.sub(pat, sub, red)
+            assert "@" not in red and "555-" not in red
+            assert (
+                r["redacted_digest"]
+                == hashlib.sha256(red.encode()).hexdigest()
+            )
+            planted += 1
+        else:
+            assert not r["has_pii"]
+            assert (
+                r["redacted_digest"]
+                == hashlib.sha256(text.encode()).hexdigest()
+            )
+            clean += 1
+    assert planted > 0 and clean > 0
+
+
+def test_decontaminated_training_set_excludes_flagged(spark, sf_dir):
+    """Composition check: filtering the corpus by the decontamination
+    verdict drops exactly the flagged docs."""
+    flagged = {
+        r["doc_id"]
+        for r in curation.decontaminate_overlap(spark, sf_dir)
+        .filter("contaminated")
+        .collect()
+    }
+    assert flagged  # the corpus plants near-dup leaks across the split
+    kept = (
+        curation.decontaminate_overlap(spark, sf_dir)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+        .collect()
+    )
+    assert flagged.isdisjoint({r["doc_id"] for r in kept})
