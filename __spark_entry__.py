@@ -213,6 +213,7 @@ def queries() -> dict[str, QueryFn]:
         "decontaminate_overlap": curation.decontaminate_overlap,
         "pack_sequences": curation.pack_sequences,
         "pii_scan": curation.pii_scan,
+        "token_budget_mixture": curation.token_budget_mixture,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -71,6 +71,7 @@ HEADLINE = [
     "decontaminate_overlap",  # benchmark n-gram leak scan (broadcast probe)
     "pack_sequences",  # concat-then-chunk packing (bucketed window)
     "pii_scan",  # regex scan + redaction digest (zero-shuffle)
+    "token_budget_mixture",  # temperature mixture (ordered-fold weights)
 ]
 
 

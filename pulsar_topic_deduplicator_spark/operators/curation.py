@@ -196,6 +196,91 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: token budget for the temperature mixture (tokens, not docs)
+MIXTURE_BUDGET_TOKENS = 12_000
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture under a global token budget: each
+    source's sampling share is proportional to ``sqrt(n_tokens)`` (α = 0.5
+    flattening — upweights small high-quality sources, the standard
+    pretraining rebalance), target tokens = budget × share, and documents
+    are kept by a deterministic content-hash rate so the kept set is
+    reproducible on any cluster/retry.
+
+    Per-source report: corpus size, weight, share, target, keep rate, and
+    the realized kept doc/token counts.
+
+    FLOAT-DETERMINISM: the only order-sensitive float operation is the
+    weight-sum denominator, which is computed as an EXPLICIT left fold over
+    the source-sorted weight array (``F.aggregate`` here, ``list_reduce``
+    in the oracle) — a plain ``sum()`` over doubles is reduction-order-
+    dependent and would flake the cross-engine hash. Everything else is a
+    single-division / single-multiply chain on identical operands. The
+    per-source aggregate is source-cardinality-sized (a handful of rows),
+    so the crossJoin with the fold scalar and the broadcast of rates back
+    onto the corpus are both KB-sized at any corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(whitespace_tokens(F.col("text")))
+    per_doc = docs.select(
+        "source",
+        n_tokens.alias("doc_tokens"),
+        (
+            (
+                stable_uint60(F.concat(F.col("text"), F.lit("#mix")))
+                % 1_000_000
+            ).cast("double")
+            / 1e6
+        ).alias("u"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").alias("n_tokens"),
+    )
+    per_src = per_src.withColumn(
+        "weight", F.sqrt(F.col("n_tokens").cast("double"))
+    )
+    total = per_src.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "weight"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["weight"],
+        ).alias("total_w")
+    )
+    rep = per_src.crossJoin(F.broadcast(total))
+    share = F.col("weight") / F.col("total_w")
+    target = share * F.lit(float(MIXTURE_BUDGET_TOKENS))
+    keep_rate = F.least(
+        F.lit(1.0), target / F.col("n_tokens").cast("double")
+    )
+    rep = rep.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        share.alias("share"),
+        target.alias("target_tokens"),
+        keep_rate.alias("keep_rate"),
+    )
+    kept = (
+        per_doc.join(
+            F.broadcast(rep.select("source", "keep_rate")), "source"
+        )
+        .filter(F.col("u") < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("doc_tokens").alias("n_tokens_kept"),
+        )
+    )
+    return (
+        rep.join(kept, "source", "left")
+        .withColumn("n_docs_kept", F.coalesce("n_docs_kept", F.lit(0)))
+        .withColumn("n_tokens_kept", F.coalesce("n_tokens_kept", F.lit(0)))
+    )
+
+
 _H60_TEXT = duck_stable_uint60("text")
 _GRAM4 = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_N))
 
@@ -222,6 +307,47 @@ _DUCK_CONTACT = (
 )
 
 ORACLES: dict[str, str] = {
+    "token_budget_mixture": f"""
+        WITH per_doc AS (
+          SELECT source,
+                 len(string_split(text, ' ')) AS doc_tokens,
+                 CAST({duck_stable_uint60("text || '#mix'")} % 1000000
+                      AS DOUBLE) / 1e6 AS u
+          FROM documents),
+        per_src AS (
+          SELECT source, count(*) AS n_docs,
+                 sum(doc_tokens) AS n_tokens,
+                 sqrt(CAST(sum(doc_tokens) AS DOUBLE)) AS weight
+          FROM per_doc GROUP BY source),
+        tot AS (
+          -- explicit source-sorted left fold: mirrors the engine's
+          -- F.aggregate so the double sum is reduction-order-identical
+          SELECT list_reduce(
+                   list_prepend(0.0, list_transform(
+                     list_sort(list({{'s': source, 'w': weight}})),
+                     r -> r.w)),
+                   (a, b) -> a + b) AS total_w
+          FROM per_src),
+        rep AS (
+          SELECT source, n_docs, n_tokens, weight,
+                 weight / total_w AS share,
+                 weight / total_w * {float(MIXTURE_BUDGET_TOKENS)} AS target_tokens,
+                 least(1.0, weight / total_w * {float(MIXTURE_BUDGET_TOKENS)}
+                       / CAST(n_tokens AS DOUBLE)) AS keep_rate
+          FROM per_src, tot),
+        kept AS (
+          SELECT d.source, count(*) AS n_docs_kept,
+                 sum(d.doc_tokens) AS n_tokens_kept
+          FROM per_doc d JOIN rep r ON d.source = r.source
+          WHERE d.u < r.keep_rate
+          GROUP BY d.source)
+        SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+               CAST(r.n_tokens AS BIGINT) AS n_tokens,
+               r.weight, r.share, r.target_tokens, r.keep_rate,
+               CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+               CAST(coalesce(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+        FROM rep r LEFT JOIN kept k ON r.source = k.source
+    """,
     "decontaminate_overlap": f"""
         WITH {_DECON_CTE},
         bench AS (SELECT DISTINCT h FROM sh WHERE pct >= {SPLIT_VAL}),

@@ -174,3 +174,33 @@ def test_decontaminated_training_set_excludes_flagged(spark, sf_dir):
         .collect()
     )
     assert flagged.isdisjoint({r["doc_id"] for r in kept})
+
+
+def test_token_budget_mixture_invariants(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        MIXTURE_BUDGET_TOKENS,
+        token_budget_mixture,
+    )
+
+    rows = token_budget_mixture(spark, sf_dir).collect()
+    assert len(rows) > 1
+    # shares sum to 1 (up to fold rounding), rates bounded, realized kept
+    # tokens track the per-source target within binomial noise
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["target_tokens"] for r in rows) - MIXTURE_BUDGET_TOKENS) < 1e-6
+    for r in rows:
+        assert 0.0 < r["keep_rate"] <= 1.0
+        assert r["n_docs_kept"] <= r["n_docs"]
+        assert r["n_tokens_kept"] <= r["n_tokens"]
+        if r["keep_rate"] == 1.0:
+            assert r["n_docs_kept"] == r["n_docs"]
+        else:
+            # hash-uniform selection: realized tokens within 5 sd of target
+            import math
+
+            sd = math.sqrt(r["n_docs"] * r["keep_rate"] * (1 - r["keep_rate"]))
+            mean_doc = r["n_tokens"] / r["n_docs"]
+            assert (
+                abs(r["n_tokens_kept"] - r["target_tokens"])
+                < 5 * max(sd, 1.0) * mean_doc
+            )
