@@ -214,6 +214,7 @@ def queries() -> dict[str, QueryFn]:
         "pack_sequences": curation.pack_sequences,
         "pii_scan": curation.pii_scan,
         "token_budget_mixture": curation.token_budget_mixture,
+        "training_batch_pipeline": curation.training_batch_pipeline,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -72,6 +72,7 @@ HEADLINE = [
     "pack_sequences",  # concat-then-chunk packing (bucketed window)
     "pii_scan",  # regex scan + redaction digest (zero-shuffle)
     "token_budget_mixture",  # temperature mixture (ordered-fold weights)
+    "training_batch_pipeline",  # end-to-end corpus -> training batches
 ]
 
 

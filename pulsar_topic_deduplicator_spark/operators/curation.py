@@ -99,20 +99,9 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style sequence packing: concatenate documents (whitespace tokens)
-    in deterministic doc_id order within a content-hash bucket, then chunk
-    the token stream into ``PACK_BUDGET``-token training sequences. Emits
-    each document's placement: its bucket, token offset, and the first/last
-    pack (sequence) it lands in — a doc longer than the remaining room
-    SPANS packs, exactly like production packing with cross-doc attention
-    masking.
-
-    Deterministic and exactly SQL-expressible: placement is a running sum
-    over (bucket, doc_id) order, so the same corpus packs identically on
-    any cluster, any partitioning, any retry.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _pack_placement(docs: DataFrame) -> DataFrame:
+    """Pack placement over an arbitrary (doc_id, text) document set — the
+    shared kernel of ``pack_sequences`` and ``training_batch_pipeline``."""
     n_tokens = F.size(whitespace_tokens(F.col("text")))
     base = docs.select(
         "doc_id",
@@ -138,6 +127,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("token_start") + F.col("n_tokens") - 1) / PACK_BUDGET
         ).alias("last_pack"),
     )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (whitespace tokens)
+    in deterministic doc_id order within a content-hash bucket, then chunk
+    the token stream into ``PACK_BUDGET``-token training sequences. Emits
+    each document's placement: its bucket, token offset, and the first/last
+    pack (sequence) it lands in — a doc longer than the remaining room
+    SPANS packs, exactly like production packing with cross-doc attention
+    masking.
+
+    Deterministic and exactly SQL-expressible: placement is a running sum
+    over (bucket, doc_id) order, so the same corpus packs identically on
+    any cluster, any partitioning, any retry.
+    """
+    return _pack_placement(load_table(spark, sf_dir, "documents"))
+
+
+def training_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-to-training-batches composite, chaining every
+    curation family end to end in the order a production run executes:
+
+        exact dedup → near-dup removal → quality gate
+          (``corpus_clean_pipeline``)
+        → train-split selection (content-keyed, no eval leakage)
+        → benchmark decontamination (drop flagged docs)
+        → sequence packing (the training-batch manifest)
+
+    Output = the pack placement of every surviving document. One DataFrame
+    program, one composed oracle — the per-operator parities compose into
+    a verified end-to-end pipeline. Every stage is the already-audited
+    single-shuffle shape; the id sets joined here are survivor-sized and
+    AQE broadcasts them when small.
+    """
+    from .pipeline import corpus_clean_pipeline
+    from .sampling import SPLIT_TRAIN
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = corpus_clean_pipeline(spark, sf_dir).select("doc_id")
+    train = docs.filter(
+        stable_uint60(F.col("text")) % 100 < SPLIT_TRAIN
+    ).join(survivors, "doc_id", "left_semi")
+    flagged = (
+        decontaminate_overlap(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = train.join(flagged, "doc_id", "left_anti")
+    return _pack_placement(clean.select("doc_id", "text"))
 
 
 def _augmented_text(sel):
@@ -381,6 +419,7 @@ ORACLES: dict[str, str] = {
                     / {PACK_BUDGET}) AS BIGINT) AS last_pack
         FROM placed
     """,
+    "training_batch_pipeline": "",  # composed below (needs sibling oracles)
     "pii_scan": f"""
         WITH aug AS (
           SELECT doc_id, source,
@@ -402,3 +441,46 @@ ORACLES: dict[str, str] = {
         FROM aug
     """,
 }
+
+
+def _training_batch_oracle() -> str:
+    """Composes the ALREADY-REGISTERED sibling oracles (corpus clean chain,
+    decontamination) with the train-split filter and the pack CTE — the
+    end-to-end SQL is built from the same verified fragments the per-stage
+    oracles use, so a per-operator divergence and a composition divergence
+    are distinguishable."""
+    from .pipeline import ORACLES as PIPELINE_ORACLES
+
+    from .sampling import SPLIT_TRAIN
+
+    clean_sql = PIPELINE_ORACLES["corpus_clean_pipeline"].strip()
+    decon_sql = ORACLES["decontaminate_overlap"].strip()
+    return f"""
+        WITH train AS (
+          SELECT doc_id, text FROM documents
+          WHERE {_H60_TEXT} % 100 < {SPLIT_TRAIN}
+            AND doc_id IN (SELECT doc_id FROM ({clean_sql}))
+            AND doc_id NOT IN (
+              SELECT doc_id FROM ({decon_sql}) WHERE contaminated)
+        ),
+        base AS (
+          SELECT doc_id,
+                 {_H60_TEXT} % {PACK_BUCKETS} AS bucket,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM train),
+        placed AS (
+          SELECT doc_id, bucket, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS token_start
+          FROM base)
+        SELECT doc_id, bucket, n_tokens, token_start,
+               CAST(floor(CAST(token_start AS DOUBLE) / {PACK_BUDGET})
+                    AS BIGINT) AS first_pack,
+               CAST(floor(CAST(token_start + n_tokens - 1 AS DOUBLE)
+                    / {PACK_BUDGET}) AS BIGINT) AS last_pack
+        FROM placed
+    """
+
+
+ORACLES["training_batch_pipeline"] = _training_batch_oracle()

@@ -204,3 +204,37 @@ def test_token_budget_mixture_invariants(spark, sf_dir):
                 abs(r["n_tokens_kept"] - r["target_tokens"])
                 < 5 * max(sd, 1.0) * mean_doc
             )
+
+
+def test_training_batch_pipeline_composition(spark, sf_dir):
+    """The composite equals its stage-by-stage recomposition from the
+    already-tested operators."""
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        decontaminate_overlap,
+        training_batch_pipeline,
+    )
+    from pulsar_topic_deduplicator_spark.operators.pipeline import (
+        corpus_clean_pipeline,
+    )
+    from pulsar_topic_deduplicator_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    out = {r["doc_id"]: r for r in training_batch_pipeline(spark, sf_dir).collect()}
+    survivors = {r["doc_id"] for r in corpus_clean_pipeline(spark, sf_dir).collect()}
+    train = {
+        r["doc_id"]
+        for r in train_val_test_split(spark, sf_dir).collect()
+        if r["split"] == "train"
+    }
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate_overlap(spark, sf_dir).filter("contaminated").collect()
+    }
+    expected = (survivors & train) - flagged
+    assert set(out) == expected
+    assert expected, "pipeline produced an empty training set"
+    # placement invariants hold on the filtered set too
+    for r in out.values():
+        assert r["first_pack"] == r["token_start"] // 512
+        assert r["last_pack"] >= r["first_pack"]
