@@ -325,3 +325,42 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pii_scan_zero_shuffle_pruned(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.pii_scan(spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text", "source"}, cols
+
+
+def test_pack_sequences_single_bucket_shuffle(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.pack_sequences(spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.decontaminate_overlap(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan[:2000]
+    # corpus side: scan -> explode -> broadcast probe -> partial agg; the
+    # only corpus-sized exchange is the doc_id count shuffle (+ the small
+    # bench-side distinct + its broadcast)
+    assert count_exchanges(df) <= 3, plan[:2000]
+
+
+def test_token_budget_mixture_broadcasts_rates(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.token_budget_mixture(spark, sf_dir)
+    plan = formatted_plan(df)
+    # both the fold scalar and the per-source rates join back via broadcast
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2, plan[:2000]
