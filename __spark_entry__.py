@@ -215,6 +215,9 @@ def queries() -> dict[str, QueryFn]:
         "pii_scan": curation.pii_scan,
         "token_budget_mixture": curation.token_budget_mixture,
         "training_batch_pipeline": curation.training_batch_pipeline,
+        "cap_docs_per_source": curation.cap_docs_per_source,
+        "curriculum_order": curation.curriculum_order,
+        "purchase_attribution_events": asof.purchase_attribution_events,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

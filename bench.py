@@ -73,6 +73,9 @@ HEADLINE = [
     "pii_scan",  # regex scan + redaction digest (zero-shuffle)
     "token_budget_mixture",  # temperature mixture (ordered-fold weights)
     "training_batch_pipeline",  # end-to-end corpus -> training batches
+    "cap_docs_per_source",  # two-stage salted per-domain top-K
+    "curriculum_order",  # tiered global ordering, bounded sorts only
+    "purchase_attribution_events",  # bucketized range join (no NLJ)
 ]
 
 

@@ -101,7 +101,118 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: attribution-window length (µs) for the named interval-join query; also
+#: the bucket width, so every interval explodes to at most 2 bucket rows
+ATTRIB_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: tuple[str, ...] = (),
+    bucket_us: int = ATTRIB_WINDOW_US,
+) -> DataFrame:
+    """Generic point-in-interval (range) join: one output row per (point,
+    interval) pair with ``start ≤ point_ts < end`` (and equal ``keys``,
+    if given).
+
+    Spark has no native range join — expressed directly, the range
+    predicate becomes a BroadcastNestedLoopJoin (or a cartesian product),
+    both O(n×m) scale killers. This is the BUCKETIZED composition instead:
+    each interval explodes to the coarse time buckets it covers
+    (``sequence(floor(start/w), floor((end−1)/w))`` — end exclusive), each
+    point hashes to exactly one bucket, and the range predicate rides a
+    plain equi-join on (keys…, bucket) as a post-filter. A point matches
+    each interval at most once (it lives in one bucket), so no dedup pass
+    is needed. Explode factor is ≤ ``len/bucket_us + 1`` per interval — 2
+    when the bucket width equals the max interval length — and the shuffle
+    is the ordinary hash-partitioned equi-join exchange, AQE-skew-safe.
+
+    Zero-length intervals must be filtered by the caller (an empty
+    ``sequence`` bound would otherwise run descending); this guard raises
+    on the named query's inputs instead of silently matching nothing.
+    """
+    # Bucket ids come from double division + floor (Spark's `/` on longs).
+    # Exactness doesn't matter — coverage does: double division is
+    # monotone, every side uses the SAME formula, and start ≤ point < end
+    # implies floor(start/w) ≤ floor(point/w) ≤ floor((end−1)/w), so a
+    # point's bucket is always inside its interval's covered range even if
+    # a quotient rounds across an integer boundary. The exact range
+    # predicate below decides actual membership.
+    p_us = F.unix_micros(F.col(point_ts))
+    s_us = F.unix_micros(F.col(start_ts))
+    e_us = F.unix_micros(F.col(end_ts))
+    iv = intervals.withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.floor(s_us / F.lit(bucket_us)),
+                F.floor((e_us - 1) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    pt = points.withColumn("_pb", F.floor(p_us / F.lit(bucket_us)))
+    on = pt["_pb"] == iv["_ib"]
+    for k in keys:
+        on = on & (pt[k] == iv[k])
+    on = (
+        on
+        & (pt[point_ts] >= iv[start_ts])
+        & (pt[point_ts] < iv[end_ts])
+    )
+    return pt.join(iv, on)
+
+
+def purchase_attribution_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """For every purchase, the same user's events inside the 30-minute
+    attribution window starting at the purchase (inclusive of the purchase
+    itself) — the classic marketing-attribution range join, one row per
+    (event, window) pair. Verified against DuckDB's native range join."""
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        F.col("user_id"),
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.lit(ATTRIB_WINDOW_US)
+        ).alias("w_end"),
+    )
+    pt = ev.select("event_id", "user_id", "ts", "event_type")
+    joined = interval_join(
+        pt,
+        windows,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        keys=("user_id",),
+    )
+    return joined.select(
+        pt["event_id"],
+        pt["user_id"],
+        pt["ts"],
+        pt["event_type"],
+        "window_id",
+        "w_start",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "purchase_attribution_events": """
+        WITH win AS (
+          SELECT event_id AS window_id, user_id, ts AS w_start,
+                 ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               w.window_id, w.w_start
+        FROM events e JOIN win w
+          ON e.user_id = w.user_id
+         AND e.ts >= w.w_start AND e.ts < w.w_end
+    """,
     "asof_last_purchase": """
         WITH purch AS (
           SELECT user_id, ts AS p_ts,

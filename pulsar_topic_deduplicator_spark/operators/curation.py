@@ -319,6 +319,130 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source document cap (docs kept per source, best-quality first)
+CAP_PER_SOURCE = 15
+
+#: stage-1 salt fan-out for the cap: a hot domain's sort is split across
+#: this many bounded windows before the final per-source rank
+CAP_SALTS = 4
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — "keep the best ``CAP_PER_SOURCE`` docs per
+    source" (the anti-over-representation step of web-corpus curation),
+    ranked by the shared quality score with doc_id as the total-order
+    tiebreak.
+
+    Scale shape: a naive single window per source sorts EVERY row of a hot
+    domain in one task — the classic skew killer when one domain is 10% of
+    a 100 TB crawl. This is the two-stage salted top-K instead: stage 1
+    ranks within (source, salt) — salt from the content hash, so the hot
+    domain's sort is split across ``CAP_SALTS`` bounded windows — and keeps
+    at most CAP rows per salt; stage 2 ranks the ≤ CAP_SALTS×CAP survivors
+    per source. The prefilter is lossless: under a total order, a row in
+    the true per-source top-CAP ranks ≤ CAP within its salt subgroup too
+    (subgroup rank ≤ group rank) — an identity pinned against the direct
+    single-window plan in tests/test_curation.py.
+    """
+    from .textops import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        quality_expr(F.col("text")).alias("quality"),
+        (
+            stable_uint60(F.concat(F.col("text"), F.lit("#cap")))
+            % CAP_SALTS
+        ).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    pre = base.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= CAP_PER_SOURCE
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        pre.select("doc_id", "source", "quality")
+        .withColumn(
+            "rank_in_source", F.row_number().over(w2).cast("bigint")
+        )
+        .filter(F.col("rank_in_source") <= CAP_PER_SOURCE)
+    )
+
+
+#: curriculum tier thresholds on the quality score (≥ first ⇒ tier 0 =
+#: easiest/cleanest, trained first)
+CURRICULUM_TIERS = (0.9, 0.75, 0.6)
+
+#: per-tier shuffle buckets; at cluster scale O(executors × k), so every
+#: core sorts only its own bucket
+CURRICULUM_BUCKETS = 8
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: every document gets a GLOBAL
+    training position — clean tiers first, hash-shuffled within a tier —
+    WITHOUT a global sort (`orderBy` over the corpus would funnel 100 TB
+    through a range partitioner just to number rows).
+
+    Construction: tier = fixed quality thresholds (zero-shuffle
+    projection); bucket = content hash; rank = bounded window within
+    (tier, bucket); then the (tier, bucket) row COUNTS — O(tiers×buckets)
+    rows, KB-sized at any corpus scale — are cumulated into start offsets
+    with a window over that tiny aggregate and broadcast back. global_pos
+    = offset + rank_in_bucket − 1 is an exact permutation of 0..n−1
+    (pinned in tests/test_curation.py) built from bounded sorts only; a
+    trainer reads shards in (tier, bucket, rank) order with no further
+    shuffle.
+    """
+    from .textops import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_expr(F.col("text"))
+    tier = (
+        F.when(q >= CURRICULUM_TIERS[0], 0)
+        .when(q >= CURRICULUM_TIERS[1], 1)
+        .when(q >= CURRICULUM_TIERS[2], 2)
+        .otherwise(3)
+    )
+    base = docs.select(
+        "doc_id",
+        tier.alias("tier"),
+        (
+            stable_uint60(F.concat(F.col("text"), F.lit("#cur")))
+            % CURRICULUM_BUCKETS
+        ).alias("bucket"),
+        stable_uint60(F.concat(F.col("text"), F.lit("#ord"))).alias(
+            "ord_key"
+        ),
+    )
+    w = Window.partitionBy("tier", "bucket").orderBy("ord_key", "doc_id")
+    ranked = base.withColumn(
+        "rank_in_bucket", F.row_number().over(w).cast("bigint")
+    )
+    counts = ranked.groupBy("tier", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # single-partition window is deliberate: `counts` is tiers×buckets rows
+    off_w = Window.orderBy("tier", "bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "tier",
+        "bucket",
+        (F.sum("n").over(off_w) - F.col("n")).alias("offset"),
+    )
+    return ranked.join(F.broadcast(offsets), ["tier", "bucket"]).select(
+        "doc_id",
+        "tier",
+        "bucket",
+        "rank_in_bucket",
+        (F.col("offset") + F.col("rank_in_bucket") - 1).alias("global_pos"),
+    )
+
+
 _H60_TEXT = duck_stable_uint60("text")
 _GRAM4 = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_N))
 
@@ -420,6 +544,8 @@ ORACLES: dict[str, str] = {
         FROM placed
     """,
     "training_batch_pipeline": "",  # composed below (needs sibling oracles)
+    "cap_docs_per_source": "",  # composed below (needs textops QUALITY_SQL)
+    "curriculum_order": "",  # composed below (needs textops QUALITY_SQL)
     "pii_scan": f"""
         WITH aug AS (
           SELECT doc_id, source,
@@ -484,3 +610,66 @@ def _training_batch_oracle() -> str:
 
 
 ORACLES["training_batch_pipeline"] = _training_batch_oracle()
+
+
+def _quality_rank_oracles() -> dict[str, str]:
+    """Oracles for the quality-ranked operators; composed at import time
+    from textops.QUALITY_SQL so the score arithmetic is textually shared
+    with the already-verified ``quality_score`` oracle."""
+    from .textops import QUALITY_SQL
+
+    cap = f"""
+        WITH q AS (
+          SELECT doc_id, source, {QUALITY_SQL} AS quality,
+                 {duck_stable_uint60("text || '#cap'")} % {CAP_SALTS} AS salt
+          FROM documents),
+        pre AS (
+          SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source, salt
+                                    ORDER BY quality DESC, doc_id) AS r1
+          FROM q),
+        fin AS (
+          SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id)
+                   AS rank_in_source
+          FROM pre WHERE r1 <= {CAP_PER_SOURCE})
+        SELECT doc_id, source, quality,
+               CAST(rank_in_source AS BIGINT) AS rank_in_source
+        FROM fin WHERE rank_in_source <= {CAP_PER_SOURCE}
+    """
+    t0, t1, t2 = CURRICULUM_TIERS
+    cur = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN {QUALITY_SQL} >= {t0} THEN 0
+                      WHEN {QUALITY_SQL} >= {t1} THEN 1
+                      WHEN {QUALITY_SQL} >= {t2} THEN 2
+                      ELSE 3 END AS tier,
+                 {duck_stable_uint60("text || '#cur'")}
+                   % {CURRICULUM_BUCKETS} AS bucket,
+                 {duck_stable_uint60("text || '#ord'")} AS ord_key
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, tier, bucket,
+                 CAST(row_number() OVER (PARTITION BY tier, bucket
+                        ORDER BY ord_key, doc_id) AS BIGINT)
+                   AS rank_in_bucket
+          FROM base),
+        counts AS (
+          SELECT tier, bucket, count(*) AS n
+          FROM ranked GROUP BY tier, bucket),
+        offsets AS (
+          SELECT tier, bucket,
+                 sum(n) OVER (ORDER BY tier, bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS off
+          FROM counts)
+        SELECT r.doc_id, r.tier, r.bucket, r.rank_in_bucket,
+               CAST(o.off + r.rank_in_bucket - 1 AS BIGINT) AS global_pos
+        FROM ranked r JOIN offsets o USING (tier, bucket)
+    """
+    return {"cap_docs_per_source": cap, "curriculum_order": cur}
+
+
+ORACLES.update(_quality_rank_oracles())

@@ -74,6 +74,20 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expr(text: Column) -> Column:
+    """The heuristic quality score as a reusable scalar Column — the SAME
+    arithmetic (and evaluation order) as the ``QUALITY_SQL`` oracle
+    fragment, so any operator ranking/thresholding on it stays
+    hash-comparable cross-engine."""
+    words = _words(text)
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    stop_ratio = _stop_count(words).cast("double") / n.cast("double")
+    len_band = F.when((n >= 20) & (n <= 400), F.lit(1.0)).otherwise(F.lit(0.5))
+    diversity = nd.cast("double") / n.cast("double")
+    return len_band * 0.4 + stop_ratio * 0.2 + diversity * 0.4
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality score in [0, 1]: length band + stopword
     ratio + lexical diversity (the Gopher-rules / C4-style shape, reduced to
@@ -83,9 +97,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(words)
     nd = F.size(F.array_distinct(words))
     stop_ratio = _stop_count(words).cast("double") / n.cast("double")
-    len_band = F.when((n >= 20) & (n <= 400), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = quality_expr(F.col("text"))
     diversity = nd.cast("double") / n.cast("double")
-    score = len_band * 0.4 + stop_ratio * 0.2 + diversity * 0.4
     return docs.select(
         "doc_id",
         n.alias("n_words"),
@@ -378,6 +391,13 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 _WORDS = "string_split(text, ' ')"
 _NW = f"len({_WORDS})"
 _STOPN = f"len(list_filter({_WORDS}, w -> w IN ({_STOP_SQL})))"
+
+#: DuckDB twin of ``quality_expr`` — same operand order as the Column
+QUALITY_SQL = (
+    f"((CASE WHEN {_NW} BETWEEN 20 AND 400 THEN 1.0 ELSE 0.5 END) * 0.4"
+    f" + (CAST({_STOPN} AS DOUBLE) / {_NW}) * 0.2"
+    f" + (CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW}) * 0.4)"
+)
 
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide term frequency top-50: explode → partial-agg count →

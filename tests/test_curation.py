@@ -238,3 +238,72 @@ def test_training_batch_pipeline_composition(spark, sf_dir):
     for r in out.values():
         assert r["first_pack"] == r["token_start"] // 512
         assert r["last_pack"] >= r["first_pack"]
+
+
+def test_cap_docs_per_source_two_stage_is_lossless(spark, sf_dir):
+    """The salted prefilter must select exactly the rows a direct
+    single-window per-source top-CAP selects (the lossless-prefilter
+    identity), and every source ends at or under the cap with dense
+    deterministic ranks."""
+    from pyspark.sql import Window
+
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        CAP_PER_SOURCE,
+    )
+    from pulsar_topic_deduplicator_spark.operators.textops import quality_expr
+
+    out = curation.cap_docs_per_source(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        assert len(rows) <= CAP_PER_SOURCE
+        rows.sort(key=lambda r: r["rank_in_source"])
+        assert [r["rank_in_source"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        # ranks follow the (quality DESC, doc_id ASC) total order
+        keys = [(-r["quality"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    direct = (
+        docs.select(
+            "doc_id", "source", quality_expr(F.col("text")).alias("quality")
+        )
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= CAP_PER_SOURCE)
+        .collect()
+    )
+    assert {(r["doc_id"], r["rank_in_source"]) for r in out} == {
+        (r["doc_id"], r["rank_in_source"]) for r in direct
+    }
+
+
+def test_curriculum_order_is_a_tiered_permutation(spark, sf_dir):
+    """global_pos must be an exact permutation of 0..n-1 built without a
+    global sort, with tiers forming contiguous blocks (curriculum: every
+    tier-t doc trains before any tier-t+1 doc) and hash-shuffled
+    deterministic order within (tier, bucket)."""
+    rows = curriculum = curation.curriculum_order(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    # tier blocks are contiguous in global-position space
+    tiers = sorted({r["tier"] for r in rows})
+    spans = {
+        t: (
+            min(r["global_pos"] for r in rows if r["tier"] == t),
+            max(r["global_pos"] for r in rows if r["tier"] == t),
+        )
+        for t in tiers
+    }
+    for lo_t, hi_t in zip(tiers, tiers[1:]):
+        assert spans[lo_t][1] < spans[hi_t][0]
+    # deterministic on re-run (pure function of content, no RNG)
+    again = curation.curriculum_order(spark, sf_dir).collect()
+    assert {(r["doc_id"], r["global_pos"]) for r in curriculum} == {
+        (r["doc_id"], r["global_pos"]) for r in again
+    }

@@ -1,0 +1,99 @@
+"""Semantics + plan shape for the bucketized point-in-interval join
+(`operators/asof.py::interval_join`) — oracle parity for the named query is
+covered by test_oracle_parity; these pin what parity can't: multi-bucket
+coverage, boundary semantics, pair uniqueness, and the no-NLJ plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators import asof
+from pulsar_topic_deduplicator_spark.plans import formatted_plan
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=seconds)
+
+
+def test_interval_join_boundaries_and_multibucket(spark):
+    """start inclusive, end exclusive; an interval spanning many buckets
+    still matches points in every covered bucket exactly once."""
+    points = spark.createDataFrame(
+        [(i, _ts(i)) for i in (0, 1, 5, 10, 59, 60, 61, 3599, 3600)],
+        "pid long, p_ts timestamp",
+    )
+    # one short interval [5, 60) and one long interval [0, 3600) that
+    # covers 360 buckets at a 10 s bucket width
+    intervals = spark.createDataFrame(
+        [(100, _ts(5), _ts(60)), (200, _ts(0), _ts(3600))],
+        "iid long, s_ts timestamp, e_ts timestamp",
+    )
+    out = asof.interval_join(
+        points,
+        intervals,
+        point_ts="p_ts",
+        start_ts="s_ts",
+        end_ts="e_ts",
+        bucket_us=10_000_000,
+    )
+    pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert pairs == {
+        # [5, 60): 5 and 10 and 59 in; 60 excluded (end-exclusive)
+        (5, 100),
+        (10, 100),
+        (59, 100),
+        # [0, 3600): everything but 3600 (end-exclusive); 0 in (inclusive)
+        (0, 200),
+        (1, 200),
+        (5, 200),
+        (10, 200),
+        (59, 200),
+        (60, 200),
+        (61, 200),
+        (3599, 200),
+    }
+    # exactly once per (point, interval): no bucket-explosion duplicates
+    assert out.count() == len(pairs)
+
+
+def test_interval_join_key_scoping(spark):
+    """With keys, a point only matches intervals sharing the key."""
+    points = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "b", _ts(10))],
+        "pid long, k string, p_ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, "a", _ts(0), _ts(60))],
+        "iid long, k string, s_ts timestamp, e_ts timestamp",
+    )
+    out = asof.interval_join(
+        points,
+        intervals,
+        point_ts="p_ts",
+        start_ts="s_ts",
+        end_ts="e_ts",
+        keys=("k",),
+        bucket_us=60_000_000,
+    )
+    assert {(r["pid"], r["iid"]) for r in out.collect()} == {(1, 100)}
+
+
+def test_purchase_attribution_no_nlj(spark, sf_dir):
+    """The range predicate must ride the bucketed equi-join — never a
+    BroadcastNestedLoopJoin or cartesian product."""
+    df = asof.purchase_attribution_events(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # window self-attribution: every purchase matches its own window
+    purchases = df.filter(
+        F.col("event_id") == F.col("window_id")
+    ).count()
+    n_purch = (
+        df.select("window_id").distinct().count()
+    )
+    assert purchases == n_purch

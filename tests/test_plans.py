@@ -364,3 +364,27 @@ def test_token_budget_mixture_broadcasts_rates(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") + plan.count(
         "BroadcastHashJoin"
     ) >= 2, plan[:2000]
+
+
+def test_cap_docs_per_source_two_bounded_window_exchanges(spark, sf_dir):
+    """The salted top-K must shuffle exactly twice — once on (source, salt)
+    for the bounded stage-1 windows, once on source for the ≤ salts×cap
+    survivors — and read only the columns it projects."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.cap_docs_per_source(spark, sf_dir)
+    assert count_exchanges(df) == 2, formatted_plan(df)[:2000]
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "source", "text"}, cols
+
+
+def test_curriculum_order_broadcasts_offsets_no_global_sort(spark, sf_dir):
+    """Global positions without a global sort: the offset table joins back
+    via broadcast, and no range-partitioning exchange appears (the
+    single-partition window is over the tiers×buckets aggregate only)."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.curriculum_order(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
