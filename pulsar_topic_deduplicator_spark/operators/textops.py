@@ -533,10 +533,7 @@ ORACLES: dict[str, str] = {
                {_NW} AS n_words,
                CAST({_STOPN} AS DOUBLE) / {_NW} AS stop_ratio,
                CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS diversity,
-               (CASE WHEN {_NW} BETWEEN 20 AND 400 THEN 1.0 ELSE 0.5 END) * 0.4
-                 + (CAST({_STOPN} AS DOUBLE) / {_NW}) * 0.2
-                 + (CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW}) * 0.4
-                 AS quality
+               {QUALITY_SQL} AS quality
         FROM documents
     """,
     "lang_id_heuristic": f"""
