@@ -102,6 +102,13 @@ def main() -> None:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # measurement hygiene: queries must not pay for their predecessors.
+        # A few operators persist intermediates (documented load-bearing
+        # persists); dropping them between timings keeps each number a
+        # function of its own query, not of accumulated executor-heap
+        # pressure (which showed up as a 3x swing on the Python-kernel
+        # streaming queries in long runs).
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # stop BEFORE printing: once the JVM is down no logging thread can
