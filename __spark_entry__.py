@@ -157,6 +157,19 @@ def _stream_near_dup_contracts_query(spark: SparkSession, sf_dir: str) -> DataFr
     return stream_near_dup_contracts(spark, sf_dir)
 
 
+def _stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static bucketized range join (live events × static purchase
+    windows) — exact oracle: stateless inner join, append mode, so the
+    bounded run emits exactly the batch range-join result."""
+    from pulsar_topic_deduplicator_spark.streaming.attribution import (
+        run_stream_attribution_bounded,
+    )
+
+    return run_stream_attribution_bounded(
+        spark, sf_dir, glob_filter="events.parquet"
+    )
+
+
 def _stream_warmup_flagged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: live messages flagged against the
     bootstrap-time warm-up digest set (op #11 surfaced as a column); batch
@@ -218,6 +231,7 @@ def queries() -> dict[str, QueryFn]:
         "cap_docs_per_source": curation.cap_docs_per_source,
         "curriculum_order": curation.curriculum_order,
         "purchase_attribution_events": asof.purchase_attribution_events,
+        "stream_attribution_events": _stream_attribution_query,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -377,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
     # bounded streaming harnesses with exact SQL oracles: the single-batch
     # availableNow runs are deterministic (see each module's ORACLES notes)
     from pulsar_topic_deduplicator_spark.streaming import (
+        attribution,
         enrich,
         neardup_stream,
         windows,
@@ -390,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_dedup"] = BOUNDED_STREAM_DEDUP_ORACLE
     oracles.update(windows.ORACLES)
     oracles.update(enrich.ORACLES)
+    oracles.update(attribution.ORACLES)
     oracles.update(neardup_stream.ORACLES)
     from pulsar_topic_deduplicator_spark.streaming import quality
 

@@ -76,6 +76,7 @@ HEADLINE = [
     "cap_docs_per_source",  # two-stage salted per-domain top-K
     "curriculum_order",  # tiered global ordering, bounded sorts only
     "purchase_attribution_events",  # bucketized range join (no NLJ)
+    "stream_attribution_events",  # stream-static range join (stateless)
 ]
 
 

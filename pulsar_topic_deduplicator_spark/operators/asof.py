@@ -112,12 +112,14 @@ def interval_join(
     point_ts: str,
     start_ts: str,
     end_ts: str,
-    keys: tuple[str, ...] = (),
+    keys: tuple = (),
     bucket_us: int = ATTRIB_WINDOW_US,
 ) -> DataFrame:
     """Generic point-in-interval (range) join: one output row per (point,
     interval) pair with ``start ≤ point_ts < end`` (and equal ``keys``,
-    if given).
+    if given — each a column name shared by both sides, or a
+    ``(point_col, interval_col)`` pair when the sides name the key
+    differently).
 
     Spark has no native range join — expressed directly, the range
     predicate becomes a BroadcastNestedLoopJoin (or a cartesian product),
@@ -157,7 +159,8 @@ def interval_join(
     pt = points.withColumn("_pb", F.floor(p_us / F.lit(bucket_us)))
     on = pt["_pb"] == iv["_ib"]
     for k in keys:
-        on = on & (pt[k] == iv[k])
+        lk, rk = (k, k) if isinstance(k, str) else k
+        on = on & (pt[lk] == iv[rk])
     on = (
         on
         & (pt[point_ts] >= iv[start_ts])

@@ -71,6 +71,34 @@ def _normalize_ts(raw: DataFrame) -> Column:
     return F.col("ts").cast("timestamp")
 
 
+def events_raw_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
+) -> DataFrame:
+    """File-source stream of events in their RAW analytic schema (``ts``
+    normalized to TIMESTAMP like the batch loader) — for streaming
+    analytics that consume the business columns directly rather than the
+    message envelope."""
+    apply_runtime_confs(spark)
+    raw_schema = _probe_raw_schema(spark, source_dir, glob_filter)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    raw = reader.parquet(source_dir)
+    return raw.select(
+        "event_id",
+        _normalize_ts(raw).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def events_message_stream(
     spark: SparkSession,
     source_dir: str,

@@ -97,3 +97,23 @@ def test_purchase_attribution_no_nlj(spark, sf_dir):
         df.select("window_id").distinct().count()
     )
     assert purchases == n_purch
+
+
+def test_stream_attribution_matches_batch_range_join(spark, sf_dir):
+    """The bounded stream-static run must emit exactly the batch
+    range-join's rows (stateless inner join — parity by construction)."""
+    from pulsar_topic_deduplicator_spark.streaming.attribution import (
+        run_stream_attribution_bounded,
+    )
+
+    got = {
+        (r["event_id"], r["window_id"])
+        for r in run_stream_attribution_bounded(
+            spark, sf_dir, glob_filter="events.parquet"
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["window_id"])
+        for r in asof.purchase_attribution_events(spark, sf_dir).collect()
+    }
+    assert got == want and got
