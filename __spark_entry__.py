@@ -5,15 +5,16 @@ core semantics) at sf0.001. ``queries()`` — one entry per implemented
 operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
 every SQL-expressible operator, including the bounded streaming harnesses
 (deterministic single-batch runs) and the integer-exact multimodal stages.
-Six entries are rows-only RAW surface, each for a stated reason: seeded
+Seven entries are rows-only RAW surface, each for a stated reason: seeded
 numpy LSH planes (``ann_cosine_lsh``), numpy-trained codebooks (``ivf_*``,
-``pq_topk_cosine``), greedy order-dependent streaming selection
-(``stream_near_dup``), and cross-engine sketch internals
+``pq_topk_cosine``, ``semantic_dedup``), greedy order-dependent streaming
+selection (``stream_near_dup``), and cross-engine sketch internals
 (``approx_quantiles_value``; its exact p50 twin is oracle-checked). Every
 one of those families is still driver-checked through a CONTRACT twin whose
 verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
-(stream-equals-batch + greedy invariants), and
+(stream-equals-batch + greedy invariants), ``semantic_dedup_contracts``
+(conservation + no-kept-pair + drop-cause verdicts), and
 ``approx_quantiles_contracts`` (GK rank-bracket verdicts) — and the raw
 entries sit past the driver's ~50-entry check window so the ledger carries
 no unverifiable rows.
@@ -232,6 +233,7 @@ def queries() -> dict[str, QueryFn]:
         "curriculum_order": curation.curriculum_order,
         "purchase_attribution_events": asof.purchase_attribution_events,
         "stream_attribution_events": _stream_attribution_query,
+        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -364,6 +366,7 @@ def queries() -> dict[str, QueryFn]:
         "ivf_topk_indexed": similarity.ivf_topk_indexed,  # twin: ann_recall_contracts
         "pq_topk_cosine": similarity.pq_topk_cosine,  # twin: ann_recall_contracts
         "ann_cosine_lsh": similarity.ann_cosine_lsh,  # twin: ann_recall_contracts
+        "semantic_dedup": similarity.semantic_dedup,  # twin: semantic_dedup_contracts
         "stream_near_dup": _stream_near_dup_query,  # twin: stream_near_dup_contracts
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # twin: approx_quantiles_contracts
     }

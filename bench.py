@@ -77,6 +77,7 @@ HEADLINE = [
     "curriculum_order",  # tiered global ordering, bounded sorts only
     "purchase_attribution_events",  # bucketized range join (no NLJ)
     "stream_attribution_events",  # stream-static range join (stateless)
+    "semantic_dedup",  # SemDeDup: within-cell pairwise over IVF cells
 ]
 
 

