@@ -156,14 +156,25 @@ def run_stream_near_dup_bounded(
             candidate = sess.read.schema(_BUCKET_SCHEMA).parquet(state_dir)
             if candidate.take(1):
                 seen = candidate
-        kept, new_buckets, bands = near_dup_filter_batch(batch_df, seen)
+        kept, _, bands = near_dup_filter_batch(batch_df, seen)
         try:
             # materialize kept BEFORE appending buckets: new_buckets derives
             # from kept, and writing buckets first would double-count a
-            # batch's own buckets on failure-replay
+            # batch's own buckets on failure-replay. The bucket append then
+            # semi-joins the WRITTEN kept ids (a file-backed scan) rather
+            # than near_dup_filter_batch's new_buckets plan, so the
+            # window+anti-join sub-DAG behind `kept` executes exactly once
+            # per batch instead of once per consumer.
             kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-            new_buckets.write.mode("overwrite").parquet(
-                f"{state_dir}/batch={batch_id}"
+            kept_ids = sess.read.parquet(f"{out_dir}/batch={batch_id}").select(
+                "doc_id"
+            )
+            (
+                bands.join(kept_ids, "doc_id", "left_semi")
+                .select("band_id", "band_key")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/batch={batch_id}")
             )
             # telemetry (reference op #13, src/deduplication.ts:80-95): one
             # forwarded/dropped counter row per micro-batch interval,
