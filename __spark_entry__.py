@@ -234,6 +234,8 @@ def queries() -> dict[str, QueryFn]:
         "purchase_attribution_events": asof.purchase_attribution_events,
         "stream_attribution_events": _stream_attribution_query,
         "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
+        "cms_sketch": dedup.cms_sketch,
+        "cms_user_counts": dedup.cms_user_counts,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

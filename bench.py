@@ -78,6 +78,7 @@ HEADLINE = [
     "purchase_attribution_events",  # bucketized range join (no NLJ)
     "stream_attribution_events",  # stream-static range join (stateless)
     "semantic_dedup",  # SemDeDup: within-cell pairwise over IVF cells
+    "cms_user_counts",  # count-min sketch build + readback (oracle-exact)
 ]
 
 

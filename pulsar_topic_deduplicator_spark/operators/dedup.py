@@ -400,3 +400,116 @@ ORACLES["bloom_digest_prefilter"] = f"""
            TRUE AS fp_rate_ok
     FROM m LEFT JOIN w ON m.digest = w.digest
 """
+
+
+#: count-min-sketch geometry: 4 hash lanes × 256 slots. At 100 TB the
+#: sketch is still 4×256 longs — the POINT of the operator: per-key
+#: frequency telemetry whose wire cost is constant in the row count
+#: (reference op #13 generalized from two scalar counters to a keyed
+#: frequency table), with the classic one-sided guarantee
+#: estimate ≥ true, P[overshoot > e·n/width] ≤ e^-depth.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_slots(key) -> "F.Column":
+    """Array of the key's slot per lane — lane d hashes sha2('cms{d}#'+key),
+    the same seeded-hash construction as the MinHash seeds, so the oracle
+    reproduces every slot exactly."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import stable_uint60
+
+    return F.array(
+        *[
+            stable_uint60(F.concat(F.lit(f"cms{d}#"), key)) % CMS_WIDTH
+            for d in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch of user_id frequencies as a long-form table
+    (depth, slot, count): one scan, posexplode to DEPTH rows per event,
+    map-side combine collapses to ≤ DEPTH×WIDTH groups before the single
+    KB-sized shuffle. Deterministic hash lanes make the sketch itself
+    oracle-exact — unlike HLL registers, every cell value is reproducible
+    cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.posexplode(
+                _cms_slots(F.col("user_id").cast("string"))
+            ).alias("depth", "slot")
+        )
+        .groupBy("depth", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user frequency estimates read back from the sketch next to the
+    exact truth: estimate = min over lanes of the user's slot counts —
+    never an undercount, overshoot bounded by colliding keys. The sketch
+    side is broadcast (DEPTH×WIDTH rows at any corpus scale); the truth
+    side is the ordinary keyed count. Emitting both makes the entry
+    exactly value-checkable — the estimator's actual error surface on this
+    corpus, not just a verdict."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(spark, sf_dir)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    user_slots = truth.select(
+        "user_id",
+        "true_count",
+        F.posexplode(
+            _cms_slots(F.col("user_id").cast("string"))
+        ).alias("depth", "slot"),
+    )
+    est = (
+        user_slots.join(F.broadcast(sketch), ["depth", "slot"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overshoot"),
+        (F.col("cms_estimate") >= F.col("true_count")).alias("no_undercount"),
+    )
+
+
+def _duck_cms_slot() -> str:
+    """DuckDB twin of ``_cms_slots`` for one lane, parameterized by the
+    lane column ``d`` from the cross-joined lane table."""
+    lane_key = "'cms' || CAST(d AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)"
+    return f"CAST('0x' || substr(sha256({lane_key}), 1, 15) AS BIGINT) % {CMS_WIDTH}"
+
+
+_CMS_LANES_CTE = f"""
+    lanes AS (
+      SELECT user_id, d, {_duck_cms_slot()} AS slot
+      FROM events, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) ds
+    )
+"""
+
+ORACLES["cms_sketch"] = f"""
+    WITH {_CMS_LANES_CTE}
+    SELECT CAST(d AS INTEGER) AS depth, slot, count(*) AS n
+    FROM lanes GROUP BY d, slot
+"""
+
+ORACLES["cms_user_counts"] = f"""
+    WITH {_CMS_LANES_CTE},
+    sketch AS (SELECT d, slot, count(*) AS n FROM lanes GROUP BY d, slot),
+    truth AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id),
+    user_slots AS (SELECT DISTINCT user_id, d, slot FROM lanes),
+    est AS (
+      SELECT u.user_id, min(s.n) AS cms_estimate
+      FROM user_slots u JOIN sketch s ON u.d = s.d AND u.slot = s.slot
+      GROUP BY u.user_id)
+    SELECT t.user_id, t.true_count, e.cms_estimate,
+           e.cms_estimate - t.true_count AS overshoot,
+           e.cms_estimate >= t.true_count AS no_undercount
+    FROM truth t JOIN est e ON t.user_id = e.user_id
+"""

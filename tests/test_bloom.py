@@ -89,3 +89,32 @@ def test_bloom_filter_size_independent_of_partitions(spark, sf_dir):
     m, k = _bloom_params(n, 0.01)
     assert len(_bloom_build(warm, m, k)) == m // 8
     assert len(_bloom_build(warm.repartition(8), m, k)) == m // 8
+
+
+def test_cms_sketch_properties(spark, sf_dir):
+    """CMS invariants: every lane's cells sum to the event count (each
+    event increments exactly one slot per lane), and no per-user estimate
+    undercounts (min-over-lanes can only collide upward)."""
+    from pulsar_topic_deduplicator_spark.operators.dedup import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_sketch,
+        cms_user_counts,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    sketch = cms_sketch(spark, sf_dir).collect()
+    assert {r["depth"] for r in sketch} == set(range(CMS_DEPTH))
+    for d in range(CMS_DEPTH):
+        lane = [r for r in sketch if r["depth"] == d]
+        assert sum(r["n"] for r in lane) == n_events
+        assert all(0 <= r["slot"] < CMS_WIDTH for r in lane)
+
+    counts = cms_user_counts(spark, sf_dir).collect()
+    assert counts and all(r["no_undercount"] for r in counts)
+    assert all(r["overshoot"] >= 0 for r in counts)
+    # estimates reproduce truth exactly when the user's lanes are
+    # collision-free somewhere; globally the total overshoot stays small
+    # relative to n (e·n/width bound per colliding lane)
+    assert sum(r["overshoot"] for r in counts) < n_events
