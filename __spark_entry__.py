@@ -215,7 +215,8 @@ def queries() -> dict[str, QueryFn]:
     # approx_quantiles_contracts), so the driver ledger carries a verdict
     # for every family with zero `no_oracle` rows.
     return {
-        # ── (a) NEW contract-oracle entries (never driver-checked) ─────────
+        # ── (a) round-5 additions (never driver-checked): contract-oracle
+        #    twins, curation tier, range joins, sketches ──────────────────
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
         "doc_repetition_stats": textops.doc_repetition_stats,
