@@ -237,6 +237,7 @@ def queries() -> dict[str, QueryFn]:
         "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
         "cms_sketch": dedup.cms_sketch,
         "cms_user_counts": dedup.cms_user_counts,
+        "band_self_join_prices": asof.band_self_join_prices,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -79,6 +79,7 @@ HEADLINE = [
     "stream_attribution_events",  # stream-static range join (stateless)
     "semantic_dedup",  # SemDeDup: within-cell pairwise over IVF cells
     "cms_user_counts",  # count-min sketch build + readback (oracle-exact)
+    "band_self_join_prices",  # value-domain band join (bucketized theta)
 ]
 
 

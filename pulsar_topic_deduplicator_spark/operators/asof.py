@@ -204,7 +204,77 @@ def purchase_attribution_events(
     )
 
 
+#: band half-width for the price band join, in exact tenths (the corpus's
+#: price precision): |Δprice| ≤ 1.0
+PRICE_BAND_DECI = 10
+
+#: bucket width 2δ — each probe row explodes to at most 2 buckets
+_BAND_BUCKET = 2 * PRICE_BAND_DECI
+
+
+def band_self_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) self-join on a VALUE domain — same-brand part pairs
+    within 1.0 of retail price ("competing parts") — via the same
+    bucketization as ``interval_join``, generalized off the time axis:
+    expressed directly, ``abs(a.price − b.price) ≤ δ`` is a non-equi
+    predicate Catalyst can only run as a nested-loop join; bucketized, the
+    probe side explodes to ≤2 width-2δ buckets and the band check rides
+    the (brand, bucket) equi-join.
+
+    Prices are converted to EXACT tenths first (the data's precision), so
+    band membership is integer arithmetic — no float-boundary flake in
+    the pair set — and each (a, b) pair matches at most once because the
+    build side sits in exactly one bucket.
+    """
+    part = load_table(spark, sf_dir, "part")
+    deci = F.round(F.col("p_retailprice") * 10).cast("bigint")
+    p = part.select("p_partkey", "p_brand", "p_retailprice", deci.alias("u"))
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns]).withColumn(
+        "_bb", F.floor(F.col("b_u") / F.lit(_BAND_BUCKET))
+    )
+    a = p.withColumn(
+        "_ab",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    (F.col("u") - PRICE_BAND_DECI) / F.lit(_BAND_BUCKET)
+                ),
+                F.floor(
+                    (F.col("u") + PRICE_BAND_DECI) / F.lit(_BAND_BUCKET)
+                ),
+            )
+        ),
+    )
+    joined = a.join(
+        b,
+        (F.col("_ab") == F.col("_bb"))
+        & (F.col("p_brand") == F.col("b_p_brand"))
+        & (F.col("b_p_partkey") < F.col("p_partkey"))
+        & (F.abs(F.col("u") - F.col("b_u")) <= PRICE_BAND_DECI),
+    )
+    return joined.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("b_p_partkey").alias("part_b"),
+        "p_brand",
+        F.col("p_retailprice").alias("price_a"),
+        F.col("b_p_retailprice").alias("price_b"),
+        F.abs(F.col("u") - F.col("b_u")).alias("price_diff_tenths"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "band_self_join_prices": f"""
+        WITH p AS (
+          SELECT p_partkey, p_brand, p_retailprice,
+                 CAST(round(p_retailprice * 10) AS BIGINT) AS u
+          FROM part)
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand,
+               a.p_retailprice AS price_a, b.p_retailprice AS price_b,
+               abs(a.u - b.u) AS price_diff_tenths
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND b.p_partkey < a.p_partkey
+         AND abs(a.u - b.u) <= {PRICE_BAND_DECI}
+    """,
     "purchase_attribution_events": """
         WITH win AS (
           SELECT event_id AS window_id, user_id, ts AS w_start,

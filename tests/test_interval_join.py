@@ -117,3 +117,38 @@ def test_stream_attribution_matches_batch_range_join(spark, sf_dir):
         for r in asof.purchase_attribution_events(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_band_join_no_nlj_and_matches_naive(spark, sf_dir):
+    """The bucketized band join must plan as an equi-join (no NLJ or
+    cartesian) and return exactly the naive non-equi predicate's pairs."""
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.operators.asof import (
+        PRICE_BAND_DECI,
+        band_self_join_prices,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    df = band_self_join_prices(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    got = {(r["part_a"], r["part_b"]) for r in df.collect()}
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 10).cast("bigint").alias("u"),
+    )
+    a, b = part.alias("a"), part.alias("b")
+    naive = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("b.p_partkey") < F.col("a.p_partkey"))
+        & (F.abs(F.col("a.u") - F.col("b.u")) <= PRICE_BAND_DECI),
+    ).select(
+        F.col("a.p_partkey").alias("pa"), F.col("b.p_partkey").alias("pb")
+    )
+    want = {(r["pa"], r["pb"]) for r in naive.collect()}
+    assert got == want and got
