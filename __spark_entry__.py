@@ -238,6 +238,8 @@ def queries() -> dict[str, QueryFn]:
         "cms_sketch": dedup.cms_sketch,
         "cms_user_counts": dedup.cms_user_counts,
         "band_self_join_prices": asof.band_self_join_prices,
+        "minutely_rollup": relational.minutely_rollup,
+        "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

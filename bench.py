@@ -80,6 +80,7 @@ HEADLINE = [
     "semantic_dedup",  # SemDeDup: within-cell pairwise over IVF cells
     "cms_user_counts",  # count-min sketch build + readback (oracle-exact)
     "band_self_join_prices",  # value-domain band join (bucketized theta)
+    "hourly_rollup_from_minutely",  # hypertable rollup hierarchy (2 levels)
 ]
 
 

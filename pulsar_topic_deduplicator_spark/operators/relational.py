@@ -687,6 +687,86 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: time-bucket widths (µs) for the hypertable-style rollup hierarchy
+_MINUTE_US = 60 * 1_000_000
+_HOUR_US = 3600 * 1_000_000
+
+
+def _time_bucket(ts_col: str, step_us: int):
+    """Exact integer time-bucketing: µs − (µs mod step) — pure bigint
+    arithmetic, no float division, identical in the DuckDB oracle."""
+    us = F.unix_micros(ts_col)
+    return F.timestamp_micros(us - (us % F.lit(step_us)))
+
+
+def _minutely_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared level-1 aggregate with the sum kept in EXACT decimal
+    (``dsum_dec``) so level 2 can re-accumulate it order-independently;
+    the public entries surface it as double at their boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            _time_bucket("ts", _MINUTE_US).alias("bucket_minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).alias("dsum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def minutely_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate, level 1: events rolled to
+    1-minute buckets per event_type (count/sum/min/max — the decomposable
+    aggregates that re-roll losslessly; the sum accumulates in exact
+    decimal, see ``dec2``). One map-side-combined shuffle on (bucket,
+    type); at 100 TB this is the materialized view a time-series store
+    maintains incrementally — each new partition contributes only its own
+    buckets, so refresh cost is O(new data)."""
+    return _minutely_agg(spark, sf_dir).select(
+        "bucket_minute",
+        "event_type",
+        "n",
+        F.col("dsum").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def hourly_rollup_from_minutely(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Level 2: the hourly rollup computed FROM the minutely aggregate,
+    not the raw events — the hierarchical-reuse semantics of continuous
+    aggregates (re-aggregate counts/sums/mins/maxes in exact decimal;
+    derive avg from the re-rolled sum, never avg-of-avgs). The input is
+    bucket-cardinality-sized, so this level costs KBs regardless of
+    corpus size."""
+    m = _minutely_agg(spark, sf_dir)
+    out = m.groupBy(
+        _time_bucket("bucket_minute", _HOUR_US).alias("bucket_hour"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("dsum").alias("dsum"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    sum_dbl = F.col("dsum").cast("double")
+    return out.select(
+        "bucket_hour",
+        "event_type",
+        "n",
+        sum_dbl.alias("sum_value"),
+        "min_value",
+        "max_value",
+        (sum_dbl / F.col("n").cast("double")).alias("avg_value"),
+    )
+
+
 def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: per-nation counts of BUILDING-segment customers vs
     high-balance suppliers — either side may be absent, exercising the
@@ -1044,7 +1124,43 @@ _DEC_REVENUE = (
 )
 
 
+#: shared minutely-rollup CTE for the hypertable oracle pair (exact
+#: integer bucketing: µs − µs mod step, then make_timestamp)
+_MINUTELY_CTE = f"""
+    minutely AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {_MINUTE_US})
+               AS bucket_minute,
+             event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,2))) AS dsum,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events
+      GROUP BY 1, 2)
+"""
+
 ORACLES: dict[str, str] = {
+    "minutely_rollup": f"""
+        WITH {_MINUTELY_CTE}
+        SELECT bucket_minute, event_type, n,
+               CAST(dsum AS DOUBLE) AS sum_value,
+               min_value, max_value
+        FROM minutely
+    """,
+    "hourly_rollup_from_minutely": f"""
+        WITH {_MINUTELY_CTE}
+        SELECT make_timestamp(epoch_us(bucket_minute)
+                 - epoch_us(bucket_minute) % {_HOUR_US}) AS bucket_hour,
+               event_type,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(dsum) AS DOUBLE) AS sum_value,
+               min(min_value) AS min_value,
+               max(max_value) AS max_value,
+               CAST(sum(dsum) AS DOUBLE)
+                 / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS avg_value
+        FROM minutely
+        GROUP BY 1, 2
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {_dsum("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty")},

@@ -152,3 +152,46 @@ def test_band_join_no_nlj_and_matches_naive(spark, sf_dir):
     )
     want = {(r["pa"], r["pb"]) for r in naive.collect()}
     assert got == want and got
+
+
+def test_hourly_rollup_hierarchical_reuse_equals_direct(spark, sf_dir):
+    """Re-rolling the minutely aggregate must equal aggregating the raw
+    events straight to hourly buckets — the lossless-decomposition
+    property continuous aggregates depend on."""
+    from pulsar_topic_deduplicator_spark.operators.relational import (
+        _HOUR_US,
+        _time_bucket,
+        dec2,
+        hourly_rollup_from_minutely,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    via_minutely = {
+        (r["bucket_hour"], r["event_type"]): (
+            r["n"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in hourly_rollup_from_minutely(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        (r["bucket_hour"], r["event_type"]): (
+            r["n"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in ev.groupBy(
+            _time_bucket("ts", _HOUR_US).alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert via_minutely == direct and via_minutely
