@@ -133,9 +133,11 @@ def interval_join(
     when the bucket width equals the max interval length — and the shuffle
     is the ordinary hash-partitioned equi-join exchange, AQE-skew-safe.
 
-    Zero-length intervals must be filtered by the caller (an empty
-    ``sequence`` bound would otherwise run descending); this guard raises
-    on the named query's inputs instead of silently matching nothing.
+    Degenerate intervals (``end ≤ start``) can never contain a point under
+    the half-open predicate, so they are filtered out before the explode —
+    without this, Spark's ``sequence(lo, hi)`` with ``hi < lo`` generates a
+    DESCENDING range, which for a far-negative interval length would
+    explode unboundedly.
     """
     # Bucket ids come from double division + floor (Spark's `/` on longs).
     # Exactness doesn't matter — coverage does: double division is
@@ -147,7 +149,7 @@ def interval_join(
     p_us = F.unix_micros(F.col(point_ts))
     s_us = F.unix_micros(F.col(start_ts))
     e_us = F.unix_micros(F.col(end_ts))
-    iv = intervals.withColumn(
+    iv = intervals.filter(e_us > s_us).withColumn(
         "_ib",
         F.explode(
             F.sequence(

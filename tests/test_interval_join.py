@@ -195,3 +195,29 @@ def test_hourly_rollup_hierarchical_reuse_equals_direct(spark, sf_dir):
         .collect()
     }
     assert via_minutely == direct and via_minutely
+
+
+def test_interval_join_ignores_degenerate_intervals(spark):
+    """end <= start can never contain a point (half-open); such intervals
+    must be dropped before the bucket explode — a far-negative length
+    would otherwise generate a huge descending bucket sequence."""
+    points = spark.createDataFrame(
+        [(1, _ts(10))], "pid long, p_ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts(10), _ts(10)),  # zero-length at the point
+            (200, _ts(3600), _ts(0)),  # inverted, 1h long
+            (300, _ts(0), _ts(60)),  # sane: matches
+        ],
+        "iid long, s_ts timestamp, e_ts timestamp",
+    )
+    out = asof.interval_join(
+        points,
+        intervals,
+        point_ts="p_ts",
+        start_ts="s_ts",
+        end_ts="e_ts",
+        bucket_us=10_000_000,
+    )
+    assert {(r["pid"], r["iid"]) for r in out.collect()} == {(1, 300)}
