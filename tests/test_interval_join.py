@@ -221,3 +221,55 @@ def test_interval_join_ignores_degenerate_intervals(spark):
         bucket_us=10_000_000,
     )
     assert {(r["pid"], r["iid"]) for r in out.collect()} == {(1, 300)}
+
+
+def test_interval_join_randomized_vs_naive(spark):
+    """Seeded randomized equivalence: the bucketized join must return
+    exactly the naive range predicate's pairs over boundary-heavy random
+    data (points planted AT starts/ends/bucket edges, degenerate and
+    multi-bucket intervals, several keys, bucket width coprime to the
+    interval grid)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    keys = ["a", "b", "c"]
+    intervals, points = [], []
+    for iid in range(60):
+        s = rng.randrange(0, 5000)
+        length = rng.choice([0, 1, 7, 60, 400, 1500, -300])
+        intervals.append((iid, rng.choice(keys), _ts(s), _ts(s + length)))
+    for pid in range(300):
+        iv = rng.choice(intervals)
+        base = int((iv[2] - _T0).total_seconds())
+        end = int((iv[3] - _T0).total_seconds())
+        sec = rng.choice(
+            [base, end, end - 1, base - 1, rng.randrange(0, 5600)]
+        )
+        points.append((pid, rng.choice(keys), _ts(max(sec, 0))))
+    iv_df = spark.createDataFrame(
+        intervals, "iid long, k string, s_ts timestamp, e_ts timestamp"
+    )
+    pt_df = spark.createDataFrame(
+        points, "pid long, k string, p_ts timestamp"
+    )
+    # bucket width 13 s: coprime to every interval length above, so bucket
+    # edges fall everywhere relative to interval edges
+    got = {
+        (r["pid"], r["iid"])
+        for r in asof.interval_join(
+            pt_df,
+            iv_df,
+            point_ts="p_ts",
+            start_ts="s_ts",
+            end_ts="e_ts",
+            keys=("k",),
+            bucket_us=13_000_000,
+        ).collect()
+    }
+    want = {
+        (p[0], i[0])
+        for p in points
+        for i in intervals
+        if p[1] == i[1] and i[2] <= p[2] < i[3]
+    }
+    assert got == want and want
