@@ -388,3 +388,38 @@ def test_curriculum_order_broadcasts_offsets_no_global_sort(spark, sf_dir):
     plan = formatted_plan(df)
     assert has_broadcast_join(df), plan[:2000]
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_cms_sketch_partial_agg_and_broadcast_readback(spark, sf_dir):
+    """Sketch build must map-side combine ahead of its single KB-sized
+    exchange; the readback must join user slots against a BROADCAST
+    sketch (never shuffling the corpus onto 4x256 rows)."""
+    from pulsar_topic_deduplicator_spark.operators import dedup
+
+    sk = dedup.cms_sketch(spark, sf_dir)
+    plan = formatted_plan(sk)
+    assert plan.count("HashAggregate") >= 2, plan[:2000]  # partial + final
+    assert count_exchanges(sk) == 1, plan[:2000]
+    assert has_broadcast_join(dedup.cms_user_counts(spark, sf_dir))
+
+
+def test_rollup_hierarchy_exchanges(spark, sf_dir):
+    """Level 1 is one map-side-combined shuffle; level 2 adds at most one
+    more exchange over the bucket-cardinality-sized intermediate."""
+    from pulsar_topic_deduplicator_spark.operators import relational
+
+    m = relational.minutely_rollup(spark, sf_dir)
+    assert count_exchanges(m) == 1, formatted_plan(m)[:2000]
+    h = relational.hourly_rollup_from_minutely(spark, sf_dir)
+    assert count_exchanges(h) <= 2, formatted_plan(h)[:2000]
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """The within-cell pair test must ride the cell equi-join — never a
+    cartesian/NLJ over the corpus."""
+    from pulsar_topic_deduplicator_spark.operators import similarity
+
+    df = similarity.semantic_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
