@@ -699,11 +699,13 @@ def _time_bucket(ts_col: str, step_us: int):
     return F.timestamp_micros(us - (us % F.lit(step_us)))
 
 
-def _minutely_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared level-1 aggregate with the sum kept in EXACT decimal
-    (``dsum_dec``) so level 2 can re-accumulate it order-independently;
-    the public entries surface it as double at their boundary."""
-    ev = load_table(spark, sf_dir, "events")
+def rollup_events_minutely(ev: DataFrame) -> DataFrame:
+    """Level-1 rollup kernel over ANY events DataFrame, with the sum kept
+    in EXACT decimal so higher levels (and incremental refreshes) can
+    re-accumulate it order-independently. Because every aggregate here is
+    decomposable, re-rolling the union of two disjoint slices' rollups
+    equals rolling the union of the slices — the incremental-refresh
+    identity ``merge_minutely_rollups`` implements and tests pin."""
     return (
         ev.groupBy(
             _time_bucket("ts", _MINUTE_US).alias("bucket_minute"),
@@ -716,6 +718,27 @@ def _minutely_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+def merge_minutely_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental refresh: fold a new slice's rollup into an existing one
+    (same schema as ``rollup_events_minutely``). Cost is proportional to
+    the BUCKET rows touched, not the corpus — the materialized-view
+    maintenance step for a new day's partition at 100 TB."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("bucket_minute", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("dsum").alias("dsum"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def _minutely_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup_events_minutely(load_table(spark, sf_dir, "events"))
 
 
 def minutely_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,3 +273,40 @@ def test_interval_join_randomized_vs_naive(spark):
         if p[1] == i[1] and i[2] <= p[2] < i[3]
     }
     assert got == want and want
+
+
+def test_minutely_rollup_incremental_refresh(spark, sf_dir):
+    """Splitting the corpus at a time cutoff, rolling each slice, and
+    merging must equal rolling everything at once — the decomposable-
+    aggregate identity incremental materialized-view refresh relies on."""
+    from pulsar_topic_deduplicator_spark.operators.relational import (
+        merge_minutely_rollups,
+        rollup_events_minutely,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.percentile_approx("ts", 0.7).alias("c")
+    ).collect()[0]["c"]
+    old = rollup_events_minutely(ev.filter(F.col("ts") < cutoff))
+    new = rollup_events_minutely(ev.filter(F.col("ts") >= cutoff))
+    merged = {
+        (r["bucket_minute"], r["event_type"]): (
+            r["n"],
+            float(r["dsum"]),
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in merge_minutely_rollups(old, new).collect()
+    }
+    direct = {
+        (r["bucket_minute"], r["event_type"]): (
+            r["n"],
+            float(r["dsum"]),
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in rollup_events_minutely(ev).collect()
+    }
+    assert merged == direct and merged
