@@ -240,6 +240,7 @@ def queries() -> dict[str, QueryFn]:
         "band_self_join_prices": asof.band_self_join_prices,
         "minutely_rollup": relational.minutely_rollup,
         "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
+        "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -81,6 +81,7 @@ HEADLINE = [
     "cms_user_counts",  # count-min sketch build + readback (oracle-exact)
     "band_self_join_prices",  # value-domain band join (bucketized theta)
     "hourly_rollup_from_minutely",  # hypertable rollup hierarchy (2 levels)
+    "kmv_distinct_by_type",  # KMV distinct sketch + union merge (oracle-exact)
 ]
 
 

@@ -513,3 +513,152 @@ ORACLES["cms_user_counts"] = f"""
            e.cms_estimate >= t.true_count AS no_undercount
     FROM truth t JOIN est e ON t.user_id = e.user_id
 """
+
+
+#: KMV (k-minimum-values) sketch size: the k smallest stable hashes of a
+#: set estimate its cardinality as (k−1)/u_k (u_k = k-th minimum mapped to
+#: [0,1)). Deterministic under the sha2-derived hash — so unlike HLL the
+#: whole sketch AND its estimate are oracle-exact — and mergeable: the
+#: union sketch is the k smallest of the concatenated sketches, giving
+#: distinct-count SET ALGEBRA across sources for k longs per source.
+KMV_K = 64
+
+#: stage-1 salt fan-out for the per-group k-smallest (same lossless
+#: two-stage pattern as cap_docs_per_source: a row in the true k-smallest
+#: ranks ≤ k within its salt subgroup too)
+_KMV_SALTS = 4
+
+_TWO_POW_60 = float(2**60)
+
+
+def _kmv_k_smallest(hashes: DataFrame, group_col: str) -> DataFrame:
+    """The ``KMV_K`` smallest distinct hashes per group via the salted
+    two-stage rank — no group's sort ever sees more than ~1/salts of a
+    hot group's hashes."""
+    w1 = Window.partitionBy(
+        group_col, (F.col("h") % _KMV_SALTS).alias("salt")
+    ).orderBy("h")
+    pre = hashes.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= KMV_K
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h")
+    return (
+        pre.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= KMV_K)
+        .select(group_col, "h")
+    )
+
+
+def _kmv_report(kept: DataFrame, exact: DataFrame, group_col: str) -> DataFrame:
+    """(group, n_exact, n_kept, kmv_estimate): estimate = (k−1)/u_k when
+    the sketch is full, else the sketch IS the set and the count is exact."""
+    agg = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("u_k_int"),
+    )
+    u_k = F.col("u_k_int").cast("double") / F.lit(_TWO_POW_60)
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / u_k)
+    return (
+        exact.join(agg, group_col)
+        .select(
+            group_col,
+            "n_exact",
+            "n_kept",
+            est.alias("kmv_estimate"),
+        )
+    )
+
+
+def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-digest cardinality from a KMV sketch, next
+    to the exact count — plus the ``__union__`` row estimated from the
+    MERGED per-type sketches (k smallest of the concatenation), the
+    set-algebra read: at 100 TB only k longs per group cross the wire to
+    answer "how many unique payloads across all topics"."""
+    ev = with_digest(load_table(spark, sf_dir, "events"))
+    from ..functions.hashing import stable_uint60
+
+    hashes = (
+        ev.select(
+            "event_type", stable_uint60(F.col("digest")).alias("h")
+        ).distinct()
+    )
+    kept = _kmv_k_smallest(hashes, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("digest").alias("n_exact")
+    )
+    per_type = _kmv_report(kept, exact, "event_type")
+
+    # union row: merge = k smallest of the concatenated sketches (dedup h
+    # first — the same digest appears under one type only, but the 60-bit
+    # projection could collide across types)
+    union_kept = _kmv_k_smallest(
+        kept.select(F.lit("__union__").alias("event_type"), "h").distinct(),
+        "event_type",
+    )
+    union_exact = ev.select(F.lit("__union__").alias("event_type"), "digest")
+    union_exact = union_exact.groupBy("event_type").agg(
+        F.countDistinct("digest").alias("n_exact")
+    )
+    return per_type.unionByName(
+        _kmv_report(union_kept, union_exact, "event_type")
+    )
+
+
+_KMV_SALT_RANK = f"""
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type, h % {_KMV_SALTS}
+                                ORDER BY h) AS r1
+"""
+
+ORACLES["kmv_distinct_by_type"] = f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(sha256({_DIGEST}), 1, 15) AS BIGINT) AS h
+      FROM events),
+    pre AS ({_KMV_SALT_RANK} FROM hashes),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r2
+        FROM pre WHERE r1 <= {KMV_K})
+      WHERE r2 <= {KMV_K}),
+    u_pre AS (
+      SELECT 'u' AS event_type, h,
+             row_number() OVER (PARTITION BY h % {_KMV_SALTS} ORDER BY h) AS r1
+      FROM (SELECT DISTINCT h FROM kept)),
+    u_kept AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS r2
+        FROM u_pre WHERE r1 <= {KMV_K})
+      WHERE r2 <= {KMV_K}),
+    exact AS (
+      SELECT event_type, count(DISTINCT {_DIGEST}) AS n_exact
+      FROM events GROUP BY event_type),
+    rep AS (
+      SELECT k.event_type,
+             count(*) AS n_kept,
+             max(k.h) AS u_k_int
+      FROM kept k GROUP BY k.event_type),
+    per_type AS (
+      SELECT e.event_type, e.n_exact, CAST(r.n_kept AS BIGINT) AS n_kept,
+             CASE WHEN r.n_kept < {KMV_K} THEN CAST(r.n_kept AS DOUBLE)
+                  ELSE {float(KMV_K - 1)}
+                       / (CAST(r.u_k_int AS DOUBLE) / {_TWO_POW_60}) END
+               AS kmv_estimate
+      FROM exact e JOIN rep r ON e.event_type = r.event_type),
+    u_rep AS (
+      SELECT count(*) AS n_kept, max(h) AS u_k_int FROM u_kept),
+    u_row AS (
+      SELECT '__union__' AS event_type,
+             (SELECT count(DISTINCT {_DIGEST}) FROM events) AS n_exact,
+             CAST(n_kept AS BIGINT) AS n_kept,
+             CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+                  ELSE {float(KMV_K - 1)}
+                       / (CAST(u_k_int AS DOUBLE) / {_TWO_POW_60}) END
+               AS kmv_estimate
+      FROM u_rep)
+    SELECT * FROM per_type UNION ALL SELECT * FROM u_row
+"""

@@ -118,3 +118,24 @@ def test_cms_sketch_properties(spark, sf_dir):
     # collision-free somewhere; globally the total overshoot stays small
     # relative to n (e·n/width bound per colliding lane)
     assert sum(r["overshoot"] for r in counts) < n_events
+
+
+def test_kmv_estimates_within_4_sigma(spark, sf_dir):
+    """KMV accuracy: for full sketches the estimate must land within
+    4/sqrt(k-2) of the exact count (the estimator's rsd); short groups
+    (n < k) must report exactly. Determinism: identical on re-run."""
+    from pulsar_topic_deduplicator_spark.operators.dedup import (
+        KMV_K,
+        kmv_distinct_by_type,
+    )
+
+    rows = kmv_distinct_by_type(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} >= {"__union__"}
+    rsd = (KMV_K - 2) ** -0.5
+    for r in rows:
+        if r["n_kept"] < KMV_K:
+            assert r["kmv_estimate"] == float(r["n_exact"] if r["n_kept"] == r["n_exact"] else r["n_kept"])
+        else:
+            assert abs(r["kmv_estimate"] / r["n_exact"] - 1) < 4 * rsd, r
+    again = kmv_distinct_by_type(spark, sf_dir).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
