@@ -82,6 +82,7 @@ HEADLINE = [
     "band_self_join_prices",  # value-domain band join (bucketized theta)
     "hourly_rollup_from_minutely",  # hypertable rollup hierarchy (2 levels)
     "kmv_distinct_by_type",  # KMV distinct sketch + union merge (oracle-exact)
+    "dq_check_events",  # declarative DQ gate: one conditional-agg pass
 ]
 
 

@@ -106,3 +106,91 @@ ORACLES: dict[str, str] = {
         WHERE ts < TIMESTAMP '{WARMUP_CUTOFF}'
     """,
 }
+
+
+#: accepted event_type vocabulary for the DQ gate (FIXTURES.md corpus)
+DQ_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+DQ_TS_MIN = "2024-01-01 00:00:00"
+DQ_TS_MAX = "2026-01-01 00:00:00"
+
+
+def dq_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the ingest table (the deequ/
+    great-expectations shape, reduced to ONE conditional-aggregation
+    pass): per constraint, the violation count and a pass verdict —
+    null checks, primary-key uniqueness, timestamp range, categorical
+    vocabulary, value sign, and JSON parseability of ``props``.
+
+    The whole report is a single scan + one aggregate (the uniqueness
+    term rides the same agg via count vs count_distinct), then a
+    constant-size explode to long form — at 100 TB the report costs one
+    pass over the data and ships a handful of longs, which is why a
+    pipeline can afford to run it on EVERY ingest batch before the data
+    enters the dedup/curation tiers. Violation detection per constraint
+    is pinned on an injected-dirty fixture in tests."""
+    return dq_report(load_table(spark, sf_dir, "events"))
+
+
+def dq_report(ev: DataFrame) -> DataFrame:
+    """The constraint kernel over ANY events-shaped DataFrame."""
+    viol = {
+        "event_id_not_null": F.count_if(F.col("event_id").isNull()),
+        "event_id_unique": F.count(F.col("event_id"))
+        - F.countDistinct(F.col("event_id")),
+        "ts_in_range": F.count_if(
+            F.col("ts").isNull()
+            | (F.col("ts") < F.lit(DQ_TS_MIN).cast("timestamp"))
+            | (F.col("ts") >= F.lit(DQ_TS_MAX).cast("timestamp"))
+        ),
+        "event_type_in_vocab": F.count_if(
+            ~F.col("event_type").isin(*DQ_EVENT_TYPES)
+            | F.col("event_type").isNull()
+        ),
+        "value_non_negative": F.count_if(F.col("value") < 0),
+        "props_parseable": F.count_if(
+            F.col("props").isNotNull()
+            & F.from_json(
+                F.col("props"), "map<string,string>"
+            ).isNull()
+        ),
+    }
+    agg = ev.agg(*[c.alias(k) for k, c in viol.items()])
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("constraint"),
+                F.col(k).alias("violations"),
+            )
+            for k in viol
+        ]
+    )
+    return (
+        agg.select(F.explode(entries).alias("e"))
+        .select("e.constraint", "e.violations")
+        .withColumn("passes", F.col("violations") == 0)
+    )
+
+
+_DQ_TYPES_SQL = ", ".join(f"'{t}'" for t in DQ_EVENT_TYPES)
+
+ORACLES["dq_check_events"] = f"""
+    WITH agg AS (
+      SELECT
+        count(CASE WHEN event_id IS NULL THEN 1 END) AS c_null,
+        count(event_id) - count(DISTINCT event_id) AS c_dup,
+        count(CASE WHEN ts IS NULL OR ts < TIMESTAMP '{DQ_TS_MIN}'
+                     OR ts >= TIMESTAMP '{DQ_TS_MAX}' THEN 1 END) AS c_ts,
+        count(CASE WHEN event_type IS NULL
+                     OR event_type NOT IN ({_DQ_TYPES_SQL}) THEN 1 END) AS c_vocab,
+        count(CASE WHEN value < 0 THEN 1 END) AS c_neg,
+        count(CASE WHEN props IS NOT NULL
+                     AND try_cast(props AS JSON) IS NULL THEN 1 END) AS c_json
+      FROM events)
+    SELECT 'event_id_not_null' AS constraint, c_null AS violations,
+           c_null = 0 AS passes FROM agg
+    UNION ALL SELECT 'event_id_unique', c_dup, c_dup = 0 FROM agg
+    UNION ALL SELECT 'ts_in_range', c_ts, c_ts = 0 FROM agg
+    UNION ALL SELECT 'event_type_in_vocab', c_vocab, c_vocab = 0 FROM agg
+    UNION ALL SELECT 'value_non_negative', c_neg, c_neg = 0 FROM agg
+    UNION ALL SELECT 'props_parseable', c_json, c_json = 0 FROM agg
+"""

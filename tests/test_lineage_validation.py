@@ -104,3 +104,43 @@ def test_session_window_activity(spark):
     # session may be withheld (watermark), so assert on the first
     sessions = {(r["session_start"], r["n_messages"]) for r in got}
     assert any(n == 2 for _, n in sessions), sessions
+
+
+def test_dq_report_counts_each_violation_kind(spark):
+    """Every constraint's detection path, exercised on an injected-dirty
+    fixture: one null id, one duplicated id, one out-of-range ts + one
+    null ts, one unknown event_type, one negative value, one garbage
+    props string."""
+    import datetime as dt
+
+    from pulsar_topic_deduplicator_spark.operators.lineage import dq_report
+
+    ok_ts = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, ok_ts, 10, "click", 1.0, '{"k": "1"}'),
+        (1, ok_ts, 10, "click", 1.0, '{"k": "1"}'),  # dup id
+        (None, ok_ts, 10, "view", 1.0, None),  # null id
+        (3, dt.datetime(2031, 1, 1), 10, "view", 1.0, None),  # ts high
+        (4, None, 10, "view", 1.0, None),  # ts null
+        (5, ok_ts, 10, "mystery", 1.0, None),  # bad vocab
+        (6, ok_ts, 10, "error", -2.0, None),  # negative
+        (7, ok_ts, 10, "error", 1.0, "{not json"),  # bad props
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["constraint"]: r["violations"] for r in dq_report(ev).collect()}
+    assert got == {
+        "event_id_not_null": 1,
+        "event_id_unique": 1,
+        "ts_in_range": 2,
+        "event_type_in_vocab": 1,
+        "value_non_negative": 1,
+        "props_parseable": 1,
+    }
+    passes = {
+        r["constraint"]: r["passes"] for r in dq_report(ev).collect()
+    }
+    assert not any(passes.values())
