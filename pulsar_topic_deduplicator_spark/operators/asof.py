@@ -171,6 +171,21 @@ def interval_join(
     return pt.join(iv, on)
 
 
+def purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution window table: one [ts, ts + 30 min) window per
+    purchase — shared by the batch range join below and its streaming
+    twin (``streaming/attribution.py``), so the two paths cannot drift."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        F.col("user_id").alias("w_user_id"),
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.lit(ATTRIB_WINDOW_US)
+        ).alias("w_end"),
+    )
+
+
 def purchase_attribution_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -179,22 +194,14 @@ def purchase_attribution_events(
     itself) — the classic marketing-attribution range join, one row per
     (event, window) pair. Verified against DuckDB's native range join."""
     ev = load_table(spark, sf_dir, "events")
-    windows = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("window_id"),
-        F.col("user_id"),
-        F.col("ts").alias("w_start"),
-        F.timestamp_micros(
-            F.unix_micros("ts") + F.lit(ATTRIB_WINDOW_US)
-        ).alias("w_end"),
-    )
     pt = ev.select("event_id", "user_id", "ts", "event_type")
     joined = interval_join(
         pt,
-        windows,
+        purchase_windows(spark, sf_dir),
         point_ts="ts",
         start_ts="w_start",
         end_ts="w_end",
-        keys=("user_id",),
+        keys=(("user_id", "w_user_id"),),
     )
     return joined.select(
         pt["event_id"],

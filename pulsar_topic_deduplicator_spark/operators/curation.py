@@ -422,7 +422,10 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = base.withColumn(
         "rank_in_bucket", F.row_number().over(w).cast("bigint")
     )
-    counts = ranked.groupBy("tier", "bucket").agg(
+    # counts come from `base`, NOT `ranked`: group sizes don't need the
+    # window sort, and deriving them pre-window keeps the per-bucket sort
+    # from executing twice on the forked (uncached) lineage
+    counts = base.groupBy("tier", "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
     # single-partition window is deliberate: `counts` is tiers×buckets rows

@@ -343,11 +343,15 @@ def bloom_digest_prefilter(
     surface is the contract, not the bits."""
     import numpy as np
 
+    # the warm set feeds THREE consumers (sizing count, bitset build,
+    # is_warm verification join) — persist so the scan + digest + distinct
+    # shuffle runs once, not three times
     warm = (
         with_digest(load_table(spark, sf_dir, "events"))
         .filter(F.col("ts") < F.lit(_WARMUP_CUTOFF).cast("timestamp"))
         .select("digest")
         .distinct()
+        .persist()
     )
     n_items = warm.count()  # scalar for sizing (same pass native bloom needs)
     m, k = _bloom_params(n_items, fpp)

@@ -24,22 +24,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import ATTRIB_WINDOW_US, interval_join
-from ..sources.io import load_table
+from ..operators.asof import ORACLES as ASOF_ORACLES
+from ..operators.asof import interval_join, purchase_windows
 from .source import events_raw_stream
-
-
-def purchase_windows(spark: SparkSession, source_dir: str) -> DataFrame:
-    """The static window table: one [ts, ts + 30 min) window per purchase."""
-    ev = load_table(spark, source_dir, "events")
-    return ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("window_id"),
-        F.col("user_id").alias("w_user_id"),
-        F.col("ts").alias("w_start"),
-        F.timestamp_micros(
-            F.unix_micros("ts") + F.lit(ATTRIB_WINDOW_US)
-        ).alias("w_end"),
-    )
 
 
 def attribute_stream(points: DataFrame, windows: DataFrame) -> DataFrame:
@@ -84,19 +71,11 @@ def run_stream_attribution_bounded(
     return spark.table(name)
 
 
-#: exact oracle — the same SQL as the batch twin (`asof.ORACLES`): the
+#: exact oracle — BY REFERENCE the batch twin's SQL (`asof.ORACLES`): the
 #: bounded single-batch inner join is append-only and stateless, so the
-#: stream emits exactly the batch result.
+#: stream emits exactly the batch result, and sharing the oracle object
+#: pins that identity by construction (a batch-oracle change cannot
+#: silently drift from the streaming twin).
 ORACLES: dict[str, str] = {
-    "stream_attribution_events": """
-        WITH win AS (
-          SELECT event_id AS window_id, user_id, ts AS w_start,
-                 ts + INTERVAL 30 MINUTE AS w_end
-          FROM events WHERE event_type = 'purchase')
-        SELECT e.event_id, e.user_id, e.ts, e.event_type,
-               w.window_id, w.w_start
-        FROM events e JOIN win w
-          ON e.user_id = w.user_id
-         AND e.ts >= w.w_start AND e.ts < w.w_end
-    """,
+    "stream_attribution_events": ASOF_ORACLES["purchase_attribution_events"],
 }
