@@ -597,14 +597,17 @@ def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # union row: merge = k smallest of the concatenated sketches (dedup h
     # first — the same digest appears under one type only, but the 60-bit
-    # projection could collide across types)
+    # projection could collide across types). The union's EXACT count is
+    # the sum of the per-type exacts — the digest embeds event_type, so no
+    # digest can exist under two types — which saves re-scanning the
+    # corpus for a global distinct.
     union_kept = _kmv_k_smallest(
         kept.select(F.lit("__union__").alias("event_type"), "h").distinct(),
         "event_type",
     )
-    union_exact = ev.select(F.lit("__union__").alias("event_type"), "digest")
-    union_exact = union_exact.groupBy("event_type").agg(
-        F.countDistinct("digest").alias("n_exact")
+    union_exact = exact.agg(F.sum("n_exact").alias("n_exact")).select(
+        F.lit("__union__").alias("event_type"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
     )
     return per_type.unionByName(
         _kmv_report(union_kept, union_exact, "event_type")
@@ -657,7 +660,7 @@ ORACLES["kmv_distinct_by_type"] = f"""
       SELECT count(*) AS n_kept, max(h) AS u_k_int FROM u_kept),
     u_row AS (
       SELECT '__union__' AS event_type,
-             (SELECT count(DISTINCT {_DIGEST}) FROM events) AS n_exact,
+             (SELECT CAST(sum(n_exact) AS BIGINT) FROM exact) AS n_exact,
              CAST(n_kept AS BIGINT) AS n_kept,
              CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
                   ELSE {float(KMV_K - 1)}
