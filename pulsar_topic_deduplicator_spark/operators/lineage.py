@@ -147,11 +147,12 @@ def dq_report(ev: DataFrame) -> DataFrame:
             | F.col("event_type").isNull()
         ),
         "value_non_negative": F.count_if(F.col("value") < 0),
+        # validity-of-JSON semantics (not is-an-object): try_parse_json ↔
+        # DuckDB try_cast(.. AS JSON) agree on every edge incl. the JSON
+        # 'null' literal and non-object roots (probed: both non-NULL)
         "props_parseable": F.count_if(
             F.col("props").isNotNull()
-            & F.from_json(
-                F.col("props"), "map<string,string>"
-            ).isNull()
+            & F.try_parse_json(F.col("props")).isNull()
         ),
     }
     agg = ev.agg(*[c.alias(k) for k, c in viol.items()])

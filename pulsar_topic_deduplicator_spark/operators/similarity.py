@@ -1039,11 +1039,20 @@ def ann_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All comparisons are Spark-side joins over k-sized results — driver
     work is nil, and the exact sides reuse the oracle-checked operators."""
-    exact_topk = embedding_topk_cosine(spark, sf_dir).select("vec_id")
+    # the exact top-k is a k-row constant across all three comparisons —
+    # collect it once instead of re-running the brute-force scan+sort (and
+    # its count) per method
+    exact_ids = {
+        r["vec_id"]
+        for r in embedding_topk_cosine(spark, sf_dir).select("vec_id").collect()
+    }
+    exact_topk = spark.createDataFrame(
+        [(i,) for i in sorted(exact_ids)], "vec_id long"
+    )
     rows = []
 
     def topk_recall(method: str, approx: DataFrame, floor: float):
-        n_exact = exact_topk.count()
+        n_exact = len(exact_ids)
         n_hit = approx.select("vec_id").join(exact_topk, "vec_id").count()
         rows.append((method, TOP_K, floor, n_hit / max(n_exact, 1) >= floor))
 

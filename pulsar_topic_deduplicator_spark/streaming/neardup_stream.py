@@ -71,10 +71,14 @@ def doc_band_rows(docs: DataFrame) -> DataFrame:
 
 
 def near_dup_filter_batch(
-    docs: DataFrame, seen_buckets: DataFrame | None
+    docs: DataFrame,
+    seen_buckets: DataFrame | None,
+    bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One micro-batch of the filter: returns ``(kept_docs, new_buckets,
-    bands_handle)`` — unpersist the handle once both outputs are written.
+    bands_handle)`` — unpersist the handle once both outputs are written
+    (unless the caller passed its own ``bands``, in which case the caller
+    owns the cache).
 
     A doc is dropped when any of its buckets is in ``seen_buckets`` (kept
     docs from prior batches) or is owned by a lower doc_id in this batch;
@@ -83,9 +87,12 @@ def near_dup_filter_batch(
     ``bands`` feeds three consumers (state probe, within-batch ownership,
     new-bucket projection); without a persist the shingle→MinHash sub-DAG
     would execute once per consumer — cache it for the duration of the
-    batch (caller-visible plans all read the cached pass).
+    batch (caller-visible plans all read the cached pass). A caller that
+    has ALREADY banded (and persisted) the same docs passes it in to
+    avoid recomputing the expensive shingle→MinHash sub-DAG.
     """
-    bands = doc_band_rows(docs).persist()
+    if bands is None:
+        bands = doc_band_rows(docs).persist()
     state_hit = (
         bands.join(
             seen_buckets, ["band_id", "band_key"], "left_semi"
@@ -136,6 +143,18 @@ def run_stream_near_dup_bounded(
     # pass checkpoint_dir to resume — a restart replays nothing, processes
     # only NEW files, and batchId-named output dirs keep replays idempotent
     ckpt_dir = checkpoint_dir or f"{work_dir}/ckpt_{uuid.uuid4().hex[:8]}"
+    # a FRESH checkpoint restarts batch ids at 0, so stale bucket state
+    # from a prior run under the same work_dir would wrongly suppress
+    # every replayed document — refuse loudly instead of silently
+    # emitting an empty corpus
+    if checkpoint_dir is None:
+        import os
+
+        if os.path.exists(state_dir):
+            raise ValueError(
+                f"work_dir {work_dir!r} already holds bucket state; pass "
+                "checkpoint_dir to resume it, or use a fresh work_dir"
+            )
 
     reader = spark.readStream.schema(DOCS_RAW_SCHEMA)
     if max_files_per_trigger:
@@ -153,7 +172,16 @@ def run_stream_near_dup_bounded(
         fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
         seen = None
         if fs.exists(jpath):
-            candidate = sess.read.schema(_BUCKET_SCHEMA).parquet(state_dir)
+            # read WITH the batch partition column and exclude this batch's
+            # own partition: a failure-replay of batch N would otherwise
+            # see buckets/batch=N from the failed attempt as prior state
+            # and drop every document it is replaying
+            candidate = (
+                sess.read.schema(_BUCKET_SCHEMA + ", batch long")
+                .parquet(state_dir)
+                .filter(F.col("batch") != batch_id)
+                .select("band_id", "band_key")
+            )
             if candidate.take(1):
                 seen = candidate
         kept, _, bands = near_dup_filter_batch(batch_df, seen)
@@ -250,13 +278,15 @@ def stream_near_dup_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = doc_band_rows(docs).persist()
     try:
         k_ids = kept.select("doc_id")
-        batch_kept, _, batch_bands = near_dup_filter_batch(docs, None)
+        # reuse the already-persisted bands — the batch twin's banding of
+        # the same docs would otherwise recompute the shingle→MinHash
+        # sub-DAG a second time
+        batch_kept, _, _ = near_dup_filter_batch(docs, None, bands=bands)
         b_ids = batch_kept.select("doc_id")
         stream_equals_batch = (
             k_ids.exceptAll(b_ids).count() == 0
             and b_ids.exceptAll(k_ids).count() == 0
         )
-        batch_bands.unpersist()
 
         owners = bands.groupBy("band_id", "band_key").agg(
             F.min("doc_id").alias("owner")

@@ -125,6 +125,10 @@ def test_dq_report_counts_each_violation_kind(spark):
         (5, ok_ts, 10, "mystery", 1.0, None),  # bad vocab
         (6, ok_ts, 10, "error", -2.0, None),  # negative
         (7, ok_ts, 10, "error", 1.0, "{not json"),  # bad props
+        # valid NON-OBJECT JSON roots must NOT count as violations
+        # (validity semantics, matching the oracle's try_cast AS JSON)
+        (8, ok_ts, 10, "error", 1.0, "[1,2]"),
+        (9, ok_ts, 10, "error", 1.0, "null"),
     ]
     ev = spark.createDataFrame(
         rows,

@@ -157,3 +157,51 @@ def test_stream_metrics_match_output(spark, sf_dir, tmp_path):
     assert total_in == load_table(spark, sf_dir, "documents").count()
     assert total_fwd == kept.count()
     assert total_fwd + total_drop == total_in
+
+
+def test_replay_excludes_own_batch_buckets(spark, sf_dir, tmp_path):
+    """Failure-replay semantics: bucket state left by a FAILED attempt of
+    the same batch id must not count as prior state (it would drop every
+    replayed doc). Simulated by pre-seeding buckets/batch=0 with the full
+    corpus banding and replaying batch 0 over an explicit checkpoint."""
+    from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+        DOCS_RAW_SCHEMA,
+        doc_band_rows,
+        run_stream_near_dup_bounded,
+    )
+
+    work = str(tmp_path / "work")
+    docs = (
+        spark.read.schema(DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # the failed attempt's own buckets: every band of every doc
+    doc_band_rows(docs).select("band_id", "band_key").distinct().write.parquet(
+        f"{work}/buckets/batch=0"
+    )
+    out = run_stream_near_dup_bounded(
+        spark,
+        sf_dir,
+        work,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # with the own-batch exclusion the replay behaves like a first run:
+    # a non-trivial kept set survives (old behavior: zero rows)
+    assert out.count() > 0
+
+
+def test_fresh_checkpoint_refuses_stale_work_dir(spark, sf_dir, tmp_path):
+    """Reusing a work_dir without a checkpoint restarts batch ids at 0
+    against stale bucket state — must refuse loudly, not silently emit an
+    empty corpus."""
+    import pytest as _pytest
+
+    from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+        run_stream_near_dup_bounded,
+    )
+
+    work = str(tmp_path / "w2")
+    run_stream_near_dup_bounded(spark, sf_dir, work)
+    with _pytest.raises(ValueError, match="bucket state"):
+        run_stream_near_dup_bounded(spark, sf_dir, work)
