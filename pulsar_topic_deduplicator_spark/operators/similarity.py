@@ -718,9 +718,18 @@ def semantic_dedup(
     ``semantic_dedup_contracts`` pins the invariants for the driver.
     """
     assigned, _ = _ivf_train_assign(spark, sf_dir, n_cells)
-    v = assigned.select(
-        "vec_id", "cell", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
+    # three consumers (both self-join sides + the final id/cell frame)
+    # fork this lineage; without the persist the Arrow assign pass (and
+    # the scan behind it) executes once per consumer
+    v = (
+        assigned.select(
+            "vec_id",
+            "cell",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .persist()
+    )
     a, b = v.alias("a"), v.alias("b")
     dup_best = (
         a.join(
