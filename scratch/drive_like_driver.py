@@ -45,6 +45,13 @@ for name in sorted(set(qs) - set(os_)):
     df = qs[name](spark, "/root/testdata/sf0.01")
     print("ROWS", name, df.count())
 # sf0.1 spot-checks: hardcoded-path and nanos-timestamp hazards at scale
-for name in ["q1_pricing_summary", "dedup_exact_keep_first", "text_stats"]:
+for name in [
+    "q1_pricing_summary",
+    "dedup_exact_keep_first",
+    "text_stats",
+    "hourly_rollup_from_minutely",  # µs bucketing on the big events table
+    "band_self_join_prices",  # bucketized theta join at scale
+    "kmv_distinct_by_type",  # sketch ranks over the full digest set
+]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
