@@ -242,6 +242,7 @@ def queries() -> dict[str, QueryFn]:
         "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
         "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
         "dq_check_events": lineage.dq_check_events,
+        "bm25_rank": textops.bm25_rank,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -83,6 +83,7 @@ HEADLINE = [
     "hourly_rollup_from_minutely",  # hypertable rollup hierarchy (2 levels)
     "kmv_distinct_by_type",  # KMV distinct sketch + union merge (oracle-exact)
     "dq_check_events",  # declarative DQ gate: one conditional-agg pass
+    "bm25_rank",  # BM25 lexical ranking: one scan + stats broadcast + top-k
 ]
 
 

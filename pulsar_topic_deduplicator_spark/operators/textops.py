@@ -631,3 +631,100 @@ ORACLES["gopher_quality_flags"] = f"""
            ({GOPHER_PASS_SQL}) AS passes_gopher
     FROM f
 """
+
+
+#: BM25 parameters (the Robertson defaults) and the fixed query term set
+#: for the named ranking entry (terms chosen from the corpus vocabulary)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "spark", "data")
+BM25_TOP_K = 50
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking of the corpus against a fixed term query — the
+    standard retrieval scorer, expressed as ONE scan (per-term tf + doc
+    length as codegen'd array expressions) + a single-row corpus-stats
+    aggregate broadcast back + a TakeOrdered top-k. No shuffle touches the
+    corpus beyond the top-k; at 100 TB the stats row is the only global
+    state and the score is a per-row projection.
+
+    Determinism: tf/df/len/avglen derive from exact integers; the idf's
+    ``ln`` may differ from DuckDB's libm in the last ulp, so the score is
+    rounded to 6 dp at the boundary (the kNN-cosine pattern) and the rank
+    order ties on (rounded score DESC, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    def _eq(term: str):
+        # closure factory, NOT a default-arg lambda: a 2-arg lambda would
+        # be interpreted by F.filter as (element, index)
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(words, _eq(t))).alias(f"tf_{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    base = docs.select(
+        "doc_id", F.size(words).alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = 1 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(BM25_QUERY)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        score = score + idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * norm)
+    ranked = j.select("doc_id", F.round(score, 6).alias("bm25"))
+    return ranked.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP_K)
+
+
+def _bm25_oracle() -> str:
+    tf = [
+        f"len(list_filter({_WORDS}, w -> w = '{t}'))" for t in BM25_QUERY
+    ]
+    terms = []
+    for i in range(len(BM25_QUERY)):
+        idf = f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        terms.append(
+            f"{idf} * (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * norm)"
+        )
+    score = " + ".join(f"({t})" for t in terms)
+    df_cols = ", ".join(
+        f"count(CASE WHEN tf_{i} > 0 THEN 1 END) AS df_{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    tf_cols = ", ".join(f"{e} AS tf_{i}" for i, e in enumerate(tf))
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {_NW} AS dl, {tf_cols}
+          FROM documents),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols}
+          FROM base),
+        scored AS (
+          SELECT doc_id,
+                 round(0.0 + {score}, 6) AS bm25
+          FROM base, stats,
+               LATERAL (SELECT 1 - {BM25_B} + {BM25_B} *
+                        (CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))) AS norm) n)
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+ORACLES["bm25_rank"] = _bm25_oracle()
