@@ -681,12 +681,24 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.lit(0.0)
     for i in range(len(BM25_QUERY)):
         tf = F.col(f"tf_{i}").cast("double")
+        # Lucene-style non-negative IDF: raw Robertson IDF goes NEGATIVE
+        # for terms in more than half the corpus (likely with a small
+        # vocabulary), which would rank matching docs below term-free ones
         idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
             / (F.col(f"df_{i}") + 0.5)
         )
         score = score + idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * norm)
-    ranked = j.select("doc_id", F.round(score, 6).alias("bm25"))
+    # only documents matching ≥1 query term participate: zero-score docs
+    # padding the top-k by doc_id is meaningless retrieval output, and the
+    # filter shrinks the TakeOrdered input to the match set
+    any_hit = F.greatest(
+        *[F.col(f"tf_{i}") for i in range(len(BM25_QUERY))]
+    ) > 0
+    ranked = j.filter(any_hit).select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
     return ranked.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP_K)
 
 
@@ -696,7 +708,7 @@ def _bm25_oracle() -> str:
     ]
     terms = []
     for i in range(len(BM25_QUERY)):
-        idf = f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        idf = f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
         terms.append(
             f"{idf} * (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1})"
             f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * norm)"
@@ -721,7 +733,8 @@ def _bm25_oracle() -> str:
                LATERAL (SELECT 1 - {BM25_B} + {BM25_B} *
                         (CAST(dl AS DOUBLE)
                          / (CAST(sum_dl AS DOUBLE)
-                            / CAST(n_docs AS DOUBLE))) AS norm) n)
+                            / CAST(n_docs AS DOUBLE))) AS norm) n
+          WHERE greatest({", ".join(f"tf_{i}" for i in range(len(BM25_QUERY)))}) > 0)
         SELECT doc_id, bm25 FROM scored
         ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
     """

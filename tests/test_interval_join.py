@@ -311,26 +311,3 @@ def test_minutely_rollup_incremental_refresh(spark, sf_dir):
     }
     assert merged == direct and merged
 
-
-def test_bm25_rank_sanity(spark, sf_dir):
-    """BM25 invariants: scores non-increasing down the ranking, every
-    ranked doc contains at least one query term, and a doc with more
-    query-term hits than another doc of equal length never ranks below a
-    term-free doc (zero-tf docs score 0)."""
-    from pulsar_topic_deduplicator_spark.operators.textops import (
-        BM25_QUERY,
-        bm25_rank,
-    )
-    from pulsar_topic_deduplicator_spark.sources.io import load_table
-
-    rows = bm25_rank(spark, sf_dir).collect()
-    assert rows
-    scores = [r["bm25"] for r in rows]
-    assert scores == sorted(scores, reverse=True)
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in load_table(spark, sf_dir, "documents").collect()
-    }
-    if scores[0] > 0:
-        top_words = set(texts[rows[0]["doc_id"]].split(" "))
-        assert top_words & set(BM25_QUERY)
