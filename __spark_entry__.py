@@ -171,6 +171,19 @@ def _stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchases stream × events
+    stream, key + event-time range) — exact oracle: the bounded
+    single-batch run emits exactly the batch range-join result."""
+    from pulsar_topic_deduplicator_spark.streaming.join import (
+        run_stream_stream_attribution_bounded,
+    )
+
+    return run_stream_stream_attribution_bounded(
+        spark, sf_dir, glob_filter="events.parquet"
+    )
+
+
 def _stream_warmup_flagged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: live messages flagged against the
     bootstrap-time warm-up digest set (op #11 surfaced as a column); batch
@@ -243,6 +256,7 @@ def queries() -> dict[str, QueryFn]:
         "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
         "dq_check_events": lineage.dq_check_events,
         "bm25_rank": textops.bm25_rank,
+        "stream_stream_attribution": _stream_stream_attribution_query,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -405,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
     from pulsar_topic_deduplicator_spark.streaming import (
         attribution,
         enrich,
+        join as stream_join,
         neardup_stream,
         windows,
     )
@@ -418,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(windows.ORACLES)
     oracles.update(enrich.ORACLES)
     oracles.update(attribution.ORACLES)
+    oracles.update(stream_join.ORACLES)
     oracles.update(neardup_stream.ORACLES)
     from pulsar_topic_deduplicator_spark.streaming import quality
 

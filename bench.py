@@ -84,6 +84,7 @@ HEADLINE = [
     "kmv_distinct_by_type",  # KMV distinct sketch + union merge (oracle-exact)
     "dq_check_events",  # declarative DQ gate: one conditional-agg pass
     "bm25_rank",  # BM25 lexical ranking: one scan + stats broadcast + top-k
+    "stream_stream_attribution",  # watermarked stream-stream range join
 ]
 
 

@@ -1,0 +1,83 @@
+"""Stream-stream join — two live streams joined on key + event-time range.
+
+The missing member of the streaming join story: ``attribution.py`` joins a
+stream against a STATIC window table; here BOTH sides are streams (the
+canonical ad-attribution shape: a purchase stream joined to the same
+user's click/view stream within the attribution window). Structured
+Streaming requires exactly what this plan provides — an equality key, a
+time-range join condition, and watermarks on both sides — and uses them
+to bound the join state: a buffered event can be evicted once the
+watermark passes ``ts + window``, so state is O(in-flight window), not
+O(stream history), at any scale.
+
+The bounded availableNow run processes everything in one micro-batch, so
+the inner join emits exactly the predicate's matches — deterministically —
+which is why this harness has an EXACT SQL oracle (the half-open
+range-join SQL shared in spirit with the batch `interval_join`, here with
+the stream-stream condition's bounds).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import ATTRIB_WINDOW_US
+from .source import events_raw_stream
+
+
+def run_stream_stream_attribution_bounded(
+    spark: SparkSession, source_dir: str, glob_filter: str | None = None
+) -> DataFrame:
+    """Purchases stream ⋈ events stream per user within [p.ts, p.ts+30min)
+    — both sides live, 10-minute watermarks, inner join, append mode."""
+    purchases = (
+        events_raw_stream(spark, source_dir, glob_filter=glob_filter)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    events = (
+        events_raw_stream(spark, source_dir, glob_filter=glob_filter)
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    joined = events.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("ts") >= F.col("p_ts"))
+        & (
+            F.unix_micros("ts")
+            < F.unix_micros("p_ts") + F.lit(ATTRIB_WINDOW_US)
+        ),
+    ).select(
+        "event_id", "user_id", "ts", "event_type", "window_id",
+        F.col("p_ts").alias("w_start"),
+    )
+    name = f"ss_attrib_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+#: exact oracle: single-batch inner stream-stream join = the batch range
+#: join (same SQL as the attribution twins — the condition is identical)
+from ..operators.asof import ORACLES as _ASOF_ORACLES
+
+ORACLES: dict[str, str] = {
+    "stream_stream_attribution": _ASOF_ORACLES["purchase_attribution_events"],
+}

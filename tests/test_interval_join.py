@@ -311,3 +311,23 @@ def test_minutely_rollup_incremental_refresh(spark, sf_dir):
     }
     assert merged == direct and merged
 
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    """The bounded watermarked stream-stream join must emit exactly the
+    batch range join's pairs (single-batch inner join — deterministic)."""
+    from pulsar_topic_deduplicator_spark.streaming.join import (
+        run_stream_stream_attribution_bounded,
+    )
+
+    got = {
+        (r["event_id"], r["window_id"])
+        for r in run_stream_stream_attribution_bounded(
+            spark, sf_dir, glob_filter="events.parquet"
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["window_id"])
+        for r in asof.purchase_attribution_events(spark, sf_dir).collect()
+    }
+    assert got == want and got
