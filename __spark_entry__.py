@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pulsar_topic_deduplicator_spark.operators import (
     asof,
+    cdc,
     curation,
     dedup,
     lineage,
@@ -257,6 +258,8 @@ def queries() -> dict[str, QueryFn]:
         "dq_check_events": lineage.dq_check_events,
         "bm25_rank": textops.bm25_rank,
         "stream_stream_attribution": _stream_stream_attribution_query,
+        "merge_upsert_orders": cdc.merge_upsert_orders,
+        "scd2_event_type_history": cdc.scd2_event_type_history,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
     for module in (
         asof,
+        cdc,
         curation,
         dedup,
         lineage,

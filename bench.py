@@ -85,6 +85,8 @@ HEADLINE = [
     "dq_check_events",  # declarative DQ gate: one conditional-agg pass
     "bm25_rank",  # BM25 lexical ranking: one scan + stats broadcast + top-k
     "stream_stream_attribution",  # watermarked stream-stream range join
+    "merge_upsert_orders",  # CDC latest-wins merge (union + argmax, 1 shuffle)
+    "scd2_event_type_history",  # SCD2 validity intervals (windows, 1 shuffle)
 ]
 
 

@@ -1,0 +1,127 @@
+"""CDC merge + SCD2 history semantics (operators/cdc.py).
+
+The DuckDB value parity for both query entries is pinned in
+test_oracle_parity; these tests pin the MERGE-arm semantics, the interval
+algebra of the SCD2 build, and the one-shuffle plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators import cdc
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+
+def test_merge_upsert_three_arms(spark, sf_dir):
+    merged = cdc.merge_upsert_orders(spark, sf_dir).cache()
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        n_base = orders.filter(F.col("o_orderkey") % 5 != 0).count()
+        n_insert = orders.filter(
+            (F.col("o_orderkey") % 10 == 0)
+        ).count()  # even AND div-5 → only in the update batch
+        # WHEN MATCHED update + WHEN NOT MATCHED insert + untouched pass-through
+        assert merged.count() == n_base + n_insert
+        # one row per key, never duplicated by the merge
+        assert merged.select("o_orderkey").distinct().count() == merged.count()
+        # every even key must carry the update payload; odd keys the base one
+        assert (
+            merged.filter(
+                (F.col("o_orderkey") % 2 == 0) & (F.col("src") != "update")
+            ).count()
+            == 0
+        )
+        assert (
+            merged.filter(
+                (F.col("o_orderkey") % 2 != 0) & (F.col("src") != "base")
+            ).count()
+            == 0
+        )
+        # updated rows: exact +10.0 on the base price, status rewritten
+        joined = merged.filter(F.col("src") == "update").join(
+            orders.select("o_orderkey", F.col("o_totalprice").alias("orig")),
+            "o_orderkey",
+        )
+        assert (
+            joined.filter(F.col("o_totalprice") != F.col("orig") + 10.0).count() == 0
+        )
+        assert joined.filter(F.col("o_orderstatus") != "U").count() == 0
+    finally:
+        merged.unpersist()
+
+
+def test_merge_upsert_is_one_shuffle(spark, sf_dir):
+    plan = (
+        cdc.merge_upsert_orders(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    hist = cdc.scd2_event_type_history(spark, sf_dir).cache()
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # exactly one open (current) version per user
+        n_users = ev.select("user_id").distinct().count()
+        assert hist.filter(F.col("valid_to").isNull()).count() == n_users
+        # versions are 1..n dense per user and ordered by valid_from
+        bad_version = (
+            hist.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("version").alias("vmax"))
+            .filter(F.col("n") != F.col("vmax"))
+            .count()
+        )
+        assert bad_version == 0
+        # adjacent versions abut: valid_to == next version's valid_from,
+        # and consecutive versions never share the attribute value
+        nxt = hist.select(
+            "user_id",
+            (F.col("version") - 1).alias("version"),
+            F.col("valid_from").alias("next_from"),
+            F.col("event_type").alias("next_type"),
+        )
+        j = hist.join(nxt, ["user_id", "version"]).cache()
+        try:
+            assert j.filter(F.col("valid_to") != F.col("next_from")).count() == 0
+            assert j.filter(F.col("event_type") == F.col("next_type")).count() == 0
+        finally:
+            j.unpersist()
+        # every source event falls inside its user's interval for its type
+        probe = ev.alias("e").join(
+            hist.alias("h"),
+            (F.col("e.user_id") == F.col("h.user_id"))
+            & (F.col("e.ts") >= F.col("h.valid_from"))
+            & (
+                F.col("h.valid_to").isNull() | (F.col("e.ts") < F.col("h.valid_to"))
+            ),
+        )
+        mismatched = probe.filter(
+            F.col("e.event_type") != F.col("h.event_type")
+        ).count()
+        # ties on identical ts across versions are resolved by event_id in
+        # the build; a same-ts boundary can place an event at the edge of
+        # the neighbouring interval, so allow the tie rows only
+        ties = (
+            ev.groupBy("user_id", "ts")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .collect()[0][0]
+        )
+        assert mismatched <= ties
+    finally:
+        hist.unpersist()
+
+
+def test_scd2_is_one_shuffle(spark, sf_dir):
+    plan = (
+        cdc.scd2_event_type_history(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
