@@ -159,6 +159,18 @@ def _stream_near_dup_contracts_query(spark: SparkSession, sf_dir: str) -> DataFr
     return stream_near_dup_contracts(spark, sf_dir)
 
 
+def _stream_latest_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction: fold the event stream into a keyed
+    latest-state snapshot (last-wins complement of the reference's
+    first-wins dedup). Exact oracle — the per-key argmax is associative,
+    so the bounded run equals the batch argmax in any batch split."""
+    from pulsar_topic_deduplicator_spark.streaming.latest_state import (
+        stream_latest_state,
+    )
+
+    return stream_latest_state(spark, sf_dir)
+
+
 def _stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static bucketized range join (live events × static purchase
     windows) — exact oracle: stateless inner join, append mode, so the
@@ -260,6 +272,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_stream_attribution": _stream_stream_attribution_query,
         "merge_upsert_orders": cdc.merge_upsert_orders,
         "scd2_event_type_history": cdc.scd2_event_type_history,
+        "stream_latest_state": _stream_latest_state_query,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -439,7 +452,8 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(attribution.ORACLES)
     oracles.update(stream_join.ORACLES)
     oracles.update(neardup_stream.ORACLES)
-    from pulsar_topic_deduplicator_spark.streaming import quality
+    from pulsar_topic_deduplicator_spark.streaming import latest_state, quality
 
     oracles.update(quality.ORACLES)
+    oracles.update(latest_state.ORACLES)
     return oracles

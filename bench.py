@@ -87,6 +87,7 @@ HEADLINE = [
     "stream_stream_attribution",  # watermarked stream-stream range join
     "merge_upsert_orders",  # CDC latest-wins merge (union + argmax, 1 shuffle)
     "scd2_event_type_history",  # SCD2 validity intervals (windows, 1 shuffle)
+    "stream_latest_state",  # streaming CDC compaction (foreachBatch argmax fold)
 ]
 
 

@@ -53,6 +53,20 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
     return picked.select(*key_cols, "__row.*")
 
 
+def keep_latest(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Last-wins compaction: one row per key, the one greatest by
+    ``order_cols`` (ties impossible when the order ends in a unique id).
+    ``max_by`` over an ordering struct — one map-side-combined shuffle, and
+    ASSOCIATIVE: keep_latest(keep_latest(A) ∪ keep_latest(B)) equals
+    keep_latest(A ∪ B), which is what lets the streaming materializer fold
+    micro-batches into a snapshot in any batch split (test-pinned)."""
+    payload = [c for c in df.columns if c not in key_cols]
+    picked = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("__row")
+    )
+    return picked.select(*key_cols, "__row.*")
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge demo on ``orders``: base snapshot = keys not divisible by
     5; update batch = even keys with the price bumped and status rewritten.

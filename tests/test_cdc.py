@@ -117,6 +117,41 @@ def test_scd2_intervals_tile_per_user(spark, sf_dir):
         hist.unpersist()
 
 
+def test_keep_latest_is_batch_split_independent(spark, sf_dir):
+    """The streaming materializer's correctness rests on keep_latest being
+    associative: folding per-slice compactions must equal compacting the
+    whole table."""
+    ev = load_table(spark, sf_dir, "events")
+    key, order = ["user_id"], ["ts", "event_id"]
+    whole = cdc.keep_latest(ev, key, order)
+    a = cdc.keep_latest(ev.filter(F.col("event_id") % 3 == 0), key, order)
+    b = cdc.keep_latest(ev.filter(F.col("event_id") % 3 != 0), key, order)
+    folded = cdc.keep_latest(a.unionByName(b), key, order)
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0
+
+
+def test_stream_latest_state_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """Stream the events table one file per micro-batch (4 source files →
+    4 folds) and require the final snapshot to equal the batch argmax."""
+    from pulsar_topic_deduplicator_spark.streaming.latest_state import (
+        run_stream_latest_state_bounded,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    snap = run_stream_latest_state_bounded(
+        spark, src, str(tmp_path / "work"), glob_filter="*.parquet",
+        max_files_per_trigger=1,
+    )
+    batch = cdc.keep_latest(ev, ["user_id"], ["ts", "event_id"]).select(
+        *snap.columns
+    )
+    assert snap.exceptAll(batch).count() == 0
+    assert batch.exceptAll(snap).count() == 0
+
+
 def test_scd2_is_one_shuffle(spark, sf_dir):
     plan = (
         cdc.scd2_event_type_history(spark, sf_dir)
