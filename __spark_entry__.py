@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pulsar_topic_deduplicator_spark.operators import (
+    analytics,
     asof,
     cdc,
     curation,
@@ -273,6 +274,9 @@ def queries() -> dict[str, QueryFn]:
         "merge_upsert_orders": cdc.merge_upsert_orders,
         "scd2_event_type_history": cdc.scd2_event_type_history,
         "stream_latest_state": _stream_latest_state_query,
+        "funnel_steps": analytics.funnel_steps,
+        "weekly_cohort_retention": analytics.weekly_cohort_retention,
+        "value_histogram": analytics.value_histogram,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -414,6 +418,7 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
     for module in (
+        analytics,
         asof,
         cdc,
         curation,

@@ -88,6 +88,9 @@ HEADLINE = [
     "merge_upsert_orders",  # CDC latest-wins merge (union + argmax, 1 shuffle)
     "scd2_event_type_history",  # SCD2 validity intervals (windows, 1 shuffle)
     "stream_latest_state",  # streaming CDC compaction (foreachBatch argmax fold)
+    "funnel_steps",  # ordered funnel via chained same-partition windows
+    "weekly_cohort_retention",  # cohort triangle, self-derived dimension
+    "value_histogram",  # fixed-width float binning (exact cross-engine)
 ]
 
 

@@ -1,0 +1,190 @@
+"""Product-analytics tier — funnel, cohort retention, histogram.
+
+NOT in the reference (its telemetry is two scalar counters, op #13,
+``src/deduplication.ts:80-95``); these are the standard event-analytics
+aggregations any engine fed a deduplicated event stream gets asked for
+next, and they exercise aggregation shapes the rest of the surface doesn't:
+chained same-partition windows (funnel), self-derived dimension + offset
+aggregation (cohorts), and float binning (histogram).
+
+Scale notes: every operator here is ONE shuffle on its natural key.
+
+* ``funnel_steps`` chains three window expressions over the SAME
+  ``user_id`` partitioning — Catalyst plans them in one exchange; the
+  final per-step rollup is a KB-sized aggregate of per-user booleans.
+* ``weekly_cohort_retention`` derives the cohort dimension from the fact
+  table itself with a min-over-user window (no dimension join), then
+  counts distinct (user, offset) pairs — the distinct rides the same
+  user-hashed exchange.
+* ``value_histogram`` is a pure projection + count: bins are
+  ``floor(value / width)`` — IEEE double division and floor are
+  bit-identical cross-engine, so the oracle is exact (the float-binning
+  analog of the integer ``_time_bucket``).
+
+All time arithmetic is integer µs/day/week index math (`div`), never
+calendar ``date_trunc`` — locale/week-start-independent and exactly
+reproducible in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+#: ordered funnel definition over the events stream
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user reaches step k when
+    the steps can be completed in ts order (greedy: each step matches its
+    EARLIEST occurrence after the previous step — the standard funnel
+    semantics, and the greedy choice is provably optimal: taking the
+    earliest view leaves the most room for a later click). Output: one row
+    per step with the number of users that reached it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w)
+    ev1 = ev.select("user_id", "event_type", "ts", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[1]) & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    ev2 = ev1.select("*", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[2]) & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        ev2.select("*", t3.alias("t3"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("t1").isNotNull()).alias("s1"),
+            F.max(F.col("t2").isNotNull()).alias("s2"),
+            F.max(F.col("t3").isNotNull()).alias("s3"),
+        )
+    )
+    counts = per_user.agg(
+        F.count(F.when(F.col("s1"), 1)).alias("n1"),
+        F.count(F.when(F.col("s2"), 1)).alias("n2"),
+        F.count(F.when(F.col("s3"), 1)).alias("n3"),
+    )
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n{i + 1}").alias("n_users"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return counts.select(F.explode(steps).alias("s")).select("s.*")
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by the week index of their
+    FIRST event; for each (cohort_week, week_offset) the number of
+    distinct users active that many weeks later. Week index is integer
+    epoch-day-div-7 — calendar-free and oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer div throughout: double division near an exact day boundary
+    # could truncate off-by-one
+    week = F.expr(f"(unix_micros(ts) div {_US_PER_DAY}) div 7")
+    ev = ev.select("user_id", week.alias("week_idx"))
+    w = Window.partitionBy("user_id")
+    ev = ev.select(
+        "user_id", "week_idx", F.min("week_idx").over(w).alias("cohort_week")
+    )
+    return (
+        ev.select(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, width: float = 25.0) -> DataFrame:
+    """Fixed-width histogram of event values per type: bin k covers
+    [k·width, (k+1)·width). floor(double / double) is IEEE-deterministic,
+    so bins — and therefore counts — are exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(width)).cast("long")
+    return (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * width).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "funnel_steps": f"""
+        WITH e1 AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        e2 AS (
+          SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1
+                             THEN ts END) OVER (PARTITION BY user_id) AS t2
+          FROM e1),
+        e3 AS (
+          SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2
+                             THEN ts END) OVER (PARTITION BY user_id) AS t3
+          FROM e2),
+        per_user AS (
+          SELECT user_id,
+                 max(t1 IS NOT NULL) AS s1,
+                 max(t2 IS NOT NULL) AS s2,
+                 max(t3 IS NOT NULL) AS s3
+          FROM e3 GROUP BY user_id),
+        c AS (
+          SELECT count(CASE WHEN s1 THEN 1 END) AS n1,
+                 count(CASE WHEN s2 THEN 1 END) AS n2,
+                 count(CASE WHEN s3 THEN 1 END) AS n3
+          FROM per_user)
+        SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type, n1 AS n_users FROM c
+        UNION ALL
+        SELECT 2, '{FUNNEL_STEPS[1]}', n2 FROM c
+        UNION ALL
+        SELECT 3, '{FUNNEL_STEPS[2]}', n3 FROM c
+    """,
+    "weekly_cohort_retention": f"""
+        WITH w AS (
+          SELECT user_id, (epoch_us(ts) // {_US_PER_DAY}) // 7 AS week_idx
+          FROM events),
+        c AS (
+          SELECT user_id, week_idx,
+                 min(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+          FROM w)
+        SELECT cohort_week, week_idx - cohort_week AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM c
+        GROUP BY 1, 2
+    """,
+    "value_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 25.0) AS BIGINT) AS bin,
+               CAST(floor(value / 25.0) AS BIGINT) * CAST(25.0 AS DOUBLE) AS bin_lo,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+}

@@ -1,0 +1,85 @@
+"""Product-analytics tier semantics (operators/analytics.py). DuckDB value
+parity is pinned in test_oracle_parity; these pin the invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators import analytics
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+
+def test_funnel_is_monotone_and_bounded(spark, sf_dir):
+    rows = {
+        r["step"]: r["n_users"]
+        for r in analytics.funnel_steps(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[1] <= n_users
+
+
+def test_funnel_requires_order_not_just_presence(spark, sf_dir):
+    """A user owning all three event types but never in funnel order must
+    not reach step 3 — count users with all three types and require the
+    funnel's step-3 count to be no larger (strictness of the ts-order
+    condition vs a bag-of-types count)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_all = (
+        ev.filter(F.col("event_type").isin(analytics.FUNNEL_STEPS))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .filter(F.col("k") == 3)
+        .count()
+    )
+    step3 = {
+        r["step"]: r["n_users"]
+        for r in analytics.funnel_steps(spark, sf_dir).collect()
+    }[3]
+    assert step3 <= with_all
+
+
+def test_cohort_offsets_start_at_zero(spark, sf_dir):
+    coh = analytics.weekly_cohort_retention(spark, sf_dir).cache()
+    try:
+        assert coh.filter(F.col("week_offset") < 0).count() == 0
+        # every cohort has an offset-0 row, and it is the cohort's max
+        # (a user is active in their own first week by definition)
+        base = coh.filter(F.col("week_offset") == 0).select(
+            "cohort_week", F.col("n_users").alias("base")
+        )
+        j = coh.join(base, "cohort_week")
+        assert j.filter(F.col("n_users") > F.col("base")).count() == 0
+        # offset-0 rows cover every user exactly once across cohorts
+        n_users = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        total0 = (
+            coh.filter(F.col("week_offset") == 0)
+            .agg(F.sum("n_users"))
+            .collect()[0][0]
+        )
+        assert total0 == n_users
+    finally:
+        coh.unpersist()
+
+
+def test_histogram_partitions_the_table(spark, sf_dir):
+    hist = analytics.value_histogram(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert hist.agg(F.sum("n")).collect()[0][0] == ev.count()
+    assert hist.filter(F.col("bin_lo") != F.col("bin") * 25.0).count() == 0
+    # bins really bound their values
+    joined = ev.join(
+        hist.select("event_type", "bin"),
+        (F.floor(F.col("value") / 25.0) == F.col("bin"))
+        & (ev["event_type"] == hist["event_type"]),
+        "left_anti",
+    )
+    assert joined.count() == 0
