@@ -32,6 +32,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     cdc,
     curation,
     dedup,
+    graph,
     lineage,
     multimodal,
     neardup,
@@ -277,6 +278,7 @@ def queries() -> dict[str, QueryFn]:
         "funnel_steps": analytics.funnel_steps,
         "weekly_cohort_retention": analytics.weekly_cohort_retention,
         "value_histogram": analytics.value_histogram,
+        "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
@@ -423,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         cdc,
         curation,
         dedup,
+        graph,
         lineage,
         pipeline,
         relational,

@@ -91,6 +91,7 @@ HEADLINE = [
     "funnel_steps",  # ordered funnel via chained same-partition windows
     "weekly_cohort_retention",  # cohort triangle, self-derived dimension
     "value_histogram",  # fixed-width float binning (exact cross-engine)
+    "pagerank_top_suppliers",  # 3 fixed-point power iterations (exact ints)
 ]
 
 

@@ -1,0 +1,144 @@
+"""Iterative graph analytics — fixed-point PageRank over the
+customer↔supplier interaction graph.
+
+NOT in the reference (no joins at all, let alone iteration — SURVEY.md
+§2.3); added alongside the connected-components pair (min-label and
+large-star/small-star in ``neardup.py``/``similarity.py``) so the engine's
+iterative-algorithm tier covers the other classic: influence propagation.
+
+Why FIXED-POINT integers: textbook PageRank sums doubles across
+partitions, and float addition is not associative — the same query can
+return different last bits run to run, which breaks both determinism
+guarantees and any cross-engine oracle. Here rank mass is a scaled BIGINT
+(`SCALE` = 1e12); contributions are ``pr div outdeg`` (floor), damping is
+``(85 · sum) div 100`` — every operation is exact integer arithmetic, so
+the result is bit-identical on any cluster, any partitioning, any engine,
+and a DuckDB oracle replays the SAME k iterations as chained CTEs. The
+cost is a deterministic rounding loss of < outdeg · k ulps of mass per
+node (floors only ever shrink), which is the documented deviation from
+real-valued PageRank — the RANKING it induces is what the operator
+contracts, and the floors are identical cross-engine so even ties match.
+
+Scale notes: each iteration is (pr ⋈ edges on src) → agg by dst — the
+standard two-shuffle PageRank step; k is fixed (default 3), so the plan is
+a static 2k-exchange DAG, no driver-side data beyond the loop counter.
+Edges are cached once (size = distinct interaction pairs, ≪ lineitem). At
+100 TB the edge table would be bucketed by src so the join side of every
+iteration is co-located, halving the shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+#: fixed-point scale for rank mass (1e12 ≈ 12 decimal digits of rank)
+SCALE = 1_000_000_000_000
+#: damping factor, as an exact integer percentage
+DAMP_PCT = 85
+#: fixed iteration count (static plan; the oracle replays the same k)
+N_ITER = 3
+#: result size
+TOP_K = 20
+
+
+def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier pairs from orders ⋈ lineitem, emitted in
+    BOTH directions (undirected graph ⇒ every node has out-degree ≥ 1 —
+    no dangling-mass special case)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    return fwd.unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """k damped power-iteration steps in exact integer arithmetic; returns
+    (node, pr) for every node of the (bidirectional) edge set."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # attach outdeg to every edge ONCE and cache: each iteration is then a
+    # single join on src (the degree lookup doesn't repeat per iteration)
+    edges_deg = edges.join(deg, "src").cache()
+    # node count and init ranks read the cache too — one source scan total
+    nodes = edges_deg.select("src").distinct()
+    n_nodes = nodes.count()  # scalar: number of nodes (every node is a src)
+    init = SCALE // n_nodes
+    base = (15 * init) // 100  # (1 - d) share, exact
+    pr = nodes.select(F.col("src").alias("node"), F.lit(init).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        # explicit aliases: pr derives from edges_deg after the first
+        # iteration, so attribute references would be ambiguous self-joins
+        contrib = (
+            pr.alias("p")
+            .join(edges_deg.alias("e"), F.col("p.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                F.expr("p.pr div e.outdeg").alias("share"),
+            )
+        )
+        pr = contrib.groupBy("node").agg(
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({DAMP_PCT} * sum(share)) div 100")
+            ).alias("pr")
+        )
+    return pr
+
+
+def pagerank_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: top-20 nodes of the interaction graph by fixed-point
+    PageRank (exact integers ⇒ deterministic ranking incl. ties, oracle
+    replays the identical 3 iterations)."""
+    pr = pagerank_fixed_point(_interaction_edges(spark, sf_dir))
+    return pr.orderBy(F.desc("pr"), "node").limit(TOP_K)
+
+
+def _oracle() -> str:
+    """Chained-CTE replay of the same k integer iterations."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, N_ITER + 1):
+        steps.append(
+            f"""pr{i} AS (
+          SELECT e.dst AS node,
+                 (SELECT base FROM consts)
+                   + ({DAMP_PCT} * CAST(sum(p.pr // d.outdeg) AS BIGINT)) // 100 AS pr
+          FROM edges e
+          JOIN {prev} p ON e.src = p.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        consts AS (
+          SELECT CAST({SCALE} // count(*) AS BIGINT) AS init,
+                 CAST((15 * ({SCALE} // count(*))) // 100 AS BIGINT) AS base
+          FROM deg),
+        pr0 AS (SELECT src AS node, (SELECT init FROM consts) AS pr FROM deg),
+        {chain}
+        SELECT node, pr FROM {prev}
+        ORDER BY pr DESC, node
+        LIMIT {TOP_K}
+    """
+
+
+ORACLES: dict[str, str] = {"pagerank_top_suppliers": _oracle()}

@@ -1,0 +1,44 @@
+"""Fixed-point PageRank invariants (operators/graph.py). DuckDB parity of
+the driver entry is pinned in test_oracle_parity; these pin the fixed-point
+algebra on a hand-built graph where the exact ranking is known."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    fwd = spark.createDataFrame(pairs, "src string, dst string")
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_hub_outranks_leaves(spark):
+    """Star graph: the hub must get the top rank, all leaves tie exactly
+    (integer arithmetic ⇒ bit-equal leaf ranks, no float fuzz)."""
+    e = _edges(spark, [("hub", f"leaf{i}") for i in range(5)])
+    pr = {r["node"]: r["pr"] for r in graph.pagerank_fixed_point(e).collect()}
+    leaves = [v for k, v in pr.items() if k.startswith("leaf")]
+    assert pr["hub"] > max(leaves)
+    assert len(set(leaves)) == 1
+    # mass is conserved up to deterministic floor loss: never created
+    assert sum(pr.values()) <= graph.SCALE
+
+
+def test_symmetric_graph_is_uniform(spark):
+    """On a cycle every node has identical in/out structure — fixed-point
+    ranks must be exactly equal."""
+    n = 6
+    e = _edges(spark, [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)])
+    ranks = {r["pr"] for r in graph.pagerank_fixed_point(e).collect()}
+    assert len(ranks) == 1
+
+
+def test_more_iterations_keep_determinism(spark):
+    """Re-running the same plan twice gives bit-identical ranks (the whole
+    point of fixed-point arithmetic)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    r1 = sorted(map(tuple, graph.pagerank_fixed_point(e, n_iter=5).collect()))
+    r2 = sorted(map(tuple, graph.pagerank_fixed_point(e, n_iter=5).collect()))
+    assert r1 == r2
