@@ -279,6 +279,7 @@ def queries() -> dict[str, QueryFn]:
         "weekly_cohort_retention": analytics.weekly_cohort_retention,
         "value_histogram": analytics.value_histogram,
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
+        "session_purchase_overlaps": asof.session_purchase_overlaps,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

@@ -92,6 +92,7 @@ HEADLINE = [
     "weekly_cohort_retention",  # cohort triangle, self-derived dimension
     "value_histogram",  # fixed-width float binning (exact cross-engine)
     "pagerank_top_suppliers",  # 3 fixed-point power iterations (exact ints)
+    "session_purchase_overlaps",  # interval×interval overlap join (bucketized)
 ]
 
 

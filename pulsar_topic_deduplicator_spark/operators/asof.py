@@ -271,6 +271,103 @@ def band_self_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: tuple = (),
+    bucket_us: int = ATTRIB_WINDOW_US,
+) -> DataFrame:
+    """Interval × interval OVERLAP join — the third member of the
+    bucketized non-equi family (point-in-interval ``interval_join``,
+    value-band ``band_self_join_prices``). Left intervals are CLOSED
+    [l_start, l_end] (both bounds are observed timestamps, e.g. session
+    min/max); right intervals are HALF-OPEN [r_start, r_end). Overlap iff
+    ``l_start < r_end AND r_start <= l_end``.
+
+    Both sides explode to their covered coarse buckets and the overlap
+    predicate rides the (keys…, bucket) equi-join. Unlike the point case,
+    an overlapping pair can share SEVERAL buckets, so the join keeps only
+    the FIRST shared bucket — ``bucket == greatest(floor(ls/w),
+    floor(rs/w))`` — which both sides provably cover whenever the pair
+    overlaps (monotonicity of floor division), making the output
+    duplicate-free without a distinct pass. Explode factor is
+    ``len/bucket_us + 1`` per interval; the shuffle is an ordinary
+    hash-partitioned equi-join, AQE-skew-safe, never an NLJ.
+    """
+    ls = F.unix_micros(F.col(l_start))
+    le = F.unix_micros(F.col(l_end))
+    rs = F.unix_micros(F.col(r_start))
+    re_ = F.unix_micros(F.col(r_end))
+    lt = left.filter(le >= ls).withColumn(
+        "_lb",
+        F.explode(
+            F.sequence(F.floor(ls / F.lit(bucket_us)), F.floor(le / F.lit(bucket_us)))
+        ),
+    )
+    rt = right.filter(re_ > rs).withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.floor(rs / F.lit(bucket_us)),
+                F.floor((re_ - 1) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    on = lt["_lb"] == rt["_rb"]
+    for k in keys:
+        lk, rk = (k, k) if isinstance(k, str) else k
+        on = on & (lt[lk] == rt[rk])
+    first_bucket = F.greatest(
+        F.floor(F.unix_micros(lt[l_start]) / F.lit(bucket_us)),
+        F.floor(F.unix_micros(rt[r_start]) / F.lit(bucket_us)),
+    )
+    on = (
+        on
+        & (F.unix_micros(lt[l_start]) < F.unix_micros(rt[r_end]))
+        & (F.unix_micros(rt[r_start]) <= F.unix_micros(lt[l_end]))
+        & (lt["_lb"] == first_bucket)
+    )
+    return lt.join(rt, on)
+
+
+def session_purchase_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlap which purchase-attribution windows —
+    the session-stitching shape (two interval sets over the same
+    timeline). Sessions come from ``sessionize_events`` (closed: bounds
+    are observed event times); windows from ``purchase_windows``
+    (half-open), so both interval tables are shared with their verified
+    sibling queries and the overlap semantics are the only new code."""
+    from . import relational
+
+    sess = relational.sessionize_events(spark, sf_dir).select(
+        F.col("user_id").alias("s_user_id"),
+        "session_id",
+        "session_start",
+        "session_end",
+    )
+    joined = interval_overlap_join(
+        sess,
+        purchase_windows(spark, sf_dir),
+        l_start="session_start",
+        l_end="session_end",
+        r_start="w_start",
+        r_end="w_end",
+        keys=(("s_user_id", "w_user_id"),),
+    )
+    return joined.select(
+        F.col("s_user_id").alias("user_id"),
+        "session_id",
+        "window_id",
+        "session_start",
+        "session_end",
+        "w_start",
+    )
+
+
 ORACLES: dict[str, str] = {
     "band_self_join_prices": f"""
         WITH p AS (
@@ -309,3 +406,27 @@ ORACLES: dict[str, str] = {
           ON e.user_id = p.user_id AND e.ts >= p.p_ts
     """,
 }
+
+
+def _session_overlap_oracle() -> str:
+    """Reuse the verified sessionize SQL as the session CTE (shared
+    fragment — the two oracles cannot drift) and join it to the window
+    table with DuckDB's native non-equi predicate."""
+    from .relational import ORACLES as _rel
+
+    return f"""
+        WITH sess AS ({_rel["sessionize_events"]}),
+        win AS (
+          SELECT event_id AS window_id, user_id, ts AS w_start,
+                 ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'purchase')
+        SELECT s.user_id, s.session_id, w.window_id,
+               s.session_start, s.session_end, w.w_start
+        FROM sess s JOIN win w
+          ON s.user_id = w.user_id
+         AND s.session_start < w.w_end
+         AND w.w_start <= s.session_end
+    """
+
+
+ORACLES["session_purchase_overlaps"] = _session_overlap_oracle()

@@ -275,6 +275,52 @@ def test_interval_join_randomized_vs_naive(spark):
     assert got == want and want
 
 
+def test_overlap_join_randomized_vs_naive(spark):
+    """Seeded randomized equivalence for the interval×interval OVERLAP
+    join: exactly the naive predicate's pairs (left closed, right
+    half-open), each pair exactly once even when the overlap spans many
+    shared buckets."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    keys = ["a", "b"]
+    lefts, rights = [], []
+    for lid in range(80):
+        s = rng.randrange(0, 4000)
+        length = rng.choice([0, 1, 13, 60, 700, 2000])
+        lefts.append((lid, rng.choice(keys), _ts(s), _ts(s + length)))
+    for rid in range(80):
+        s = rng.randrange(0, 4000)
+        length = rng.choice([0, 1, 7, 90, 500, 2500, -100])
+        rights.append((rid, rng.choice(keys), _ts(s), _ts(s + length)))
+    l_df = spark.createDataFrame(
+        lefts, "lid long, k string, ls timestamp, le timestamp"
+    )
+    r_df = spark.createDataFrame(
+        rights, "rid long, k string, rs timestamp, re timestamp"
+    )
+    out = asof.interval_overlap_join(
+        l_df,
+        r_df,
+        l_start="ls",
+        l_end="le",
+        r_start="rs",
+        r_end="re",
+        keys=("k",),
+        bucket_us=17_000_000,  # coprime to every length above
+    )
+    got = [(r["lid"], r["rid"]) for r in out.collect()]
+    want = {
+        (l[0], r[0])
+        for l in lefts
+        for r in rights
+        if l[1] == r[1] and r[3] > r[2] and l[2] < r[3] and r[2] <= l[3]
+    }
+    assert set(got) == want and want
+    # first-shared-bucket rule: duplicate-free without a distinct pass
+    assert len(got) == len(set(got))
+
+
 def test_minutely_rollup_incremental_refresh(spark, sf_dir):
     """Splitting the corpus at a time cutoff, rolling each slice, and
     merging must equal rolling everything at once — the decomposable-
