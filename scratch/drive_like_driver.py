@@ -52,6 +52,10 @@ for name in [
     "hourly_rollup_from_minutely",  # µs bucketing on the big events table
     "band_self_join_prices",  # bucketized theta join at scale
     "kmv_distinct_by_type",  # sketch ranks over the full digest set
+    "pagerank_top_suppliers",  # iterative joins over the full edge list
+    "session_purchase_overlaps",  # interval-overlap explode at scale
+    "merge_upsert_orders",  # CDC argmax merge on the full orders table
+    "funnel_steps",  # chained windows over the big events table
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
