@@ -280,6 +280,7 @@ def queries() -> dict[str, QueryFn]:
         "value_histogram": analytics.value_histogram,
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         "session_purchase_overlaps": asof.session_purchase_overlaps,
+        "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
         # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,

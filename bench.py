@@ -93,6 +93,7 @@ HEADLINE = [
     "value_histogram",  # fixed-width float binning (exact cross-engine)
     "pagerank_top_suppliers",  # 3 fixed-point power iterations (exact ints)
     "session_purchase_overlaps",  # interval×interval overlap join (bucketized)
+    "scd2_point_in_time_join",  # time-travel fact lookup vs the SCD2 dim
 ]
 
 

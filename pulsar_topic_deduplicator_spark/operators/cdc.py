@@ -124,6 +124,54 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, "user_id", "event_type", ["ts", "event_id"])
 
 
+#: look-back offset for the point-in-time lookup (µs): "what was the user
+#: doing 10 minutes before the purchase"
+_LOOKBACK_US = 10 * 60 * 1_000_000
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel join: each purchase fact looks up the SCD2 version that
+    was current ten minutes BEFORE it — the query shape versioned
+    dimensions exist for (joining facts against the dimension as-of the
+    fact time, not as-of now). Composed from two already-verified kernels:
+    the ``scd2_history`` build above and the as-of union+carry-forward
+    join (``asof.asof_join``) — one shuffle each on user_id. Versions
+    sharing a valid_from instant (same-ts ties) collapse to the highest
+    version first, so the right side is unique per (key, ts) as the as-of
+    kernel requires. Purchases earlier than any history row carry nulls
+    (left semantics)."""
+    from .asof import asof_join
+
+    hist = scd2_event_type_history(spark, sf_dir)
+    dim = (
+        hist.groupBy("user_id", "valid_from")
+        .agg(F.max(F.struct("version", "event_type")).alias("m"))
+        .select(
+            "user_id",
+            "valid_from",
+            F.col("m.version").alias("version"),
+            F.col("m.event_type").alias("regime_type"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.timestamp_micros(F.unix_micros("ts") - F.lit(_LOOKBACK_US)).alias(
+            "lookup_ts"
+        ),
+    )
+    return asof_join(
+        purch,
+        dim,
+        key="user_id",
+        left_ts="lookup_ts",
+        right_ts="valid_from",
+        payload_cols=["version", "regime_type"],
+    )
+
+
 ORACLES: dict[str, str] = {
     "merge_upsert_orders": f"""
         WITH base AS (
@@ -154,3 +202,20 @@ ORACLES: dict[str, str] = {
         FROM starts
     """,
 }
+
+ORACLES["scd2_point_in_time_join"] = f"""
+    WITH hist AS ({ORACLES["scd2_event_type_history"]}),
+    dim AS (
+      SELECT user_id, valid_from,
+             max(version) AS version,
+             arg_max(event_type, version) AS regime_type
+      FROM hist GROUP BY user_id, valid_from),
+    p AS (
+      SELECT event_id, user_id, ts,
+             ts - INTERVAL {_LOOKBACK_US} MICROSECOND AS lookup_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.lookup_ts,
+           d.version, d.regime_type
+    FROM p ASOF LEFT JOIN dim d
+      ON p.user_id = d.user_id AND p.lookup_ts >= d.valid_from
+"""

@@ -152,6 +152,37 @@ def test_stream_latest_state_multibatch_equals_batch(spark, sf_dir, tmp_path):
     assert batch.exceptAll(snap).count() == 0
 
 
+def test_point_in_time_join_lands_in_the_right_interval(spark, sf_dir):
+    """Every matched lookup must fall inside the matched version's
+    validity interval; nulls only when the lookup predates the user's
+    first version."""
+    pit = cdc.scd2_point_in_time_join(spark, sf_dir).cache()
+    try:
+        hist = cdc.scd2_event_type_history(spark, sf_dir)
+        j = pit.filter(F.col("version").isNotNull()).join(
+            hist.select(
+                "user_id", "version", "valid_from", "valid_to",
+                F.col("event_type").alias("h_type"),
+            ),
+            ["user_id", "version"],
+        )
+        assert j.filter(F.col("lookup_ts") < F.col("valid_from")).count() == 0
+        assert (
+            j.filter(
+                F.col("valid_to").isNotNull()
+                & (F.col("lookup_ts") >= F.col("valid_to"))
+            ).count()
+            == 0
+        )
+        assert j.filter(F.col("regime_type") != F.col("h_type")).count() == 0
+        # null rows: lookup strictly before the user's first valid_from
+        first = hist.groupBy("user_id").agg(F.min("valid_from").alias("f"))
+        nulls = pit.filter(F.col("version").isNull()).join(first, "user_id")
+        assert nulls.filter(F.col("lookup_ts") >= F.col("f")).count() == 0
+    finally:
+        pit.unpersist()
+
+
 def test_scd2_is_one_shuffle(spark, sf_dir):
     plan = (
         cdc.scd2_event_type_history(spark, sf_dir)
