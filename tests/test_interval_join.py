@@ -275,6 +275,22 @@ def test_interval_join_randomized_vs_naive(spark):
     assert got == want and want
 
 
+def test_session_overlap_no_nlj_and_self_containment(spark, sf_dir):
+    """The overlap predicate must ride the bucketed equi-join (no NLJ /
+    cartesian), and every purchase window must overlap the session that
+    contains its purchase event."""
+    df = asof.session_purchase_overlaps(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # each window's purchase lies inside some session of its user, and
+    # that session starts at-or-before the purchase: the window [ts,
+    # ts+30min) overlaps it — so every window id must appear
+    n_windows = df.select("window_id").distinct().count()
+    n_purch = asof.purchase_windows(spark, sf_dir).count()
+    assert n_windows == n_purch
+
+
 def test_overlap_join_randomized_vs_naive(spark):
     """Seeded randomized equivalence for the interval×interval OVERLAP
     join: exactly the naive predicate's pairs (left closed, right
