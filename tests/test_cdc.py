@@ -183,6 +183,40 @@ def test_point_in_time_join_lands_in_the_right_interval(spark, sf_dir):
         pit.unpersist()
 
 
+def test_stream_latest_state_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Resume path: a second run with the SAME checkpoint sees only files
+    added since, folds them onto the prior run's last snapshot version,
+    and the result equals the batch argmax over everything."""
+    from pulsar_topic_deduplicator_spark.streaming.latest_state import (
+        run_stream_latest_state_bounded,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 != 0)
+    src, work, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "work"),
+        str(tmp_path / "ckpt"),
+    )
+    old.coalesce(1).write.mode("append").parquet(src)
+    snap1 = run_stream_latest_state_bounded(
+        spark, src, work, glob_filter="*.parquet", checkpoint_dir=ckpt
+    )
+    batch_old = cdc.keep_latest(old, ["user_id"], ["ts", "event_id"])
+    assert snap1.exceptAll(batch_old.select(*snap1.columns)).count() == 0
+    # land new files, resume with the same checkpoint
+    new.coalesce(1).write.mode("append").parquet(src)
+    snap2 = run_stream_latest_state_bounded(
+        spark, src, work, glob_filter="*.parquet", checkpoint_dir=ckpt
+    )
+    batch_all = cdc.keep_latest(ev, ["user_id"], ["ts", "event_id"]).select(
+        *snap2.columns
+    )
+    assert snap2.exceptAll(batch_all).count() == 0
+    assert batch_all.exceptAll(snap2).count() == 0
+
+
 def test_scd2_is_one_shuffle(spark, sf_dir):
     plan = (
         cdc.scd2_event_type_history(spark, sf_dir)
