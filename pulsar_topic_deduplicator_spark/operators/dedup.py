@@ -346,12 +346,13 @@ def bloom_digest_prefilter(
     # the warm set feeds THREE consumers (sizing count, bitset build,
     # is_warm verification join) — persist so the scan + digest + distinct
     # shuffle runs once, not three times
-    warm = (
+    from ..cachereg import persist_scoped
+
+    warm = persist_scoped(
         with_digest(load_table(spark, sf_dir, "events"))
         .filter(F.col("ts") < F.lit(_WARMUP_CUTOFF).cast("timestamp"))
         .select("digest")
         .distinct()
-        .persist()
     )
     n_items = warm.count()  # scalar for sizing (same pass native bloom needs)
     m, k = _bloom_params(n_items, fpp)

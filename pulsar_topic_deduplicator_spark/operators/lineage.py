@@ -195,3 +195,41 @@ ORACLES["dq_check_events"] = f"""
     UNION ALL SELECT 'value_non_negative', c_neg, c_neg = 0 FROM agg
     UNION ALL SELECT 'props_parseable', c_json, c_json = 0 FROM agg
 """
+
+
+def message_dq_violations() -> "Column":
+    """Row-local DQ verdicts on the MESSAGE schema — the streaming analog
+    of ``dq_report``'s row-expressible constraints (uniqueness is the dedup
+    stage's own job, so it is deliberately absent): an array of violated
+    constraint names, empty = clean. Stateless Column expression, so the
+    gate composes into a streaming pipeline with zero state and full
+    codegen (the reference's ingest loop validates per message the same
+    way, ``src/deduplication.ts:99-106``).
+
+    NULL semantics match ``dq_report``: a NULL topic/event_ts is a
+    violation of its constraint, mirrored exactly in the service-counters
+    oracle (``service.py``)."""
+    topic_type = F.regexp_extract(
+        F.col("topic"), r"^persistent://events/(.*)$", 1
+    )
+    checks = [
+        ("message_id_not_null", F.col("message_id").isNull()),
+        (
+            "event_ts_in_range",
+            F.col("event_ts").isNull()
+            | (F.col("event_ts") < F.lit(DQ_TS_MIN).cast("timestamp"))
+            | (F.col("event_ts") >= F.lit(DQ_TS_MAX).cast("timestamp")),
+        ),
+        (
+            "topic_in_vocab",
+            F.col("topic").isNull() | ~topic_type.isin(*DQ_EVENT_TYPES),
+        ),
+        (
+            "payload_parseable",
+            F.col("value").isNull()
+            | F.try_parse_json(F.decode(F.col("value"), "UTF-8")).isNull(),
+        ),
+    ]
+    return F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
+    )

@@ -72,8 +72,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-join on shingle hash -> per-pair intersection counts; doc sizes are
     a small aggregate joined back (broadcast). Jaccard is an exact integer
     division — identical doubles on any engine.
+
+    The shingle frame feeds three consumers (both self-join sides + the
+    size aggregate); the scoped persist computes the explode once per
+    query instead of relying on an upstream pipeline's cache (the r5
+    bench-hygiene change exposed exactly that hidden dependency —
+    BASELINE.md round-6 note re-anchors this family cold).
     """
-    sh = _shingle_hashes(spark, sf_dir)
+    from ..cachereg import persist_scoped
+
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -249,7 +257,9 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle pass feeds signatures AND both verify joins — materialize
     # it once (at 100 TB this is a persisted intermediate table / shuffle
     # reuse; in-memory cache is the local[] rendering)
-    sh = _shingle_hashes(spark, sf_dir).cache()
+    from ..cachereg import persist_scoped
+
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
     cands = _near_dup_candidates(_signature_wide_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
@@ -330,6 +340,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("id", "label")
         if not changed:
             break
+    # labels is localCheckpointed — lineage no longer references the edge
+    # cache, so release it here instead of leaking it into the session
+    edges.unpersist()
     w = Window.partitionBy("cluster_id")
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")).withColumn(
         "cluster_size", F.count(F.lit(1)).over(w)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .config import EngineConfig
-from .operators.lineage import extract_origin_digests
+from .operators.lineage import extract_origin_digests, message_dq_violations
 from .streaming.dedup import run_ttl_dedup_bounded, start_ttl_dedup
 from .streaming.ops import graceful_stop, health_status, observed_counters
 
@@ -71,18 +71,43 @@ class DedupService:
     spark: SparkSession
     query: StreamingQuery
     output_table: str
+    quarantine_query: StreamingQuery | None = None
+    quarantine_table: str | None = None
 
     def health(self) -> tuple[int, str]:
         return health_status(self.query)
 
+    def serve_health(self, port: int = 0):
+        """Start a live /healthz HTTP endpoint bound to this service's
+        health mapping (the reference's health server, op #14); returns
+        (server, bound_port) — shutdown() the server in teardown."""
+        from .streaming.ops import serve_health
+
+        return serve_health(self.health, port)
+
     def counters(self) -> dict:
-        return observed_counters(self.query)
+        c = observed_counters(self.query)
+        if self.quarantine_table is not None:
+            # violation telemetry beside forwarded/dropped (reference op
+            # #13's counter loop, extended with the DQ gate's quarantine)
+            c["n_quarantined"] = self.spark.table(self.quarantine_table).count()
+        return c
 
     def output(self) -> DataFrame:
         return self.spark.table(self.output_table)
 
+    def quarantine(self) -> DataFrame | None:
+        return (
+            self.spark.table(self.quarantine_table)
+            if self.quarantine_table is not None
+            else None
+        )
+
     def stop(self, timeout_seconds: float = 60.0) -> bool:
-        return graceful_stop(self.query, timeout_seconds)
+        ok = graceful_stop(self.query, timeout_seconds)
+        if self.quarantine_query is not None:
+            ok = graceful_stop(self.quarantine_query, timeout_seconds) and ok
+        return ok
 
 
 def start_dedup_service(
@@ -94,15 +119,25 @@ def start_dedup_service(
     now_ts: str = "2024-01-03 00:00:00",
     glob_filter: str | None = None,
     use_tws: bool | None = None,
+    dq_gate: bool = False,
+    messages: DataFrame | None = None,
 ) -> DedupService:
     """Wire config → warm-up → live dedup in the reference's startup order
     and return the running service. ``prior_output`` is the batch view of
     the service's own previous output (the reference re-reads its output
     topic); None (or a disabled cache window) skips warm-up exactly like
-    ``cacheWindowInSeconds <= 0`` (``src/cacheBuilding.ts:71-77``)."""
+    ``cacheWindowInSeconds <= 0`` (``src/cacheBuilding.ts:71-77``).
+
+    ``dq_gate=True`` composes the row-local DQ gate as an ingest
+    pre-filter: rows violating any constraint never reach the dedup state
+    (the reference validates per message before the cache check,
+    ``src/deduplication.ts:99-106``) and are diverted to a quarantine
+    table by a stateless side query over the same source, with
+    ``counters()`` reporting them beside forwarded/dropped."""
     seeds = None
     if config.warmup_enabled and prior_output is not None:
         seeds = warmup_seed_digests(prior_output, config, now_ts)
+    predicate = F.size(message_dq_violations()) == 0 if dq_gate else None
     query, name = start_ttl_dedup(
         spark,
         source_dir,
@@ -112,8 +147,50 @@ def start_dedup_service(
         glob_filter=glob_filter,
         use_tws=use_tws,
         ignored=config.ignored_properties,
+        message_predicate=predicate,
+        messages=messages,
     )
-    return DedupService(spark=spark, query=query, output_table=name)
+    q_query = q_name = None
+    if dq_gate:
+        q_query, q_name = start_quarantine_stream(
+            spark, source_dir, glob_filter=glob_filter
+        )
+    return DedupService(
+        spark=spark,
+        query=query,
+        output_table=name,
+        quarantine_query=q_query,
+        quarantine_table=q_name,
+    )
+
+
+def start_quarantine_stream(
+    spark: SparkSession,
+    source_dir: str,
+    glob_filter: str | None = None,
+    available_now: bool = False,
+):
+    """Stateless side query: the DQ gate's reject path. Dirty messages land
+    in a memory table with their violated-constraint list — zero state,
+    append mode, full codegen; at scale this is a second reader on the same
+    topic writing a dead-letter topic (the standard quarantine pattern),
+    not a branch inside the stateful query."""
+    import uuid
+
+    from .streaming.source import events_message_stream
+
+    name = f"quarantine_{uuid.uuid4().hex[:8]}"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    dirty = messages.withColumn("violations", message_dq_violations()).filter(
+        F.size("violations") > 0
+    )
+    writer = (
+        dirty.writeStream.format("memory").queryName(name).outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query, name
 
 
 def run_dedup_service_bounded(
@@ -141,3 +218,109 @@ def run_dedup_service_bounded(
         use_tws=use_tws,
         ignored=config.ignored_properties,
     )
+
+
+def run_gated_service_bounded(
+    spark: SparkSession,
+    config: EngineConfig,
+    source_dir: str,
+    checkpoint_dir: str,
+    glob_filter: str | None = None,
+    use_tws: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Bounded run of the DQ-gated service composition: the ingest stream is
+    split by the row-local gate — clean rows flow through the exact-TTL
+    dedup, dirty rows land in quarantine with their violated constraints.
+    Returns ``(dedup_output, quarantine)``."""
+    predicate = F.size(message_dq_violations()) == 0
+    out = run_ttl_dedup_bounded(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        ttl_ms=config.dedup_window_ms,
+        glob_filter=glob_filter,
+        use_tws=use_tws,
+        ignored=config.ignored_properties,
+        message_predicate=predicate,
+    )
+    q_query, q_name = start_quarantine_stream(
+        spark, source_dir, glob_filter=glob_filter, available_now=True
+    )
+    q_query.awaitTermination()
+    return out, spark.table(q_name)
+
+
+def service_counters_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: end-to-end counters of the DQ-gated service over the
+    events stream — the reference's telemetry loop (op #13: forwarded /
+    dropped per interval, ``src/deduplication.ts:80-95``) extended with the
+    gate's quarantine lane, as one long-form (metric, value) frame.
+
+    The three counts reconcile by construction:
+    ``forwarded + dropped + quarantined == total input rows`` — the pytest
+    twin asserts exactly that on an injected-dirty corpus; here the driver
+    value-checks the clean corpus against the SQL oracle (dirty = 0 rows,
+    forwarded = distinct digests, dropped = clean − distinct).
+
+    Scale: the counters are aggregates OVER the bounded run's outputs
+    (micro-batch sinks); the scalar collects are three counts — no
+    row-level driver traffic."""
+    import tempfile
+
+    out, quarantine = run_gated_service_bounded(
+        spark,
+        EngineConfig(),
+        sf_dir,
+        tempfile.mkdtemp("gated_ckpt"),
+        glob_filter="events.parquet",
+        use_tws=False,
+    )
+    forwarded = out.filter(F.col("message_id").isNotNull()).count()
+    dropped = out.agg(F.sum("n_dropped")).collect()[0][0] or 0
+    quarantined = quarantine.count()
+    return spark.createDataFrame(
+        [
+            ("forwarded", int(forwarded)),
+            ("dropped_duplicates", int(dropped)),
+            ("quarantined", int(quarantined)),
+        ],
+        "metric string, value long",
+    )
+
+
+# DuckDB oracle: replay the gate + dedup arithmetic in SQL. The row-local
+# gate on events-derived messages reduces to event_id/ts/event_type checks
+# (the payload is engine-constructed JSON, parseable by construction), and
+# the bounded single-batch dedup forwards exactly one row per distinct
+# clean digest with dropped = clean − distinct (see BOUNDED_TTL_ORACLE).
+def _service_counters_oracle() -> str:
+    from .operators._oracle_fragments import duck_message_digest
+    from .operators.lineage import DQ_EVENT_TYPES, DQ_TS_MAX, DQ_TS_MIN
+
+    vocab = ", ".join(f"'{t}'" for t in DQ_EVENT_TYPES)
+    return f"""
+        WITH m AS (
+          SELECT {duck_message_digest()} AS digest,
+                 (event_id IS NULL
+                  OR ts IS NULL
+                  OR ts < TIMESTAMP '{DQ_TS_MIN}'
+                  OR ts >= TIMESTAMP '{DQ_TS_MAX}'
+                  OR event_type IS NULL
+                  OR event_type NOT IN ({vocab})) AS dirty
+          FROM events
+        ),
+        clean AS (SELECT digest FROM m WHERE NOT dirty)
+        SELECT 'forwarded' AS metric,
+               CAST(count(DISTINCT digest) AS BIGINT) AS value FROM clean
+        UNION ALL
+        SELECT 'dropped_duplicates',
+               CAST(count(*) - count(DISTINCT digest) AS BIGINT) FROM clean
+        UNION ALL
+        SELECT 'quarantined',
+               CAST(count(*) AS BIGINT) FROM m WHERE dirty
+    """
+
+
+ORACLES: dict[str, str] = {
+    "service_counters_composed": _service_counters_oracle(),
+}

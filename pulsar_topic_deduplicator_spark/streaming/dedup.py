@@ -340,9 +340,23 @@ def start_ttl_dedup(
     glob_filter: str | None = None,
     use_tws: bool | None = None,
     ignored: tuple[str, ...] = (),
+    message_predicate: Column | None = None,
+    messages: DataFrame | None = None,
 ):
     """Start the exact-TTL dedup as a live streaming query; returns
     ``(StreamingQuery, output_table_name)`` (memory sink).
+
+    ``message_predicate`` is an optional stateless admission gate applied to
+    the message stream BEFORE hashing/state (the service's DQ pre-filter —
+    rows failing it never reach the dedup state, mirroring the reference's
+    per-message validation ahead of the cache check,
+    ``src/deduplication.ts:99-106``).
+
+    ``messages`` overrides the transport: any streaming DataFrame in the
+    message schema (message_id, event_ts + the digest inputs) runs the
+    identical kernel — the production ``.format("pulsar"|"kafka")`` swap
+    point, exercised over a live TCP socket in tests/test_socket_stream.py
+    (``source_dir``/``glob_filter`` are ignored when it is given).
 
     ``ignored`` is the reference's ``DEDUPLICATION_IGNORED_PROPERTIES``
     projection (op #4) applied to the hash input.
@@ -364,7 +378,12 @@ def start_ttl_dedup(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     name = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
-    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    if messages is None:
+        messages = events_message_stream(
+            spark, source_dir, glob_filter=glob_filter
+        )
+    if message_predicate is not None:
+        messages = messages.filter(message_predicate)
     keyed = messages.withColumn("digest", message_digest(ignored)).select(
         "digest", "message_id", "event_ts"
     )
@@ -481,6 +500,7 @@ def run_ttl_dedup_bounded(
     glob_filter: str | None = None,
     use_tws: bool | None = None,
     ignored: tuple[str, ...] = (),
+    message_predicate: Column | None = None,
 ) -> DataFrame:
     """Bounded run of the exact-TTL dedup: start → drain → stop.
 
@@ -494,7 +514,7 @@ def run_ttl_dedup_bounded(
         use_tws = HAS_TRANSFORM_WITH_STATE
     query, name = start_ttl_dedup(
         spark, source_dir, checkpoint_dir, ttl_ms, seed_digests, glob_filter,
-        use_tws=use_tws, ignored=ignored,
+        use_tws=use_tws, ignored=ignored, message_predicate=message_predicate,
     )
     try:
         if use_tws:
@@ -504,6 +524,81 @@ def run_ttl_dedup_bounded(
     finally:
         query.stop()
     return spark.table(name)
+
+
+# ─── JVM-only ingest-clock TTL approximation (third kernel) ─────────────────
+
+
+def dedup_stream_ingest_ttl(
+    messages: DataFrame,
+    ttl_ms: int = 3_600_000,
+    ignored=(),
+    ingest_ts_col: str | None = None,
+) -> DataFrame:
+    """Third TTL kernel: the reference's processing-time TTL
+    (``src/deduplication.ts:76``) approximated ENTIRELY JVM-side — no
+    per-group Python invocation, no Arrow boundary.
+
+    Each row is stamped with an ingest timestamp (micro-batch processing
+    time via ``current_timestamp()`` by default; tests inject a synthetic
+    column to replay arrival-time scenarios deterministically), that clock
+    is watermarked by the TTL, and ``dropDuplicatesWithinWatermark`` keys on
+    the content digest.
+
+    Semantics vs the exact GroupState kernel (``_make_ttl_kernel``):
+
+    * a duplicate arriving within ``ttl_ms`` of its first occurrence on the
+      ingest clock is suppressed — guaranteed, identical to ObliviousSet;
+    * state eviction (hence re-admission of content re-arriving after
+      expiry) happens when the watermark passes first_seen + ttl; the
+      watermark trails the max observed ingest time by ``ttl_ms`` and only
+      advances at batch boundaries, so suppression can extend PAST the TTL
+      by the watermark lag. Late eviction, never early re-admission — the
+      same direction the reference itself errs (ObliviousSet purges lazily
+      on its next cleanup cycle, ``src/obliviousSet.ts:15-24``). The
+      cross-pin against the exact kernel on expiry fixtures lives in
+      tests/test_streaming.py.
+
+    100 TB: all state lives in the JVM state store keyed by the crypto
+    digest (uniform, no skew); this is the kernel to run when
+    exact-to-the-millisecond expiry is not required and the GroupState
+    kernel's per-group Python cost dominates (bench: stream_dedup_ttl vs
+    stream_dedup_ttl_watermark)."""
+    ingest = (
+        F.col(ingest_ts_col) if ingest_ts_col else F.current_timestamp()
+    )
+    return (
+        messages.withColumn("digest", message_digest(ignored))
+        .withColumn("ingest_ts", ingest)
+        .withWatermark("ingest_ts", f"{int(ttl_ms)} milliseconds")
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
+def run_ttl_dedup_watermark_bounded(
+    spark: SparkSession,
+    source_dir: str,
+    ttl_ms: int = 3_600_000,
+    glob_filter: str | None = None,
+    ignored: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bounded availableNow run of the watermark-TTL kernel. Unlike the
+    TTL'd stateful kernels there are no timers, so availableNow terminates
+    on its own. Returns the deterministic projection (digest, topic): which
+    duplicate ROW survives is engine-arbitrary under first-seen batch order,
+    exactly like ``run_stream_dedup_bounded``."""
+    name = f"wm_ttl_{uuid.uuid4().hex[:8]}"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    deduped = dedup_stream_ingest_ttl(messages, ttl_ms, ignored)
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select("digest", "topic")
 
 
 #: DuckDB oracle for the BOUNDED TTL-dedup harness run over the driver's
@@ -556,4 +651,16 @@ BOUNDED_STREAM_DEDUP_ORACLE = f"""
            '{{"k":"' || k_val || '","origin":"[\\"' || digest || '\\"]"}}'
              AS properties
     FROM m
+"""
+
+
+#: Oracle for the bounded watermark-TTL harness: a single-batch run cannot
+#: expire anything (one batch ⇒ one ingest stamp ⇒ watermark never passes
+#: it), so the output is exactly one row per distinct digest — the same
+#: distinct-digest contract as the stream-dedup oracle, minus the
+#: properties enrichment this kernel does not perform.
+BOUNDED_WM_TTL_ORACLE = f"""
+    SELECT DISTINCT {_duck_msg_digest()} AS digest,
+           'persistent://events/' || event_type AS topic
+    FROM events
 """

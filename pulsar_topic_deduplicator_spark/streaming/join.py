@@ -29,11 +29,26 @@ from ..operators.asof import ATTRIB_WINDOW_US
 from .source import events_raw_stream
 
 
+#: tolerated event LATENESS on each stream, in minutes. Independent of the
+#: 30-min ATTRIB_WINDOW_US join window: the join condition decides which
+#: (purchase, event) pairs match; the watermark delay decides how long a
+#: row may arrive AFTER rows with newer timestamps and still be buffered —
+#: in an unbounded run, any row later than this bound is evicted and its
+#: matches silently lost even if it falls inside the attribution window
+#: (ADVICE r5 item 2). State cost per side is O(delay + window) of
+#: in-flight rows, so the bound is a latency/completeness knob, not a
+#: correctness-window one. The bounded single-batch harness never evicts
+#: (one batch ⇒ watermark moves only at its end), so the oracle is exact
+#: regardless of this value.
+LATENESS_MINUTES = 10
+
+
 def run_stream_stream_attribution_bounded(
     spark: SparkSession, source_dir: str, glob_filter: str | None = None
 ) -> DataFrame:
     """Purchases stream ⋈ events stream per user within [p.ts, p.ts+30min)
-    — both sides live, 10-minute watermarks, inner join, append mode."""
+    — both sides live, LATENESS_MINUTES watermarks, inner join, append
+    mode. See LATENESS_MINUTES for the lateness-vs-window distinction."""
     purchases = (
         events_raw_stream(spark, source_dir, glob_filter=glob_filter)
         .filter(F.col("event_type") == "purchase")
@@ -42,12 +57,12 @@ def run_stream_stream_attribution_bounded(
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "10 minutes")
+        .withWatermark("p_ts", f"{LATENESS_MINUTES} minutes")
     )
     events = (
         events_raw_stream(spark, source_dir, glob_filter=glob_filter)
         .select("event_id", "user_id", "ts", "event_type")
-        .withWatermark("ts", "10 minutes")
+        .withWatermark("ts", f"{LATENESS_MINUTES} minutes")
     )
     joined = events.join(
         purchases,

@@ -50,3 +50,64 @@ def graceful_stop(query: StreamingQuery, timeout_seconds: float = 60.0) -> bool:
         return query.awaitTermination(timeout_seconds)
     except Exception:
         return False
+
+
+def serve_health(health_fn, port: int = 0):
+    """A real listening ``/healthz`` endpoint — the reference runs an HTTP
+    health server for its liveness probe (``src/healthCheck.ts:5-32``);
+    this is the same thing on a stdlib daemon thread: GET /healthz returns
+    whatever ``health_fn()`` maps to (204 healthy / 500 not), anything
+    else 404. Returns ``(server, bound_port)``; call ``server.shutdown()``
+    in teardown. Zero Spark involvement by design — the probe must answer
+    even while the driver is busy."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib handler casing)
+            if self.path != "/healthz":
+                self.send_response(404)
+                self.end_headers()
+                return
+            status, body = health_fn()
+            self.send_response(status)
+            payload = body.encode()
+            if payload:
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            else:
+                self.end_headers()
+
+        def log_message(self, *args):  # keep the probe out of stdout
+            pass
+
+    server = HTTPServer(("127.0.0.1", port), _Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, server.server_address[1]
+
+
+#: log-level → cloud-logging severity, the reference's pino bridge table
+#: (``src/gcpLogging.ts:37-117``: trace/debug/info/warn/error/fatal →
+#: DEBUG/DEBUG/INFO/WARNING/ERROR/CRITICAL). Exposed so a log4j/structured
+#: logging config can reuse the exact mapping; ``structured_log_record``
+#: is the one-line formatter analog.
+SEVERITY_BY_LEVEL = {
+    "trace": "DEBUG",
+    "debug": "DEBUG",
+    "info": "INFO",
+    "warn": "WARNING",
+    "warning": "WARNING",
+    "error": "ERROR",
+    "fatal": "CRITICAL",
+}
+
+
+def structured_log_record(level: str, message: str, **fields) -> dict:
+    """One structured log record with the bridged severity — the shape the
+    reference emits per line (severity + message + context fields)."""
+    return {
+        "severity": SEVERITY_BY_LEVEL.get(level.lower(), "DEFAULT"),
+        "message": message,
+        **fields,
+    }

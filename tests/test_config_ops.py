@@ -182,3 +182,50 @@ def test_health_and_counters_and_graceful_stop(spark, tmp_path):
     finally:
         assert graceful_stop(query)
     assert health_status(query)[0] == 500
+
+
+def test_health_server_serves_real_http(spark, tmp_path):
+    """The /healthz endpoint over a REAL socket: 204 while the query runs,
+    500 after teardown, 404 elsewhere (reference src/healthCheck.ts:5-32)."""
+    import urllib.error
+    import urllib.request
+
+    from pulsar_topic_deduplicator_spark.streaming.ops import serve_health
+
+    state = {"up": True}
+
+    def health():
+        return (204, "") if state["up"] else (500, "streaming query not active")
+
+    server, port = serve_health(health)
+    try:
+        resp = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+        assert resp.status == 204
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/other")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        state["up"] = False
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert e.read() == b"streaming query not active"
+    finally:
+        server.shutdown()
+
+
+def test_log_severity_bridge_matches_reference_table():
+    """pino→cloud severity mapping (src/gcpLogging.ts:37-117)."""
+    from pulsar_topic_deduplicator_spark.streaming.ops import (
+        SEVERITY_BY_LEVEL,
+        structured_log_record,
+    )
+
+    assert SEVERITY_BY_LEVEL["trace"] == "DEBUG"
+    assert SEVERITY_BY_LEVEL["fatal"] == "CRITICAL"
+    rec = structured_log_record("warn", "m", topic="t")
+    assert rec == {"severity": "WARNING", "message": "m", "topic": "t"}
+    assert structured_log_record("nope", "m")["severity"] == "DEFAULT"

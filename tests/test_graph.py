@@ -42,3 +42,29 @@ def test_more_iterations_keep_determinism(spark):
     r1 = sorted(map(tuple, graph.pagerank_fixed_point(e, n_iter=5).collect()))
     r2 = sorted(map(tuple, graph.pagerank_fixed_point(e, n_iter=5).collect()))
     assert r1 == r2
+
+
+def test_k10_lineage_truncation_and_stable_stop(spark):
+    """VERDICT r5 item 7: k=10 must run with bounded lineage
+    (checkpoint_every truncates the per-iteration DAG; the returned frame is
+    a checkpointed scan, not a 20-exchange join tree), and the zero-delta
+    early stop must be bit-identical to the full fixed-k run."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    full = sorted(
+        map(tuple, graph.pagerank_fixed_point(e, n_iter=10).collect())
+    )
+    truncated_df = graph.pagerank_fixed_point(e, n_iter=10, checkpoint_every=2)
+    truncated = sorted(map(tuple, truncated_df.collect()))
+    assert truncated == full
+    # the final frame's plan is a checkpoint scan — no join tree survives
+    plan = truncated_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    stable = sorted(
+        map(
+            tuple,
+            graph.pagerank_fixed_point(
+                e, n_iter=10, checkpoint_every=2, stop_when_stable=True
+            ).collect(),
+        )
+    )
+    assert stable == full

@@ -393,3 +393,106 @@ def test_stream_quality_gate_matches_batch_and_counts(spark, sf_dir):
     }
     assert got == want
     assert got and got != set()  # gate is non-degenerate on the corpus
+
+
+def test_watermark_ttl_bounded_matches_exact_kernel(spark, source_dir, tmp_path):
+    """Third kernel (JVM-only watermark TTL): a bounded single-batch run
+    must keep exactly the digest set the exact GroupState kernel keeps."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        run_ttl_dedup_watermark_bounded,
+    )
+
+    exact = run_ttl_dedup_bounded(
+        spark, source_dir, str(tmp_path / "ck_exact"), use_tws=False
+    )
+    wm = run_ttl_dedup_watermark_bounded(spark, source_dir)
+    assert sorted(r["digest"] for r in wm.collect()) == sorted(
+        r["digest"]
+        for r in exact.filter(F.col("message_id").isNotNull()).collect()
+    )
+
+
+def test_watermark_ttl_expiry_readmits(spark, tmp_path):
+    """Cross-pin of the watermark kernel against the GroupState kernel's
+    expiry fixture (test_ttl_expiry_readmits): same arrival pattern, same
+    outcome — content re-arriving after the TTL is forwarded again. The
+    watermark kernel's documented deviation is WHEN: eviction waits for the
+    watermark to pass first_seen + ttl (late eviction, never early
+    re-admission), so the duplicate is replayed until the advancing
+    watermark admits it."""
+    import time
+
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        dedup_stream_ingest_ttl,
+    )
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
+    )
+
+    src = str(tmp_path / "wm_src")
+    _write_batch(spark, src, BATCH1[:1])  # just message 1
+    name = "wm_expiry_sink"
+    query = (
+        dedup_stream_ingest_ttl(
+            events_message_stream(spark, src), ttl_ms=1500
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_wm_exp"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        assert {r["message_id"] for r in spark.table(name).collect()} == {"1"}
+        time.sleep(3.0)  # let the TTL lapse on the ingest clock
+        # watermark only advances when newer rows arrive: filler batch
+        _write_batch(spark, src, BATCH1[1:2])  # message 2, distinct content
+        query.processAllAvailable()
+        # replay the duplicate until the watermark passes first_seen + ttl
+        # and evicts message 1's digest (bounded by the deadline)
+        deadline = time.time() + 60
+        rows: set = set()
+        while time.time() < deadline:
+            _write_batch(spark, src, BATCH1[2:3])  # event 3 = dup content of 1
+            query.processAllAvailable()
+            rows = {r["message_id"] for r in spark.table(name).collect()}
+            if "3" in rows:
+                break
+            time.sleep(0.7)
+        assert rows == {"1", "2", "3"}, "expired digest was not re-admitted"
+    finally:
+        query.stop()
+
+
+def test_watermark_ttl_suppresses_within_ttl(spark, tmp_path):
+    """Duplicates arriving well inside the TTL stay suppressed across
+    batches — the guarantee half of the approximation (the exact kernel's
+    test_ttl_dedup_exact_path analog on the watermark path)."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        dedup_stream_ingest_ttl,
+    )
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
+    )
+
+    src = str(tmp_path / "wm_sup_src")
+    _write_batch(spark, src, BATCH1[:1])
+    name = "wm_suppress_sink"
+    query = (
+        dedup_stream_ingest_ttl(
+            events_message_stream(spark, src), ttl_ms=3_600_000
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_wm_sup"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        _write_batch(spark, src, BATCH1[2:3])  # dup of message 1, next batch
+        query.processAllAvailable()
+        assert {r["message_id"] for r in spark.table(name).collect()} == {"1"}
+    finally:
+        query.stop()
