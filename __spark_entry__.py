@@ -275,6 +275,8 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
+        "cluster_representatives": neardup.cluster_representatives,
+        "chunk_documents": textops.chunk_documents,
         # ── (b) the 31 remaining round-1-era entries (VERDICT r5 item 1) ───
         "rollup_sales": relational.rollup_sales,
         "except_ordered_parts": relational.except_ordered_parts,

@@ -622,3 +622,52 @@ ORACLES: dict[str, str] = {
 # same fixpoint, same verification — the LSS variant shares the
 # propagation version's oracle by construction
 ORACLES["near_dup_clusters_lss"] = ORACLES["near_dup_clusters"]
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group representative selection — the curation step that runs
+    right after near-dup clustering: within every duplicate cluster keep
+    ONLY the highest-quality member (tiebreak: lowest doc_id). Composes
+    two already-verified operators (``near_dup_clusters`` ∘ the shared
+    ``quality_expr``), so the keep decision is quality-aware instead of
+    the bare min-id rule the cluster labels use.
+
+    Output: every clustered doc with (cluster_id, cluster_size, quality,
+    kept) — downstream anti-joins ``kept = false`` doc_ids out of the
+    corpus.
+
+    Scale: the cluster frame holds near-dup hits only (≪ corpus); quality
+    is zero-shuffle codegen over the documents scan joined on doc_id; the
+    keep decision is one row_number window partitioned by cluster_id —
+    cluster-sized partitions, no global sort."""
+    from ..sources.io import load_table
+    from .textops import quality_expr
+
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_expr(F.col("text")).alias("quality")
+    )
+    clusters = near_dup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality", "kept")
+    )
+
+
+def _cluster_representatives_oracle() -> str:
+    """CC chain + the shared QUALITY_SQL fragment + per-cluster argmax."""
+    from .textops import QUALITY_SQL
+
+    return f"""
+        SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality,
+               (row_number() OVER (
+                  PARTITION BY c.cluster_id
+                  ORDER BY q.quality DESC, c.doc_id)) = 1 AS kept
+        FROM ({ORACLES["near_dup_clusters"]}) c
+        JOIN (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents) q
+          ON c.doc_id = q.doc_id
+    """
+
+
+ORACLES["cluster_representatives"] = _cluster_representatives_oracle()

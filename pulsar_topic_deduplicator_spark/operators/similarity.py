@@ -741,35 +741,37 @@ def semantic_dedup(
     boundaries come from float matmuls over a trained codebook);
     ``semantic_dedup_contracts`` pins the invariants for the driver.
     """
+    from ..cachereg import persist_scoped
+
     assigned, _ = _ivf_train_assign(spark, sf_dir, n_cells)
-    # per-cell counts: n_cells scalar rows, broadcast back onto the rows
-    # to derive each row's sub-bucket count/assignment
-    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
-    # three consumers (both self-join sides + the final id/cell frame)
-    # fork this lineage; without the persist the Arrow assign pass (and
-    # the scan behind it) executes once per consumer
-    v = (
-        assigned.join(F.broadcast(counts), "cell")
-        .select(
+    # FOUR consumers fork this lineage (per-cell counts + both self-join
+    # sides + the final id/cell frame); persist the Arrow assign output
+    # once — everything downstream (broadcast count join, sub-bucket hash,
+    # norm) is cheap codegen over the cached pass
+    base = persist_scoped(
+        assigned.select(
             "vec_id",
             "cell",
             F.col("embedding").cast("array<double>").alias("v"),
+        ).withColumn("nrm", l2_norm(F.col("v")))
+    )
+    # per-cell counts: n_cells scalar rows, broadcast back onto the rows
+    # to derive each row's sub-bucket count/assignment
+    counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    v = (
+        base.join(F.broadcast(counts), "cell")
+        .withColumn(
+            "n_sub",
             F.greatest(
                 F.lit(1),
                 F.ceil(F.col("cell_n") / F.lit(max_cell_size)),
-            )
-            .cast("int")
-            .alias("n_sub"),
+            ).cast("int"),
         )
         .withColumn(
             "sub",
             F.pmod(F.xxhash64(F.col("vec_id")), F.col("n_sub")).cast("int"),
         )
-        .withColumn("nrm", l2_norm(F.col("v")))
     )
-    from ..cachereg import persist_scoped
-
-    v = persist_scoped(v)
     a, b = v.alias("a"), v.alias("b")
     dup_best = (
         a.join(

@@ -741,3 +741,58 @@ def _bm25_oracle() -> str:
 
 
 ORACLES["bm25_rank"] = _bm25_oracle()
+
+
+#: RAG/training chunking geometry, shared between the Column expression and
+#: the oracle SQL (the HIST_WIDTH pattern — change one constant, the checked
+#: contract follows)
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with stride/overlap — the standard
+    RAG-retrieval / training-window prep step (CHUNK_SIZE-token windows
+    every CHUNK_STRIDE tokens, so consecutive chunks share
+    CHUNK_SIZE − CHUNK_STRIDE tokens of context; the final chunk is the
+    natural remainder). One row per (doc, chunk) with its token span and
+    re-joined text.
+
+    Scale: zero-shuffle scan → sequence/posexplode → slice projection —
+    chunking 100 TB is embarrassingly parallel and this plan keeps it that
+    way (no aggregation, no join, full codegen; row growth is the
+    unavoidable ~n_tokens/stride factor). Deterministic splitter (single
+    space, the corpus's token convention) ⇒ exact cross-engine oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("toks")) - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_SIZE)
+    return (
+        docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", "toks", F.explode(starts).alias("start_tok")
+        )
+        .select(
+            "doc_id",
+            (F.col("start_tok") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+ORACLES["chunk_documents"] = f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start_tok
+      FROM w)
+    SELECT doc_id,
+           CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start_tok + 1, start_tok + {CHUNK_SIZE})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, start_tok + 1, start_tok + {CHUNK_SIZE}), ' ') AS chunk_text
+    FROM s
+"""

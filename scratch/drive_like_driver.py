@@ -56,6 +56,9 @@ for name in [
     "session_purchase_overlaps",  # interval-overlap explode at scale
     "merge_upsert_orders",  # CDC argmax merge on the full orders table
     "funnel_steps",  # chained windows over the big events table
+    "stream_dedup_ttl_watermark",  # JVM watermark TTL kernel at scale
+    "cluster_representatives",  # CC + quality argmax composition at scale
+    "chunk_documents",  # zero-shuffle chunk explode at scale
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()

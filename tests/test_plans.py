@@ -427,3 +427,25 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_watermark_ttl_kernel_plan_is_jvm_only(spark, sf_dir):
+    """The third TTL kernel's whole point: state handled by the JVM
+    dedup-within-watermark operator, zero Python/Arrow stages anywhere in
+    the streaming plan."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        dedup_stream_ingest_ttl,
+    )
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
+    )
+
+    msgs = events_message_stream(spark, sf_dir, glob_filter="events.parquet")
+    df = dedup_stream_ingest_ttl(msgs)
+    # analyzed, not optimized: a streaming plan only optimizes inside a
+    # started query, but the operator/stage inventory is fixed at analysis
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan[:2000]
+    for python_stage in ("PythonUDF", "MapInPandas", "FlatMapGroupsInPandas",
+                         "ArrowEvalPython", "mapInPandas"):
+        assert python_stage not in plan, plan[:2000]
