@@ -233,6 +233,11 @@ def run_gated_service_bounded(
     dedup, dirty rows land in quarantine with their violated constraints.
     Returns ``(dedup_output, quarantine)``."""
     predicate = F.size(message_dq_violations()) == 0
+    # start the stateless quarantine pass FIRST (async) so it overlaps the
+    # stateful dedup run instead of paying a second sequential source scan
+    q_query, q_name = start_quarantine_stream(
+        spark, source_dir, glob_filter=glob_filter, available_now=True
+    )
     out = run_ttl_dedup_bounded(
         spark,
         source_dir,
@@ -242,9 +247,6 @@ def run_gated_service_bounded(
         use_tws=use_tws,
         ignored=config.ignored_properties,
         message_predicate=predicate,
-    )
-    q_query, q_name = start_quarantine_stream(
-        spark, source_dir, glob_filter=glob_filter, available_now=True
     )
     q_query.awaitTermination()
     return out, spark.table(q_name)

@@ -307,3 +307,42 @@ def test_curriculum_order_is_a_tiered_permutation(spark, sf_dir):
     assert {(r["doc_id"], r["global_pos"]) for r in curriculum} == {
         (r["doc_id"], r["global_pos"]) for r in again
     }
+
+
+def test_chunk_documents_covers_and_reconstructs(spark, sf_dir):
+    """Chunking invariants beyond the value oracle: (a) chunk spans cover
+    every token exactly as the geometry dictates; (b) stitching the first
+    CHUNK_STRIDE tokens of each chunk plus the final chunk's tail
+    reconstructs the document byte-for-byte — nothing lost, nothing
+    invented by the overlap."""
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    chunks = chunk_documents(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = docs[doc_id].split(" ")
+        # geometry: starts are exactly 0, stride, 2*stride … < n_tokens
+        assert [r["start_tok"] for r in rows] == list(
+            range(0, len(toks), CHUNK_STRIDE)
+        )
+        for r in rows:
+            assert r["n_tokens"] == min(CHUNK_SIZE, len(toks) - r["start_tok"])
+        # reconstruction from the stride prefixes + last chunk
+        stitched: list = []
+        for r in rows[:-1]:
+            stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
+        stitched.extend(rows[-1]["chunk_text"].split(" "))
+        assert stitched == toks
