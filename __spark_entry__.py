@@ -277,6 +277,7 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
         "cluster_representatives": neardup.cluster_representatives,
         "chunk_documents": textops.chunk_documents,
+        "lm_bigram_nll": textops.lm_bigram_nll,
         # ── (b) the 31 remaining round-1-era entries (VERDICT r5 item 1) ───
         "rollup_sales": relational.rollup_sales,
         "except_ordered_parts": relational.except_ordered_parts,

@@ -796,3 +796,93 @@ ORACLES["chunk_documents"] = f"""
            array_to_string(list_slice(toks, start_tok + 1, start_tok + {CHUNK_SIZE}), ' ') AS chunk_text
     FROM s
 """
+
+
+def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality filter, CCNet-style: score every document by its
+    average negative log-likelihood under a bigram language model trained
+    on the corpus itself (Laplace smoothing: P(w2|w1) = (c(w1 w2)+1) /
+    (c(w1·)+V), V = bigram-start vocabulary). High-NLL documents are
+    improbable under the corpus distribution — the perplexity-filter
+    member of the quality family (gopher gates = rules, quality_score =
+    heuristics, this = statistics).
+
+    Cross-engine exactness: each bigram's ln-term is rounded to integer
+    nano-nats and the per-doc sum runs in exact BIGINT (associative — no
+    float-summation order dependence); only the ln() itself can drift by
+    a last ulp between libms, absorbed by the nano-nat rounding and the
+    6-dp boundary on the final average (the BM25 acceptance).
+
+    Scale: two vocabulary-sized count aggregates (map-side combined), a
+    join of the bigram rows against them keyed by gram/w1 (stopword-pair
+    skew is real — AQE skew-join splits it), one per-doc aggregate. V is
+    the single driver scalar. At 100 TB the two count tables are the
+    trained LM — materialize once, reuse across scoring runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    cnt = F.size(words) - 1
+    zipped = F.arrays_zip(
+        F.slice(words, 1, cnt).alias("a"), F.slice(words, 2, cnt).alias("b")
+    )
+    big = (
+        docs.select("doc_id", F.explode(zipped).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.a").alias("w1"),
+            F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("gram"),
+        )
+    )
+    from ..cachereg import persist_scoped
+
+    big = persist_scoped(big)  # three consumers: c12, c1, the scoring join
+    c12 = big.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = big.select("w1").distinct().count()  # scalar: smoothing vocabulary
+    term = F.round(
+        F.ln(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + v).cast("double")
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    return (
+        big.join(c12, "gram")
+        .join(c1, "w1")
+        .withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("term").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -(F.col("s").cast("double"))
+                / (F.col("n_bigrams") * F.lit(1e9)),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+ORACLES["lm_bigram_nll"] = f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w),
+    big AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gram FROM idx),
+    c12 AS (SELECT gram, count(*) AS c12 FROM big GROUP BY gram),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT count(DISTINCT w1) AS v FROM big),
+    t AS (
+      SELECT doc_id,
+             CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+                           / CAST(c1.c1 + (SELECT v FROM v) AS DOUBLE))
+                        * 1000000000.0, 0) AS BIGINT) AS term
+      FROM big JOIN c12 USING (gram) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-CAST(sum(term) AS DOUBLE)
+                 / (count(*) * 1000000000.0), 6) AS nll
+    FROM t GROUP BY doc_id
+"""

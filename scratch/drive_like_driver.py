@@ -59,6 +59,7 @@ for name in [
     "stream_dedup_ttl_watermark",  # JVM watermark TTL kernel at scale
     "cluster_representatives",  # CC + quality argmax composition at scale
     "chunk_documents",  # zero-shuffle chunk explode at scale
+    "lm_bigram_nll",  # bigram-LM scoring joins at scale
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
