@@ -593,6 +593,53 @@ def dedup_stream_ingest_ttl(
     )
 
 
+def start_ttl_dedup_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    ttl_ms: int = 3_600_000,
+    seed_digests: DataFrame | None = None,
+    glob_filter: str | None = None,
+    ignored: tuple[str, ...] = (),
+    checkpoint_dir: str | None = None,
+):
+    """Live watermark-TTL dedup query; returns ``(query, table_name)``.
+
+    ``seed_digests`` replays the warm-up (op #11) exactly like the
+    GroupState path: seed rows stream through the same dedup key and
+    occupy their digest's state slot, so later live occurrences are
+    suppressed; consumers filter ``message_id != SEED_MESSAGE_ID``.
+    ORDERING CAVEAT (inherent to dropDuplicates first-seen semantics):
+    a seed only reliably wins over live rows from LATER micro-batches —
+    which is precisely the reference's startup contract (warm-up completes
+    strictly BEFORE live consumption begins, ``src/deduplication.ts:75-79``);
+    the caller drains the seed batch before live data lands, as the
+    warm-up test does."""
+    name = f"wm_ttl_{uuid.uuid4().hex[:8]}"
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    keyed = messages.withColumn("digest", message_digest(ignored))
+    if seed_digests is not None:
+        seed_dir = tempfile.mkdtemp(f"wm_seed_{uuid.uuid4().hex[:8]}")
+        seed_digests.select(
+            F.col("digest").cast("string").alias("digest"),
+            F.lit(SEED_MESSAGE_ID).alias("message_id"),
+        ).write.mode("overwrite").parquet(seed_dir)
+        seeds = spark.readStream.schema(
+            "digest string, message_id string"
+        ).parquet(seed_dir)
+        keyed = seeds.unionByName(keyed, allowMissingColumns=True)
+    deduped = (
+        keyed.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", f"{int(ttl_ms)} milliseconds")
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    writer = (
+        deduped.writeStream.format("memory").queryName(name).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), name
+
+
 def run_ttl_dedup_watermark_bounded(
     spark: SparkSession,
     source_dir: str,

@@ -496,3 +496,66 @@ def test_watermark_ttl_suppresses_within_ttl(spark, tmp_path):
         assert {r["message_id"] for r in spark.table(name).collect()} == {"1"}
     finally:
         query.stop()
+
+
+def test_watermark_ttl_warmup_seed(spark, tmp_path):
+    """Op #11 on the watermark kernel: warm-up seeds drained strictly
+    before live consumption (the reference's startup happens-before edge)
+    suppress live re-deliveries of already-output content; fresh content
+    still flows."""
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        SEED_MESSAGE_ID,
+        message_digest,
+        start_ttl_dedup_watermark,
+    )
+
+    src = str(tmp_path / "wm_seed_src")
+    import os
+
+    os.makedirs(src)
+    # the seed: digest of BATCH1 message 1's content, derived the same way
+    # the service's warm-up scan would derive it
+    probe = spark.createDataFrame(
+        [("1", '{"k": 1}')], "mid string, props string"
+    ).select(
+        F.encode(F.to_json(F.struct(F.lit("click").alias("event_type"),
+                                    F.lit(1.0).alias("value"))), "UTF-8").alias("value"),
+        F.from_json("props", "map<string,string>").alias("properties"),
+    )
+    seeds = probe.select(message_digest().alias("digest"))
+    seeded_digest = seeds.first()["digest"]
+
+    query, name = start_ttl_dedup_watermark(
+        spark, src, seed_digests=seeds,
+        checkpoint_dir=str(tmp_path / "ck_wm_seed"),
+    )
+    try:
+        query.processAllAvailable()  # drain the seed batch FIRST
+        assert {r["message_id"] for r in spark.table(name).collect()} == {
+            SEED_MESSAGE_ID
+        }
+        # live batch in the CURRENT ts encoding: the query started against
+        # an empty dir, so the schema fallback pinned TIMESTAMP (the
+        # documented contract — legacy ns-long files need a restart)
+        spark.createDataFrame(
+            _events_pdf(BATCH1[:2]),
+            schema="event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("append").parquet(src)
+        query.processAllAvailable()
+        rows = spark.table(name).collect()
+        live = {r["message_id"] for r in rows if r["message_id"] != SEED_MESSAGE_ID}
+        # live re-delivery of the seeded content suppressed; fresh content kept
+        assert live == {"2"}
+        assert {r["digest"] for r in rows if r["message_id"] == SEED_MESSAGE_ID} == {
+            seeded_digest
+        }
+    finally:
+        query.stop()
