@@ -449,3 +449,27 @@ def test_watermark_ttl_kernel_plan_is_jvm_only(spark, sf_dir):
     for python_stage in ("PythonUDF", "MapInPandas", "FlatMapGroupsInPandas",
                          "ArrowEvalPython", "mapInPandas"):
         assert python_stage not in plan, plan[:2000]
+
+
+def test_lm_bigram_nll_plan_shape(spark, sf_dir):
+    """LM scoring must ride equi-joins on gram/w1 with map-side partial
+    aggregation — no cartesian, no NLJ, no Python stages."""
+    from pulsar_topic_deduplicator_spark.operators import textops
+
+    df = textops.lm_bigram_nll(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 2, plan[:2000]  # partial + final
+
+
+def test_cluster_representatives_no_nlj(spark, sf_dir):
+    """The quality join keys on doc_id and the keep decision is one
+    cluster-partitioned window — no cartesian/NLJ anywhere."""
+    from pulsar_topic_deduplicator_spark.operators import neardup
+
+    df = neardup.cluster_representatives(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
