@@ -271,7 +271,8 @@ def queries() -> dict[str, QueryFn]:
     # semantic_dedup_contracts / approx_quantiles_contracts), so the ledger
     # carries zero `no_oracle` rows.
     return {
-        # ── (a) round-6 additions (never driver-checked) ───────────────────
+        # ── (a) round-7 additions (never driver-checked) ───────────────────
+        "dedup_paragraphs": textops.dedup_paragraphs,
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,

@@ -762,10 +762,18 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking 100 TB is embarrassingly parallel and this plan keeps it that
     way (no aggregation, no join, full codegen; row growth is the
     unavoidable ~n_tokens/stride factor). Deterministic splitter (single
-    space, the corpus's token convention) ⇒ exact cross-engine oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    space, the corpus's token convention) ⇒ exact cross-engine oracle.
+
+    NULL guard: a NULL ``text`` makes ``size(toks)`` return −1 and
+    ``sequence(0, −2, stride)`` THROW at runtime, where the oracle's
+    ``generate_series`` just emits no rows — the explicit non-null filter
+    (pushed to the scan) makes both engines emit zero rows per NULL doc."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     starts = F.sequence(
-        F.lit(0), F.size(F.col("toks")) - 1, F.lit(CHUNK_STRIDE)
+        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
     )
     chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_SIZE)
     return (
@@ -798,6 +806,118 @@ ORACLES["chunk_documents"] = f"""
 """
 
 
+#: paragraph-dedup geometry: the corpus is single-space word soup with no
+#: newline structure, so "paragraphs" are consecutive non-overlapping
+#: PARA_WORDS-word spans — the deterministic analog of C4's line split (a
+#: real-text deployment swaps the segmenter for split on '\n\n'; everything
+#: downstream is segmenter-agnostic).
+PARA_WORDS = 32
+#: packed keep-first key = doc_id * _PARA_PACK + para_idx. Bound: valid
+#: while every document has < _PARA_PACK paragraphs (32 M words/doc at
+#: PARA_WORDS=32) AND doc_id < 2^63/_PARA_PACK ≈ 9.2e12 — both far above
+#: any web corpus; the packing keeps the first-occurrence argmin a single
+#: BIGINT min (exact, cross-engine) instead of a struct comparison.
+_PARA_PACK = 1_000_000
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph-level dedup, C4/RefinedWeb-style: every
+    duplicated paragraph keeps only its FIRST corpus occurrence (first =
+    lowest (doc_id, para_idx)); each document is reassembled from its
+    surviving spans in order. This is the span granularity between
+    document-level dedup (``dedup_docs_exact``) and boilerplate prefix
+    dedup (``dedup_docs_by_prefix``): repeated boilerplate inside otherwise
+    unique pages is removed without dropping the page.
+
+    Plan: zero-shuffle scan → span explode → sha2 paragraph hash → ONE
+    hash-keyed shuffle (window min over the packed first-occurrence key) →
+    ONE doc-keyed reassembly aggregate. No join, no global sort; at 100 TB
+    the hash partitioning is crypto-uniform (no skew) and the reassembly
+    groups are document-sized.
+
+    NULL guard: NULL ``text`` is filtered at the scan (both engines emit
+    zero rows for it — the chunk_documents contract)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(PARA_WORDS),
+    )
+    para = F.array_join(
+        F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS), " "
+    )
+    spans = (
+        docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            (F.col("start_tok") / PARA_WORDS).cast("long").alias("para_idx"),
+            para.alias("para"),
+        )
+        .withColumn("ph", F.sha2(F.col("para"), 256))
+        .withColumn(
+            "pk", F.col("doc_id") * F.lit(_PARA_PACK) + F.col("para_idx")
+        )
+    )
+    kept = F.col("pk") == F.min("pk").over(Window.partitionBy("ph"))
+    return (
+        spans.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_paras_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("para_idx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+ORACLES["dedup_paragraphs"] = f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS toks FROM documents
+               WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {PARA_WORDS})) AS start_tok
+      FROM w),
+    p AS (
+      SELECT doc_id,
+             CAST(start_tok // {PARA_WORDS} AS BIGINT) AS para_idx,
+             array_to_string(
+               list_slice(toks, start_tok + 1, start_tok + {PARA_WORDS}), ' ')
+               AS para
+      FROM s),
+    k AS (
+      SELECT doc_id, para_idx, para,
+             doc_id * {_PARA_PACK} + para_idx
+               = min(doc_id * {_PARA_PACK} + para_idx)
+                   OVER (PARTITION BY sha256(para)) AS kept
+      FROM p)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_paras_kept,
+           coalesce(
+             array_to_string(
+               list(para ORDER BY para_idx) FILTER (WHERE kept), ' '),
+             '') AS cleaned_text
+    FROM k GROUP BY doc_id
+"""
+
+
 def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical quality filter, CCNet-style: score every document by its
     average negative log-likelihood under a bigram language model trained
@@ -817,10 +937,16 @@ def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the bigram rows against them keyed by gram/w1 (stopword-pair
     skew is real — AQE skew-join splits it), one per-doc aggregate. V is
     the single driver scalar. At 100 TB the two count tables are the
-    trained LM — materialize once, reuse across scoring runs."""
-    docs = load_table(spark, sf_dir, "documents")
+    trained LM — materialize once, reuse across scoring runs.
+
+    NULL guard: NULL ``text`` would drive ``slice`` to a negative length
+    (runtime throw); the non-null filter + clamp make NULL/one-word docs
+    contribute zero bigrams, exactly like the oracle's generate_series."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     words = _words(F.col("text"))
-    cnt = F.size(words) - 1
+    cnt = F.greatest(F.size(words) - 1, F.lit(0))
     zipped = F.arrays_zip(
         F.slice(words, 1, cnt).alias("a"), F.slice(words, 2, cnt).alias("b")
     )

@@ -133,7 +133,12 @@ def start_dedup_service(
     (the reference validates per message before the cache check,
     ``src/deduplication.ts:99-106``) and are diverted to a quarantine
     table by a stateless side query over the same source, with
-    ``counters()`` reporting them beside forwarded/dropped."""
+    ``counters()`` reporting them beside forwarded/dropped. When a
+    ``messages`` transport override is given the quarantine derives from
+    that SAME frame — note each streaming query still opens its own reader,
+    so combining ``dq_gate`` with a non-replayable transport (one live TCP
+    socket) splits rows between the two consumers; use a replayable source
+    (files, a broker topic with independent subscriptions) for gated runs."""
     seeds = None
     if config.warmup_enabled and prior_output is not None:
         seeds = warmup_seed_digests(prior_output, config, now_ts)
@@ -152,8 +157,12 @@ def start_dedup_service(
     )
     q_query = q_name = None
     if dq_gate:
+        # the quarantine side-stream MUST observe the same transport the
+        # gate filters: with a `messages` override, deriving it from
+        # source_dir would quarantine rows from a DIFFERENT stream than the
+        # one actually gated and desynchronize counters()
         q_query, q_name = start_quarantine_stream(
-            spark, source_dir, glob_filter=glob_filter
+            spark, source_dir, glob_filter=glob_filter, messages=messages
         )
     return DedupService(
         spark=spark,
@@ -169,18 +178,26 @@ def start_quarantine_stream(
     source_dir: str,
     glob_filter: str | None = None,
     available_now: bool = False,
+    messages: DataFrame | None = None,
 ):
     """Stateless side query: the DQ gate's reject path. Dirty messages land
     in a memory table with their violated-constraint list — zero state,
     append mode, full codegen; at scale this is a second reader on the same
     topic writing a dead-letter topic (the standard quarantine pattern),
-    not a branch inside the stateful query."""
+    not a branch inside the stateful query.
+
+    ``messages`` overrides the transport exactly as in ``start_ttl_dedup``:
+    the quarantine pass then observes the SAME stream the gate filters
+    (``source_dir``/``glob_filter`` are ignored when it is given)."""
     import uuid
 
     from .streaming.source import events_message_stream
 
     name = f"quarantine_{uuid.uuid4().hex[:8]}"
-    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    if messages is None:
+        messages = events_message_stream(
+            spark, source_dir, glob_filter=glob_filter
+        )
     dirty = messages.withColumn("violations", message_dq_violations()).filter(
         F.size("violations") > 0
     )

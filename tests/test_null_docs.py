@@ -1,0 +1,57 @@
+"""Degenerate-document regression (ADVICE r6): a NULL ``text`` used to make
+``chunk_documents`` throw at runtime (``sequence(0, -2, stride)``) and
+``lm_bigram_nll`` throw on a negative ``slice`` length, while the DuckDB
+oracles just emit no rows — a single NULL document crashed the whole query
+instead of diverging gracefully. Both operators now filter NULLs at the
+scan, and this test pins full engine parity on a corpus of every degenerate
+shape: NULL, empty string, one word, and a normal document."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle_harness import compare
+
+ROWS = [
+    (0, None, "en", "src0"),
+    (1, "", "en", "src0"),
+    (2, "one", "en", "src1"),
+    (3, "the quick brown fox jumps over the lazy dog the end", "en", "src1"),
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("degen")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t) if t else 0) for i, t, lang, src in ROWS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def degenerate_duck(degenerate_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark writes the table as a parquet DIRECTORY — glob the parts
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{degenerate_dir}/documents.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["chunk_documents", "lm_bigram_nll", "dedup_paragraphs"]
+)
+def test_degenerate_docs_engine_parity(name, spark, degenerate_dir, degenerate_duck):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, degenerate_dir)
+    result = compare(df, degenerate_duck, entrymod.oracle_sql()[name])
+    assert result["match"], f"{name}: {result}"
+    # the NULL doc must contribute zero rows (not a crash) on both engines
+    assert df.filter("doc_id = 0").count() == 0
