@@ -73,8 +73,14 @@ class DedupService:
     output_table: str
     quarantine_query: StreamingQuery | None = None
     quarantine_table: str | None = None
+    #: set by the signal-handler teardown BEFORE the query stops, so the
+    #: liveness probe fails immediately on shutdown start (the reference's
+    #: ``setHealthOk(false)`` is its first teardown step, src/index.ts:34-44)
+    _stopping: bool = False
 
     def health(self) -> tuple[int, str]:
+        if self._stopping:
+            return 500, "shutting down"
         return health_status(self.query)
 
     def serve_health(self, port: int = 0):
@@ -108,6 +114,60 @@ class DedupService:
         if self.quarantine_query is not None:
             ok = graceful_stop(self.quarantine_query, timeout_seconds) and ok
         return ok
+
+    def install_signal_handlers(
+        self,
+        health_server=None,
+        exit_fn=None,
+        on_step=None,
+        timeout_seconds: float = 60.0,
+    ) -> dict[int, int]:
+        """Wire OS signals to the ordered graceful teardown — reference
+        op #15's process contract (``src/index.ts:139-146``): SIGINT → 130,
+        SIGQUIT → 131, SIGTERM → 143, teardown order from
+        ``exitGracefully`` (``src/index.ts:18-101``) with every step
+        isolated so one failing close never blocks the next:
+
+        1. fail the health probe (``setHealthOk(false)`` analog — the
+           ``_stopping`` flag flips ``health()`` to 500 before anything
+           slow happens);
+        2. stop the streaming queries (close consumer; the final
+           micro-batch commit plays the producer flush);
+        3. close the health server;
+        4. exit with 128 + signal.
+
+        ``on_step(name)`` is an observability hook (the reference logs each
+        step); ``exit_fn`` defaults to ``sys.exit``. Returns the
+        signal→exit-code map actually installed."""
+        import signal as _signal
+        import sys
+
+        codes = {_signal.SIGINT: 130, _signal.SIGTERM: 143}
+        if hasattr(_signal, "SIGQUIT"):
+            codes[_signal.SIGQUIT] = 131
+        step = on_step or (lambda name: None)
+        do_exit = exit_fn or sys.exit
+
+        def _handler(signum, frame):
+            self._stopping = True
+            step("health_fail")
+            try:
+                self.stop(timeout_seconds)
+                step("stop_queries")
+            except Exception:
+                pass
+            if health_server is not None:
+                try:
+                    health_server.shutdown()
+                    step("close_health_server")
+                except Exception:
+                    pass
+            step("exit")
+            do_exit(codes.get(signum, 1))
+
+        for sig in codes:
+            _signal.signal(sig, _handler)
+        return codes
 
 
 def start_dedup_service(
@@ -307,6 +367,83 @@ def service_counters_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_gated_service_watermark_bounded(
+    spark: SparkSession,
+    config: EngineConfig,
+    source_dir: str,
+    glob_filter: str | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Bounded run of the DQ-gated service composed over the JVM-only
+    watermark TTL kernel (``dedup_stream_ingest_ttl``) — the deployment
+    shape for services that accept ingest-clock TTL semantics and want the
+    per-group Python cost of the exact GroupState kernel gone (measured
+    ~3× cheaper on the same data, see BASELINE.md).
+
+    Same gate → dedup order as ``run_gated_service_bounded``: dirty rows
+    divert to quarantine (started async FIRST so the stateless pass
+    overlaps the stateful run), clean rows dedup on the content digest.
+    This kernel suppresses duplicates inside the JVM without emitting
+    per-digest drop counters, so the dropped count derives from the op-#13
+    ``observe()`` counter on the gated ingest stream (``n_clean`` −
+    forwarded) instead of summed ``n_dropped`` rows. A live service that
+    additionally needs warm-up seeding (op #11) composes the same pieces
+    through ``start_ttl_dedup_watermark(seed_digests=...)``, which unions
+    pre-keyed seed rows ahead of the live stream.
+
+    Returns ``(dedup_output, quarantine, n_clean)``."""
+    import uuid
+
+    from .streaming.dedup import dedup_stream_ingest_ttl
+    from .streaming.source import events_message_stream
+
+    q_query, q_name = start_quarantine_stream(
+        spark, source_dir, glob_filter=glob_filter, available_now=True
+    )
+    messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
+    clean = messages.filter(F.size(message_dq_violations()) == 0).observe(
+        "gate", F.count(F.lit(1)).alias("n_clean")
+    )
+    deduped = dedup_stream_ingest_ttl(
+        clean, config.dedup_window_ms, config.ignored_properties
+    )
+    name = f"wm_gated_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n_clean = int(observed_counters(query, "gate").get("n_clean", 0))
+    q_query.awaitTermination()
+    return spark.table(name), spark.table(q_name), n_clean
+
+
+def service_counters_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the same composed gate→dedup telemetry as
+    ``service_counters_composed``, with the dedup stage on the watermark
+    TTL kernel — forwarded / dropped_duplicates / quarantined reconcile to
+    the input row count by construction (dropped = observed clean ingest −
+    forwarded; the pytest twin asserts the reconciliation on an
+    injected-dirty corpus). Shares the composed entry's exact SQL oracle:
+    both kernels forward exactly one row per distinct clean digest on a
+    bounded single-batch run."""
+    out, quarantine, n_clean = run_gated_service_watermark_bounded(
+        spark, EngineConfig(), sf_dir, glob_filter="events.parquet"
+    )
+    forwarded = out.count()
+    quarantined = quarantine.count()
+    return spark.createDataFrame(
+        [
+            ("forwarded", int(forwarded)),
+            ("dropped_duplicates", int(n_clean - forwarded)),
+            ("quarantined", int(quarantined)),
+        ],
+        "metric string, value long",
+    )
+
+
 # DuckDB oracle: replay the gate + dedup arithmetic in SQL. The row-local
 # gate on events-derived messages reduces to event_id/ts/event_type checks
 # (the payload is engine-constructed JSON, parseable by construction), and
@@ -342,4 +479,8 @@ def _service_counters_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "service_counters_composed": _service_counters_oracle(),
+    # the watermark-kernel composition forwards exactly one row per
+    # distinct clean digest on a bounded single-batch run — same counter
+    # arithmetic, same oracle (a shared-SQL twin, like the rollup pair)
+    "service_counters_watermark": _service_counters_oracle(),
 }

@@ -159,3 +159,22 @@ def test_service_dq_gate_quarantines_and_counters_reconcile(spark, tmp_path):
     assert forwarded == 2  # digest(1|2) once, digest(6) once
     assert dropped == 1  # event 2, duplicate content inside the gate
     assert forwarded + dropped + len(q) == len(rows)
+
+    # same composition on the JVM watermark TTL kernel (VERDICT r6 item 4):
+    # identical gate verdicts, identical counter reconciliation — dropped
+    # derives from the observe() clean-ingest counter on this kernel
+    from pulsar_topic_deduplicator_spark.service import (
+        run_gated_service_watermark_bounded,
+    )
+
+    wm_out, wm_quarantine, n_clean = run_gated_service_watermark_bounded(
+        spark, EngineConfig(), src
+    )
+    wm_viol = {
+        r["message_id"]: set(r["violations"]) for r in wm_quarantine.collect()
+    }
+    assert wm_viol == viol
+    wm_forwarded = wm_out.count()
+    assert wm_forwarded == forwarded
+    assert n_clean - wm_forwarded == dropped
+    assert wm_forwarded + (n_clean - wm_forwarded) + len(wm_viol) == len(rows)

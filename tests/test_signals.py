@@ -1,0 +1,96 @@
+"""OS-signal graceful shutdown (reference op #15, ``src/index.ts:139-146``):
+a real subprocess runs the live dedup service with signal handlers
+installed; SIGTERM must drive the ordered teardown (health-fail → stop
+queries → close health server) and exit 143 — the reference's exact
+signal→exit-code contract."""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = """
+import sys, tempfile
+sys.path.insert(0, {repo!r})
+from pulsar_topic_deduplicator_spark.session import get_spark
+from pulsar_topic_deduplicator_spark.config import EngineConfig
+from pulsar_topic_deduplicator_spark.service import start_dedup_service
+
+spark = get_spark("signal-shutdown-test")
+spark.sparkContext.setLogLevel("ERROR")
+svc = start_dedup_service(
+    spark, EngineConfig(), sys.argv[1], tempfile.mkdtemp("sig_ck"),
+    use_tws=False,
+)
+server, port = svc.serve_health()
+svc.install_signal_handlers(
+    health_server=server,
+    on_step=lambda s: print("STEP", s, flush=True),
+)
+print("READY", port, flush=True)
+import time
+while True:
+    time.sleep(0.2)
+"""
+
+BASE_TS = 1704067200 * 1_000_000_000  # 2024-01-01 UTC in ns
+NS = 1_000_000_000
+
+
+def test_sigterm_runs_ordered_teardown_and_exits_143(spark, tmp_path):
+    src = str(tmp_path / "sig_src")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, BASE_TS, 1, "click", 1.0, '{"k": "1"}'),
+                (2, BASE_TS + NS, 2, "view", 2.0, '{"k": "2"}'),
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        schema=(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    script = tmp_path / "runner.py"
+    script.write_text(RUNNER.format(repo=REPO))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+    proc = subprocess.Popen(
+        [sys.executable, str(script), src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("READY"):
+                port = int(line.split()[1])
+                break
+            assert proc.poll() is None, "service subprocess died before READY"
+        assert port is not None, "service never reported READY"
+
+        import urllib.request
+
+        resp = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=10)
+        assert resp.status == 204  # live service is healthy
+
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+        steps = [l.split()[1] for l in out.splitlines() if l.startswith("STEP")]
+        # the reference's teardown order, each step isolated
+        assert steps == ["health_fail", "stop_queries", "close_health_server", "exit"]
+        assert proc.returncode == 143  # 128 + SIGTERM
+    finally:
+        if proc.poll() is None:
+            proc.kill()
