@@ -131,6 +131,15 @@ def _service_counters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_counters_composed(spark, sf_dir)
 
 
+def _service_counters_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate→dedup telemetry with the dedup stage on the JVM-only watermark
+    TTL kernel (no per-group Python) — same reconciliation invariant and
+    the same exact oracle as ``service_counters_composed``."""
+    from pulsar_topic_deduplicator_spark.service import service_counters_watermark
+
+    return service_counters_watermark(spark, sf_dir)
+
+
 def _knn_blockwise_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``knn_topk_blockwise`` with the cosine rounded to 6 dp at the harness
     boundary: the BLAS matmul's partial-sum order differs from the oracle's
@@ -256,16 +265,18 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 6 finishes the freshness rotation VERDICT r5 item 1
-    # demands: the window leads with (a) the never-driver-checked round-6
-    # additions, then (b) ALL 31 remaining round-1-era entries (relational
-    # set-ops/cube/pivot/window tier + the five scalar-function demos) whose
-    # driver evidence predates the round-3 timestamp migration, then (c)
-    # r3-era text/near-dup/similarity fillers up to the window edge. After
-    # this round every entry's latest driver check is ≤2 rounds old. The
-    # 36 round-5 additions sit immediately behind the window (freshest
-    # evidence, first to rotate back in next round), then the r4 tiers, and
-    # the seven rows-only RAW entries remain at the very end, OUTSIDE the
+    # round. Round 7 rotates the STALEST evidence through the window
+    # (VERDICT r6 item 1): (a) the never-driver-checked round-7 additions,
+    # then (b) the r3-era cohort (TPC-H round-2 shapes, pipeline/similarity
+    # remainder, the three near-dup entries that sat just past the r6
+    # window edge), then (c) the r4-era tiers (text fingerprints, sampling,
+    # bounded streaming, multimodal, contract/similarity, scalar demos,
+    # asof) to the window edge. After this round every entry's latest
+    # driver check is ≤2 rounds old and the rotation is self-sustaining:
+    # each round leads with new entries + whatever the previous two rounds
+    # did not check. The r5/r6-checked tiers sit immediately behind the
+    # window (freshest evidence, first to rotate back in round 8), and the
+    # seven rows-only RAW entries remain at the very end, OUTSIDE the
     # window BY DESIGN: each is driver-checked through an oracle-pinned
     # contract twin (ann_recall_contracts / stream_near_dup_contracts /
     # semantic_dedup_contracts / approx_quantiles_contracts), so the ledger
@@ -273,63 +284,64 @@ def queries() -> dict[str, QueryFn]:
     return {
         # ── (a) round-7 additions (never driver-checked) ───────────────────
         "dedup_paragraphs": textops.dedup_paragraphs,
-        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
-        "service_counters_composed": _service_counters_query,
-        "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
-        "cluster_representatives": neardup.cluster_representatives,
-        "chunk_documents": textops.chunk_documents,
-        "lm_bigram_nll": textops.lm_bigram_nll,
-        # ── (b) the 31 remaining round-1-era entries (VERDICT r5 item 1) ───
-        "rollup_sales": relational.rollup_sales,
-        "except_ordered_parts": relational.except_ordered_parts,
-        "intersect_nations": relational.intersect_nations,
-        "union_segments": relational.union_segments,
-        "orders_topk": relational.orders_topk,
-        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
-        "cube_sales": relational.cube_sales,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
-        "window_analytics_demo": relational.window_analytics_demo,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
-        "q4_order_priority_checking": relational.q4_order_priority_checking,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q13_customer_distribution": relational.q13_customer_distribution,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        "q22_dormant_balances": relational.q22_dormant_balances,
-        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
-        "pivot_status_counts": relational.pivot_status_counts,
-        "unpivot_part_measures": relational.unpivot_part_measures,
-        "exact_variance_stats": relational.exact_variance_stats,
-        "exact_corr_stats": relational.exact_corr_stats,
-        "full_outer_nation_activity": relational.full_outer_nation_activity,
-        "event_type_stats_salted": skew.event_type_stats_salted,
-        "running_value_per_user": relational.running_value_per_user,
-        "json_extract_props": scalarfuncs.json_extract_props,
-        "string_funcs_demo": scalarfuncs.string_funcs_demo,
-        "date_funcs_demo": scalarfuncs.date_funcs_demo,
-        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
-        "math_funcs_demo": scalarfuncs.math_funcs_demo,
-        # ── (c) r3-era fillers to the window edge ──────────────────────────
-        "text_stats": textops.text_stats,
-        "token_count": textops.token_count,
-        "quality_score": textops.quality_score,
-        "lang_id_heuristic": textops.lang_id_heuristic,
-        "lang_distribution": textops.lang_distribution,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "dedup_docs_exact": textops.dedup_docs_exact,
-        "top_terms": textops.top_terms,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
-        "minhash_signatures": neardup.minhash_signatures,
-        "near_dup_minhash": neardup.near_dup_minhash,
-        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        "service_counters_watermark": _service_counters_watermark_query,
+        # ── (b) r3-era cohort (stalest driver evidence) ────────────────────
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_value": relational.q11_important_value,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q12_late_shipment_priority": relational.q12_late_shipment_priority,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q20_heavy_shippers": relational.q20_heavy_shippers,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
+        "embedding_topk_cosine": similarity.embedding_topk_cosine,
+        "knn_self_join_top1": similarity.knn_self_join_top1,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # just past the r6 window edge (driver checked exactly 50 that round)
         "near_dup_clusters": neardup.near_dup_clusters,
         "simhash_docs": neardup.simhash_docs,
         "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
+        # ── (c) r4-era tiers to the window edge ────────────────────────────
+        "winnow_fingerprints": textops.winnow_fingerprints,
+        "substring_overlap_pairs": textops.substring_overlap_pairs,
+        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
+        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
+        "hash_sample_events": sampling.hash_sample_events,
+        "train_val_test_split": sampling.train_val_test_split,
+        "source_mixture_sample": sampling.source_mixture_sample,
+        "stream_warmup_flagged": _stream_warmup_flagged_query,  # exact oracle (plain append)
+        "sessionize_events": relational.sessionize_events,
+        "range_frame_event_counts": relational.range_frame_event_counts,
+        "stream_dedup": _stream_dedup_query,  # deterministic projection (oracle-hashed)
+        "stream_windowed_counts": _stream_windowed_counts_query,  # exact oracle (watermark cutoff)
+        "stream_session_activity": _stream_session_activity_query,  # exact oracle (watermark cutoff)
+        "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
+        "multimodal_features": multimodal.multimodal_features_long,  # long-form boundary
+        "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
+        "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
+        "bloom_digest_prefilter": dedup.bloom_digest_prefilter,  # contract oracle
+        "ann_recall_contracts": similarity.ann_recall_contracts,  # contract oracle (+ivf_indexed r5)
+        "knn_topk_blockwise": _knn_blockwise_rounded,  # 6-dp boundary (oracle-hashed)
+        "knn_topk_tiled": _knn_tiled_rounded,  # 6-dp boundary (oracle-hashed)
+        "label_centroids": similarity.label_centroids,  # long-form, rounded 9dp (oracle-hashed)
+        # (label_centroid_vectors is deliberately NOT registered: its
+        # array<double> centroid column is not canonicalizable by the driver
+        # harness — it is the consumer-API twin, pytest-pinned against numpy)
+        "array_funcs_demo": scalarfuncs.array_funcs_demo,
+        "map_funcs_demo": scalarfuncs.map_funcs_demo,
+        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
+        "asof_last_purchase": asof.asof_last_purchase,
+        "conditional_agg_demo": relational.conditional_agg_demo,
+        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
+        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
         # ── end of the ~50-entry checked window ────────────────────────────
-        # round-5 additions (all driver-checked green r5 — freshest tier)
+        # r5-checked tier (rotates back into the window in round 8)
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
         "doc_repetition_stats": textops.doc_repetition_stats,
@@ -381,63 +393,59 @@ def queries() -> dict[str, QueryFn]:
         "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
         "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
         "top_orders_per_customer": relational.top_orders_per_customer,
-        # r3-green pipeline/similarity remainder
-        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
-        "embedding_topk_cosine": similarity.embedding_topk_cosine,
-        "knn_self_join_top1": similarity.knn_self_join_top1,
-        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-        # TPC-H shapes driver-checked r1/r3/r4
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q11_important_value": relational.q11_important_value,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q12_late_shipment_priority": relational.q12_late_shipment_priority,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
-        "q20_heavy_shippers": relational.q20_heavy_shippers,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
-        # r4-green text/cluster/sampling entries
-        "winnow_fingerprints": textops.winnow_fingerprints,
-        "substring_overlap_pairs": textops.substring_overlap_pairs,
-        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
-        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
-        "hash_sample_events": sampling.hash_sample_events,
-        "train_val_test_split": sampling.train_val_test_split,
-        "source_mixture_sample": sampling.source_mixture_sample,
-        # r4-green streaming tier (bounded availableNow runs, exact oracles)
-        "stream_warmup_flagged": _stream_warmup_flagged_query,  # exact oracle (plain append)
-        "sessionize_events": relational.sessionize_events,
-        "range_frame_event_counts": relational.range_frame_event_counts,
-        "stream_dedup": _stream_dedup_query,  # deterministic projection (oracle-hashed)
-        "stream_windowed_counts": _stream_windowed_counts_query,  # exact oracle (watermark cutoff)
-        "stream_session_activity": _stream_session_activity_query,  # exact oracle (watermark cutoff)
-        "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
-        # r4-green multimodal tier (integer-exact oracles, long-form boundaries)
-        "multimodal_features": multimodal.multimodal_features_long,  # long-form boundary
-        "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
-        "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
-        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
-        # r4-green contract/similarity/scalar entries
-        "bloom_digest_prefilter": dedup.bloom_digest_prefilter,  # contract oracle
-        "ann_recall_contracts": similarity.ann_recall_contracts,  # contract oracle (+ivf_indexed r5)
-        "knn_topk_blockwise": _knn_blockwise_rounded,  # 6-dp boundary (oracle-hashed)
-        "knn_topk_tiled": _knn_tiled_rounded,  # 6-dp boundary (oracle-hashed)
-        "label_centroids": similarity.label_centroids,  # long-form, rounded 9dp (oracle-hashed)
-        # (label_centroid_vectors is deliberately NOT registered: its
-        # array<double> centroid column is not canonicalizable by the driver
-        # harness — it is the consumer-API twin, pytest-pinned against numpy)
-        "array_funcs_demo": scalarfuncs.array_funcs_demo,
-        "map_funcs_demo": scalarfuncs.map_funcs_demo,
-        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
-        "asof_last_purchase": asof.asof_last_purchase,
         # SQL surface (same SQL text runs on Spark AND DuckDB)
         **sqlapi.QUERIES,
-        "conditional_agg_demo": relational.conditional_agg_demo,
-        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
-        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        # r6-checked tier (freshest evidence — last to rotate back in)
+        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
+        "service_counters_composed": _service_counters_query,
+        "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
+        "cluster_representatives": neardup.cluster_representatives,
+        "chunk_documents": textops.chunk_documents,
+        "lm_bigram_nll": textops.lm_bigram_nll,
+        "rollup_sales": relational.rollup_sales,
+        "except_ordered_parts": relational.except_ordered_parts,
+        "intersect_nations": relational.intersect_nations,
+        "union_segments": relational.union_segments,
+        "orders_topk": relational.orders_topk,
+        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+        "cube_sales": relational.cube_sales,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "window_analytics_demo": relational.window_analytics_demo,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
+        "q4_order_priority_checking": relational.q4_order_priority_checking,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q22_dormant_balances": relational.q22_dormant_balances,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "pivot_status_counts": relational.pivot_status_counts,
+        "unpivot_part_measures": relational.unpivot_part_measures,
+        "exact_variance_stats": relational.exact_variance_stats,
+        "exact_corr_stats": relational.exact_corr_stats,
+        "full_outer_nation_activity": relational.full_outer_nation_activity,
+        "event_type_stats_salted": skew.event_type_stats_salted,
+        "running_value_per_user": relational.running_value_per_user,
+        "json_extract_props": scalarfuncs.json_extract_props,
+        "string_funcs_demo": scalarfuncs.string_funcs_demo,
+        "date_funcs_demo": scalarfuncs.date_funcs_demo,
+        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
+        "math_funcs_demo": scalarfuncs.math_funcs_demo,
+        "text_stats": textops.text_stats,
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        "lang_distribution": textops.lang_distribution,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_docs_exact": textops.dedup_docs_exact,
+        "top_terms": textops.top_terms,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "minhash_signatures": neardup.minhash_signatures,
+        "near_dup_minhash": neardup.near_dup_minhash,
+        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
         # ── rows-only RAW entries (outside the checked window BY DESIGN) ───
         # Each is real consumer API surface whose VALUES are engine-specific
         # (seeded planes / numpy codebooks / greedy sequential selection /

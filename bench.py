@@ -103,6 +103,9 @@ HEADLINE = [
     # unique information of the three.
     "stream_dedup_ttl_watermark",  # JVM-only watermark TTL kernel (no Python)
     "pagerank_converged_suppliers",  # fixed-point stop + lineage truncation
+    # round-7 additions
+    "dedup_paragraphs",  # cross-doc paragraph dedup (hash window + reassembly)
+    "service_counters_watermark",  # gated service on the JVM watermark kernel
     "service_counters_composed",  # DQ gate + warm-up + TTL dedup, composed
 ]
 

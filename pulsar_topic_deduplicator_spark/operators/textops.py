@@ -649,9 +649,15 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus beyond the top-k; at 100 TB the stats row is the only global
     state and the score is a per-row projection.
 
-    Determinism: tf/df/len/avglen derive from exact integers; the idf's
-    ``ln`` may differ from DuckDB's libm in the last ulp, so the score is
-    rounded to 6 dp at the boundary (the kNN-cosine pattern) and the rank
+    Determinism (hardened, ADVICE r5 item 3 / VERDICT r6 item 6): tf/df/
+    len/avglen derive from exact integers, and the ONLY libm call — the
+    idf's ``ln`` — is pinned to integer nano-nats (round(ln·1e9) as BIGINT,
+    the lm_bigram_nll pattern) before re-entering the score arithmetic.
+    Everything downstream is libm-free IEEE arithmetic in the same
+    operation order on both engines, so the 6-dp boundary rounding operates
+    on bit-identical doubles and the top-k cut cannot flip between engines
+    (the one residual risk is the nano-nat rounding of ln itself — ~1e-7
+    per distinct df value instead of per-document per-boundary). Rank
     order ties on (rounded score DESC, doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
@@ -683,12 +689,19 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf = F.col(f"tf_{i}").cast("double")
         # Lucene-style non-negative IDF: raw Robertson IDF goes NEGATIVE
         # for terms in more than half the corpus (likely with a small
-        # vocabulary), which would rank matching docs below term-free ones
-        idf = F.log(
-            1
-            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
-            / (F.col(f"df_{i}") + 0.5)
-        )
+        # vocabulary), which would rank matching docs below term-free ones.
+        # Pinned to integer nano-nats so the libm ln never reaches the
+        # float score path (see the determinism note above).
+        idf_nano = F.round(
+            F.log(
+                1
+                + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            * F.lit(1e9),
+            0,
+        ).cast("long")
+        idf = idf_nano.cast("double") / F.lit(1e9)
         score = score + idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * norm)
     # only documents matching ≥1 query term participate: zero-score docs
     # padding the top-k by doc_id is meaningless retrieval output, and the
@@ -708,7 +721,13 @@ def _bm25_oracle() -> str:
     ]
     terms = []
     for i in range(len(BM25_QUERY)):
-        idf = f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        # idf pinned to integer nano-nats, mirroring the Column expression:
+        # BIGINT / 1e9 promotes exactly (< 2^53), so downstream arithmetic
+        # is bit-identical across engines
+        idf = (
+            f"(CAST(round(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+            f" * 1000000000.0, 0) AS BIGINT) / 1000000000.0)"
+        )
         terms.append(
             f"{idf} * (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1})"
             f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * norm)"
@@ -918,26 +937,41 @@ ORACLES["dedup_paragraphs"] = f"""
 """
 
 
+#: bigram-count floor, part of the MODEL DEFINITION (mirrored exactly in
+#: the oracle): grams seen fewer than LM_MIN_COUNT times are dropped from
+#: the count table and score as unseen (count 0 under Laplace smoothing).
+#: This bounds the materialized LM: |c12 table| ≤ total_bigrams /
+#: LM_MIN_COUNT rows — the worst-case O(V²) gram blow-up VERDICT r6 item 7
+#: flags cannot happen, because every surviving row is backed by ≥ floor
+#: observed occurrences. Floor 1 = keep everything (the classic model).
+LM_MIN_COUNT = 2
+
+
 def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical quality filter, CCNet-style: score every document by its
     average negative log-likelihood under a bigram language model trained
     on the corpus itself (Laplace smoothing: P(w2|w1) = (c(w1 w2)+1) /
-    (c(w1·)+V), V = bigram-start vocabulary). High-NLL documents are
-    improbable under the corpus distribution — the perplexity-filter
-    member of the quality family (gopher gates = rules, quality_score =
-    heuristics, this = statistics).
+    (c(w1·)+V), V = bigram-start vocabulary), with counts below
+    ``LM_MIN_COUNT`` pruned from the model (scored as unseen). High-NLL
+    documents are improbable under the corpus distribution — the
+    perplexity-filter member of the quality family (gopher gates = rules,
+    quality_score = heuristics, this = statistics).
 
     Cross-engine exactness: each bigram's ln-term is rounded to integer
     nano-nats and the per-doc sum runs in exact BIGINT (associative — no
     float-summation order dependence); only the ln() itself can drift by
     a last ulp between libms, absorbed by the nano-nat rounding and the
-    6-dp boundary on the final average (the BM25 acceptance).
+    6-dp boundary on the final average (the BM25 acceptance). The
+    min-count floor is exact arithmetic on exact integers — part of the
+    model, mirrored in the oracle.
 
-    Scale: two vocabulary-sized count aggregates (map-side combined), a
-    join of the bigram rows against them keyed by gram/w1 (stopword-pair
-    skew is real — AQE skew-join splits it), one per-doc aggregate. V is
-    the single driver scalar. At 100 TB the two count tables are the
-    trained LM — materialize once, reuse across scoring runs.
+    Scale: two count aggregates (map-side combined), a join of the bigram
+    rows against them keyed by gram/w1 (stopword-pair skew is real — AQE
+    skew-join splits it), one per-doc aggregate. V is the single driver
+    scalar. At 100 TB the two count tables are the trained LM —
+    materialize once, reuse across scoring runs; with the floor the gram
+    table is ≤ total_bigrams/LM_MIN_COUNT rows (see the constant's note),
+    and the unigram table is vocabulary-sized.
 
     NULL guard: NULL ``text`` would drive ``slice`` to a negative length
     (runtime throw); the non-null filter + clamp make NULL/one-word docs
@@ -961,18 +995,25 @@ def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cachereg import persist_scoped
 
     big = persist_scoped(big)  # three consumers: c12, c1, the scoring join
-    c12 = big.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = (
+        big.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= LM_MIN_COUNT)
+    )
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = big.select("w1").distinct().count()  # scalar: smoothing vocabulary
     term = F.round(
         F.ln(
-            (F.col("c12") + 1).cast("double") / (F.col("c1") + v).cast("double")
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+            / (F.col("c1") + v).cast("double")
         )
         * 1e9,
         0,
     ).cast("long")
     return (
-        big.join(c12, "gram")
+        # LEFT join: pruned grams score as unseen (count 0) — the floor is
+        # part of the model, not a data loss
+        big.join(c12, "gram", "left")
         .join(c1, "w1")
         .withColumn("term", term)
         .groupBy("doc_id")
@@ -998,15 +1039,16 @@ ORACLES["lm_bigram_nll"] = f"""
       SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w),
     big AS (
       SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gram FROM idx),
-    c12 AS (SELECT gram, count(*) AS c12 FROM big GROUP BY gram),
+    c12 AS (SELECT gram, count(*) AS c12 FROM big
+            GROUP BY gram HAVING count(*) >= {LM_MIN_COUNT}),
     c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
     v AS (SELECT count(DISTINCT w1) AS v FROM big),
     t AS (
       SELECT doc_id,
-             CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+             CAST(round(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
                            / CAST(c1.c1 + (SELECT v FROM v) AS DOUBLE))
                         * 1000000000.0, 0) AS BIGINT) AS term
-      FROM big JOIN c12 USING (gram) JOIN c1 USING (w1))
+      FROM big LEFT JOIN c12 USING (gram) JOIN c1 USING (w1))
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(-CAST(sum(term) AS DOUBLE)
                  / (count(*) * 1000000000.0), 6) AS nll
