@@ -1,0 +1,53 @@
+"""Bounded persist registry (``cachereg``): FIFO eviction beyond MAX_LIVE,
+drain semantics, and the ADVICE-r6 eviction telemetry (young-handle
+evictions are counted and logged — they mean an un-materialized consumer
+will silently recompute)."""
+
+from __future__ import annotations
+
+import pulsar_topic_deduplicator_spark.cachereg as cachereg
+
+
+def _reset():
+    cachereg.release_all()
+    cachereg.n_evicted = 0
+    cachereg.n_evicted_young = 0
+
+
+def test_fifo_eviction_beyond_window(spark):
+    _reset()
+    frames = [
+        cachereg.persist_scoped(spark.range(i + 1)) for i in range(cachereg.MAX_LIVE)
+    ]
+    assert cachereg.n_evicted == 0
+    extra = cachereg.persist_scoped(spark.range(100))
+    assert cachereg.n_evicted == 1
+    # the evicted handle is the OLDEST registration
+    assert frames[0].storageLevel.useMemory is False
+    # newer handles and the new registration stay persisted
+    assert extra.storageLevel.useMemory is True
+    assert frames[-1].storageLevel.useMemory is True
+    _reset()
+
+
+def test_young_eviction_counted_and_logged(spark, caplog):
+    _reset()
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="pulsar_topic_deduplicator_spark.cachereg"):
+        for i in range(cachereg.MAX_LIVE + 1):
+            cachereg.persist_scoped(spark.range(i + 1))
+    # the first eviction after a drain fires inside the first window fill:
+    # counted young and logged
+    assert cachereg.n_evicted_young == 1
+    assert any("young handle" in r.message for r in caplog.records)
+    _reset()
+
+
+def test_release_all_drains_everything(spark):
+    _reset()
+    frames = [cachereg.persist_scoped(spark.range(i + 1)) for i in range(3)]
+    cachereg.release_all()
+    for f in frames:
+        assert f.storageLevel.useMemory is False
+    _reset()
