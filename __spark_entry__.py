@@ -284,6 +284,7 @@ def queries() -> dict[str, QueryFn]:
     return {
         # ── (a) round-7 additions (never driver-checked) ───────────────────
         "dedup_paragraphs": textops.dedup_paragraphs,
+        "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "service_counters_watermark": _service_counters_watermark_query,
         # ── (b) r3-era cohort (stalest driver evidence) ────────────────────
         "q8_market_share": relational.q8_market_share,

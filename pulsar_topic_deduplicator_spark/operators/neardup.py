@@ -671,3 +671,153 @@ def _cluster_representatives_oracle() -> str:
 
 
 ORACLES["cluster_representatives"] = _cluster_representatives_oracle()
+
+
+def _span_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id = packed span key, h): distinct word-3-gram hashes per
+    PARA_WORDS-word span — the paragraph geometry of
+    ``textops.dedup_paragraphs`` fed into the SAME shingle/MinHash
+    machinery the document tier uses (the packed key doubles as the
+    ordering key, so every doc-keyed helper works unchanged at span
+    granularity). Spans shorter than SHINGLE_N words carry no shingles and
+    are filtered BEFORE the gram zip (a non-positive slice length throws
+    at runtime; the oracle's generate_series guard just emits no rows)."""
+    from .textops import _PARA_PACK, PARA_WORDS, _words
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(PARA_WORDS),
+    )
+    span = F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS)
+    spans = (
+        docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        .select(
+            (
+                F.col("doc_id") * _PARA_PACK
+                + (F.col("start_tok") / PARA_WORDS).cast("long")
+            ).alias("doc_id"),
+            span.alias("span"),
+        )
+        .filter(F.size("span") >= SHINGLE_N)
+    )
+    return spans.select(
+        "doc_id",
+        F.explode(shingles(F.array_join("span", " "), SHINGLE_N)).alias("gram"),
+    ).select("doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h"))
+
+
+def near_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granularity FUZZY near-dup — the RefinedWeb-style fuzzy line
+    dedup complement of ``textops.dedup_paragraphs`` (which is exact at
+    span level): MinHash/LSH candidate generation over PARA_WORDS-word
+    spans followed by exact Jaccard verification of only the candidate
+    pairs. Finds boilerplate that repeats with small edits (dates, ids)
+    across or within documents, which exact span hashing misses.
+
+    Same seeded coefficients, banding, and verify threshold as the
+    document tier, so the recall trade-off is identical and the whole
+    pipeline stays oracle-checkable. Downstream keep-first removal is the
+    ``dedup_paragraphs`` reassembly keyed on the pair's min packed key.
+
+    Scale: the span explode multiplies keys ~(words/PARA_WORDS)× but the
+    shingle row count stays corpus-sized (each word contributes one gram
+    start regardless of span split); signatures are one groupBy over the
+    packed key (crypto-uniform); candidates never materialize the
+    quadratic span cross-product — only band-bucket collisions reach the
+    broadcast-verify join."""
+    from ..cachereg import persist_scoped
+    from .textops import _PARA_PACK
+
+    sh = persist_scoped(_span_shingle_hashes(spark, sf_dir))
+    cands = _near_dup_candidates(_signature_wide_from(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        F.broadcast(cands)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    pack = F.lit(_PARA_PACK)
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            (F.col("doc_a") / pack).cast("long").alias("doc_a"),
+            (F.col("doc_a") % pack).alias("para_a"),
+            (F.col("doc_b") / pack).cast("long").alias("doc_b"),
+            (F.col("doc_b") % pack).alias("para_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+
+
+def _near_dup_paragraphs_oracle() -> str:
+    """Span CTE (paragraph geometry) + the shared sig/band/verify SQL."""
+    from .textops import _PARA_PACK, PARA_WORDS
+
+    span_shingles = f"""
+    spanw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              WHERE text IS NOT NULL),
+    spans AS (
+      SELECT doc_id * {_PARA_PACK} + CAST(start_tok // {PARA_WORDS} AS BIGINT)
+               AS doc_id,
+             list_slice(toks, start_tok + 1, start_tok + {PARA_WORDS}) AS w
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, {PARA_WORDS}))
+                     AS start_tok
+            FROM spanw)),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {SHINGLE_N - 1}, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+      FROM spans),
+    sh AS (SELECT doc_id, {_H60} % {MINHASH_P} AS h FROM grams)"""
+    return f"""
+        WITH {span_shingles},
+        sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+          GROUP BY 1, 2)
+        SELECT CAST(doc_a // {_PARA_PACK} AS BIGINT) AS doc_a,
+               doc_a % {_PARA_PACK} AS para_a,
+               CAST(doc_b // {_PARA_PACK} AS BIGINT) AS doc_b,
+               doc_b % {_PARA_PACK} AS para_b,
+               n_common,
+               CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+                >= {JACCARD_THRESHOLD}
+    """
+
+
+ORACLES["near_dup_paragraphs"] = _near_dup_paragraphs_oracle()

@@ -1,0 +1,79 @@
+"""Span-tier dedup invariants: the exact (``dedup_paragraphs``) and fuzzy
+(``near_dup_paragraphs``) paragraph operators must agree where their
+semantics overlap — identical cross-span content is always LSH-discoverable
+(identical signatures share every band), so every exact-duplicate span pair
+with at least SHINGLE_N words must surface in the fuzzy tier at Jaccard 1."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_topic_deduplicator_spark.operators.neardup import (
+    SHINGLE_N,
+    near_dup_paragraphs,
+)
+from pulsar_topic_deduplicator_spark.operators.textops import (
+    PARA_WORDS,
+    dedup_paragraphs,
+)
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+
+def _spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(PARA_WORDS),
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            (F.col("start_tok") / PARA_WORDS).cast("long").alias("para_idx"),
+            F.array_join(
+                F.slice("toks", F.col("start_tok") + 1, PARA_WORDS), " "
+            ).alias("para"),
+        )
+    )
+
+
+def test_exact_span_dups_surface_in_fuzzy_tier_at_jaccard_one(spark, sf_dir):
+    spans = _spans(spark, sf_dir).collect()
+    by_text: dict[str, list[tuple[int, int]]] = {}
+    for r in spans:
+        by_text.setdefault(r["para"], []).append((r["doc_id"], r["para_idx"]))
+    exact_pairs = set()
+    for text, keys in by_text.items():
+        if len(keys) < 2 or len(text.split(" ")) < SHINGLE_N:
+            continue
+        keys.sort()
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                exact_pairs.add((*keys[i], *keys[j]))
+    assert exact_pairs, "corpus has no exact duplicate spans — fixture too small"
+
+    fuzzy = {
+        (r["doc_a"], r["para_a"], r["doc_b"], r["para_b"]): r["jaccard"]
+        for r in near_dup_paragraphs(spark, sf_dir).collect()
+    }
+    missing = exact_pairs - set(fuzzy)
+    assert not missing, f"exact-dup span pairs absent from fuzzy tier: {missing}"
+    for p in exact_pairs:
+        assert fuzzy[p] == 1.0
+
+    # cross-operator consistency: dedup_paragraphs must have DROPPED the
+    # later member of every exact pair (it keeps only first occurrences)
+    kept_counts = {
+        r["doc_id"]: (r["n_paras"], r["n_paras_kept"])
+        for r in dedup_paragraphs(spark, sf_dir).collect()
+    }
+    later_members = {(d, p) for (_, _, d, p) in exact_pairs}
+    dropped_by_doc: dict[int, int] = {}
+    for d, _ in later_members:
+        dropped_by_doc[d] = dropped_by_doc.get(d, 0) + 1
+    for d, n_dropped_min in dropped_by_doc.items():
+        n_paras, n_kept = kept_counts[d]
+        assert n_paras - n_kept >= n_dropped_min

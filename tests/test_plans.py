@@ -473,3 +473,33 @@ def test_cluster_representatives_no_nlj(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_dedup_paragraphs_plan_shape(spark, sf_dir):
+    """Span dedup = exactly two exchanges (paragraph-hash window + doc
+    reassembly agg), NULL filter pushed to the scan, two-column read, no
+    join, no Python stages."""
+    from pulsar_topic_deduplicator_spark.plans import count_exchanges
+
+    df = textops.dedup_paragraphs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2, plan[:2000]
+    assert any("IsNotNull(text)" in f for f in pushed_filters(df)), pushed_filters(df)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols
+    for bad in ("Join", "CartesianProduct", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_near_dup_paragraphs_no_nlj_no_python(spark, sf_dir):
+    """The fuzzy span tier rides equi-joins only (band-key candidates +
+    hash-key verify) with the candidate/size sides broadcast — no
+    cartesian, no NLJ, no Python stages."""
+    from pulsar_topic_deduplicator_spark.operators import neardup
+
+    df = neardup.near_dup_paragraphs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
