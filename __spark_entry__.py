@@ -271,10 +271,13 @@ def queries() -> dict[str, QueryFn]:
     # remainder, the three near-dup entries that sat just past the r6
     # window edge), then (c) the r4-era tiers (text fingerprints, sampling,
     # bounded streaming, multimodal, contract/similarity, scalar demos,
-    # asof) to the window edge. After this round every entry's latest
-    # driver check is ≤2 rounds old and the rotation is self-sustaining:
-    # each round leads with new entries + whatever the previous two rounds
-    # did not check. The r5/r6-checked tiers sit immediately behind the
+    # asof) to the window edge. 53 entries precede the window marker and
+    # the driver checks ~50, so the LAST ~3 (conditional_agg_demo,
+    # approx_distinct_events, warmup_digest_extract — all r4-era) may slip
+    # to round 8, where they lead the rotation. After this round every
+    # other entry's latest driver check is ≤2 rounds old and the rotation
+    # is self-sustaining: each round leads with new entries + whatever the
+    # previous two rounds did not check. The r5/r6-checked tiers sit immediately behind the
     # window (freshest evidence, first to rotate back in round 8), and the
     # seven rows-only RAW entries remain at the very end, OUTSIDE the
     # window BY DESIGN: each is driver-checked through an oracle-pinned
@@ -285,6 +288,7 @@ def queries() -> dict[str, QueryFn]:
         # ── (a) round-7 additions (never driver-checked) ───────────────────
         "dedup_paragraphs": textops.dedup_paragraphs,
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
+        "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "service_counters_watermark": _service_counters_watermark_query,
         # ── (b) r3-era cohort (stalest driver evidence) ────────────────────
         "q8_market_share": relational.q8_market_share,

@@ -821,3 +821,118 @@ def _near_dup_paragraphs_oracle() -> str:
 
 
 ORACLES["near_dup_paragraphs"] = _near_dup_paragraphs_oracle()
+
+
+def dedup_paragraphs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy span REMOVAL — the RefinedWeb fuzzy line-dedup end state:
+    every span with a fuzzy-EARLIER twin (the later member of any verified
+    ``near_dup_paragraphs`` pair) is dropped and each document is
+    reassembled from its surviving spans, in order — the same output shape
+    as the exact ``textops.dedup_paragraphs`` so the two removal tiers are
+    drop-in comparable (fuzzy removal is a superset: jaccard-1 pairs are
+    exactly the cross-span duplicates the exact tier drops).
+
+    Removal rule: greedy earliest-wins per PAIR (not per cluster) — a span
+    is dropped iff any earlier span is near-identical to it. This is the
+    standard one-pass production rule; it can drop a chain member whose
+    own earlier twin was itself dropped (A~B, B~C, A≁C drops both B and
+    C), which is the conservative direction for training data. Mirrored
+    exactly in the oracle.
+
+    Scale: the pair frame is near-dup hits only (≪ span count) and joins
+    back as a broadcast anti-key set; reassembly is the same doc-keyed
+    aggregate as the exact tier."""
+    from .textops import _PARA_PACK, PARA_WORDS, _words
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(PARA_WORDS),
+    )
+    para = F.array_join(
+        F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS), " "
+    )
+    spans = (
+        docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            (F.col("start_tok") / PARA_WORDS).cast("long").alias("para_idx"),
+            para.alias("para"),
+        )
+    )
+    dropped = (
+        near_dup_paragraphs(spark, sf_dir)
+        .select(
+            F.col("doc_b").alias("doc_id"), F.col("para_b").alias("para_idx")
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        spans.join(F.broadcast(dropped), ["doc_id", "para_idx"], "left")
+        .withColumn("kept", F.col("is_dup").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_paras_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("para_idx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def _dedup_paragraphs_fuzzy_oracle() -> str:
+    """Compose the verified-pair oracle with the exact tier's reassembly."""
+    from .textops import PARA_WORDS
+
+    return f"""
+        WITH pairs AS ({ORACLES["near_dup_paragraphs"]}),
+        dropped AS (SELECT DISTINCT doc_b AS doc_id, para_b AS para_idx
+                    FROM pairs),
+        w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              WHERE text IS NOT NULL),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - 1, {PARA_WORDS}))
+                   AS start_tok
+          FROM w),
+        p AS (
+          SELECT doc_id,
+                 CAST(start_tok // {PARA_WORDS} AS BIGINT) AS para_idx,
+                 array_to_string(
+                   list_slice(toks, start_tok + 1, start_tok + {PARA_WORDS}),
+                   ' ') AS para
+          FROM s),
+        k AS (
+          SELECT p.doc_id, p.para_idx, p.para,
+                 d.doc_id IS NULL AS kept
+          FROM p LEFT JOIN dropped d
+            ON p.doc_id = d.doc_id AND p.para_idx = d.para_idx)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT)
+                 AS n_paras_kept,
+               coalesce(
+                 array_to_string(
+                   list(para ORDER BY para_idx) FILTER (WHERE kept), ' '),
+                 '') AS cleaned_text
+        FROM k GROUP BY doc_id
+    """
+
+
+ORACLES["dedup_paragraphs_fuzzy"] = _dedup_paragraphs_fuzzy_oracle()

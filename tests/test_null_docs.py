@@ -45,7 +45,14 @@ def degenerate_duck(degenerate_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["chunk_documents", "lm_bigram_nll", "dedup_paragraphs"]
+    "name",
+    [
+        "chunk_documents",
+        "lm_bigram_nll",
+        "dedup_paragraphs",
+        "near_dup_paragraphs",
+        "dedup_paragraphs_fuzzy",
+    ],
 )
 def test_degenerate_docs_engine_parity(name, spark, degenerate_dir, degenerate_duck):
     import __spark_entry__ as entrymod
@@ -54,4 +61,5 @@ def test_degenerate_docs_engine_parity(name, spark, degenerate_dir, degenerate_d
     result = compare(df, degenerate_duck, entrymod.oracle_sql()[name])
     assert result["match"], f"{name}: {result}"
     # the NULL doc must contribute zero rows (not a crash) on both engines
-    assert df.filter("doc_id = 0").count() == 0
+    null_doc = "doc_id = 0" if "doc_id" in df.columns else "doc_a = 0 OR doc_b = 0"
+    assert df.filter(null_doc).count() == 0

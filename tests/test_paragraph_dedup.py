@@ -77,3 +77,39 @@ def test_exact_span_dups_surface_in_fuzzy_tier_at_jaccard_one(spark, sf_dir):
     for d, n_dropped_min in dropped_by_doc.items():
         n_paras, n_kept = kept_counts[d]
         assert n_paras - n_kept >= n_dropped_min
+
+
+def test_fuzzy_removal_contains_exact_removal(spark, sf_dir):
+    """Every span the EXACT tier drops (identical earlier twin) with at
+    least SHINGLE_N words must also be dropped by the FUZZY tier (identical
+    spans are always LSH-discoverable at Jaccard 1), so per doc:
+    fuzzy-kept ≤ exact-kept + (short dup spans the fuzzy tier cannot see)."""
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        dedup_paragraphs_fuzzy,
+    )
+
+    spans = _spans(spark, sf_dir).collect()
+    first_seen: dict[str, tuple[int, int]] = {}
+    short_dups: dict[int, int] = {}
+    for r in sorted(spans, key=lambda r: (r["doc_id"], r["para_idx"])):
+        t = r["para"]
+        if t in first_seen and len(t.split(" ")) < SHINGLE_N:
+            short_dups[r["doc_id"]] = short_dups.get(r["doc_id"], 0) + 1
+        first_seen.setdefault(t, (r["doc_id"], r["para_idx"]))
+
+    exact = {
+        r["doc_id"]: r["n_paras_kept"]
+        for r in dedup_paragraphs(spark, sf_dir).collect()
+    }
+    fuzzy = {
+        r["doc_id"]: (r["n_paras"], r["n_paras_kept"], r["cleaned_text"])
+        for r in dedup_paragraphs_fuzzy(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fuzzy)
+    for d, (n_paras, n_kept_fuzzy, cleaned) in fuzzy.items():
+        assert n_kept_fuzzy <= exact[d] + short_dups.get(d, 0), d
+        # reassembly self-consistency: cleaned text has exactly the kept spans
+        if n_kept_fuzzy == n_paras:
+            n_words = sum(1 for _ in cleaned.split(" "))
+            orig = [r for r in spans if r["doc_id"] == d]
+            assert n_words == sum(len(r["para"].split(" ")) for r in orig)
