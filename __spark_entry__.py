@@ -271,10 +271,10 @@ def queries() -> dict[str, QueryFn]:
     # remainder, the three near-dup entries that sat just past the r6
     # window edge), then (c) the r4-era tiers (text fingerprints, sampling,
     # bounded streaming, multimodal, contract/similarity, scalar demos,
-    # asof) to the window edge. 53 entries precede the window marker and
-    # the driver checks ~50, so the LAST ~3 (conditional_agg_demo,
-    # approx_distinct_events, warmup_digest_extract — all r4-era) may slip
-    # to round 8, where they lead the rotation. After this round every
+    # asof) to the window edge. 54 entries precede the window marker and
+    # the driver checks ~50, so the LAST ~4 (asof_last_purchase,
+    # conditional_agg_demo, approx_distinct_events, warmup_digest_extract —
+    # all r4-era) may slip to round 8, where they lead the rotation. After this round every
     # other entry's latest driver check is ≤2 rounds old and the rotation
     # is self-sustaining: each round leads with new entries + whatever the
     # previous two rounds did not check. The r5/r6-checked tiers sit immediately behind the
@@ -289,6 +289,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_paragraphs": textops.dedup_paragraphs,
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
+        "dedup_docs_incremental": neardup.dedup_docs_incremental,
         "service_counters_watermark": _service_counters_watermark_query,
         # ── (b) r3-era cohort (stalest driver evidence) ────────────────────
         "q8_market_share": relational.q8_market_share,

@@ -936,3 +936,139 @@ def _dedup_paragraphs_fuzzy_oracle() -> str:
 
 
 ORACLES["dedup_paragraphs_fuzzy"] = _dedup_paragraphs_fuzzy_oracle()
+
+
+#: deterministic snapshot split for the incremental entry: docs with
+#: doc_id % INCR_MOD == 0 play the NEW ingest batch, the rest the EXISTING
+#: corpus index — content-independent, mirrored exactly in the oracle.
+INCR_MOD = 4
+
+
+def dedup_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the daily-crawl production shape: classify
+    every NEW document against the EXISTING corpus without re-deduplicating
+    the corpus itself. Verdict per new doc: ``exact_dup`` (its content hash
+    exists in the index), else ``near_dup`` (an LSH band collision with an
+    existing doc verifies at Jaccard ≥ threshold), else ``unique``.
+
+    At 100 TB the existing side is a MATERIALIZED index (content
+    fingerprints + LSH band rows), built once and appended per batch —
+    exactly the tables this plan derives; the new-batch side is small, so
+    both classification joins broadcast the batch in production. Here the
+    deterministic ``doc_id % INCR_MOD`` split stands in for snapshot vs
+    batch so the whole pipeline is oracle-checkable.
+
+    Candidate verification reuses the document tier's shingle machinery:
+    only (new, existing) band collisions reach the Jaccard join — the
+    new×existing cross-product never materializes."""
+    from ..cachereg import persist_scoped
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    new_ids = docs.filter(is_new).select("doc_id")
+    new_fp = docs.filter(is_new).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("fp")
+    )
+    old_fp = (
+        docs.filter(~is_new)
+        .select(F.sha2(F.col("text"), 256).alias("fp"))
+        .distinct()
+    )
+    exact = new_fp.join(old_fp, "fp", "left_semi").select("doc_id")
+
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
+    k = F.col("doc_id") % INCR_MOD == 0
+    bands_new = band_rows(_signature_wide_from(sh.filter(k)))
+    bands_old = band_rows(_signature_wide_from(sh.filter(~k)))
+    a, b = bands_new.alias("a"), bands_old.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_old")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sn = sh.select(F.col("doc_id").alias("doc_new"), "h")
+    so = sh.select(F.col("doc_id").alias("doc_old"), "h")
+    inter = (
+        F.broadcast(cands)
+        .join(sn, "doc_new")
+        .join(so, ["doc_old", "h"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_n = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_n"))
+    sz_o = sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("n_o"))
+    near = (
+        inter.join(F.broadcast(sz_n), "doc_new")
+        .join(F.broadcast(sz_o), "doc_old")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_n") + F.col("n_o") - F.col("n_common")).cast("double")
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new_ids.join(
+            exact.withColumn("is_exact", F.lit(True)), "doc_id", "left"
+        )
+        .join(near.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
+
+
+def _dedup_docs_incremental_oracle() -> str:
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION}),
+        news AS (SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0),
+        exact AS (
+          SELECT DISTINCT n.doc_id
+          FROM documents n JOIN documents o
+            ON sha256(n.text) = sha256(o.text)
+          WHERE n.doc_id % {INCR_MOD} = 0 AND o.doc_id % {INCR_MOD} != 0),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+          WHERE a.doc_id % {INCR_MOD} = 0 AND b.doc_id % {INCR_MOD} != 0),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_new, c.doc_old, count(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_new
+          JOIN sh b ON b.doc_id = c.doc_old AND b.h = a.h
+          GROUP BY 1, 2),
+        near AS (
+          SELECT DISTINCT doc_new AS doc_id
+          FROM inter
+          JOIN sizes x ON doc_new = x.doc_id
+          JOIN sizes y ON doc_old = y.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+                  >= {JACCARD_THRESHOLD})
+        SELECT d.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS verdict
+        FROM news d
+        LEFT JOIN exact e ON d.doc_id = e.doc_id
+        LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    """
+
+
+ORACLES["dedup_docs_incremental"] = _dedup_docs_incremental_oracle()
