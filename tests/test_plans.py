@@ -503,3 +503,16 @@ def test_near_dup_paragraphs_no_nlj_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_dedup_docs_incremental_no_nlj_no_python(spark, sf_dir):
+    """Incremental classification rides equi-joins only (fingerprint
+    semi-join, band-key candidates, hash-key verify) — no cartesian, no
+    NLJ, no Python stages."""
+    from pulsar_topic_deduplicator_spark.operators import neardup
+
+    df = neardup.dedup_docs_incremental(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
