@@ -170,6 +170,47 @@ def _near_dup_candidates(wide: DataFrame) -> DataFrame:
     )
 
 
+def _verify_candidate_pairs(
+    sh: DataFrame,
+    cands: DataFrame,
+    key_a: str = "doc_a",
+    key_b: str = "doc_b",
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs — THE shared
+    verify stage (document pairs, span pairs, and the incremental
+    new-vs-index classification all run this one implementation): join the
+    shingle frame onto both sides of the candidate pairs, count the
+    intersection, derive Jaccard from the per-key sizes, and keep pairs at
+    or above ``JACCARD_THRESHOLD``. Returns
+    ``(key_a, key_b, n_a, n_b, n_common, jaccard)``.
+
+    ``cands`` is near-dup hits only (≪ corpus) so it broadcasts; the sizes
+    aggregate is key-cardinality-sized and broadcasts too — the only big
+    shuffle is the intersection count keyed by the pair."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias(key_a), "h")
+    b = sh.select(F.col("doc_id").alias(key_b), "h")
+    inter = (
+        F.broadcast(cands)
+        .join(a, key_a)
+        .join(b, [key_b, "h"])
+        .groupBy(key_a, key_b)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias(key_a), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias(key_b), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sz_a), key_a)
+        .join(F.broadcast(sz_b), key_b)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over word tokens (with multiplicity):
     bit j of the signature is the sign of Σ_tokens (±1 by token-hash bit j).
@@ -261,28 +302,8 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = persist_scoped(_shingle_hashes(spark, sf_dir))
     cands = _near_dup_candidates(_signature_wide_from(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        F.broadcast(cands)
-        .join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+    return _verify_candidate_pairs(sh, cands).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
     )
 
 
@@ -675,38 +696,26 @@ ORACLES["cluster_representatives"] = _cluster_representatives_oracle()
 
 def _span_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id = packed span key, h): distinct word-3-gram hashes per
-    PARA_WORDS-word span — the paragraph geometry of
-    ``textops.dedup_paragraphs`` fed into the SAME shingle/MinHash
-    machinery the document tier uses (the packed key doubles as the
-    ordering key, so every doc-keyed helper works unchanged at span
-    granularity). Spans shorter than SHINGLE_N words carry no shingles and
-    are filtered BEFORE the gram zip (a non-positive slice length throws
-    at runtime; the oracle's generate_series guard just emits no rows)."""
-    from .textops import _PARA_PACK, PARA_WORDS, _words
+    PARA_WORDS-word span — the shared ``textops.para_spans`` geometry fed
+    into the SAME shingle/MinHash machinery the document tier uses (the
+    packed key doubles as the ordering key, so every doc-keyed helper
+    works unchanged at span granularity). Spans shorter than SHINGLE_N
+    words carry no shingles and are filtered BEFORE the gram zip (a
+    non-positive slice length throws at runtime; the oracle's
+    generate_series guard just emits no rows)."""
+    from .textops import _PARA_PACK, para_spans
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
-        F.lit(PARA_WORDS),
-    )
-    span = F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS)
     spans = (
-        docs.select("doc_id", _words(F.col("text")).alias("toks"))
-        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        para_spans(spark, sf_dir)
         .select(
-            (
-                F.col("doc_id") * _PARA_PACK
-                + (F.col("start_tok") / PARA_WORDS).cast("long")
-            ).alias("doc_id"),
-            span.alias("span"),
+            (F.col("doc_id") * _PARA_PACK + F.col("para_idx")).alias("doc_id"),
+            "para",
         )
-        .filter(F.size("span") >= SHINGLE_N)
+        .filter(F.size(F.split("para", " ")) >= SHINGLE_N)
     )
     return spans.select(
         "doc_id",
-        F.explode(shingles(F.array_join("span", " "), SHINGLE_N)).alias("gram"),
+        F.explode(shingles(F.col("para"), SHINGLE_N)).alias("gram"),
     ).select("doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h"))
 
 
@@ -734,54 +743,33 @@ def near_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = persist_scoped(_span_shingle_hashes(spark, sf_dir))
     cands = _near_dup_candidates(_signature_wide_from(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        F.broadcast(cands)
-        .join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     pack = F.lit(_PARA_PACK)
-    return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(
-            (F.col("doc_a") / pack).cast("long").alias("doc_a"),
-            (F.col("doc_a") % pack).alias("para_a"),
-            (F.col("doc_b") / pack).cast("long").alias("doc_b"),
-            (F.col("doc_b") % pack).alias("para_b"),
-            "n_common",
-            "jaccard",
-        )
+    return _verify_candidate_pairs(sh, cands).select(
+        # integer DIV, never float division: a packed key above 2^53
+        # would round across the integer boundary under `/` and
+        # attribute the pair to the wrong document (the oracle's `//`
+        # is exact; `%` on longs already is)
+        F.expr(f"doc_a DIV {_PARA_PACK}").alias("doc_a"),
+        (F.col("doc_a") % pack).alias("para_a"),
+        F.expr(f"doc_b DIV {_PARA_PACK}").alias("doc_b"),
+        (F.col("doc_b") % pack).alias("para_b"),
+        "n_common",
+        "jaccard",
     )
 
 
 def _near_dup_paragraphs_oracle() -> str:
-    """Span CTE (paragraph geometry) + the shared sig/band/verify SQL."""
-    from .textops import _PARA_PACK, PARA_WORDS
+    """Shared span-geometry CTE (``textops.PARA_SPANS_SQL``) + the shared
+    sig/band/verify SQL. Re-splitting ``para`` restores the span's token
+    list exactly (single-space corpus, tokens carry no spaces) — the same
+    equivalence the Spark side uses."""
+    from .textops import _PARA_PACK, PARA_SPANS_SQL
 
-    span_shingles = f"""
-    spanw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-              WHERE text IS NOT NULL),
+    span_shingles = f"""{PARA_SPANS_SQL},
     spans AS (
-      SELECT doc_id * {_PARA_PACK} + CAST(start_tok // {PARA_WORDS} AS BIGINT)
-               AS doc_id,
-             list_slice(toks, start_tok + 1, start_tok + {PARA_WORDS}) AS w
-      FROM (SELECT doc_id, toks,
-                   unnest(generate_series(0, len(toks) - 1, {PARA_WORDS}))
-                     AS start_tok
-            FROM spanw)),
+      SELECT doc_id * {_PARA_PACK} + para_idx AS doc_id,
+             string_split(para, ' ') AS w
+      FROM para_spans),
     grams AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
@@ -840,29 +828,10 @@ def dedup_paragraphs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in the oracle.
 
     Scale: the pair frame is near-dup hits only (≪ span count) and joins
-    back as a broadcast anti-key set; reassembly is the same doc-keyed
-    aggregate as the exact tier."""
-    from .textops import _PARA_PACK, PARA_WORDS, _words
+    back as a broadcast anti-key set; reassembly is the shared doc-keyed
+    aggregate (``textops.reassemble_spans``)."""
+    from .textops import para_spans, reassemble_spans
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
-        F.lit(PARA_WORDS),
-    )
-    para = F.array_join(
-        F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS), " "
-    )
-    spans = (
-        docs.select("doc_id", _words(F.col("text")).alias("toks"))
-        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
-        .select(
-            "doc_id",
-            (F.col("start_tok") / PARA_WORDS).cast("long").alias("para_idx"),
-            para.alias("para"),
-        )
-    )
     dropped = (
         near_dup_paragraphs(spark, sf_dir)
         .select(
@@ -871,67 +840,31 @@ def dedup_paragraphs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    return (
-        spans.join(F.broadcast(dropped), ["doc_id", "para_idx"], "left")
+    flagged = (
+        para_spans(spark, sf_dir)
+        .join(F.broadcast(dropped), ["doc_id", "para_idx"], "left")
         .withColumn("kept", F.col("is_dup").isNull())
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum(F.col("kept").cast("long")).alias("n_paras_kept"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("kept"),
-                                F.struct(F.col("para_idx"), F.col("para")),
-                            )
-                        )
-                    ),
-                    lambda x: x["para"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
     )
+    return reassemble_spans(flagged)
 
 
 def _dedup_paragraphs_fuzzy_oracle() -> str:
-    """Compose the verified-pair oracle with the exact tier's reassembly."""
-    from .textops import PARA_WORDS
+    """Compose the verified-pair oracle with the shared span CTE and the
+    shared reassembly SELECT (``textops.PARA_SPANS_SQL`` /
+    ``span_reassembly_select``)."""
+    from .textops import PARA_SPANS_SQL, span_reassembly_select
 
     return f"""
         WITH pairs AS ({ORACLES["near_dup_paragraphs"]}),
         dropped AS (SELECT DISTINCT doc_b AS doc_id, para_b AS para_idx
                     FROM pairs),
-        w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-              WHERE text IS NOT NULL),
-        s AS (
-          SELECT doc_id, toks,
-                 unnest(generate_series(0, len(toks) - 1, {PARA_WORDS}))
-                   AS start_tok
-          FROM w),
-        p AS (
-          SELECT doc_id,
-                 CAST(start_tok // {PARA_WORDS} AS BIGINT) AS para_idx,
-                 array_to_string(
-                   list_slice(toks, start_tok + 1, start_tok + {PARA_WORDS}),
-                   ' ') AS para
-          FROM s),
+        {PARA_SPANS_SQL},
         k AS (
           SELECT p.doc_id, p.para_idx, p.para,
                  d.doc_id IS NULL AS kept
-          FROM p LEFT JOIN dropped d
+          FROM para_spans p LEFT JOIN dropped d
             ON p.doc_id = d.doc_id AND p.para_idx = d.para_idx)
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_paras,
-               CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT)
-                 AS n_paras_kept,
-               coalesce(
-                 array_to_string(
-                   list(para ORDER BY para_idx) FILTER (WHERE kept), ' '),
-                 '') AS cleaned_text
-        FROM k GROUP BY doc_id
+        {span_reassembly_select('k')}
     """
 
 
@@ -992,26 +925,8 @@ def dedup_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sn = sh.select(F.col("doc_id").alias("doc_new"), "h")
-    so = sh.select(F.col("doc_id").alias("doc_old"), "h")
-    inter = (
-        F.broadcast(cands)
-        .join(sn, "doc_new")
-        .join(so, ["doc_old", "h"])
-        .groupBy("doc_new", "doc_old")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz_n = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_n"))
-    sz_o = sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("n_o"))
     near = (
-        inter.join(F.broadcast(sz_n), "doc_new")
-        .join(F.broadcast(sz_o), "doc_old")
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("n_n") + F.col("n_o") - F.col("n_common")).cast("double")
-            >= JACCARD_THRESHOLD
-        )
+        _verify_candidate_pairs(sh, cands, "doc_new", "doc_old")
         .select(F.col("doc_new").alias("doc_id"))
         .distinct()
     )

@@ -839,25 +839,14 @@ PARA_WORDS = 32
 _PARA_PACK = 1_000_000
 
 
-def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document paragraph-level dedup, C4/RefinedWeb-style: every
-    duplicated paragraph keeps only its FIRST corpus occurrence (first =
-    lowest (doc_id, para_idx)); each document is reassembled from its
-    surviving spans in order. This is the span granularity between
-    document-level dedup (``dedup_docs_exact``) and boilerplate prefix
-    dedup (``dedup_docs_by_prefix``): repeated boilerplate inside otherwise
-    unique pages is removed without dropping the page.
-
-    Plan: zero-shuffle scan → span explode → sha2 paragraph hash → ONE
-    hash-keyed shuffle (window min over the packed first-occurrence key) →
-    ONE doc-keyed reassembly aggregate. No join, no global sort; at 100 TB
-    the hash partitioning is crypto-uniform (no skew) and the reassembly
-    groups are document-sized.
+def para_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, para_idx, para) — the PARA_WORDS span frame shared by the
+    exact dedup tier here, the fuzzy tier in ``neardup``, and the span
+    shingle machinery (one geometry, one NULL guard, one place to swap the
+    segmenter for real-text '\\n\\n' splitting).
 
     NULL guard: NULL ``text`` is filtered at the scan (both engines emit
     zero rows for it — the chunk_documents contract)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -868,7 +857,7 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     para = F.array_join(
         F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS), " "
     )
-    spans = (
+    return (
         docs.select("doc_id", _words(F.col("text")).alias("toks"))
         .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
         .select(
@@ -876,64 +865,103 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("start_tok") / PARA_WORDS).cast("long").alias("para_idx"),
             para.alias("para"),
         )
+    )
+
+
+def reassemble_spans(spans_with_kept: DataFrame) -> DataFrame:
+    """Shared doc-reassembly aggregate over a (doc_id, para_idx, para,
+    kept) frame: (doc_id, n_paras, n_paras_kept, cleaned_text) with the
+    surviving spans rejoined in order — ONE doc-keyed shuffle, groups are
+    document-sized."""
+    return spans_with_kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_paras_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(F.col("para_idx"), F.col("para")),
+                        )
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph-level dedup, C4/RefinedWeb-style: every
+    duplicated paragraph keeps only its FIRST corpus occurrence (first =
+    lowest (doc_id, para_idx)); each document is reassembled from its
+    surviving spans in order. This is the span granularity between
+    document-level dedup (``dedup_docs_exact``) and boilerplate prefix
+    dedup (``dedup_docs_by_prefix``): repeated boilerplate inside otherwise
+    unique pages is removed without dropping the page.
+
+    Plan: zero-shuffle scan → span explode (``para_spans``) → sha2
+    paragraph hash → ONE hash-keyed shuffle (window min over the packed
+    first-occurrence key) → ONE doc-keyed reassembly aggregate
+    (``reassemble_spans``). No join, no global sort; at 100 TB the hash
+    partitioning is crypto-uniform (no skew)."""
+    from pyspark.sql import Window
+
+    spans = (
+        para_spans(spark, sf_dir)
         .withColumn("ph", F.sha2(F.col("para"), 256))
         .withColumn(
             "pk", F.col("doc_id") * F.lit(_PARA_PACK) + F.col("para_idx")
         )
     )
     kept = F.col("pk") == F.min("pk").over(Window.partitionBy("ph"))
-    return (
-        spans.withColumn("kept", kept)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum(F.col("kept").cast("long")).alias("n_paras_kept"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("kept"),
-                                F.struct(F.col("para_idx"), F.col("para")),
-                            )
-                        )
-                    ),
-                    lambda x: x["para"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
-    )
+    return reassemble_spans(spans.withColumn("kept", kept))
 
 
-ORACLES["dedup_paragraphs"] = f"""
-    WITH w AS (SELECT doc_id, {_WORDS} AS toks FROM documents
-               WHERE text IS NOT NULL),
-    s AS (
-      SELECT doc_id, toks,
-             unnest(generate_series(0, len(toks) - 1, {PARA_WORDS})) AS start_tok
-      FROM w),
-    p AS (
+#: shared span-geometry CTE fragment (the SQL twin of ``para_spans``) —
+#: composed into the exact-dedup, fuzzy-removal, and span-shingle oracles
+#: so the geometry lives in ONE place on each engine
+PARA_SPANS_SQL = f"""
+    __pw AS (SELECT doc_id, {_WORDS} AS toks FROM documents
+             WHERE text IS NOT NULL),
+    para_spans AS (
       SELECT doc_id,
              CAST(start_tok // {PARA_WORDS} AS BIGINT) AS para_idx,
              array_to_string(
                list_slice(toks, start_tok + 1, start_tok + {PARA_WORDS}), ' ')
                AS para
-      FROM s),
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, {PARA_WORDS}))
+                     AS start_tok
+            FROM __pw))"""
+
+
+def span_reassembly_select(kept_cte: str) -> str:
+    """SQL twin of ``reassemble_spans``: the final doc-reassembly SELECT
+    over a CTE exposing (doc_id, para_idx, para, kept)."""
+    return f"""
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT)
+                 AS n_paras_kept,
+               coalesce(
+                 array_to_string(
+                   list(para ORDER BY para_idx) FILTER (WHERE kept), ' '),
+                 '') AS cleaned_text
+        FROM {kept_cte} GROUP BY doc_id"""
+
+
+ORACLES["dedup_paragraphs"] = f"""
+    WITH {PARA_SPANS_SQL},
     k AS (
       SELECT doc_id, para_idx, para,
              doc_id * {_PARA_PACK} + para_idx
                = min(doc_id * {_PARA_PACK} + para_idx)
                    OVER (PARTITION BY sha256(para)) AS kept
-      FROM p)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_paras,
-           CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_paras_kept,
-           coalesce(
-             array_to_string(
-               list(para ORDER BY para_idx) FILTER (WHERE kept), ' '),
-             '') AS cleaned_text
-    FROM k GROUP BY doc_id
+      FROM para_spans)
+    {span_reassembly_select('k')}
 """
 
 

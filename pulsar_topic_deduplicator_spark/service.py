@@ -149,6 +149,11 @@ class DedupService:
         do_exit = exit_fn or sys.exit
 
         def _handler(signum, frame):
+            if self._stopping:
+                # second signal during teardown: the standard fast-exit
+                # contract — don't re-enter the teardown mid-flight
+                do_exit(codes.get(signum, 1))
+                return
             self._stopping = True
             step("health_fail")
             try:

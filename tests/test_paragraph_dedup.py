@@ -6,38 +6,15 @@ with at least SHINGLE_N words must surface in the fuzzy tier at Jaccard 1."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from pulsar_topic_deduplicator_spark.operators.neardup import (
     SHINGLE_N,
     near_dup_paragraphs,
 )
 from pulsar_topic_deduplicator_spark.operators.textops import (
-    PARA_WORDS,
     dedup_paragraphs,
+    para_spans as _spans,
 )
-from pulsar_topic_deduplicator_spark.sources.io import load_table
-
-
-def _spans(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
-        F.lit(PARA_WORDS),
-    )
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
-        .select(
-            "doc_id",
-            (F.col("start_tok") / PARA_WORDS).cast("long").alias("para_idx"),
-            F.array_join(
-                F.slice("toks", F.col("start_tok") + 1, PARA_WORDS), " "
-            ).alias("para"),
-        )
-    )
 
 
 def test_exact_span_dups_surface_in_fuzzy_tier_at_jaccard_one(spark, sf_dir):

@@ -94,3 +94,50 @@ def test_sigterm_runs_ordered_teardown_and_exits_143(spark, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_second_signal_fast_exits_without_reentering_teardown():
+    """A second signal arriving during (or after) teardown must NOT re-run
+    the teardown — it exits immediately with its own code (the standard
+    second-signal contract; re-entering stop() mid-flight would abort the
+    first teardown's remaining steps)."""
+    from pulsar_topic_deduplicator_spark.service import DedupService
+
+    stops = []
+
+    class FakeQuery:
+        isActive = True
+
+        def stop(self):
+            stops.append(1)
+
+        def awaitTermination(self, timeout=None):
+            return True
+
+    svc = DedupService(spark=None, query=FakeQuery(), output_table="t")
+    exits: list[int] = []
+    steps: list[str] = []
+    try:
+        svc.install_signal_handlers(
+            exit_fn=exits.append, on_step=steps.append
+        )
+        os.kill(os.getpid(), signal.SIGTERM)
+        deadline = time.time() + 5
+        while not exits and time.time() < deadline:
+            time.sleep(0.01)
+        assert exits == [143]
+        assert steps == ["health_fail", "stop_queries", "exit"]
+        assert stops == [1]
+        os.kill(os.getpid(), signal.SIGINT)
+        deadline = time.time() + 5
+        while len(exits) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        # fast exit: second signal's code recorded, NO repeated teardown
+        assert exits == [143, 130]
+        assert steps == ["health_fail", "stop_queries", "exit"]
+        assert stops == [1]
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        if hasattr(signal, "SIGQUIT"):
+            signal.signal(signal.SIGQUIT, signal.SIG_DFL)
