@@ -90,3 +90,50 @@ def test_fuzzy_removal_contains_exact_removal(spark, sf_dir):
             n_words = sum(1 for _ in cleaned.split(" "))
             orig = [r for r in spans if r["doc_id"] == d]
             assert n_words == sum(len(r["para"].split(" ")) for r in orig)
+
+
+def test_packed_key_unpack_exact_at_documented_bound(spark, tmp_path):
+    """Regression for the review-caught float-unpack bug: doc_ids near the
+    documented _PARA_PACK validity bound (~9.2e12) pack to keys far above
+    2^53, where float division rounds across the integer boundary and
+    attributes pairs to the WRONG document. The integer-DIV unpack must
+    agree with the DuckDB oracle exactly — and with ground truth."""
+    import duckdb
+
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        near_dup_paragraphs,
+    )
+    from tests.oracle_harness import compare
+    import __spark_entry__ as entrymod
+
+    big = 9_000_000_000_000  # near the documented doc_id bound
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (big, text, "en", "s", len(text)),
+        (big + 1, text, "en", "s", len(text)),  # identical -> jaccard-1 pair
+        (big + 2, "totally different words everywhere in this span here now",
+         "en", "s", 58),
+    ]
+    d = str(tmp_path / "bigid")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    pairs = near_dup_paragraphs(spark, d).collect()
+    assert [(r["doc_a"], r["para_a"], r["doc_b"], r["para_b"], r["jaccard"])
+            for r in pairs] == [(big, 0, big + 1, 0, 1.0)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    try:
+        result = compare(
+            near_dup_paragraphs(spark, d),
+            con,
+            entrymod.oracle_sql()["near_dup_paragraphs"],
+        )
+        assert result["match"], result
+    finally:
+        con.close()
