@@ -131,6 +131,18 @@ def _service_counters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_counters_composed(spark, sf_dir)
 
 
+def _stream_span_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming C4 span dedup (first occurrence per span hash, ingest-clock
+    TTL, JVM-only state) — exact oracle: one (ph, para) row per distinct
+    span on a bounded single-batch run; batch parity pinned in
+    tests/test_streaming_spans.py."""
+    from pulsar_topic_deduplicator_spark.streaming.span_dedup import (
+        run_stream_span_dedup_bounded,
+    )
+
+    return run_stream_span_dedup_bounded(spark, sf_dir)
+
+
 def _service_counters_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate→dedup telemetry with the dedup stage on the JVM-only watermark
     TTL kernel (no per-group Python) — same reconciliation invariant and
@@ -271,10 +283,11 @@ def queries() -> dict[str, QueryFn]:
     # remainder, the three near-dup entries that sat just past the r6
     # window edge), then (c) the r4-era tiers (text fingerprints, sampling,
     # bounded streaming, multimodal, contract/similarity, scalar demos,
-    # asof) to the window edge. 54 entries precede the window marker and
-    # the driver checks ~50, so the LAST ~4 (asof_last_purchase,
-    # conditional_agg_demo, approx_distinct_events, warmup_digest_extract —
-    # all r4-era) may slip to round 8, where they lead the rotation. After this round every
+    # asof) to the window edge. 55 entries precede the window marker and
+    # the driver checks ~50, so the LAST ~5 (bit_funcs_demo,
+    # asof_last_purchase, conditional_agg_demo, approx_distinct_events,
+    # warmup_digest_extract — all r4-era) may slip to round 8, where they
+    # lead the rotation. After this round every
     # other entry's latest driver check is ≤2 rounds old and the rotation
     # is self-sustaining: each round leads with new entries + whatever the
     # previous two rounds did not check. The r5/r6-checked tiers sit immediately behind the
@@ -290,6 +303,7 @@ def queries() -> dict[str, QueryFn]:
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "dedup_docs_incremental": neardup.dedup_docs_incremental,
+        "stream_dedup_spans": _stream_span_dedup_query,
         "service_counters_watermark": _service_counters_watermark_query,
         # ── (b) r3-era cohort (stalest driver evidence) ────────────────────
         "q8_market_share": relational.q8_market_share,
@@ -515,8 +529,13 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(attribution.ORACLES)
     oracles.update(stream_join.ORACLES)
     oracles.update(neardup_stream.ORACLES)
-    from pulsar_topic_deduplicator_spark.streaming import latest_state, quality
+    from pulsar_topic_deduplicator_spark.streaming import (
+        latest_state,
+        quality,
+        span_dedup,
+    )
 
     oracles.update(quality.ORACLES)
     oracles.update(latest_state.ORACLES)
+    oracles.update(span_dedup.ORACLES)
     return oracles

@@ -839,17 +839,16 @@ PARA_WORDS = 32
 _PARA_PACK = 1_000_000
 
 
-def para_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, para_idx, para) — the PARA_WORDS span frame shared by the
-    exact dedup tier here, the fuzzy tier in ``neardup``, and the span
-    shingle machinery (one geometry, one NULL guard, one place to swap the
+def span_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, para_idx, para) span explode over ANY docs-schema frame —
+    batch or stream (pure column expressions, no source coupling): the
+    PARA_WORDS geometry shared by the exact dedup tier here, the fuzzy
+    tier in ``neardup``, the span shingle machinery, and the streaming
+    span dedup (one geometry, one NULL guard, one place to swap the
     segmenter for real-text '\\n\\n' splitting).
 
-    NULL guard: NULL ``text`` is filtered at the scan (both engines emit
-    zero rows for it — the chunk_documents contract)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
+    NULL guard: NULL ``text`` is filtered before the explode (both engines
+    emit zero rows for it — the chunk_documents contract)."""
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
         F.lit(PARA_WORDS),
@@ -858,7 +857,8 @@ def para_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("toks"), F.col("start_tok") + 1, PARA_WORDS), " "
     )
     return (
-        docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", _words(F.col("text")).alias("toks"))
         .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
         .select(
             "doc_id",
@@ -866,6 +866,11 @@ def para_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             para.alias("para"),
         )
     )
+
+
+def para_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch loader form of ``span_frame`` over the documents table."""
+    return span_frame(load_table(spark, sf_dir, "documents"))
 
 
 def reassemble_spans(spans_with_kept: DataFrame) -> DataFrame:
