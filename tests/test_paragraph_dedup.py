@@ -137,3 +137,38 @@ def test_packed_key_unpack_exact_at_documented_bound(spark, tmp_path):
         assert result["match"], result
     finally:
         con.close()
+
+
+def test_span_geometry_partitions_tokens_at_boundaries(spark, tmp_path):
+    """span_frame must PARTITION each document's tokens exactly — spans
+    are consecutive, non-overlapping, PARA_WORDS-sized except the natural
+    remainder tail — across every boundary word count (1, PARA−1, PARA,
+    PARA+1, 2·PARA±1, …)."""
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        PARA_WORDS,
+        para_spans,
+    )
+
+    sizes = [1, 2, PARA_WORDS - 1, PARA_WORDS, PARA_WORDS + 1,
+             2 * PARA_WORDS - 1, 2 * PARA_WORDS, 2 * PARA_WORDS + 1,
+             3 * PARA_WORDS, 3 * PARA_WORDS + 5]
+    rows = []
+    for i, n in enumerate(sizes):
+        text = " ".join(f"w{i}x{j}" for j in range(n))
+        rows.append((i, text, "en", "s", len(text)))
+    d = str(tmp_path / "geom")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    by_doc: dict[int, list] = {}
+    for r in para_spans(spark, d).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(sizes):
+        spans = sorted(by_doc[i], key=lambda r: r["para_idx"])
+        assert [r["para_idx"] for r in spans] == list(range(len(spans)))
+        rejoined = " ".join(r["para"] for r in spans).split(" ")
+        assert rejoined == [f"w{i}x{j}" for j in range(n)]
+        for r in spans[:-1]:
+            assert len(r["para"].split(" ")) == PARA_WORDS
+        assert 1 <= len(spans[-1]["para"].split(" ")) <= PARA_WORDS
