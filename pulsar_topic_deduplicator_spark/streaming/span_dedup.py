@@ -58,29 +58,47 @@ def run_stream_span_dedup_bounded(
     spark: SparkSession,
     source_dir: str,
     glob_filter: str = "documents.parquet",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded availableNow run; returns the deterministic (ph, para)
-    projection of the surviving spans."""
+    projection of the surviving spans.
+
+    Sink selection follows ``run_stream_dedup_bounded``: a caller passing
+    ``checkpoint_dir`` (restart tests, resumable backfills) gets the
+    parquet file sink — the memory sink cannot recover from a checkpoint;
+    a one-shot run uses the memory sink (identical pipeline and state
+    semantics, none of the file-commit cost)."""
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
-    name = f"span_dedup_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
         .option("pathGlobFilter", glob_filter)
         .parquet(source_dir)
     )
+    out = dedup_spans_stream(stream).select("ph", "para")
+    if checkpoint_dir is None:
+        name = f"span_dedup_{uuid.uuid4().hex[:8]}"
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name)
+    output_dir = f"{checkpoint_dir}_out"
     query = (
-        dedup_spans_stream(stream)
-        .select("ph", "para")
-        .writeStream.format("memory")
-        .queryName(name)
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(output_dir)
 
 
 ORACLES: dict[str, str] = {

@@ -80,3 +80,50 @@ def test_cross_batch_suppression_first_wins(spark, tmp_path):
     # the shared content survives exactly once; doc 3's span also once
     assert all(len(v) == 1 for v in by_ph.values()), by_ph
     assert len(by_ph) == 2
+
+
+def test_checkpoint_restart_keeps_span_state(spark, tmp_path):
+    """Span-hash state must survive a checkpointed restart: a span whose
+    content was forwarded in run 1 is suppressed when it re-arrives (in a
+    different document) after the restart — the reference's warm-up
+    guarantee, carried by the checkpoint instead of a re-scan."""
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "span_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "span_ckpt")
+    text = "one two three four five six seven eight nine ten"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _write_flat(rows, name):
+        # the file source lists FLAT files (the testdata layout): stage the
+        # spark write, then copy its part file to a flat name
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = globmod.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, str(src / name))
+
+    _write_flat([(1, text, "en", "s", len(text))], "run1.parquet")
+    first = run_stream_span_dedup_bounded(
+        spark, str(src), glob_filter="*.parquet", checkpoint_dir=ckpt
+    )
+    assert first.count() == 1
+
+    # "restart": the same span content re-arrives in a NEW doc, plus one
+    # genuinely new span
+    _write_flat(
+        [(2, text, "en", "s", len(text)),
+         (3, "brand new words nobody has ever streamed before today", "en",
+          "s", 53)],
+        "run2.parquet",
+    )
+    second = run_stream_span_dedup_bounded(
+        spark, str(src), glob_filter="*.parquet", checkpoint_dir=ckpt
+    )
+    # cumulative sink: run 1's span + run 2's new span; the re-arrived
+    # duplicate is dropped because state survived the restart
+    assert second.count() == 2
+    assert second.select("ph").distinct().count() == 2
