@@ -178,3 +178,53 @@ def test_service_dq_gate_quarantines_and_counters_reconcile(spark, tmp_path):
     assert wm_forwarded == forwarded
     assert n_clean - wm_forwarded == dropped
     assert wm_forwarded + (n_clean - wm_forwarded) + len(wm_viol) == len(rows)
+
+
+def test_dq_gate_with_messages_override_quarantines_same_stream(spark, tmp_path):
+    """ADVICE r6 (medium) regression: combining ``dq_gate=True`` with a
+    ``messages`` transport override must derive the quarantine from the
+    SAME overridden stream. Before the fix the quarantine side read
+    ``source_dir`` — here a placeholder path, which used to crash the side
+    query (or, with a real-but-different path, desynchronize counters)."""
+    from pulsar_topic_deduplicator_spark.service import start_dedup_service
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
+    )
+
+    src = str(tmp_path / "override_src")
+    rows = [
+        (1, BASE_TS + 0 * NS, 1, "click", 1.0, '{"k": "1"}'),
+        (2, BASE_TS + 60 * NS, 1, "click", 1.0, '{"k": "1"}'),  # dup of 1
+        (None, BASE_TS + 120 * NS, 2, "view", 2.0, '{"k": "2"}'),  # dirty
+        (6, BASE_TS + 240 * NS, 5, "purchase", 5.0, '{"k": "5"}'),
+    ]
+    _write_events(spark, src, rows)
+    config = EngineConfig.from_env({"CACHE_WINDOW_IN_SECONDS": "0"})
+    # the override is the transport; source_dir is a placeholder that MUST
+    # be ignored by both the dedup and the quarantine queries
+    svc = start_dedup_service(
+        spark,
+        config,
+        str(tmp_path / "does_not_exist"),
+        str(tmp_path / "override_ckpt"),
+        use_tws=False,
+        dq_gate=True,
+        messages=events_message_stream(spark, src),
+    )
+    try:
+        svc.query.processAllAvailable()
+        svc.quarantine_query.processAllAvailable()
+        q = svc.quarantine().collect()
+        assert {r["message_id"] for r in q} == {None}  # the null-id row
+        forwarded = svc.output().filter(
+            F.col("message_id").isNotNull()
+        ).count()
+        dropped = (
+            svc.output().agg(F.sum("n_dropped")).collect()[0][0] or 0
+        )
+        assert forwarded == 2  # digest(1|2) once, digest(6) once
+        assert dropped == 1
+        assert forwarded + dropped + len(q) == len(rows)
+        assert svc.counters().get("n_quarantined") == 1
+    finally:
+        svc.stop()
