@@ -60,6 +60,11 @@ for name in [
     "cluster_representatives",  # CC + quality argmax composition at scale
     "chunk_documents",  # zero-shuffle chunk explode at scale
     "lm_bigram_nll",  # bigram-LM scoring joins at scale
+    "dedup_paragraphs",  # span explode + hash window + reassembly at scale
+    "near_dup_paragraphs",  # span-keyed LSH + verify at scale
+    "dedup_paragraphs_fuzzy",  # pair-driven removal + reassembly at scale
+    "dedup_docs_incremental",  # new-vs-index classification at scale
+    "service_counters_watermark",  # gated watermark-kernel service at scale
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
