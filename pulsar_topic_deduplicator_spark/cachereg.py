@@ -29,18 +29,25 @@ from pyspark.sql import DataFrame
 #: composed pipeline's internal persists never self-evict
 MAX_LIVE = 8
 
-_live: deque[DataFrame] = deque()
+#: live handles as (registration ordinal, frame) — the ordinal is a global
+#: monotonic registration counter, the age yardstick for eviction telemetry
+_live: deque[tuple[int, DataFrame]] = deque()
 _lock = threading.Lock()
 _log = logging.getLogger(__name__)
 
-#: diagnostic counters: total evictions, and evictions that fired while the
-#: registry was still filling its very first window (a handle evicted that
-#: young is likely still feeding an un-materialized returned DataFrame — the
-#: persist silently degrades to recompute; correctness survives, timings
-#: skew). `release_all()` resets the young-signal baseline.
+#: diagnostic counters: total evictions, and YOUNG evictions — a handle
+#: evicted within one registration window of the head (ADVICE r7: ordinal
+#: distance, not registrations-since-drain, so every eviction in a burst is
+#: assessed, not just the first after a drain). A young-evicted handle may
+#: still be feeding an un-materialized returned DataFrame — the persist
+#: silently degrades to recompute; correctness survives, timings skew.
+#: Under a saturated FIFO every eviction IS within one window of the head,
+#: which is the honest reading: without an intervening `release_all()`
+#: drain there is no evidence the registering query has materialized.
+#: Sessions that drain between queries (bench/verify hygiene) never evict.
 n_evicted = 0
 n_evicted_young = 0
-_registered_since_drain = 0
+_ordinal = 0
 
 
 def persist_scoped(df: DataFrame) -> DataFrame:
@@ -48,18 +55,20 @@ def persist_scoped(df: DataFrame) -> DataFrame:
     unpersisted once more than MAX_LIVE are live. Thread-safe (the registry
     is module-global; a concurrent driver — async quarantine pass beside a
     stateful run — may register from two threads)."""
-    global n_evicted, n_evicted_young, _registered_since_drain
+    global n_evicted, n_evicted_young, _ordinal
     df = df.persist()
     to_evict: list[DataFrame] = []
     with _lock:
-        _live.append(df)
-        _registered_since_drain += 1
+        _ordinal += 1
+        _live.append((_ordinal, df))
         while len(_live) > MAX_LIVE:
-            to_evict.append(_live.popleft())
+            born, old = _live.popleft()
+            to_evict.append(old)
             n_evicted += 1
-            # fewer than one full window registered since the last drain ⇒
-            # the evicted handle is younger than one query cycle: surface it
-            if _registered_since_drain <= MAX_LIVE + 1:
+            # evicted within one window of the current registration head ⇒
+            # younger than one query cycle: surface it (every burst member,
+            # not only the first eviction after a drain)
+            if _ordinal - born <= MAX_LIVE + 1:
                 n_evicted_young += 1
                 _log.warning(
                     "persist_scoped evicted a young handle (<1 query cycle);"
@@ -76,11 +85,9 @@ def persist_scoped(df: DataFrame) -> DataFrame:
 
 def release_all() -> None:
     """Unpersist every registered handle (bench/test hygiene hook)."""
-    global _registered_since_drain
     with _lock:
-        handles = list(_live)
+        handles = [df for _, df in _live]
         _live.clear()
-        _registered_since_drain = 0
     for old in handles:
         try:
             old.unpersist()

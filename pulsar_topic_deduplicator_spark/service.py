@@ -137,16 +137,34 @@ class DedupService:
         4. exit with 128 + signal.
 
         ``on_step(name)`` is an observability hook (the reference logs each
-        step); ``exit_fn`` defaults to ``sys.exit``. Returns the
+        step); each invocation is itself isolated — a raising hook is
+        logged and the teardown continues, matching ``exitGracefully``'s
+        per-step error logging. A ``stop()`` that raises or times out is
+        not silent: it is logged and surfaced as a ``stop_queries_failed``
+        step marker (the process still exits with the clean 128+signal
+        code — the signal contract — but the failed teardown is on
+        record). ``exit_fn`` defaults to ``sys.exit``. Returns the
         signal→exit-code map actually installed."""
+        import logging
         import signal as _signal
         import sys
 
+        log = logging.getLogger(__name__)
         codes = {_signal.SIGINT: 130, _signal.SIGTERM: 143}
         if hasattr(_signal, "SIGQUIT"):
             codes[_signal.SIGQUIT] = 131
         step = on_step or (lambda name: None)
         do_exit = exit_fn or sys.exit
+
+        def _step(name: str) -> None:
+            # observability must never abort the teardown it observes
+            try:
+                step(name)
+            except Exception:
+                log.warning(
+                    "on_step hook raised at %r; teardown continues", name,
+                    exc_info=True,
+                )
 
         def _handler(signum, frame):
             if self._stopping:
@@ -155,19 +173,32 @@ class DedupService:
                 do_exit(codes.get(signum, 1))
                 return
             self._stopping = True
-            step("health_fail")
+            _step("health_fail")
             try:
-                self.stop(timeout_seconds)
-                step("stop_queries")
+                ok = self.stop(timeout_seconds)
             except Exception:
-                pass
+                log.warning(
+                    "stop() raised during signal teardown; exiting anyway",
+                    exc_info=True,
+                )
+                _step("stop_queries_failed")
+            else:
+                if not ok:
+                    log.warning(
+                        "stop() timed out during signal teardown (queries"
+                        " may not have committed their final batch)"
+                    )
+                _step("stop_queries")
             if health_server is not None:
                 try:
                     health_server.shutdown()
-                    step("close_health_server")
+                    _step("close_health_server")
                 except Exception:
-                    pass
-            step("exit")
+                    log.warning(
+                        "health server shutdown raised; teardown continues",
+                        exc_info=True,
+                    )
+            _step("exit")
             do_exit(codes.get(signum, 1))
 
         for sig in codes:

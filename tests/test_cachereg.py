@@ -44,6 +44,23 @@ def test_young_eviction_counted_and_logged(spark, caplog):
     _reset()
 
 
+def test_burst_evictions_all_counted_young(spark):
+    """ADVICE r7: LATER evictions in the same burst (registrations
+    MAX_LIVE+2..N with no intervening drain) evict handles registered by the
+    same still-running query and must be counted too — the old
+    registrations-since-drain test only flagged the first one. The ordinal
+    rule flags each: every FIFO-evicted handle sits within one registration
+    window of the head, and without a drain there is no evidence its
+    registering query materialized."""
+    _reset()
+    burst = cachereg.MAX_LIVE + 3
+    for i in range(burst):
+        cachereg.persist_scoped(spark.range(i + 1))
+    assert cachereg.n_evicted == burst - cachereg.MAX_LIVE == 3
+    assert cachereg.n_evicted_young == cachereg.n_evicted  # none missed
+    _reset()
+
+
 def test_release_all_drains_everything(spark):
     _reset()
     frames = [cachereg.persist_scoped(spark.range(i + 1)) for i in range(3)]

@@ -141,3 +141,45 @@ def test_second_signal_fast_exits_without_reentering_teardown():
         signal.signal(signal.SIGINT, signal.default_int_handler)
         if hasattr(signal, "SIGQUIT"):
             signal.signal(signal.SIGQUIT, signal.SIG_DFL)
+
+
+def test_raising_hook_and_failing_stop_never_abort_teardown():
+    """ADVICE r7: a raising ``on_step`` hook must not abort the teardown
+    before queries are stopped, and a raising ``stop()`` must be surfaced
+    as a ``stop_queries_failed`` marker rather than silently swallowed —
+    the process still exits with the clean 128+signal code (the signal
+    contract) but the failed teardown is observable."""
+    from pulsar_topic_deduplicator_spark.service import DedupService
+
+    class ExplodingQuery:
+        isActive = True
+
+        def stop(self):
+            raise RuntimeError("broker connection already gone")
+
+        def awaitTermination(self, timeout=None):
+            return True
+
+    svc = DedupService(spark=None, query=ExplodingQuery(), output_table="t")
+    exits: list[int] = []
+    steps: list[str] = []
+
+    def hostile_hook(name: str) -> None:
+        steps.append(name)
+        raise ValueError("observability pipe broken")  # must not abort
+
+    try:
+        svc.install_signal_handlers(exit_fn=exits.append, on_step=hostile_hook)
+        os.kill(os.getpid(), signal.SIGTERM)
+        deadline = time.time() + 5
+        while not exits and time.time() < deadline:
+            time.sleep(0.01)
+        assert exits == [143]  # clean signal exit code despite both failures
+        # every step reached: the raising hook at health_fail did not stop
+        # the teardown, and the raising stop() is on record, not silent
+        assert steps == ["health_fail", "stop_queries_failed", "exit"]
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        if hasattr(signal, "SIGQUIT"):
+            signal.signal(signal.SIGQUIT, signal.SIG_DFL)
