@@ -277,91 +277,56 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 7 rotates the STALEST evidence through the window
-    # (VERDICT r6 item 1): (a) the never-driver-checked round-7 additions,
-    # then (b) the r3-era cohort (TPC-H round-2 shapes, pipeline/similarity
-    # remainder, the three near-dup entries that sat just past the r6
-    # window edge), then (c) the r4-era tiers (text fingerprints, sampling,
-    # bounded streaming, multimodal, contract/similarity, scalar demos,
-    # asof) to the window edge. 55 entries precede the window marker and
-    # the driver checks ~50, so the LAST ~5 (bit_funcs_demo,
-    # asof_last_purchase, conditional_agg_demo, approx_distinct_events,
-    # warmup_digest_extract — all r4-era) may slip to round 8, where they
-    # lead the rotation. After this round every
-    # other entry's latest driver check is ≤2 rounds old and the rotation
-    # is self-sustaining: each round leads with new entries + whatever the
-    # previous two rounds did not check. The r5/r6-checked tiers sit immediately behind the
-    # window (freshest evidence, first to rotate back in round 8), and the
-    # seven rows-only RAW entries remain at the very end, OUTSIDE the
-    # window BY DESIGN: each is driver-checked through an oracle-pinned
-    # contract twin (ann_recall_contracts / stream_near_dup_contracts /
-    # semantic_dedup_contracts / approx_quantiles_contracts), so the ledger
-    # carries zero `no_oracle` rows.
+    # round. Round 8 continues the self-sustaining staleness rotation:
+    # (a) the never-driver-checked round-8 additions (substring-dedup
+    # family, DSIR selection, KMV set-algebra overlap, fuzzy
+    # decontamination, vocab coverage, BPE pair counts), then (b) the
+    # r4-era cohort — the five entries that slipped past round 7's window
+    # edge plus the five sql_* portable-SQL entries, the stalest checkable
+    # evidence in the ledger — then (c) the r5-checked tier in its
+    # round-5 order. ~18 entries of (c) sit past the ~50-entry edge and
+    # lead round 9's rotation (dq_check_events ..
+    # scd2_point_in_time_join).
+    # The r6- and r7-checked tiers follow (freshest evidence, last to
+    # rotate back in), and the seven rows-only RAW entries remain at the
+    # very end, OUTSIDE the window BY DESIGN: each is driver-checked
+    # through an oracle-pinned contract twin (ann_recall_contracts /
+    # stream_near_dup_contracts / semantic_dedup_contracts /
+    # approx_quantiles_contracts), so the ledger carries zero
+    # `no_oracle` rows.
     return {
-        # ── (a) round-7 additions (never driver-checked) ───────────────────
-        "dedup_paragraphs": textops.dedup_paragraphs,
-        "near_dup_paragraphs": neardup.near_dup_paragraphs,
-        "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
-        "dedup_docs_incremental": neardup.dedup_docs_incremental,
-        "stream_dedup_spans": _stream_span_dedup_query,
-        "service_counters_watermark": _service_counters_watermark_query,
-        # ── (b) r3-era cohort (stalest driver evidence) ────────────────────
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q11_important_value": relational.q11_important_value,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q12_late_shipment_priority": relational.q12_late_shipment_priority,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
-        "q20_heavy_shippers": relational.q20_heavy_shippers,
-        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
-        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
-        "embedding_topk_cosine": similarity.embedding_topk_cosine,
-        "knn_self_join_top1": similarity.knn_self_join_top1,
-        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-        # just past the r6 window edge (driver checked exactly 50 that round)
-        "near_dup_clusters": neardup.near_dup_clusters,
-        "simhash_docs": neardup.simhash_docs,
-        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
-        # ── (c) r4-era tiers to the window edge ────────────────────────────
-        "winnow_fingerprints": textops.winnow_fingerprints,
-        "substring_overlap_pairs": textops.substring_overlap_pairs,
-        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
-        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
-        "hash_sample_events": sampling.hash_sample_events,
-        "train_val_test_split": sampling.train_val_test_split,
-        "source_mixture_sample": sampling.source_mixture_sample,
-        "stream_warmup_flagged": _stream_warmup_flagged_query,  # exact oracle (plain append)
-        "sessionize_events": relational.sessionize_events,
-        "range_frame_event_counts": relational.range_frame_event_counts,
-        "stream_dedup": _stream_dedup_query,  # deterministic projection (oracle-hashed)
-        "stream_windowed_counts": _stream_windowed_counts_query,  # exact oracle (watermark cutoff)
-        "stream_session_activity": _stream_session_activity_query,  # exact oracle (watermark cutoff)
-        "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
-        "multimodal_features": multimodal.multimodal_features_long,  # long-form boundary
-        "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
-        "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
-        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
-        "bloom_digest_prefilter": dedup.bloom_digest_prefilter,  # contract oracle
-        "ann_recall_contracts": similarity.ann_recall_contracts,  # contract oracle (+ivf_indexed r5)
-        "knn_topk_blockwise": _knn_blockwise_rounded,  # 6-dp boundary (oracle-hashed)
-        "knn_topk_tiled": _knn_tiled_rounded,  # 6-dp boundary (oracle-hashed)
-        "label_centroids": similarity.label_centroids,  # long-form, rounded 9dp (oracle-hashed)
-        # (label_centroid_vectors is deliberately NOT registered: its
-        # array<double> centroid column is not canonicalizable by the driver
-        # harness — it is the consumer-API twin, pytest-pinned against numpy)
-        "array_funcs_demo": scalarfuncs.array_funcs_demo,
-        "map_funcs_demo": scalarfuncs.map_funcs_demo,
+        # ── (a) round-8 additions (never driver-checked) ───────────────────
+        "duplicate_substring_spans": textops.duplicate_substring_spans,
+        "dedup_substrings_global": textops.dedup_substrings_global,
+        "dedup_spans_within_doc": textops.dedup_spans_within_doc,
+        "dsir_select": curation.dsir_select,
+        "kmv_audience_overlap": dedup.kmv_audience_overlap,
+        "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
+        "vocab_coverage": textops.vocab_coverage,
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
         "conditional_agg_demo": relational.conditional_agg_demo,
         "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
         "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
-        # ── end of the ~50-entry checked window ────────────────────────────
-        # r5-checked tier (rotates back into the window in round 8)
+        # SQL surface (same SQL text runs on Spark AND DuckDB) — r4-era
+        **sqlapi.QUERIES,
+        # ── (c) r5-checked tier to the window edge ─────────────────────────
+        "hash_payload": dedup.hash_payload,
+        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
+        "dedup_within_window": dedup.dedup_within_window,
+        "ignore_props_projection": dedup.ignore_props_projection,
+        "first_per_key": dedup.first_per_key,
+        "dedup_counters": dedup.dedup_counters,
+        "distinct_digests": dedup.distinct_digests,
+        "origin_lineage": lineage.origin_lineage,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
+        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
         "doc_repetition_stats": textops.doc_repetition_stats,
@@ -384,6 +349,8 @@ def queries() -> dict[str, QueryFn]:
         "cms_user_counts": dedup.cms_user_counts,
         "band_self_join_prices": asof.band_self_join_prices,
         "minutely_rollup": relational.minutely_rollup,
+        # ── end of the ~50-entry checked window ────────────────────────────
+        # r5-checked remainder (slipped past the edge; leads round 9)
         "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
         "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
         "dq_check_events": lineage.dq_check_events,
@@ -398,24 +365,7 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         "session_purchase_overlaps": asof.session_purchase_overlaps,
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        # dedup family + relational head (re-checked green r5)
-        "hash_payload": dedup.hash_payload,
-        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
-        "dedup_within_window": dedup.dedup_within_window,
-        "ignore_props_projection": dedup.ignore_props_projection,
-        "first_per_key": dedup.first_per_key,
-        "dedup_counters": dedup.dedup_counters,
-        "distinct_digests": dedup.distinct_digests,
-        "origin_lineage": lineage.origin_lineage,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
-        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
-        "top_orders_per_customer": relational.top_orders_per_customer,
-        # SQL surface (same SQL text runs on Spark AND DuckDB)
-        **sqlapi.QUERIES,
-        # r6-checked tier (freshest evidence — last to rotate back in)
+        # r6-checked tier
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
@@ -466,6 +416,60 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        # r7-checked tier (freshest evidence — last to rotate back in)
+        "dedup_paragraphs": textops.dedup_paragraphs,
+        "near_dup_paragraphs": neardup.near_dup_paragraphs,
+        "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
+        "dedup_docs_incremental": neardup.dedup_docs_incremental,
+        "stream_dedup_spans": _stream_span_dedup_query,
+        "service_counters_watermark": _service_counters_watermark_query,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_value": relational.q11_important_value,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q12_late_shipment_priority": relational.q12_late_shipment_priority,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q20_heavy_shippers": relational.q20_heavy_shippers,
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
+        "embedding_topk_cosine": similarity.embedding_topk_cosine,
+        "knn_self_join_top1": similarity.knn_self_join_top1,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "near_dup_clusters": neardup.near_dup_clusters,
+        "simhash_docs": neardup.simhash_docs,
+        "simhash_near_dup_pairs": neardup.simhash_near_dup_pairs,
+        "winnow_fingerprints": textops.winnow_fingerprints,
+        "substring_overlap_pairs": textops.substring_overlap_pairs,
+        "near_dup_clusters_lss": neardup.near_dup_clusters_lss,  # O(log n) CC
+        "embedding_near_dup_clusters": similarity.embedding_near_dup_clusters,
+        "hash_sample_events": sampling.hash_sample_events,
+        "train_val_test_split": sampling.train_val_test_split,
+        "source_mixture_sample": sampling.source_mixture_sample,
+        "stream_warmup_flagged": _stream_warmup_flagged_query,  # exact oracle (plain append)
+        "sessionize_events": relational.sessionize_events,
+        "range_frame_event_counts": relational.range_frame_event_counts,
+        "stream_dedup": _stream_dedup_query,  # deterministic projection (oracle-hashed)
+        "stream_windowed_counts": _stream_windowed_counts_query,  # exact oracle (watermark cutoff)
+        "stream_session_activity": _stream_session_activity_query,  # exact oracle (watermark cutoff)
+        "stream_dedup_ttl": _stream_dedup_ttl_query,  # exact oracle (single-batch bounded run)
+        "multimodal_features": multimodal.multimodal_features_long,  # long-form boundary
+        "multimodal_decode": multimodal.multimodal_decode_long,  # long-form boundary
+        "multimodal_resize": multimodal.multimodal_resize_long,  # long-form boundary
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # integer-exact oracle
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # real P6 codec
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # real RIFF codec
+        "bloom_digest_prefilter": dedup.bloom_digest_prefilter,  # contract oracle
+        "ann_recall_contracts": similarity.ann_recall_contracts,  # contract oracle (+ivf_indexed r5)
+        "knn_topk_blockwise": _knn_blockwise_rounded,  # 6-dp boundary (oracle-hashed)
+        "knn_topk_tiled": _knn_tiled_rounded,  # 6-dp boundary (oracle-hashed)
+        "label_centroids": similarity.label_centroids,  # long-form, rounded 9dp (oracle-hashed)
+        # (label_centroid_vectors is deliberately NOT registered: its
+        # array<double> centroid column is not canonicalizable by the driver
+        # harness — it is the consumer-API twin, pytest-pinned against numpy)
+        "array_funcs_demo": scalarfuncs.array_funcs_demo,
+        "map_funcs_demo": scalarfuncs.map_funcs_demo,
         # ── rows-only RAW entries (outside the checked window BY DESIGN) ───
         # Each is real consumer API surface whose VALUES are engine-specific
         # (seeded planes / numpy codebooks / greedy sequential selection /

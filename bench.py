@@ -96,6 +96,9 @@ HEADLINE = [
     "dedup_paragraphs",  # cross-doc paragraph dedup (hash window + reassembly)
     "near_dup_paragraphs",  # span-granularity fuzzy near-dup (LSH + verify)
     "service_counters_watermark",  # gated service on the JVM watermark kernel
+    # round-8 additions
+    "duplicate_substring_spans",  # exact-substring dup spans (gram windows)
+    "dsir_select",  # DSIR importance selection (2 model aggs + broadcast)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

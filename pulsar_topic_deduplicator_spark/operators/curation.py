@@ -676,3 +676,132 @@ def _quality_rank_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_quality_rank_oracles())
+
+
+#: DSIR (Xie et al. 2023, "Data Selection for Language Models via
+#: Importance Resampling", arXiv 2302.03169) knobs — part of the model
+#: definition, shared verbatim with the oracle. Features are hashed
+#: unigrams into DSIR_BUCKETS buckets (the paper hashes uni+bigrams into
+#: 10k; the fixture vocabulary is tiny, so 256 keeps buckets populated).
+DSIR_BUCKETS = 256
+#: the "target domain" sample the raw pool is re-weighted toward — a
+#: source label plays the paper's high-quality target corpus
+DSIR_TARGET_SOURCE = "src0"
+#: docs selected from the raw pool (top importance weights)
+DSIR_K = 100
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every raw-pool document by its hashed
+    n-gram importance weight log(p_target(x)/p_raw(x)) under two
+    bag-of-hashed-features unigram models (add-one smoothing over
+    DSIR_BUCKETS buckets), and keep the top DSIR_K — the
+    importance-resampling step that tilts a 100 TB crawl toward a small
+    high-quality target domain. Target = docs whose ``source`` is
+    DSIR_TARGET_SOURCE; raw pool = everything else (scored side).
+
+    Cross-engine exactness: bucket counts are exact integers; each
+    bucket's log-ratio is pinned to integer nano-nats (the BM25/bigram-LM
+    acceptance: only the libm ln can drift, absorbed by the 1e-9
+    rounding); a doc's weight is an exact BIGINT sum of its tokens' terms,
+    so the top-K cut (weight desc, doc_id asc) never straddles a float
+    boundary.
+
+    Plan: token explode → bucket via the oracle-reproducible 60-bit hash →
+    TWO bucket-count aggregates (map-side combined, ≤ DSIR_BUCKETS rows
+    each — the trained importance model, materialize once at 100 TB) →
+    broadcast the bucket-term table back onto the token stream → one
+    doc-keyed sum → TakeOrdered(K). The only corpus-sized shuffle is the
+    doc-keyed sum; the model tables are KB-sized."""
+    from ..functions.hashing import stable_uint60
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+        F.explode(whitespace_tokens(F.col("text"))).alias("w"),
+    ).withColumn(
+        "b", F.pmod(stable_uint60(F.col("w")), F.lit(DSIR_BUCKETS))
+    )
+    from ..cachereg import persist_scoped
+
+    toks = persist_scoped(toks)  # consumers: two count aggs + scoring pass
+    counts = toks.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    # nano-nat log-ratio per bucket: ln((ct+1)/(tt+B)) - ln((cr+1)/(tr+B))
+    term = F.round(
+        (
+            F.ln(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("tt") + DSIR_BUCKETS).cast("double")
+            )
+            - F.ln(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("tr") + DSIR_BUCKETS).cast("double")
+            )
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    model = (
+        counts.crossJoin(F.broadcast(totals))
+        .select("b", term.alias("term"))
+    )
+    scored = (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term").alias("weight_nano"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("weight_nano").desc(), F.col("doc_id"))
+        .limit(DSIR_K)
+    )
+
+
+def _dsir_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    b = f"{duck_stable_uint60('w')} % {DSIR_BUCKETS}"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+                 {b} AS b
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL)),
+        counts AS (
+          SELECT b,
+                 count(CASE WHEN is_target THEN 1 END) AS ct,
+                 count(CASE WHEN NOT is_target THEN 1 END) AS cr
+          FROM toks GROUP BY b),
+        totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+        model AS (
+          SELECT b,
+                 CAST(round(
+                   (ln(CAST(ct + 1 AS DOUBLE)
+                       / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+                    - ln(CAST(cr + 1 AS DOUBLE)
+                         / CAST(tr + {DSIR_BUCKETS} AS DOUBLE)))
+                   * 1000000000.0, 0) AS BIGINT) AS term
+          FROM counts, totals)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(term) AS BIGINT) AS weight_nano
+        FROM toks JOIN model USING (b)
+        WHERE NOT is_target
+        GROUP BY doc_id
+        ORDER BY weight_nano DESC, doc_id
+        LIMIT {DSIR_K}
+    """
+
+
+ORACLES["dsir_select"] = _dsir_oracle()

@@ -670,3 +670,190 @@ ORACLES["kmv_distinct_by_type"] = f"""
       FROM u_rep)
     SELECT * FROM per_type UNION ALL SELECT * FROM u_row
 """
+
+
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between event types from KMV
+    sketches — the multiset set-algebra read (Beyer et al. 2007, "On
+    Synopses for Distinct Value Estimation Under Multiset Operations"):
+    for every (type_a < type_b) pair, estimate |users_a ∪ users_b|,
+    |users_a ∩ users_b| and the user-set Jaccard from the two per-type
+    k-minimum-value sketches alone, next to the exact answers for audit.
+
+    Sketch algebra: merge = k smallest of the two sketches' union;
+    ρ = (merged hashes present in BOTH input sketches) / |merged|;
+    union_est = (k−1)/u_k when the merged sketch is full (else the merged
+    sketch IS the union — counts are exact); inter_est = ρ · union_est.
+    Every branch is mirrored expression-for-expression in the oracle, so
+    the doubles are bit-identical.
+
+    Plan: ONE distinct (type, user-hash) shuffle + the salted k-smallest
+    windows build the per-type sketches; everything pairwise after that
+    runs on sketch-sized frames (types × k longs — KB, broadcast), so at
+    100 TB the pairwise overlap matrix costs one corpus scan regardless
+    of how many type pairs are asked. The exact audit tier (a user-keyed
+    self-join) is the thing the sketch path REPLACES at scale; it rides
+    along here as the per-row error witness.
+    """
+    from ..functions.hashing import stable_uint60
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    ).distinct()
+    hashes = users.select(
+        "event_type", stable_uint60(F.col("u")).alias("h")
+    )
+    kept = _kmv_k_smallest(hashes, "event_type")
+
+    # pairwise merged sketches: every merged row is (pair, h, side flags);
+    # the pair frame and both sketch joins are KB-sized
+    pairs = (
+        kept.select(F.col("event_type").alias("type_a"))
+        .distinct()
+        .join(
+            kept.select(F.col("event_type").alias("type_b")).distinct(),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pa = pairs.join(
+        kept.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    pb = pairs.join(
+        kept.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    merged = (
+        pa.unionByName(pb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    sk = merged.withColumn("r", F.row_number().over(wp)).filter(
+        F.col("r") <= KMV_K
+    )
+    est = sk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("h").alias("u_k_int"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+    )
+    u_k = F.col("u_k_int").cast("double") / F.lit(_TWO_POW_60)
+    full = F.col("n_merged") >= KMV_K
+    union_est = F.when(
+        full, F.lit(float(KMV_K - 1)) / u_k
+    ).otherwise(F.col("n_merged").cast("double"))
+    rho = F.col("n_both").cast("double") / F.col("n_merged").cast("double")
+    inter_est = F.when(full, rho * (F.lit(float(KMV_K - 1)) / u_k)).otherwise(
+        F.col("n_both").cast("double")
+    )
+
+    # exact audit tier (the full-cost path the sketches replace at scale)
+    ua = users.select(F.col("event_type").alias("type_a"), "u")
+    ub = users.select(F.col("event_type").alias("type_b"), "u")
+    sizes = users.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter_exact = (
+        ua.join(ub, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    sz_a = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sz_b = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    exact = (
+        inter_exact.join(F.broadcast(sz_a), "type_a")
+        .join(F.broadcast(sz_b), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.col("n_inter_exact")).alias(
+                "n_union_exact"
+            ),
+            "n_inter_exact",
+        )
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_union_exact",
+            "n_inter_exact",
+            F.col("n_merged").cast("bigint").alias("n_merged"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            union_est.alias("union_est"),
+            inter_est.alias("inter_est"),
+            rho.alias("jaccard_est"),
+        )
+    )
+
+
+ORACLES["kmv_audience_overlap"] = f"""
+    WITH users AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+    hashes AS (
+      SELECT event_type,
+             CAST('0x' || substr(sha256(u), 1, 15) AS BIGINT) AS h
+      FROM users),
+    pre AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type, h % {_KMV_SALTS}
+                                ORDER BY h) AS r1
+      FROM hashes),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r2
+        FROM pre WHERE r1 <= {KMV_K})
+      WHERE r2 <= {KMV_K}),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM kept) a
+      JOIN (SELECT DISTINCT event_type FROM kept) b
+        ON a.event_type < b.event_type),
+    merged AS (
+      SELECT type_a, type_b, h, max(fa) AS in_a, max(fb) AS in_b
+      FROM (
+        SELECT p.type_a, p.type_b, k.h, 1 AS fa, 0 AS fb
+        FROM pairs p JOIN kept k ON k.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, k.h, 0 AS fa, 1 AS fb
+        FROM pairs p JOIN kept k ON k.event_type = p.type_b)
+      GROUP BY type_a, type_b, h),
+    sk AS (
+      SELECT * FROM (
+        SELECT type_a, type_b, h, in_a, in_b,
+               row_number() OVER (PARTITION BY type_a, type_b ORDER BY h)
+                 AS r
+        FROM merged)
+      WHERE r <= {KMV_K}),
+    est AS (
+      SELECT type_a, type_b, count(*) AS n_merged, max(h) AS u_k_int,
+             count(CASE WHEN in_a * in_b = 1 THEN 1 END) AS n_both
+      FROM sk GROUP BY type_a, type_b),
+    sizes AS (SELECT event_type, count(*) AS n FROM users GROUP BY event_type),
+    inter_exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_inter_exact
+      FROM users a JOIN users b
+        ON a.u = b.u AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT e.type_a, e.type_b,
+           CAST(x.n + y.n - i.n_inter_exact AS BIGINT) AS n_union_exact,
+           CAST(i.n_inter_exact AS BIGINT) AS n_inter_exact,
+           CAST(e.n_merged AS BIGINT) AS n_merged,
+           CAST(e.n_both AS BIGINT) AS n_both,
+           CASE WHEN e.n_merged >= {KMV_K}
+                THEN {float(KMV_K - 1)}
+                     / (CAST(e.u_k_int AS DOUBLE) / {_TWO_POW_60})
+                ELSE CAST(e.n_merged AS DOUBLE) END AS union_est,
+           CASE WHEN e.n_merged >= {KMV_K}
+                THEN (CAST(e.n_both AS DOUBLE) / CAST(e.n_merged AS DOUBLE))
+                     * ({float(KMV_K - 1)}
+                        / (CAST(e.u_k_int AS DOUBLE) / {_TWO_POW_60}))
+                ELSE CAST(e.n_both AS DOUBLE) END AS inter_est,
+           CAST(e.n_both AS DOUBLE) / CAST(e.n_merged AS DOUBLE)
+             AS jaccard_est
+    FROM est e
+    JOIN inter_exact i ON e.type_a = i.type_a AND e.type_b = i.type_b
+    JOIN sizes x ON x.event_type = e.type_a
+    JOIN sizes y ON y.event_type = e.type_b
+"""

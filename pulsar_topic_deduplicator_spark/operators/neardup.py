@@ -817,8 +817,13 @@ def dedup_paragraphs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``near_dup_paragraphs`` pair) is dropped and each document is
     reassembled from its surviving spans, in order — the same output shape
     as the exact ``textops.dedup_paragraphs`` so the two removal tiers are
-    drop-in comparable (fuzzy removal is a superset: jaccard-1 pairs are
-    exactly the cross-span duplicates the exact tier drops).
+    drop-in comparable. Fuzzy removal contains exact removal only for
+    spans with >= SHINGLE_N words: a jaccard-1 pair of such spans is
+    exactly a cross-span duplicate the exact tier drops, but exact
+    duplicates SHORTER than SHINGLE_N words carry no shingles and are
+    invisible to the fuzzy tier (exact-tier-only) — the containment test
+    encodes this carve-out (``tests/test_paragraph_dedup.py``,
+    ``short_dups``).
 
     Removal rule: greedy earliest-wins per PAIR (not per cluster) — a span
     is dropped iff any earlier span is near-identical to it. This is the
@@ -987,3 +992,113 @@ def _dedup_docs_incremental_oracle() -> str:
 
 
 ORACLES["dedup_docs_incremental"] = _dedup_docs_incremental_oracle()
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-verbatim complement of
+    ``curation.decontaminate_overlap``: a training-corpus document is
+    contaminated when it is a MinHash near-duplicate (word-3-gram Jaccard
+    ≥ JACCARD_THRESHOLD) of ANY held-out benchmark document, catching
+    lightly-edited eval leaks that the exact 4-gram overlap rate dilutes.
+    Benchmark = the same content-keyed test split (pct ≥ SPLIT_VAL) the
+    exact tier uses, so the two tiers are drop-in comparable; in
+    production the benchmark side is the external eval-suite table.
+
+    Returns one row per CORPUS document: (doc_id, n_bench_matches,
+    max_jaccard, contaminated) — max_jaccard 0.0 when nothing matched.
+
+    Plan: one shingle explode feeds the signature aggregate and the
+    verify stage (scoped persist); the candidate join is LSH band-keyed
+    BETWEEN the corpus and benchmark splits only (never corpus×corpus);
+    verified hits are ≪ corpus, so the final per-doc aggregate and the
+    left join back onto corpus ids are broadcast-sized. At 100 TB the
+    benchmark side is tiny and static: its band index is a build-once
+    broadcast, the corpus side streams through — the same asymmetry the
+    streaming near-dup filter exploits."""
+    from ..cachereg import persist_scoped
+    from .sampling import SPLIT_VAL
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id", (stable_uint60(F.col("text")) % 100).alias("pct")
+    )
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
+    wide = _signature_wide_from(sh)
+    bands = band_rows(wide).join(split, "doc_id")
+    bc = bands.filter(F.col("pct") < SPLIT_VAL).drop("pct")
+    bb = bands.filter(F.col("pct") >= SPLIT_VAL).drop("pct")
+    cands = (
+        bc.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("bench_id"),
+        )
+        .distinct()
+    )
+    hits = _verify_candidate_pairs(sh, cands, "doc_id", "bench_id")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    corpus_ids = split.filter(F.col("pct") < SPLIT_VAL).select("doc_id")
+    return corpus_ids.join(F.broadcast(per_doc), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        F.col("n_bench_matches").isNotNull().alias("contaminated"),
+    )
+
+
+def _decontaminate_fuzzy_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+    from .sampling import SPLIT_VAL
+
+    pct = f"{duck_stable_uint60('text')} % 100"
+    return f"""
+        WITH {_SIG_CTE},
+        split AS (SELECT doc_id, {pct} AS pct FROM documents),
+        keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+        bands AS ({_BAND_UNION}),
+        bc AS (SELECT b.* FROM bands b JOIN split s ON b.doc_id = s.doc_id
+               WHERE s.pct < {SPLIT_VAL}),
+        bb AS (SELECT b.* FROM bands b JOIN split s ON b.doc_id = s.doc_id
+               WHERE s.pct >= {SPLIT_VAL}),
+        cands AS (
+          SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+          FROM bc c JOIN bb b
+            ON c.band_id = b.band_id AND c.band_key = b.band_key),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_id, c.bench_id, count(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_id
+          JOIN sh b ON b.doc_id = c.bench_id AND b.h = a.h
+          GROUP BY 1, 2),
+        hits AS (
+          SELECT doc_id, count(*) AS n_bench_matches,
+                 max(jac) AS max_jaccard
+          FROM (
+            SELECT i.doc_id,
+                   CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jac
+            FROM inter i
+            JOIN sizes x ON i.doc_id = x.doc_id
+            JOIN sizes y ON i.bench_id = y.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+                  >= {JACCARD_THRESHOLD})
+          GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(coalesce(h.n_bench_matches, 0) AS BIGINT)
+                 AS n_bench_matches,
+               coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+               h.n_bench_matches IS NOT NULL AS contaminated
+        FROM split s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        WHERE s.pct < {SPLIT_VAL}
+    """
+
+
+ORACLES["decontaminate_fuzzy"] = _decontaminate_fuzzy_oracle()

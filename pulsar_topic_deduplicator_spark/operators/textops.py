@@ -1087,3 +1087,446 @@ ORACLES["lm_bigram_nll"] = f"""
                  / (count(*) * 1000000000.0), 6) AS nll
     FROM t GROUP BY doc_id
 """
+
+
+#: exact-substring dedup gram width (words). Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") remove
+#: duplicated substrings of >= 50 BPE tokens; the test corpus's docs are
+#: 25-60 words, so 8 words plays that threshold at fixture scale — the
+#: constant is the knob, shared verbatim by the oracle.
+SUBSTR_GRAM_N = 8
+
+
+def _substr_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SUBSTR_GRAM_N-word window of every document, as (doc_id, idx,
+    gh): idx is the 1-based start-word position, gh the sha2-256 of the
+    space-joined gram (the oracle-reproducible key — ``sha256()`` in
+    DuckDB; xxhash64 is the scale path when oracle parity is not needed,
+    see ``functions.hashing.hash64``). Docs shorter than the gram width
+    contribute no rows. The explode is O(n_words) rows per doc and each
+    row's slice is O(gram) work — no joins, no shuffle; the gram frame
+    partitions by whatever the scan gave us until the dedup key shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = (
+        docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_GRAM_N)
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("toks") - F.lit(SUBSTR_GRAM_N - 1)
+            )
+        ).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("idx"),
+        F.sha2(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("i"), F.lit(SUBSTR_GRAM_N)), " "
+            ),
+            256,
+        ).alias("gh"),
+    )
+
+
+#: SQL twin of ``_substr_grams`` — one gram geometry on each engine
+_SUBSTR_GRAMS_SQL = f"""
+    __sw AS (SELECT doc_id, {_WORDS} AS toks FROM documents
+             WHERE text IS NOT NULL),
+    substr_grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             sha256(array_to_string(
+               list_slice(toks, i, i + {SUBSTR_GRAM_N} - 1), ' ')) AS gh
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SUBSTR_GRAM_N} + 1))
+                     AS i
+            FROM __sw WHERE len(toks) >= {SUBSTR_GRAM_N}))"""
+
+
+def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-corpus duplicated substrings, the detection half of
+    exact substring dedup (Lee et al. 2022): every word position covered
+    by a gram that occurs more than once in the corpus is duplicated;
+    overlapping/adjacent duplicated grams within a document merge into
+    maximal spans (gaps-and-islands). Returns (doc_id, span_start,
+    span_end, n_words) — 1-based inclusive word positions.
+
+    Plan: zero-join gram explode (``_substr_grams``) → ONE gram-hash
+    shuffle (window count per gh — crypto-uniform partitioning, no skew)
+    → ONE doc-keyed window pair (lag + running sum: the island merge) →
+    per-island aggregate. No global sort, nothing driver-side; at 100 TB
+    the gram frame is ~corpus-words rows of (long, long, 64B hash) and
+    both shuffles are hash-partitioned."""
+    from pyspark.sql import Window
+
+    g = _substr_grams(spark, sf_dir)
+    dup = (
+        g.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "idx")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("idx")
+    brk = (
+        F.when(
+            F.lag("idx").over(wd).isNull()
+            | (F.col("idx") - F.lag("idx").over(wd) > SUBSTR_GRAM_N),
+            1,
+        )
+        .otherwise(0)
+    )
+    isl = F.sum(brk).over(
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dup.withColumn("isl", isl)
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("idx").alias("span_start"),
+            (F.max("idx") + F.lit(SUBSTR_GRAM_N - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_words"),
+        )
+    )
+
+
+ORACLES["duplicate_substring_spans"] = f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    d AS (
+      SELECT doc_id, idx FROM (
+        SELECT doc_id, idx, count(*) OVER (PARTITION BY gh) AS c
+        FROM substr_grams) WHERE c > 1),
+    m AS (
+      SELECT doc_id, idx,
+             CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                    IS NULL
+                  OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                    > {SUBSTR_GRAM_N}
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+    isl AS (
+      SELECT doc_id, idx,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m)
+    SELECT doc_id, min(idx) AS span_start,
+           max(idx) + {SUBSTR_GRAM_N} - 1 AS span_end,
+           max(idx) + {SUBSTR_GRAM_N} - min(idx) AS n_words
+    FROM isl GROUP BY doc_id, isl
+"""
+
+
+def dedup_substrings_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring REMOVAL, Lee-et-al-style end state: every word
+    covered by a NON-FIRST occurrence of a duplicated gram is removed
+    (first = lowest packed (doc_id, idx) — the first copy in corpus order
+    keeps its words), and each document is reassembled from its surviving
+    words in order. Word-granular: repeated boilerplate inside otherwise
+    unique pages is cut mid-sentence, which is exactly the reference
+    policy of the paper (their suffix-array pass also cuts mid-span).
+    A word kept by gram A's first occurrence but covered by gram B's
+    non-first occurrence is REMOVED — removal wins, the conservative
+    direction for training data; mirrored exactly in the oracle.
+
+    Plan: gram explode → ONE gram-hash window (count + first-occurrence
+    min over the packed key) → positions explode of the duplicate
+    occurrences only → distinct → left anti-style join against the
+    word-position frame (doc+pos keyed, hash-partitioned) → the shared
+    doc-keyed reassembly aggregate. The duplicate-occurrence explode is
+    bounded by (duplicated grams × gram width), not corpus size. Packed
+    key bound: doc_id·1e6 + idx requires idx < 1e6 words/doc — the
+    documented corpus contract (same bound as ``dedup_paragraphs``)."""
+    from pyspark.sql import Window
+
+    g = _substr_grams(spark, sf_dir).withColumn(
+        "pk", F.col("doc_id") * F.lit(_PARA_PACK) + F.col("idx")
+    )
+    wg = Window.partitionBy("gh")
+    dup_occ = (
+        g.withColumn("c", F.count(F.lit(1)).over(wg))
+        .withColumn("first_pk", F.min("pk").over(wg))
+        .filter((F.col("c") > 1) & (F.col("pk") > F.col("first_pk")))
+        .select("doc_id", "idx")
+    )
+    drop_pos = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("idx"), F.col("idx") + F.lit(SUBSTR_GRAM_N - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    words_pos = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(_words(F.col("text"))))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.col("col").alias("word"),
+        )
+    )
+    kept = (
+        words_pos.join(drop_pos, ["doc_id", "pos"], "left")
+        .withColumn("kept", F.col("is_dup").isNull())
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("kept").cast("long")).alias("n_words_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(F.col("pos"), F.col("word")),
+                        )
+                    )
+                ),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+ORACLES["dedup_substrings_global"] = f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    m AS (
+      SELECT doc_id, idx,
+             count(*) OVER (PARTITION BY gh) AS c,
+             min(doc_id * {_PARA_PACK} + idx) OVER (PARTITION BY gh)
+               AS first_pk
+      FROM substr_grams),
+    dup AS (
+      SELECT doc_id, idx FROM m
+      WHERE c > 1 AND doc_id * {_PARA_PACK} + idx > first_pk),
+    drop_pos AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM (SELECT doc_id,
+                   unnest(generate_series(idx, idx + {SUBSTR_GRAM_N} - 1))
+                     AS p
+            FROM dup)),
+    wp AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS word
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM __sw)),
+    k AS (
+      SELECT wp.doc_id, wp.pos, wp.word, d.doc_id IS NULL AS kept
+      FROM wp LEFT JOIN drop_pos d
+        ON wp.doc_id = d.doc_id AND wp.pos = d.pos)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT)
+             AS n_words_kept,
+           coalesce(
+             array_to_string(
+               list(word ORDER BY pos) FILTER (WHERE kept), ' '),
+             '') AS cleaned_text
+    FROM k GROUP BY doc_id
+"""
+
+
+def dedup_spans_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span removal — the page-local cleaning
+    rule (navigation chrome, repeated headers) that complements the
+    cross-corpus tiers: a span is dropped iff an EARLIER span of the SAME
+    document is identical; other documents' spans don't matter. Same
+    output shape as ``dedup_paragraphs`` (the cross-doc exact tier) so the
+    granularities are drop-in comparable.
+
+    Plan: span explode → ONE (doc_id, span-hash)-keyed window min → the
+    shared doc-keyed reassembly. Both shuffles are doc-keyed, so at 100 TB
+    this co-partitions: one real exchange, then AQE keeps the reassembly
+    local."""
+    from pyspark.sql import Window
+
+    spans = para_spans(spark, sf_dir).withColumn(
+        "ph", F.sha2(F.col("para"), 256)
+    )
+    kept = F.col("para_idx") == F.min("para_idx").over(
+        Window.partitionBy("doc_id", "ph")
+    )
+    return reassemble_spans(spans.withColumn("kept", kept))
+
+
+ORACLES["dedup_spans_within_doc"] = f"""
+    WITH {PARA_SPANS_SQL},
+    k AS (
+      SELECT doc_id, para_idx, para,
+             para_idx = min(para_idx)
+               OVER (PARTITION BY doc_id, sha256(para)) AS kept
+      FROM para_spans)
+    {span_reassembly_select('k')}
+"""
+
+
+#: vocabulary coverage target, in permille (990 = the 99.0% cumulative-
+#: coverage cutoff): the vocab keeps the most frequent words whose
+#: PRECEDING cumulative mass is still under the target — integer
+#: arithmetic, no float boundary. Tokenizer-training knob, shared
+#: verbatim with the oracle.
+VOCAB_COVERAGE_PERMILLE = 990
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with a cumulative-coverage cutoff — the
+    tokenizer-vocab selection pass of a training pipeline: count every
+    corpus token, rank by (count desc, word asc), and keep words while the
+    cumulative token mass BEFORE the word is under
+    VOCAB_COVERAGE_PERMILLE/1000 of the corpus (so the word that crosses
+    the threshold is still included — standard coverage semantics).
+    Returns (rank, word, n_occurrences, cum_occurrences).
+
+    Exactness: the cutoff compares (cum − count)·1000 < total·permille —
+    pure BIGINT arithmetic on both engines, no float boundary to straddle.
+
+    Plan: token explode → ONE word-keyed count agg (map-side combined;
+    the corpus-sized stage) → rank/cumsum windows over the VOCAB frame,
+    which is orders of magnitude smaller than the corpus (≤ a few 100 M
+    rows even web-scale) — the single-partition window is over that agg
+    output, never the corpus, and the broadcast total closes it out."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("total"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_occurrences",
+            F.sum("n_occurrences").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        ranked.filter(
+            (F.col("cum_occurrences") - F.col("n_occurrences")) * 1000
+            < F.col("total") * VOCAB_COVERAGE_PERMILLE
+        )
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "word",
+            "n_occurrences",
+            "cum_occurrences",
+        )
+    )
+
+
+ORACLES["vocab_coverage"] = f"""
+    WITH counts AS (
+      SELECT word, count(*) AS n_occurrences
+      FROM (SELECT unnest({_WORDS}) AS word FROM documents
+            WHERE text IS NOT NULL)
+      GROUP BY word),
+    ranked AS (
+      SELECT word, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, word) AS rank,
+             sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, word
+                                      ROWS UNBOUNDED PRECEDING)
+               AS cum_occurrences,
+             sum(n_occurrences) OVER () AS total
+      FROM counts)
+    SELECT CAST(rank AS BIGINT) AS rank, word,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(cum_occurrences AS BIGINT) AS cum_occurrences
+    FROM ranked
+    WHERE (cum_occurrences - n_occurrences) * 1000
+          < total * {VOCAB_COVERAGE_PERMILLE}
+"""
+
+
+#: top adjacent-character pairs reported by the BPE statistics pass
+BPE_TOP_PAIRS = 64
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-initialization statistics: the corpus-weighted counts of every
+    ADJACENT CHARACTER PAIR inside words — the quantity a byte-pair-
+    encoding tokenizer trainer maximizes at each merge step (Sennrich et
+    al. 2016). Returns the top BPE_TOP_PAIRS pairs as (pair, n_words,
+    n_occurrences): n_occurrences weights each in-word position by the
+    word's corpus frequency (a pair occurring twice inside one word
+    counts twice), n_words is the number of distinct word types
+    containing the pair at least once.
+
+    Plan: ONE word-keyed count agg collapses the corpus to its vocabulary
+    (the only corpus-sized stage — exactly the collapse a real BPE
+    trainer does first); the position explode then runs over VOCAB×len
+    rows, trivially small; TakeOrdered returns the top pairs with a
+    deterministic (count desc, pair asc) tie-break. Iterated merges
+    re-run this counting kernel over a re-segmented vocab — the kernel is
+    the per-iteration cost, and it never re-touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "word",
+        "c",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - F.lit(1))
+        ).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 2)").alias("pair"),
+        "word",
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLES["bpe_pair_counts"] = f"""
+    WITH vocab AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest({_WORDS}) AS word FROM documents
+            WHERE text IS NOT NULL)
+      GROUP BY word
+      HAVING length(word) >= 2),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, word, c
+      FROM (SELECT word, c, unnest(generate_series(1, length(word) - 1))
+                     AS i
+            FROM vocab))
+    SELECT pair, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+"""

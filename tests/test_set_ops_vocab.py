@@ -1,0 +1,133 @@
+"""Round-8 operator behavior: KMV set-algebra overlap (exact when the
+merged sketch is unsaturated), fuzzy decontamination (near-copy of a
+benchmark doc flagged, unrelated doc clean), vocabulary coverage cutoff
+(the crossing word is included), and BPE pair counting — all on
+hand-built fixtures where every expected value is derivable by eye."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pulsar_topic_deduplicator_spark.operators.dedup import (
+    KMV_K,
+    kmv_audience_overlap,
+)
+from pulsar_topic_deduplicator_spark.operators.neardup import (
+    decontaminate_fuzzy,
+)
+from pulsar_topic_deduplicator_spark.operators.textops import (
+    bpe_pair_counts,
+    vocab_coverage,
+)
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    return str(path)
+
+
+def _pct(text: str) -> int:
+    """Python twin of the content-keyed split selector
+    (stable_uint60(text) % 100)."""
+    return int(hashlib.sha256(text.encode()).hexdigest()[:15], 16) % 100
+
+
+def _salted(base: str, prefix: str, want_bench: bool) -> str:
+    """Append a salt word until the text lands on the requested side of
+    the 90-percentile content split (bench = pct >= 90)."""
+    for i in range(1000):
+        t = f"{base} {prefix}{i}"
+        if (_pct(t) >= 90) == want_bench:
+            return t
+    raise AssertionError("salt search failed")
+
+
+def test_kmv_audience_overlap_exact_when_unsaturated(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    # 6 users in type a, 5 in type b, 3 shared; both sketches unsaturated
+    # (population << KMV_K=64) so every estimate must equal the exact tier
+    assert KMV_K >= 16
+    rows = []
+    eid = 0
+    for u in [1, 2, 3, 4, 5, 6]:
+        rows.append((eid, u, "a")); eid += 1
+    for u in [4, 5, 6, 7, 8]:
+        rows.append((eid, u, "b")); eid += 1
+        rows.append((eid, u, "b")); eid += 1  # duplicate events: same user
+    path = tmp_path_factory.mktemp("kmvset")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    rs = kmv_audience_overlap(spark, str(path)).collect()
+    assert len(rs) == 1
+    r = rs[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert r["n_union_exact"] == 8 and r["n_inter_exact"] == 3
+    assert r["n_merged"] == 8 and r["n_both"] == 3
+    assert r["union_est"] == 8.0 and r["inter_est"] == 3.0
+    assert r["jaccard_est"] == 3.0 / 8.0
+
+
+def test_decontaminate_fuzzy_flags_near_copy(spark, tmp_path_factory):
+    base = " ".join(f"w{i}" for i in range(30))
+    bench = _salted(base, "b", want_bench=True)
+    near = _salted(base, "c", want_bench=False)  # near-copy in the corpus
+    clean = _salted(" ".join(f"z{i}" for i in range(30)), "d", want_bench=False)
+    path = tmp_path_factory.mktemp("fuzzdecon")
+    d = _write_docs(
+        spark, path, [(0, bench, "s"), (1, near, "s"), (2, clean, "s")]
+    )
+    out = {r["doc_id"]: r for r in decontaminate_fuzzy(spark, d).collect()}
+    # only corpus docs appear; the bench doc is not a row
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated"] and out[1]["n_bench_matches"] == 1
+    assert out[1]["max_jaccard"] >= 0.5
+    assert not out[2]["contaminated"] and out[2]["max_jaccard"] == 0.0
+
+
+def test_vocab_coverage_includes_crossing_word(spark, tmp_path_factory):
+    # frequencies: a=6, b=3, c=1  (total 10); 99.0% target = 9.9 tokens.
+    # cum-before: a:0, b:6, c:9 — all < 9.9, so ALL words kept (c crosses).
+    path = tmp_path_factory.mktemp("vocab")
+    d = _write_docs(spark, path, [(0, "a a a b c", "s"), (1, "a a a b b", "s")])
+    rows = {r["word"]: r for r in vocab_coverage(spark, d).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert (rows["a"]["rank"], rows["a"]["n_occurrences"]) == (1, 6)
+    assert (rows["b"]["rank"], rows["b"]["cum_occurrences"]) == (2, 9)
+    assert (rows["c"]["rank"], rows["c"]["cum_occurrences"]) == (3, 10)
+
+    # with a word past the threshold: a=96, b=3, c=1 (total 100; target 99).
+    # cum-before: a:0, b:96, c:99 — c's preceding mass hits 99, c is OUT.
+    d2 = _write_docs(
+        spark,
+        tmp_path_factory.mktemp("vocab2"),
+        [(0, " ".join(["a"] * 96 + ["b"] * 3 + ["c"]), "s")],
+    )
+    words = {r["word"] for r in vocab_coverage(spark, d2).collect()}
+    assert words == {"a", "b"}
+
+
+def test_bpe_pair_counts_by_hand(spark, tmp_path_factory):
+    # vocab: "abab" ×2, "ab" ×3, "x" ×1 (single char: no pairs, filtered)
+    path = tmp_path_factory.mktemp("bpe")
+    d = _write_docs(spark, path, [(0, "abab abab ab ab ab x", "s")])
+    rows = {r["pair"]: r for r in bpe_pair_counts(spark, d).collect()}
+    # "ab": positions 1,3 in abab (2 per word ×2) + 1 in ab (×3) = 7
+    assert (rows["ab"]["n_words"], rows["ab"]["n_occurrences"]) == (2, 7)
+    # "ba": 1 per abab ×2 = 2
+    assert (rows["ba"]["n_words"], rows["ba"]["n_occurrences"]) == (1, 2)
+    assert set(rows) == {"ab", "ba"}
