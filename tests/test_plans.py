@@ -516,3 +516,62 @@ def test_dedup_docs_incremental_no_nlj_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_duplicate_substring_spans_zero_joins_jvm_only(spark, sf_dir):
+    """The detection tier is explode + two window families — no joins at
+    all, nothing in Python."""
+    from pulsar_topic_deduplicator_spark.operators import textops
+
+    df = textops.duplicate_substring_spans(spark, sf_dir)
+    plan = formatted_plan(df)
+    for bad in ("Join", "CartesianProduct", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_dedup_substrings_global_equi_joins_only(spark, sf_dir):
+    """The removal tier rides one position-keyed equi-join; no cartesian,
+    no NLJ, no Python stages."""
+    from pulsar_topic_deduplicator_spark.operators import textops
+
+    df = textops.dedup_substrings_global(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dsir_select_broadcast_model_and_topk(spark, sf_dir):
+    """The trained importance model (≤ DSIR_BUCKETS rows) broadcasts onto
+    the token stream, and the final cut is a TakeOrdered, never a global
+    sort."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.dsir_select(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_decontaminate_fuzzy_broadcast_bench_no_nlj(spark, sf_dir):
+    """The benchmark band index and the verified-hit aggregate broadcast;
+    candidates come from band-key equi-joins only."""
+    from pulsar_topic_deduplicator_spark.operators import neardup
+
+    df = neardup.decontaminate_fuzzy(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_pair_counts_topk_no_global_sort(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import textops
+
+    df = textops.bpe_pair_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
