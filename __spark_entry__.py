@@ -304,6 +304,8 @@ def queries() -> dict[str, QueryFn]:
         "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
         "vocab_coverage": textops.vocab_coverage,
         "bpe_pair_counts": textops.bpe_pair_counts,
+        "dsir_resample": curation.dsir_resample,
+        "doc_novelty_scores": textops.doc_novelty_scores,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,

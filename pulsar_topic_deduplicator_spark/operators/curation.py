@@ -691,12 +691,13 @@ DSIR_TARGET_SOURCE = "src0"
 DSIR_K = 100
 
 
-def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection: score every raw-pool document by its hashed
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring — the shared kernel of ``dsir_select`` /
+    ``dsir_resample``: score every raw-pool document by its hashed
     n-gram importance weight log(p_target(x)/p_raw(x)) under two
     bag-of-hashed-features unigram models (add-one smoothing over
-    DSIR_BUCKETS buckets), and keep the top DSIR_K — the
-    importance-resampling step that tilts a 100 TB crawl toward a small
+    DSIR_BUCKETS buckets) — the re-weighting
+    that tilts a 100 TB crawl toward a small
     high-quality target domain. Target = docs whose ``source`` is
     DSIR_TARGET_SOURCE; raw pool = everything else (scored side).
 
@@ -711,8 +712,9 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO bucket-count aggregates (map-side combined, ≤ DSIR_BUCKETS rows
     each — the trained importance model, materialize once at 100 TB) →
     broadcast the bucket-term table back onto the token stream → one
-    doc-keyed sum → TakeOrdered(K). The only corpus-sized shuffle is the
-    doc-keyed sum; the model tables are KB-sized."""
+    doc-keyed sum (the only corpus-sized shuffle; the model tables are
+    KB-sized). Returns (doc_id, n_tokens, weight_nano) for every raw-pool
+    doc; the selection variants add their TakeOrdered cut on top."""
     from ..functions.hashing import stable_uint60
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -763,9 +765,60 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").alias("weight_nano"),
         )
     )
+    return scored
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, top-K variant: score every raw-pool document
+    by its hashed n-gram importance weight log(p_target(x)/p_raw(x)) and
+    keep the DSIR_K highest — see ``_dsir_scored`` for the model, the
+    exactness argument (integer nano-nat weights: the top-K cut never
+    straddles a float boundary) and the one-corpus-shuffle plan."""
     return (
-        scored.orderBy(F.col("weight_nano").desc(), F.col("doc_id"))
+        _dsir_scored(spark, sf_dir)
+        .orderBy(F.col("weight_nano").desc(), F.col("doc_id"))
         .limit(DSIR_K)
+    )
+
+
+#: Gumbel-key divisor: doc-keyed 60-bit hash +1 over this ⇒ u ∈ (0, 1)
+#: strictly (never 0 → ln defined; never 1 → -ln(u) ≠ 0), shared verbatim
+#: with the oracle. Double rounding of the division is IEEE-identical on
+#: both engines; only consistency matters, not exactness.
+_GUMBEL_DIV = 2**60 + 2
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the paper's actual selection step
+    (top-K on raw weights over-selects near-identical high-weight docs;
+    Xie et al. 2023 §3 resample ∝ exp(weight) instead): draw DSIR_K docs
+    WITHOUT replacement with probability proportional to their importance
+    weight via Gumbel-top-k (Efraimidis-Spirakis weighted reservoir /
+    Gumbel-max in the log domain: key = log w + Gumbel noise; our
+    weight_nano IS log w in nano-nats already, so the key is one integer
+    sum). The "noise" is deterministic — Gumbel-inverse-CDF of a
+    content-keyed uniform u = (hash(doc_id)+1)/(2^60+2) — so the sample
+    is reproducible on any cluster, any retry, and in the oracle, while
+    remaining a faithful ∝-weight draw ACROSS corpora (the hash varies
+    per doc). G is pinned to integer nano-nats (the BM25/bigram-LM libm
+    acceptance: the two nested ln calls are the only drift source,
+    absorbed by the 1e-9 rounding).
+
+    Plan: identical to ``dsir_select`` (the scored frame is the same one
+    corpus shuffle) plus a zero-shuffle key projection and TakeOrdered."""
+    from ..functions.hashing import stable_uint60
+
+    scored = _dsir_scored(spark, sf_dir)
+    u = (
+        (stable_uint60(F.col("doc_id").cast("string")) + 1).cast("double")
+        / F.lit(float(_GUMBEL_DIV))
+    )
+    g_nano = F.round(-F.ln(-F.ln(u)) * 1e9, 0).cast("long")
+    keyed = scored.withColumn("key_nano", F.col("weight_nano") + g_nano)
+    return (
+        keyed.orderBy(F.col("key_nano").desc(), F.col("doc_id"))
+        .limit(DSIR_K)
+        .select("doc_id", "n_tokens", "weight_nano", "key_nano")
     )
 
 
@@ -794,14 +847,36 @@ def _dsir_oracle() -> str:
                          / CAST(tr + {DSIR_BUCKETS} AS DOUBLE)))
                    * 1000000000.0, 0) AS BIGINT) AS term
           FROM counts, totals)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(term) AS BIGINT) AS weight_nano
-        FROM toks JOIN model USING (b)
-        WHERE NOT is_target
-        GROUP BY doc_id
+        , scored AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(term) AS BIGINT) AS weight_nano
+          FROM toks JOIN model USING (b)
+          WHERE NOT is_target
+          GROUP BY doc_id)
+        SELECT doc_id, n_tokens, weight_nano FROM scored
         ORDER BY weight_nano DESC, doc_id
         LIMIT {DSIR_K}
     """
 
 
+def _dsir_resample_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    prefix = _dsir_oracle().rsplit("SELECT doc_id, n_tokens", 1)[0]
+    u = (
+        f"CAST({duck_stable_uint60('CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE)"
+        f" / {float(_GUMBEL_DIV)!r}"
+    )
+    return f"""{prefix}
+        SELECT doc_id, n_tokens, weight_nano,
+               weight_nano
+               + CAST(round(-ln(-ln({u})) * 1000000000.0, 0) AS BIGINT)
+                 AS key_nano
+        FROM scored
+        ORDER BY key_nano DESC, doc_id
+        LIMIT {DSIR_K}
+    """
+
+
 ORACLES["dsir_select"] = _dsir_oracle()
+ORACLES["dsir_resample"] = _dsir_resample_oracle()

@@ -1530,3 +1530,78 @@ ORACLES["bpe_pair_counts"] = f"""
     ORDER BY n_occurrences DESC, pair
     LIMIT {BPE_TOP_PAIRS}
 """
+
+
+#: novelty gram width (words) — the diversity-scoring granularity
+NOVELTY_N = 3
+
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the diversity/uniqueness signal a
+    curation pipeline weights sampling by (the inverse of the
+    boilerplate/duplication signals): the fraction of a document's
+    distinct word-NOVELTY_N-grams that occur in NO other corpus document.
+    Returns (doc_id, n_grams, n_novel, novelty) for every doc with at
+    least one gram; novelty is an exact integer ratio (bit-identical
+    doubles on both engines).
+
+    A gram is novel when its corpus-wide count of CARRYING DOCUMENTS is
+    1 — within-doc repetition doesn't spend novelty (grams are distinct
+    per doc before counting), mirroring the per-doc-distinct convention
+    of the decontamination tier.
+
+    Plan: gram explode (per-doc distinct by construction) → ONE
+    crypto-uniform gram-hash window count → one doc-keyed aggregate —
+    the same two-shuffle shape as `duplicate_substring_spans`; only
+    (doc_id, 8-byte hash) rows cross either exchange."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_uint60
+    from ..functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    g = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), NOVELTY_N)).alias("gram"),
+    ).select("doc_id", stable_uint60(F.col("gram")).alias("gh"))
+    counted = g.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_novel"),
+        (
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty"),
+    )
+
+
+def _doc_novelty_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(NOVELTY_N))
+    return f"""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - {NOVELTY_N - 1}, 0)),
+                   i -> {gram}))) AS gram
+          FROM words),
+        g AS (SELECT doc_id, {duck_stable_uint60('gram')} AS gh FROM grams),
+        counted AS (
+          SELECT doc_id, count(*) OVER (PARTITION BY gh) AS c FROM g)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_novel,
+               CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS novelty
+        FROM counted GROUP BY doc_id
+    """
+
+
+ORACLES["doc_novelty_scores"] = _doc_novelty_oracle()

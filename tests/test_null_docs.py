@@ -59,6 +59,8 @@ def degenerate_duck(degenerate_dir):
         "decontaminate_fuzzy",
         "vocab_coverage",
         "bpe_pair_counts",
+        "dsir_resample",
+        "doc_novelty_scores",
     ],
 )
 def test_degenerate_docs_engine_parity(name, spark, degenerate_dir, degenerate_duck):

@@ -575,3 +575,25 @@ def test_bpe_pair_counts_topk_no_global_sort(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_doc_novelty_zero_joins_jvm_only(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import textops
+
+    df = textops.doc_novelty_scores(spark, sf_dir)
+    plan = formatted_plan(df)
+    for bad in ("Join", "CartesianProduct", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_dsir_resample_same_shape_as_select(spark, sf_dir):
+    """The resampling variant must add only a projection + TakeOrdered on
+    top of the shared scored frame — broadcast model, no Python."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.dsir_resample(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

@@ -131,3 +131,38 @@ def test_bpe_pair_counts_by_hand(spark, tmp_path_factory):
     # "ba": 1 per abab ×2 = 2
     assert (rows["ba"]["n_words"], rows["ba"]["n_occurrences"]) == (1, 2)
     assert set(rows) == {"ab", "ba"}
+
+
+def test_dsir_resample_is_weighted_not_topk(spark, tmp_path_factory):
+    """Gumbel-top-k must (a) reproduce deterministically, (b) respect the
+    weights in aggregate — a doc with overwhelming weight always wins —
+    while (c) not being a plain top-K cut when weights are close."""
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        DSIR_TARGET_SOURCE,
+        dsir_resample,
+        dsir_select,
+    )
+
+    tvocab = " ".join(f"t{i}" for i in range(8))
+    docs = [(0, tvocab, DSIR_TARGET_SOURCE)]
+    # one target-saturated raw doc (huge weight) + many mediocre ones
+    docs.append((1, f"{tvocab} {tvocab} {tvocab}", "raw"))
+    for i in range(2, 30):
+        docs.append((i, f"t0 u{i} u{i}x u{i}y u{i}z", "raw"))
+    path = tmp_path_factory.mktemp("dsirres")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+    a = [r.asDict() for r in dsir_resample(spark, str(path)).collect()]
+    b = [r.asDict() for r in dsir_resample(spark, str(path)).collect()]
+    assert a == b  # deterministic replay
+    ids = [r["doc_id"] for r in a]
+    assert 1 in ids  # the dominant-weight doc always survives resampling
+    assert len(ids) == len(set(ids)) == 29  # without replacement, all (K>pool)
+    # key = weight + Gumbel reorders the close-weight tail vs plain top-K
+    topk = [r["doc_id"] for r in dsir_select(spark, str(path)).collect()]
+    assert ids != topk
+    for r in a:
+        assert r["key_nano"] != r["weight_nano"]  # noise actually applied
