@@ -93,9 +93,6 @@ HEADLINE = [
     # round-6/7 additions
     "stream_dedup_ttl_watermark",  # JVM-only watermark TTL kernel (no Python)
     "pagerank_converged_suppliers",  # fixed-point stop + lineage truncation
-    "dedup_paragraphs",  # cross-doc paragraph dedup (hash window + reassembly)
-    "near_dup_paragraphs",  # span-granularity fuzzy near-dup (LSH + verify)
-    "service_counters_watermark",  # gated service on the JVM watermark kernel
     # round-8 additions
     "duplicate_substring_spans",  # exact-substring dup spans (gram windows)
     "dsir_select",  # DSIR importance selection (2 model aggs + broadcast)
@@ -111,7 +108,16 @@ HEADLINE = [
     # is another zero-shuffle text projection (text_stats anchors the
     # tier), and service_counters_composed is the same bounded-GroupState
     # machinery stream_dedup_ttl already anchors plus a stateless
-    # quarantine pass.
+    # quarantine pass. Round-8 extends the tail with three entries whose
+    # first-measurement anchors landed in the r7 driver artifact and
+    # whose machinery is bracketed by surviving entries (paragraph
+    # explode by duplicate_substring_spans, span LSH+verify by
+    # near_dup_pairs_verified, the gated watermark service by
+    # stream_dedup_ttl_watermark); never-measured entries must never sit
+    # behind them.
+    "dedup_paragraphs",  # cross-doc paragraph dedup (hash window + reassembly)
+    "near_dup_paragraphs",  # span-granularity fuzzy near-dup (LSH + verify)
+    "service_counters_watermark",  # gated service on the JVM watermark kernel
     "stream_attribution_events",  # stream-static range join (stateless)
     "near_dup_minhash",
     "simhash_docs",
