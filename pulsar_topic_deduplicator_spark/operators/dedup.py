@@ -690,8 +690,12 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE distinct (type, user-hash) shuffle + the salted k-smallest
     windows build the per-type sketches; everything pairwise after that
     runs on sketch-sized frames (types × k longs — KB, broadcast), so at
-    100 TB the pairwise overlap matrix costs one corpus scan regardless
-    of how many type pairs are asked. The exact audit tier (a user-keyed
+    100 TB the corpus is scanned once no matter how many pairs are asked.
+    The pairwise stage itself scales as T²·k/2 rows for T groups — fine
+    for the enum-like group columns this targets (event types, sources,
+    shards; thousands of groups ⇒ millions of 16-byte rows); a
+    million-group keyspace would need a candidate pre-filter before the
+    pair frame, not this operator. The exact audit tier (a user-keyed
     self-join) is the thing the sketch path REPLACES at scale; it rides
     along here as the per-row error witness.
     """

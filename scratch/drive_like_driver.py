@@ -65,6 +65,9 @@ for name in [
     "dedup_paragraphs_fuzzy",  # pair-driven removal + reassembly at scale
     "dedup_docs_incremental",  # new-vs-index classification at scale
     "service_counters_watermark",  # gated watermark-kernel service at scale
+    "dedup_substrings_global",  # gram windows + word-position join at scale
+    "decontaminate_fuzzy",  # corpus x bench band join + verify at scale
+    "kmv_audience_overlap",  # sketch build over the full distinct user set
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
