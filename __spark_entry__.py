@@ -279,14 +279,14 @@ def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
     # round. Round 8 continues the self-sustaining staleness rotation:
     # (a) the never-driver-checked round-8 additions (substring-dedup
-    # family, DSIR selection, KMV set-algebra overlap, fuzzy
-    # decontamination, vocab coverage, BPE pair counts), then (b) the
-    # r4-era cohort — the five entries that slipped past round 7's window
-    # edge plus the five sql_* portable-SQL entries, the stalest checkable
-    # evidence in the ledger — then (c) the r5-checked tier in its
-    # round-5 order. ~18 entries of (c) sit past the ~50-entry edge and
-    # lead round 9's rotation (dq_check_events ..
-    # scd2_point_in_time_join).
+    # family, DSIR selection + Gumbel resampling, KMV set-algebra overlap,
+    # fuzzy decontamination, vocab coverage, BPE pair counts, n-gram
+    # novelty, SAX time-series words), then (b) the r4-era cohort — the
+    # five entries that slipped past round 7's window edge plus the five
+    # sql_* portable-SQL entries, the stalest checkable evidence in the
+    # ledger — then (c) the r5-checked tier in its round-5 order. ~20
+    # entries of (c) sit past the ~50-entry edge and lead round 9's
+    # rotation (purchase_attribution_events .. scd2_point_in_time_join).
     # The r6- and r7-checked tiers follow (freshest evidence, last to
     # rotate back in), and the seven rows-only RAW entries remain at the
     # very end, OUTSIDE the window BY DESIGN: each is driver-checked
@@ -306,6 +306,8 @@ def queries() -> dict[str, QueryFn]:
         "bpe_pair_counts": textops.bpe_pair_counts,
         "dsir_resample": curation.dsir_resample,
         "doc_novelty_scores": textops.doc_novelty_scores,
+        "sax_fingerprints": analytics.sax_fingerprints,
+        "sax_word_counts": analytics.sax_word_counts,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,

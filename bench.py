@@ -97,6 +97,7 @@ HEADLINE = [
     "duplicate_substring_spans",  # exact-substring dup spans (gram windows)
     "dsir_select",  # DSIR importance selection (2 model aggs + broadcast)
     "doc_novelty_scores",  # per-doc n-gram novelty (gram window + doc agg)
+    "sax_fingerprints",  # SAX time-series words (one (user,seg) shuffle)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -198,3 +198,167 @@ ORACLES: dict[str, str] = {
 # the histogram oracle shares HIST_WIDTH with the operator default (the
 # BM25/CMS shared-constant pattern): change the width, the contract follows
 ORACLES["value_histogram"] = ORACLES["value_histogram"].format(W=repr(HIST_WIDTH))
+
+
+#: SAX symbolic time-series indexing knobs (Lin et al. 2003, "A Symbolic
+#: Representation of Time Series"): PAA segments over the global event
+#: span, and the alphabet size. Equi-WIDTH quantization over exact
+#: integer cent-sums replaces the canonical z-norm + Gaussian breakpoints
+#: — every step is integer arithmetic, so word assembly is bit-exact
+#: cross-engine (the classic variant needs mean/std/libm; this variant
+#: trades its distribution-adaptivity for exactness, the value_histogram
+#: precedent). Shared verbatim with the oracle.
+SAX_SEGMENTS = 8
+SAX_ALPHA = 4
+
+
+def sax_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SAX word over the event-value time series — the symbolic
+    time-series index for similarity grouping/search (users with the same
+    word have the same coarse activity shape; a classic index for
+    "find entities that behave like this one" over billions of series).
+    Pipeline: bucket each event into its PAA segment (integer µs math
+    over the global [min,max] span), sum exact value-cents per (user,
+    segment), densify missing segments to 0, quantize each segment sum
+    into SAX_ALPHA equi-width symbols over the global sum range, and
+    assemble the per-user word in segment order. Returns (user_id,
+    sax_word, n_events, total_cents).
+
+    Exactness: cents are exact BIGINTs (2-dp fixture values × 100);
+    segment and symbol assignment are pure integer floor-division —
+    no libm anywhere, bit-identical on any engine or partitioning.
+
+    Plan: ONE corpus shuffle (the (user, segment) cent-sum, map-side
+    combined); the global span and sum-range are scalar aggregates
+    broadcast back; the dense grid is users × SAX_SEGMENTS rows (tiny);
+    the word assembly rides the same user-keyed exchange as the grid.
+    At 100 TB the series never materializes raw — only SEGMENTS longs
+    per user cross the wire."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    span = ev.agg(
+        F.min("tus").alias("smin"), F.max("tus").alias("smax")
+    )
+    seg_sums = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            ((F.col("tus") - F.col("smin")) * SAX_SEGMENTS)
+            .cast("long")
+            .alias("num"),
+            (F.col("smax") - F.col("smin") + 1).alias("den"),
+            "cents",
+        )
+        .select(
+            "user_id",
+            F.expr("num div den").alias("seg"),
+            "cents",
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    users = seg_sums.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SAX_SEGMENTS - 1))
+        ).alias("seg0"),
+    ).select("user_id", F.col("seg0").cast("long").alias("seg"))
+    dense = grid.join(seg_sums, ["user_id", "seg"], "left").select(
+        "user_id",
+        "seg",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("s", F.lit(0)).alias("s"),
+    )
+    srange = dense.agg(
+        F.min("s").alias("qmin"), F.max("s").alias("qmax")
+    )
+    lettered = (
+        dense.crossJoin(F.broadcast(srange))
+        .select(
+            "user_id",
+            "seg",
+            "n",
+            "s",
+            F.expr(
+                f"char(97 + ((s - qmin) * {SAX_ALPHA})"
+                " div (qmax - qmin + 1))"
+            ).alias("letter"),
+        )
+    )
+    return lettered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("seg"), F.col("letter")))
+                ),
+                lambda x: x["letter"],
+            ),
+            "",
+        ).alias("sax_word"),
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("total_cents"),
+    )
+
+
+def sax_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX bucket census: how many users share each activity-shape word
+    (the bucket sizes an index lookup would fan out to), with the bucket's
+    event mass. Composed on ``sax_fingerprints``; one extra KB-sized
+    shuffle on the word."""
+    fp = sax_fingerprints(spark, sf_dir)
+    return fp.groupBy("sax_word").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_cents").alias("total_cents"),
+    )
+
+
+_SAX_CTE = f"""
+    ev AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    span AS (SELECT min(tus) AS smin, max(tus) AS smax FROM ev),
+    seg_sums AS (
+      SELECT user_id,
+             ((tus - smin) * {SAX_SEGMENTS}) // (smax - smin + 1) AS seg,
+             count(*) AS n, sum(cents) AS s
+      FROM ev, span GROUP BY 1, 2),
+    grid AS (
+      SELECT user_id, CAST(g AS BIGINT) AS seg
+      FROM (SELECT DISTINCT user_id FROM seg_sums),
+           (SELECT unnest(generate_series(0, {SAX_SEGMENTS - 1})) AS g)),
+    dense AS (
+      SELECT grid.user_id, grid.seg,
+             coalesce(ss.n, 0) AS n, coalesce(ss.s, 0) AS s
+      FROM grid LEFT JOIN seg_sums ss
+        ON grid.user_id = ss.user_id AND grid.seg = ss.seg),
+    srange AS (SELECT min(s) AS qmin, max(s) AS qmax FROM dense),
+    lettered AS (
+      SELECT user_id, seg, n, s,
+             chr(97 + CAST(((s - qmin) * {SAX_ALPHA})
+                           // (qmax - qmin + 1) AS INTEGER)) AS letter
+      FROM dense, srange),
+    fp AS (
+      SELECT user_id,
+             string_agg(letter, '' ORDER BY seg) AS sax_word,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(s) AS BIGINT) AS total_cents
+      FROM lettered GROUP BY user_id)"""
+
+ORACLES["sax_fingerprints"] = f"""
+    WITH {_SAX_CTE}
+    SELECT user_id, sax_word, n_events, total_cents FROM fp
+"""
+
+ORACLES["sax_word_counts"] = f"""
+    WITH {_SAX_CTE}
+    SELECT sax_word, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(total_cents) AS BIGINT) AS total_cents
+    FROM fp GROUP BY sax_word
+"""

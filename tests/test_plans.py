@@ -597,3 +597,15 @@ def test_dsir_resample_same_shape_as_select(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sax_single_corpus_shuffle_no_python(spark, sf_dir):
+    """The series never materializes raw: one (user, segment) cent-sum
+    shuffle; span/range scalars broadcast; no Python, no cartesian blowup
+    beyond the scalar broadcasts."""
+    from pulsar_topic_deduplicator_spark.operators import analytics
+
+    df = analytics.sax_fingerprints(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan[:2000]
