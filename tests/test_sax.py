@@ -63,3 +63,29 @@ def test_sax_word_counts_group_same_shape(spark, sax_dir):
     spike = "d" + "a" * (SAX_SEGMENTS - 2) + "d"
     assert rows[spike]["n_users"] == 2
     assert rows[spike]["n_events"] == 4
+
+
+def test_sax_single_event_corpus_degenerate(spark, tmp_path_factory):
+    """One event: span = 0 (den = 1), every empty segment quantizes against
+    qmin=0 — the den/qrange +1 guards must keep all divisions defined and
+    the word well-formed."""
+    import pyspark.sql.functions as F
+
+    path = tmp_path_factory.mktemp("sax1")
+    spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", 7, 3.5)],
+        "event_id long, tss string, user_id long, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("tss").alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        "value",
+        F.lit('{"k":1}').alias("props"),
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+    rows = sax_fingerprints(spark, str(path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 350 cents in segment 0; qmin=0, qmax=350 -> seg0 'd', rest 'a'
+    assert r["sax_word"] == "d" + "a" * (SAX_SEGMENTS - 1)
+    assert r["n_events"] == 1 and r["total_cents"] == 350
