@@ -29,25 +29,25 @@ from pyspark.sql import DataFrame
 #: composed pipeline's internal persists never self-evict
 MAX_LIVE = 8
 
-#: live handles as (registration ordinal, frame) — the ordinal is a global
-#: monotonic registration counter, the age yardstick for eviction telemetry
-_live: deque[tuple[int, DataFrame]] = deque()
+_live: deque[DataFrame] = deque()
 _lock = threading.Lock()
 _log = logging.getLogger(__name__)
 
-#: diagnostic counters: total evictions, and YOUNG evictions — a handle
-#: evicted within one registration window of the head (ADVICE r7: ordinal
-#: distance, not registrations-since-drain, so every eviction in a burst is
-#: assessed, not just the first after a drain). A young-evicted handle may
-#: still be feeding an un-materialized returned DataFrame — the persist
-#: silently degrades to recompute; correctness survives, timings skew.
-#: Under a saturated FIFO every eviction IS within one window of the head,
-#: which is the honest reading: without an intervening `release_all()`
-#: drain there is no evidence the registering query has materialized.
-#: Sessions that drain between queries (bench/verify hygiene) never evict.
+#: eviction telemetry. A bounded FIFO makes every eviction "young" BY
+#: CONSTRUCTION: the popped head is always exactly MAX_LIVE registrations
+#: old, so any ordinal/age predicate on it is a constant (the round-7
+#: registrations-since-drain test flagged only the first post-drain
+#: eviction; its ordinal-distance replacement was provably always-true —
+#: two shapes of the same degenerate signal). The honest reading stands:
+#: without an intervening `release_all()` drain there is no evidence the
+#: evicted handle's query has materialized, so EVERY eviction may silently
+#: degrade a live persist to recompute (correctness survives, timings
+#: skew) and every one is logged. `n_evicted` is therefore the one real
+#: counter; `n_evicted_young` is kept as its alias for telemetry-schema
+#: stability and documented as such. Sessions that drain between queries
+#: (bench/verify hygiene) never evict at all.
 n_evicted = 0
 n_evicted_young = 0
-_ordinal = 0
 
 
 def persist_scoped(df: DataFrame) -> DataFrame:
@@ -55,26 +55,20 @@ def persist_scoped(df: DataFrame) -> DataFrame:
     unpersisted once more than MAX_LIVE are live. Thread-safe (the registry
     is module-global; a concurrent driver — async quarantine pass beside a
     stateful run — may register from two threads)."""
-    global n_evicted, n_evicted_young, _ordinal
+    global n_evicted, n_evicted_young
     df = df.persist()
     to_evict: list[DataFrame] = []
     with _lock:
-        _ordinal += 1
-        _live.append((_ordinal, df))
+        _live.append(df)
         while len(_live) > MAX_LIVE:
-            born, old = _live.popleft()
-            to_evict.append(old)
+            to_evict.append(_live.popleft())
             n_evicted += 1
-            # evicted within one window of the current registration head ⇒
-            # younger than one query cycle: surface it (every burst member,
-            # not only the first eviction after a drain)
-            if _ordinal - born <= MAX_LIVE + 1:
-                n_evicted_young += 1
-                _log.warning(
-                    "persist_scoped evicted a young handle (<1 query cycle);"
-                    " its consumers will recompute — raise MAX_LIVE or drain"
-                    " with release_all() between queries"
-                )
+            n_evicted_young += 1  # alias: see counter docstring
+            _log.warning(
+                "persist_scoped evicted a handle within one query cycle;"
+                " its consumers will recompute — raise MAX_LIVE or drain"
+                " with release_all() between queries"
+            )
     for old in to_evict:
         try:
             old.unpersist()
@@ -86,7 +80,7 @@ def persist_scoped(df: DataFrame) -> DataFrame:
 def release_all() -> None:
     """Unpersist every registered handle (bench/test hygiene hook)."""
     with _lock:
-        handles = [df for _, df in _live]
+        handles = list(_live)
         _live.clear()
     for old in handles:
         try:

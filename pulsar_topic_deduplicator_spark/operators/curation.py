@@ -781,11 +781,17 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Gumbel-key divisor: doc-keyed 60-bit hash +1 over this ⇒ u ∈ (0, 1)
-#: strictly (never 0 → ln defined; never 1 → -ln(u) ≠ 0), shared verbatim
-#: with the oracle. Double rounding of the division is IEEE-identical on
-#: both engines; only consistency matters, not exactness.
-_GUMBEL_DIV = 2**60 + 2
+#: Gumbel-key uniform: the doc-keyed hash reduced mod 2^52, +1, over
+#: 2^52+1 ⇒ u ∈ (0, 1) STRICTLY EVEN AFTER IEEE ROUNDING — numerator
+#: (≤ 2^52) and divisor (2^52+1, inside the exact-integer double range)
+#: are both exactly representable, and max u = 2^52/(2^52+1) ≈ 1−2.2e−16
+#: rounds below 1−2^−53 < 1, so -ln(u) can never hit 0 and the key never
+#: saturates to ±inf. (A 60-bit numerator/divisor pair does NOT have this
+#: property: float(2^60+2) IS 2^60 — double spacing there is 256 — so a
+#: hash within 128 of 2^60 would round u to exactly 1.0 and blow the key
+#: to +inf, ~2^-53 per doc.) Shared verbatim with the oracle.
+_GUMBEL_MOD = 2**52
+_GUMBEL_DIV = float(2**52 + 1)
 
 
 def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,7 +803,7 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gumbel-max in the log domain: key = log w + Gumbel noise; our
     weight_nano IS log w in nano-nats already, so the key is one integer
     sum). The "noise" is deterministic — Gumbel-inverse-CDF of a
-    content-keyed uniform u = (hash(doc_id)+1)/(2^60+2) — so the sample
+    content-keyed uniform u = (hash(doc_id) mod 2^52 + 1)/(2^52+1) — so the sample
     is reproducible on any cluster, any retry, and in the oracle, while
     remaining a faithful ∝-weight draw ACROSS corpora (the hash varies
     per doc). G is pinned to integer nano-nats (the BM25/bigram-LM libm
@@ -810,8 +816,12 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = _dsir_scored(spark, sf_dir)
     u = (
-        (stable_uint60(F.col("doc_id").cast("string")) + 1).cast("double")
-        / F.lit(float(_GUMBEL_DIV))
+        (
+            stable_uint60(F.col("doc_id").cast("string"))
+            % F.lit(_GUMBEL_MOD)
+            + 1
+        ).cast("double")
+        / F.lit(_GUMBEL_DIV)
     )
     g_nano = F.round(-F.ln(-F.ln(u)) * 1e9, 0).cast("long")
     keyed = scored.withColumn("key_nano", F.col("weight_nano") + g_nano)
@@ -864,8 +874,8 @@ def _dsir_resample_oracle() -> str:
 
     prefix = _dsir_oracle().rsplit("SELECT doc_id, n_tokens", 1)[0]
     u = (
-        f"CAST({duck_stable_uint60('CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE)"
-        f" / {float(_GUMBEL_DIV)!r}"
+        f"CAST({duck_stable_uint60('CAST(doc_id AS VARCHAR)')}"
+        f" % {_GUMBEL_MOD} + 1 AS DOUBLE) / {_GUMBEL_DIV!r}"
     )
     return f"""{prefix}
         SELECT doc_id, n_tokens, weight_nano,

@@ -554,6 +554,15 @@ def _kmv_k_smallest(hashes: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def _kmv_saturated_est(u_k_int):
+    """(k−1)/u_k — THE KMV cardinality estimate for a FULL sketch, shared
+    by the per-group report and the pairwise set-algebra tier so a future
+    estimator change (e.g. bias correction) cannot silently diverge."""
+    return F.lit(float(KMV_K - 1)) / (
+        u_k_int.cast("double") / F.lit(_TWO_POW_60)
+    )
+
+
 def _kmv_report(kept: DataFrame, exact: DataFrame, group_col: str) -> DataFrame:
     """(group, n_exact, n_kept, kmv_estimate): estimate = (k−1)/u_k when
     the sketch is full, else the sketch IS the set and the count is exact."""
@@ -561,10 +570,9 @@ def _kmv_report(kept: DataFrame, exact: DataFrame, group_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.max("h").alias("u_k_int"),
     )
-    u_k = F.col("u_k_int").cast("double") / F.lit(_TWO_POW_60)
     est = F.when(
         F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
-    ).otherwise(F.lit(float(KMV_K - 1)) / u_k)
+    ).otherwise(_kmv_saturated_est(F.col("u_k_int")))
     return (
         exact.join(agg, group_col)
         .select(
@@ -699,12 +707,15 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join) is the thing the sketch path REPLACES at scale; it rides
     along here as the per-row error witness.
     """
+    from ..cachereg import persist_scoped
     from ..functions.hashing import stable_uint60
 
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select(
-        "event_type", F.col("user_id").cast("string").alias("u")
-    ).distinct()
+    users = persist_scoped(
+        ev.select(
+            "event_type", F.col("user_id").cast("string").alias("u")
+        ).distinct()
+    )  # consumers: sketch hashes + sizes + both exact-audit join sides
     hashes = users.select(
         "event_type", stable_uint60(F.col("u")).alias("h")
     )
@@ -740,17 +751,20 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("u_k_int"),
         F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
     )
-    u_k = F.col("u_k_int").cast("double") / F.lit(_TWO_POW_60)
     full = F.col("n_merged") >= KMV_K
     union_est = F.when(
-        full, F.lit(float(KMV_K - 1)) / u_k
+        full, _kmv_saturated_est(F.col("u_k_int"))
     ).otherwise(F.col("n_merged").cast("double"))
     rho = F.col("n_both").cast("double") / F.col("n_merged").cast("double")
-    inter_est = F.when(full, rho * (F.lit(float(KMV_K - 1)) / u_k)).otherwise(
-        F.col("n_both").cast("double")
-    )
+    inter_est = F.when(
+        full, rho * _kmv_saturated_est(F.col("u_k_int"))
+    ).otherwise(F.col("n_both").cast("double"))
 
-    # exact audit tier (the full-cost path the sketches replace at scale)
+    # exact audit tier (the full-cost path the sketches replace at scale).
+    # Disjoint pairs matter — "which audiences DON'T overlap" is half the
+    # point of the report — so the exact counts left-join onto the pair
+    # frame and coalesce to 0 instead of silently dropping empty
+    # intersections (the inner-join shape lost them).
     ua = users.select(F.col("event_type").alias("type_a"), "u")
     ub = users.select(F.col("event_type").alias("type_b"), "u")
     sizes = users.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -758,20 +772,22 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ua.join(ub, "u")
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sz_a = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
     sz_b = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
     exact = (
-        inter_exact.join(F.broadcast(sz_a), "type_a")
+        pairs.join(inter_exact, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sz_a), "type_a")
         .join(F.broadcast(sz_b), "type_b")
         .select(
             "type_a",
             "type_b",
-            (F.col("na") + F.col("nb") - F.col("n_inter_exact")).alias(
-                "n_union_exact"
-            ),
-            "n_inter_exact",
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce("n_inter", F.lit(0))
+            ).alias("n_union_exact"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter_exact"),
         )
     )
     return (
@@ -841,8 +857,9 @@ ORACLES["kmv_audience_overlap"] = f"""
         ON a.u = b.u AND a.event_type < b.event_type
       GROUP BY 1, 2)
     SELECT e.type_a, e.type_b,
-           CAST(x.n + y.n - i.n_inter_exact AS BIGINT) AS n_union_exact,
-           CAST(i.n_inter_exact AS BIGINT) AS n_inter_exact,
+           CAST(x.n + y.n - coalesce(i.n_inter_exact, 0) AS BIGINT)
+             AS n_union_exact,
+           CAST(coalesce(i.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
            CAST(e.n_merged AS BIGINT) AS n_merged,
            CAST(e.n_both AS BIGINT) AS n_both,
            CASE WHEN e.n_merged >= {KMV_K}
@@ -857,7 +874,7 @@ ORACLES["kmv_audience_overlap"] = f"""
            CAST(e.n_both AS DOUBLE) / CAST(e.n_merged AS DOUBLE)
              AS jaccard_est
     FROM est e
-    JOIN inter_exact i ON e.type_a = i.type_a AND e.type_b = i.type_b
+    LEFT JOIN inter_exact i ON e.type_a = i.type_a AND e.type_b = i.type_b
     JOIN sizes x ON x.event_type = e.type_a
     JOIN sizes y ON y.event_type = e.type_b
 """

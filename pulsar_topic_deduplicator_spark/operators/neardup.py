@@ -1011,10 +1011,13 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage (scoped persist); the candidate join is LSH band-keyed
     BETWEEN the corpus and benchmark splits only (never corpus×corpus);
     verified hits are ≪ corpus, so the final per-doc aggregate and the
-    left join back onto corpus ids are broadcast-sized. At 100 TB the
-    benchmark side is tiny and static: its band index is a build-once
-    broadcast, the corpus side streams through — the same asymmetry the
-    streaming near-dup filter exploits."""
+    left join back onto corpus ids are broadcast-sized. The band join
+    carries NO broadcast hint: with the demo's in-corpus 10% split the
+    bench side is corpus-proportional (a forced broadcast would OOM at
+    100 TB), so the join strategy is left to AQE — in production, where
+    the bench side is an external MB-sized eval-suite table, AQE picks
+    the build-once broadcast and the corpus side streams through, the
+    same asymmetry the streaming near-dup filter exploits."""
     from ..cachereg import persist_scoped
     from .sampling import SPLIT_VAL
 
@@ -1030,7 +1033,7 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         bc.alias("c")
         .join(
-            F.broadcast(bb.alias("b")),
+            bb.alias("b"),
             (F.col("c.band_id") == F.col("b.band_id"))
             & (F.col("c.band_key") == F.col("b.band_key")),
         )

@@ -188,7 +188,7 @@ class DedupService:
                         "stop() timed out during signal teardown (queries"
                         " may not have committed their final batch)"
                     )
-                _step("stop_queries")
+                _step("stop_queries" if ok else "stop_queries_failed")
             if health_server is not None:
                 try:
                     health_server.shutdown()

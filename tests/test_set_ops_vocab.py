@@ -82,6 +82,31 @@ def test_kmv_audience_overlap_exact_when_unsaturated(spark, tmp_path_factory):
     assert r["jaccard_est"] == 3.0 / 8.0
 
 
+def test_kmv_audience_overlap_keeps_disjoint_pairs(spark, tmp_path_factory):
+    """'Which audiences DON'T overlap' is half the report: a pair with an
+    empty intersection must surface with zeros, not vanish."""
+    import pyspark.sql.functions as F
+
+    rows = [(0, 1, "a"), (1, 2, "a"), (2, 3, "b"), (3, 4, "b")]
+    path = tmp_path_factory.mktemp("kmvdisj")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+    rs = kmv_audience_overlap(spark, str(path)).collect()
+    assert len(rs) == 1
+    r = rs[0]
+    assert r["n_inter_exact"] == 0 and r["n_union_exact"] == 4
+    assert r["n_both"] == 0 and r["inter_est"] == 0.0
+    assert r["jaccard_est"] == 0.0
+
+
 def test_decontaminate_fuzzy_flags_near_copy(spark, tmp_path_factory):
     base = " ".join(f"w{i}" for i in range(30))
     bench = _salted(base, "b", want_bench=True)

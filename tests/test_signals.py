@@ -183,3 +183,39 @@ def test_raising_hook_and_failing_stop_never_abort_teardown():
         signal.signal(signal.SIGINT, signal.default_int_handler)
         if hasattr(signal, "SIGQUIT"):
             signal.signal(signal.SIGQUIT, signal.SIG_DFL)
+
+
+def test_stop_timeout_surfaces_failed_marker():
+    """A stop() that TIMES OUT (returns False, no raise) is the other
+    not-clean teardown path: the docstring promises it is surfaced as
+    ``stop_queries_failed``, not the success marker — the final
+    micro-batch may not have committed."""
+    from pulsar_topic_deduplicator_spark.service import DedupService
+
+    class HangingQuery:
+        isActive = True
+
+        def stop(self):
+            pass
+
+        def awaitTermination(self, timeout=None):
+            return False  # never terminates inside the timeout
+
+    svc = DedupService(spark=None, query=HangingQuery(), output_table="t")
+    exits: list[int] = []
+    steps: list[str] = []
+    try:
+        svc.install_signal_handlers(
+            exit_fn=exits.append, on_step=steps.append, timeout_seconds=0.1
+        )
+        os.kill(os.getpid(), signal.SIGTERM)
+        deadline = time.time() + 5
+        while not exits and time.time() < deadline:
+            time.sleep(0.01)
+        assert exits == [143]
+        assert steps == ["health_fail", "stop_queries_failed", "exit"]
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        if hasattr(signal, "SIGQUIT"):
+            signal.signal(signal.SIGQUIT, signal.SIG_DFL)
