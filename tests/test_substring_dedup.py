@@ -125,3 +125,51 @@ def test_dsir_weights_rank_target_like_docs_first(spark, tmp_path_factory):
     assert w[2] > w[3]
     # only raw-pool docs are scored
     assert set(w) == {2, 3}
+
+
+def test_detection_and_removal_agree_on_who_loses_words(spark, substr_dir):
+    """Cross-pin the two substring tiers: a document loses words under
+    removal iff detection found a duplicated span in it that is not
+    entirely the corpus-first occurrence; docs without detected spans are
+    untouched."""
+    spans_by_doc = {}
+    for r in duplicate_substring_spans(spark, substr_dir).collect():
+        spans_by_doc.setdefault(r["doc_id"], []).append(r)
+    removed = {
+        r["doc_id"]: r["n_words"] - r["n_words_kept"]
+        for r in dedup_substrings_global(spark, substr_dir).collect()
+    }
+    for doc_id, lost in removed.items():
+        if doc_id not in spans_by_doc:
+            assert lost == 0, f"doc {doc_id} lost words with no detected span"
+    # and every word lost lies inside a detected span of that doc
+    for doc_id, lost in removed.items():
+        if lost:
+            covered = sum(s["n_words"] for s in spans_by_doc[doc_id])
+            assert lost <= covered
+
+
+def test_dsir_variants_share_the_scored_weights(spark, tmp_path_factory):
+    """dsir_select and dsir_resample must emit IDENTICAL weight_nano for
+    any doc they both return — one scored frame, two cuts."""
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        DSIR_TARGET_SOURCE,
+        dsir_resample,
+        dsir_select,
+    )
+
+    tv = " ".join(f"t{i}" for i in range(6))
+    docs = [(0, tv, "en", DSIR_TARGET_SOURCE, len(tv))]
+    for i in range(1, 20):
+        t = f"t0 t1 v{i} v{i}b"
+        docs.append((i, t, "en", "raw", len(t)))
+    path = tmp_path_factory.mktemp("dsirx")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    sel = {r["doc_id"]: r["weight_nano"] for r in dsir_select(spark, str(path)).collect()}
+    res = {r["doc_id"]: r["weight_nano"] for r in dsir_resample(spark, str(path)).collect()}
+    common = set(sel) & set(res)
+    assert common  # K > pool, so everything overlaps
+    assert all(sel[d] == res[d] for d in common)
