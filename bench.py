@@ -144,6 +144,8 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from pulsar_topic_deduplicator_spark.cachereg import release_all
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -155,7 +157,11 @@ def main() -> None:
         # persists); dropping them between timings keeps each number a
         # function of its own query, not of accumulated executor-heap
         # pressure (which showed up as a 3x swing on the Python-kernel
-        # streaming queries in long runs).
+        # streaming queries in long runs). release_all() drains the
+        # cachereg registry bookkeeping alongside the cache itself, so the
+        # eviction telemetry stays meaningful (clearCache alone leaves
+        # dead handles that later evict as false "young" warnings).
+        release_all()
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

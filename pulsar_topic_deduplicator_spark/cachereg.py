@@ -44,8 +44,9 @@ _log = logging.getLogger(__name__)
 #: degrade a live persist to recompute (correctness survives, timings
 #: skew) and every one is logged. `n_evicted` is therefore the one real
 #: counter; `n_evicted_young` is kept as its alias for telemetry-schema
-#: stability and documented as such. Sessions that drain between queries
-#: (bench/verify hygiene) never evict at all.
+#: stability and documented as such. Sessions that call `release_all()`
+#: between queries never evict at all (bench.py does exactly that
+#: alongside clearCache; clearCache ALONE does not drain this registry).
 n_evicted = 0
 n_evicted_young = 0
 

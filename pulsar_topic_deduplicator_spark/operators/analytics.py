@@ -228,12 +228,16 @@ def sax_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment and symbol assignment are pure integer floor-division —
     no libm anywhere, bit-identical on any engine or partitioning.
 
-    Plan: ONE corpus shuffle (the (user, segment) cent-sum, map-side
-    combined); the global span and sum-range are scalar aggregates
-    broadcast back; the dense grid is users × SAX_SEGMENTS rows (tiny);
-    the word assembly rides the same user-keyed exchange as the grid.
-    At 100 TB the series never materializes raw — only SEGMENTS longs
-    per user cross the wire."""
+    Plan: two corpus scans (the scalar span aggregate, then the cent-sum
+    build) and ONE corpus shuffle (the (user, segment) cent-sum, map-side
+    combined); ``seg_sums`` and ``dense`` are scope-persisted — each
+    feeds multiple consumers (users grid + dense join; sum-range scalar +
+    lettering) and without the persists the cent-sum pipeline re-executes
+    per consumer (measured: 13 parquet scans instead of 2). The global
+    span and sum-range are scalar aggregates broadcast back; the dense
+    grid is users × SAX_SEGMENTS rows (tiny); the word assembly rides
+    the same user-keyed exchange as the grid. At 100 TB the series never
+    materializes raw — only SEGMENTS longs per user cross the wire."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("tus"),
@@ -260,6 +264,9 @@ def sax_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "seg")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
     )
+    from ..cachereg import persist_scoped
+
+    seg_sums = persist_scoped(seg_sums)  # consumers: users grid + dense join
     users = seg_sums.select("user_id").distinct()
     grid = users.select(
         "user_id",
@@ -273,6 +280,7 @@ def sax_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("s", F.lit(0)).alias("s"),
     )
+    dense = persist_scoped(dense)  # consumers: sum-range scalar + lettering
     srange = dense.agg(
         F.min("s").alias("qmin"), F.max("s").alias("qmax")
     )

@@ -555,14 +555,17 @@ def test_dsir_select_broadcast_model_and_topk(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_decontaminate_fuzzy_broadcast_bench_no_nlj(spark, sf_dir):
-    """The benchmark band index and the verified-hit aggregate broadcast;
-    candidates come from band-key equi-joins only."""
+def test_decontaminate_fuzzy_equi_joins_only(spark, sf_dir):
+    """The band join carries NO broadcast hint (the in-corpus bench split
+    is corpus-proportional — strategy is AQE's call); what IS pinned:
+    every join is an equi-join (band keys / pair keys / doc ids), the
+    verified-hit aggregate broadcasts back onto corpus ids, and nothing
+    runs in Python."""
     from pulsar_topic_deduplicator_spark.operators import neardup
 
     df = neardup.decontaminate_fuzzy(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]  # per_doc/cands side
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

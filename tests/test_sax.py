@@ -18,9 +18,10 @@ from pulsar_topic_deduplicator_spark.operators.analytics import (
 def sax_dir(spark, tmp_path_factory):
     import pyspark.sql.functions as F
 
-    # global span = exactly SAX_SEGMENTS hours: event at hour h lands in
-    # segment h by construction ((tus-smin)*8 div (span+1) = h for events
-    # ON the hour, span = 8h-1us... use hours 0..7 with a closing event).
+    # events at hours 0..7 -> global span = 7 h, so seg(h) =
+    # floor(h*3600e6*8 / (7*3600e6+1)) = floor(8h/7 - eps) which equals h
+    # for every h in 0..7 (8h/7 < h+1 ⇔ h < 7, and h=7 gives just under
+    # 8). Each on-the-hour event therefore lands in its own segment h.
     # user 1: value 100.00 in every segment   -> flat high word
     # user 2: value 100.00 in segments 0 and 7, nothing else -> spike word
     # user 3: same shape as user 2 (same word, different user)
