@@ -308,6 +308,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_novelty_scores": textops.doc_novelty_scores,
         "sax_fingerprints": analytics.sax_fingerprints,
         "sax_word_counts": analytics.sax_word_counts,
+        "sq8_codes": similarity.sq8_codes,
+        "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,

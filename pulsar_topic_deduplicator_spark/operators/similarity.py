@@ -1147,3 +1147,115 @@ ORACLES["semantic_dedup_contracts"] = """
            TRUE AS drops_something
     FROM embeddings
 """
+
+
+#: int8 scalar-quantization levels (the classic SQ8 vector-compression
+#: tier next to PQ: 4 bytes/dim → 1 byte/dim, per-dimension min-max
+#: calibration — the FAISS ScalarQuantizer / Milvus SQ8 shape)
+SQ8_LEVELS = 255
+
+
+def _sq8_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, x, mn, mx, code): the corpus in long form with each
+    dimension's calibration range joined on and its quantized code.
+    code = round((x−mn)·255/(mx−mn)) — the one float rounding, identical
+    HALF-UP on both engines for the non-negative operand; a degenerate
+    constant dimension (mx=mn) codes to 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = dims.join(F.broadcast(stats), "dim")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.round(
+            (F.col("x") - F.col("mn"))
+            * SQ8_LEVELS
+            / (F.col("mx") - F.col("mn")),
+            0,
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return j.select("vec_id", "dim", "x", "mn", "mx", code.alias("code"))
+
+
+def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — the vector-
+    compression tier between raw floats and PQ: per-DIMENSION min-max
+    calibration over the corpus, then each value quantized to an 8-bit
+    level. Emitted in long form ``(vec_id, dim, code)`` (the array-free
+    oracle shape, like ``minhash_signatures``); at rest the codes pack to
+    1 byte/dim — 4× smaller scans for ANN shortlisting, with the exact
+    re-rank reading the full vectors only for the shortlist (the PQ/ADC
+    pattern, one tier simpler).
+
+    Plan: posexplode → ONE dim-keyed aggregate for the 64-row calibration
+    table (broadcast back) → zero-shuffle code projection. At 100 TB the
+    calibration table is KB-sized and the quantization is a pure scan."""
+    return _sq8_frame(spark, sf_dir).select("vec_id", "dim", "code")
+
+
+def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SQ8 reconstruction error — the quantization-quality
+    audit (decide 'is 1 byte/dim enough for this corpus' from data):
+    recon = mn + code·(mx−mn)/255, per-dim squared error pinned to
+    integer PICO units (round(d²·1e12) — same fixed-point acceptance as
+    the nano-nat family; only the per-dim double arithmetic precedes the
+    rounding, in identical operand order on both engines), summed exactly
+    per vector as BIGINT. Returns (vec_id, n_dims, sse_pico, max_code).
+
+    The error sum deliberately avoids a raw double Σ — partial-sum order
+    differs per partitioning; integer pico-units make the aggregate
+    order-free and the oracle bit-exact."""
+    f = _sq8_frame(spark, sf_dir)
+    recon = F.col("mn") + F.col("code").cast("double") * (
+        F.col("mx") - F.col("mn")
+    ) / F.lit(float(SQ8_LEVELS))
+    d = F.col("x") - recon
+    pico = F.round(d * d * 1e12, 0).cast("long")
+    return (
+        f.select("vec_id", pico.alias("p"), "code")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("p").alias("sse_pico"),
+            F.max("code").alias("max_code"),
+        )
+    )
+
+
+_SQ8_CTE = f"""
+    dims AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+    j AS (
+      SELECT d.vec_id, d.dim, d.x, s.mn, s.mx,
+             CASE WHEN s.mx > s.mn
+                  THEN CAST(round((d.x - s.mn) * {SQ8_LEVELS}
+                                  / (s.mx - s.mn), 0) AS INTEGER)
+                  ELSE 0 END AS code
+      FROM dims d JOIN stats s ON d.dim = s.dim)"""
+
+ORACLES["sq8_codes"] = f"""
+    WITH {_SQ8_CTE}
+    SELECT vec_id, dim, code FROM j
+"""
+
+ORACLES["sq8_reconstruction_error"] = f"""
+    WITH {_SQ8_CTE}
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(CAST(round(
+             (x - (mn + CAST(code AS DOUBLE) * (mx - mn)
+                        / {float(SQ8_LEVELS)!r}))
+             * (x - (mn + CAST(code AS DOUBLE) * (mx - mn)
+                          / {float(SQ8_LEVELS)!r}))
+             * 1000000000000.0, 0) AS BIGINT)) AS BIGINT) AS sse_pico,
+           max(code) AS max_code
+    FROM j GROUP BY vec_id
+"""

@@ -275,3 +275,58 @@ def test_semantic_dedup_hot_cell_bound(spark, tmp_path):
     # conservation + cause still hold under the bound
     assert len(out) == n
     assert all(r["max_dup_cosine"] is not None for r in out if not r["kept"])
+
+
+def test_sq8_quantization_by_hand(spark, tmp_path_factory):
+    """SQ8 on a 2-vector, 2-dim corpus where every code and error is
+    derivable by eye: dim 0 spans [0,10] -> codes 0 and 255 (range
+    endpoints are exact, zero reconstruction error); a constant dim codes
+    to 0 with zero error."""
+    import pyspark.sql.functions as F
+
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        sq8_codes,
+        sq8_reconstruction_error,
+    )
+
+    path = tmp_path_factory.mktemp("sq8")
+    spark.createDataFrame(
+        [(0, [0.0, 7.5], 0), (1, [10.0, 7.5], 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(path / "embeddings.parquet"))
+    codes = {
+        (r["vec_id"], r["dim"]): r["code"]
+        for r in sq8_codes(spark, str(path)).collect()
+    }
+    assert codes == {(0, 0): 0, (0, 1): 0, (1, 0): 255, (1, 1): 0}
+    errs = {
+        r["vec_id"]: (r["sse_pico"], r["max_code"])
+        for r in sq8_reconstruction_error(spark, str(path)).collect()
+    }
+    # endpoints + constant dim reconstruct exactly
+    assert errs == {0: (0, 0), 1: (0, 255)}
+
+
+def test_sq8_error_bounded_by_half_step(spark, sf_dir):
+    """Quantization contract on the real corpus: every per-vector SSE is
+    bounded by n_dims * (step/2)^2 where step is the widest dimension's
+    range / 255 — the defining property of min-max SQ."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        SQ8_LEVELS,
+        sq8_reconstruction_error,
+        _sq8_frame,
+    )
+    import pyspark.sql.functions as F
+
+    widest = (
+        _sq8_frame(spark, sf_dir)
+        .agg(F.max(F.col("mx") - F.col("mn")).alias("w"))
+        .collect()[0]["w"]
+    )
+    half_step = widest / SQ8_LEVELS / 2
+    bound_pico = (half_step * half_step) * 1e12 + 1  # +1 for the rounding
+    rows = sq8_reconstruction_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["sse_pico"] <= r["n_dims"] * bound_pico
+        assert 0 <= r["max_code"] <= SQ8_LEVELS
