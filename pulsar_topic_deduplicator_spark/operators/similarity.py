@@ -1240,7 +1240,12 @@ _SQ8_CTE = f"""
                   THEN CAST(round((d.x - s.mn) * {SQ8_LEVELS}
                                   / (s.mx - s.mn), 0) AS INTEGER)
                   ELSE 0 END AS code
-      FROM dims d JOIN stats s ON d.dim = s.dim)"""
+      FROM dims d JOIN stats s ON d.dim = s.dim),
+    jd AS (
+      SELECT vec_id, code,
+             x - (mn + CAST(code AS DOUBLE) * (mx - mn)
+                       / {float(SQ8_LEVELS)!r}) AS d
+      FROM j)"""
 
 ORACLES["sq8_codes"] = f"""
     WITH {_SQ8_CTE}
@@ -1250,12 +1255,8 @@ ORACLES["sq8_codes"] = f"""
 ORACLES["sq8_reconstruction_error"] = f"""
     WITH {_SQ8_CTE}
     SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
-           CAST(sum(CAST(round(
-             (x - (mn + CAST(code AS DOUBLE) * (mx - mn)
-                        / {float(SQ8_LEVELS)!r}))
-             * (x - (mn + CAST(code AS DOUBLE) * (mx - mn)
-                          / {float(SQ8_LEVELS)!r}))
-             * 1000000000000.0, 0) AS BIGINT)) AS BIGINT) AS sse_pico,
+           CAST(sum(CAST(round(d * d * 1000000000000.0, 0) AS BIGINT))
+                AS BIGINT) AS sse_pico,
            max(code) AS max_code
-    FROM j GROUP BY vec_id
+    FROM jd GROUP BY vec_id
 """
