@@ -310,6 +310,7 @@ def queries() -> dict[str, QueryFn]:
         "sax_word_counts": analytics.sax_word_counts,
         "sq8_codes": similarity.sq8_codes,
         "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
+        "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,

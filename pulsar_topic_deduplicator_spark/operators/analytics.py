@@ -370,3 +370,112 @@ ORACLES["sax_word_counts"] = f"""
            CAST(sum(total_cents) AS BIGINT) AS total_cents
     FROM fp GROUP BY sax_word
 """
+
+
+#: anomaly detection knobs: trailing history window (hourly buckets) and
+#: the spike threshold in sigmas. The z-test is evaluated as the exact
+#: integer inequality (c·n − s1)² > SIGMAS²·(n·s2 − s1²) — algebraically
+#: identical to (c − mean) > SIGMAS·σ for a spike, with no division, no
+#: sqrt, no float anywhere — so the flags are bit-exact cross-engine.
+ANOM_WINDOW = 24
+ANOM_SIGMAS = 3
+ANOM_MIN_HIST = 8
+
+
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window spike detection over the deduplicated event stream
+    — the monitoring read a dedup service's operators actually watch
+    ("did event volume for this topic just triple?"): hourly event counts
+    per type, each bucket tested against the mean/σ of its own trailing
+    ANOM_WINDOW buckets (the bucket itself excluded), flagged when it
+    exceeds mean + ANOM_SIGMAS·σ. Returns (event_type, bucket_us,
+    n_events, hist_n, hist_sum, hist_sumsq, is_spike); buckets with
+    history shorter than ANOM_MIN_HIST are never flagged (cold start).
+
+    Exactness: counts are integers; the z-test runs entirely in integer
+    algebra (see ANOM_WINDOW note) — the one subtlety is squaring before
+    comparing, which requires the spike side (c·n − s1 > 0) to be tested
+    first so dips don't alias into spikes.
+
+    Plan: ONE (type, bucket) count aggregate (map-side combined — the
+    corpus collapses to types × hours rows) and one type-partitioned
+    ordered window over that KB-to-MB-sized frame; nothing corpus-sized
+    shuffles twice. At 100 TB the bucket frame is still tiny (types ×
+    hours), so the window is cheap regardless of corpus size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr("unix_micros(ts) div 3600000000") * F.lit(3_600_000_000)
+    counts = (
+        ev.select("event_type", hb.alias("bucket_us"))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    hist = counts.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("hist_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("hist_sum"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).alias("hist_sumsq"),
+    )
+    c, n, s1, s2 = (
+        F.col("n_events"),
+        F.col("hist_n"),
+        F.col("hist_sum"),
+        F.col("hist_sumsq"),
+    )
+    # (c−mean)² > S²·var, both sides × n²:  (c·n−s1)² > S²·(n·s2−s1²)
+    dev = c * n - s1  # n·(c − mean), integer
+    var_n2 = n * s2 - s1 * s1  # n²·var, integer
+    spike = (
+        (n >= ANOM_MIN_HIST)
+        & (dev > 0)
+        & (dev * dev > F.lit(ANOM_SIGMAS * ANOM_SIGMAS) * var_n2)
+    )
+    return hist.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        "hist_n",
+        "hist_sum",
+        "hist_sumsq",
+        spike.alias("is_spike"),
+    )
+
+
+ORACLES["hourly_anomaly_flags"] = f"""
+    WITH counts AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    hist AS (
+      SELECT event_type, bucket_us, n_events,
+             count(*) OVER tw AS hist_n,
+             coalesce(sum(n_events) OVER tw, 0) AS hist_sum,
+             coalesce(sum(n_events * n_events) OVER tw, 0) AS hist_sumsq
+      FROM counts
+      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_us
+                    ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(bucket_us AS BIGINT) AS bucket_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(hist_n AS BIGINT) AS hist_n,
+           CAST(hist_sum AS BIGINT) AS hist_sum,
+           CAST(hist_sumsq AS BIGINT) AS hist_sumsq,
+           hist_n >= {ANOM_MIN_HIST}
+           AND (n_events * hist_n - hist_sum) > 0
+           AND (n_events * hist_n - hist_sum)
+               * (n_events * hist_n - hist_sum)
+               > {ANOM_SIGMAS * ANOM_SIGMAS}
+                 * (hist_n * hist_sumsq - hist_sum * hist_sum)
+             AS is_spike
+    FROM hist
+"""
