@@ -281,7 +281,8 @@ def queries() -> dict[str, QueryFn]:
     # (a) the never-driver-checked round-8 additions (substring-dedup
     # family, DSIR selection + Gumbel resampling, KMV set-algebra overlap,
     # fuzzy decontamination, vocab coverage, BPE pair counts, n-gram
-    # novelty, SAX time-series words), then (b) the r4-era cohort — the
+    # novelty, SAX time-series words, SQ8 quantization + error audit,
+    # trailing-window anomaly flags), then (b) the r4-era cohort — the
     # five entries that slipped past round 7's window edge plus the five
     # sql_* portable-SQL entries, the stalest checkable evidence in the
     # ledger — then (c) the r5-checked tier in its round-5 order. ~20
