@@ -30,14 +30,17 @@ from pulsar_topic_deduplicator_spark.operators import (
     analytics,
     asof,
     cdc,
+    clustering,
     curation,
     dedup,
+    entity,
     graph,
     lineage,
     multimodal,
     neardup,
     pipeline,
     relational,
+    retrieval,
     sampling,
     scalarfuncs,
     similarity,
@@ -278,16 +281,17 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
     # round. Round 8 continues the self-sustaining staleness rotation:
-    # (a) the never-driver-checked round-8 additions (substring-dedup
-    # family, DSIR selection + Gumbel resampling, KMV set-algebra overlap,
-    # fuzzy decontamination, vocab coverage, BPE pair counts, n-gram
-    # novelty, SAX time-series words, SQ8 quantization + error audit,
-    # trailing-window anomaly flags), then (b) the r4-era cohort — the
-    # five entries that slipped past round 7's window edge plus the five
-    # sql_* portable-SQL entries, the stalest checkable evidence in the
-    # ledger — then (c) the r5-checked tier in its round-5 order. ~20
-    # entries of (c) sit past the ~50-entry edge and lead round 9's
-    # rotation (purchase_attribution_events .. scd2_point_in_time_join).
+    # (a) the never-driver-checked round-8 additions (entity resolution,
+    # positional index + phrase search, integer-exact k-means,
+    # substring-dedup family, DSIR selection + Gumbel resampling, KMV
+    # set-algebra overlap, fuzzy decontamination, vocab coverage, BPE pair
+    # counts, n-gram novelty, SAX time-series words, SQ8 quantization +
+    # error audit, trailing-window anomaly flags), then (b) the r4-era
+    # cohort — the five entries that slipped past round 7's window edge
+    # plus the five sql_* portable-SQL entries, the stalest checkable
+    # evidence in the ledger — then (c) the r5-checked tier in its round-5
+    # order. ~26 entries of (c) sit past the ~50-entry edge and lead round
+    # 9's rotation (corpus_curation_report .. scd2_point_in_time_join).
     # The r6- and r7-checked tiers follow (freshest evidence, last to
     # rotate back in), and the seven rows-only RAW entries remain at the
     # very end, OUTSIDE the window BY DESIGN: each is driver-checked
@@ -297,6 +301,12 @@ def queries() -> dict[str, QueryFn]:
     # `no_oracle` rows.
     return {
         # ── (a) round-8 additions (never driver-checked) ───────────────────
+        "entity_match_pairs": entity.entity_match_pairs,
+        "entity_golden_records": entity.entity_golden_records,
+        "posting_lists": retrieval.posting_lists,
+        "phrase_search": retrieval.phrase_search,
+        "kmeans_assign": clustering.kmeans_assign,
+        "kmeans_centroids": clustering.kmeans_centroids,
         "duplicate_substring_spans": textops.duplicate_substring_spans,
         "dedup_substrings_global": textops.dedup_substrings_global,
         "dedup_spans_within_doc": textops.dedup_spans_within_doc,
@@ -340,6 +350,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_repetition_stats": textops.doc_repetition_stats,
         "gopher_quality_flags": textops.gopher_quality_flags,
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
+        # ── end of the ~50-entry checked window ────────────────────────────
+        # r5-checked remainder (slipped past the edge; leads round 9)
         "corpus_curation_report": pipeline.corpus_curation_report,
         "centroid_outlier_flags": similarity.centroid_outlier_flags,
         "stream_quality_gate": _stream_quality_gate_query,
@@ -357,8 +369,6 @@ def queries() -> dict[str, QueryFn]:
         "cms_user_counts": dedup.cms_user_counts,
         "band_self_join_prices": asof.band_self_join_prices,
         "minutely_rollup": relational.minutely_rollup,
-        # ── end of the ~50-entry checked window ────────────────────────────
-        # r5-checked remainder (slipped past the edge; leads round 9)
         "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
         "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
         "dq_check_events": lineage.dq_check_events,
@@ -499,7 +509,10 @@ def oracle_sql() -> dict[str, str]:
         analytics,
         asof,
         cdc,
+        clustering,
         curation,
+        entity,
+        retrieval,
         dedup,
         graph,
         lineage,

@@ -98,6 +98,10 @@ HEADLINE = [
     "dsir_select",  # DSIR importance selection (2 model aggs + broadcast)
     "doc_novelty_scores",  # per-doc n-gram novelty (gram window + doc agg)
     "sax_fingerprints",  # SAX time-series words (one (user,seg) shuffle)
+    "entity_golden_records",  # blocked fuzzy linkage + LSS merge + survivorship
+    "posting_lists",  # positional inverted index (one (term,doc) shuffle)
+    "phrase_search",  # top-bigram phrase match (zip pairs, broadcast query)
+    "kmeans_assign",  # 3-round integer Lloyd (broadcast centroids ×3)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

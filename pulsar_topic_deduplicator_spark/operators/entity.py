@@ -1,0 +1,176 @@
+"""Entity resolution (fuzzy record linkage) over the ``customer`` dimension.
+
+NOT in the reference (its dedup key is an exact content digest —
+``src/deduplication.ts:30-36``); this is the classic data-cleaning
+generalization the project brief's pipeline tier calls for: records that
+are *near*-duplicates of the same real-world entity (typo'd names, re-keyed
+accounts) found by BLOCKING + cheap pairwise similarity, then merged into
+one golden record per matched cluster.
+
+Scale design (the Fellegi-Sunter / Dedupe.io blocking shape):
+
+- **Blocking bounds the candidate space.** Pairs are only generated inside
+  a (nationkey, mktsegment) block — the self-join shuffles both sides on
+  the block key once and never goes all-pairs. Block sizes are data-bounded
+  (max 152 customers/block at sf0.1); at 100 TB the guard is the same as
+  every skew story in this repo: cap or salt a pathological block (split on
+  an extra hash digit) — the match predicate is block-local, so sub-blocks
+  only *miss* cross-sub-block pairs if the cap triggers, and the cap size
+  makes per-task work O(cap²) — bounded, like SemDeDup's MAX_CELL_SIZE.
+- **The similarity is JVM codegen.** ``levenshtein`` is a built-in on both
+  engines (identical classic edit-distance semantics, case-sensitive), so
+  the match filter runs inside whole-stage codegen — no Python row path.
+- **Clustering reuses the O(log n) LSS kernel** (``neardup.
+  connected_components_lss``): matched pairs → undirected edges →
+  per-entity minimum custkey as the entity id. The match graph is tiny
+  relative to the corpus (2,040 edges from 15,000 records at sf0.1), so
+  the iterative stage runs on a frame orders of magnitude smaller than the
+  input — the same cluster-frame ≪ corpus argument as
+  ``cluster_representatives``.
+- **Money is integers.** ``c_acctbal`` is converted to exact cents
+  (``round(bal*100)`` — the corpus's own 2-dp precision) before any
+  aggregation, so sums are order-free BIGINTs and the oracle is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .neardup import connected_components_lss
+
+#: maximum edit distance for two in-block names to be called the same
+#: entity. 1 = single-character typos; at the corpus's name shape this
+#: yields 149 pairs / 1,500 records at sf0.01 (non-degenerate, bounded).
+ENTITY_EDIT_MAX = 1
+
+#: blocking keys — a real linkage system blocks on stable, low-typo fields
+#: (region + segment here); the match predicate only ever runs in-block.
+_BLOCK_KEYS = ("c_nationkey", "c_mktsegment")
+
+
+def _customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match candidate pairs: customers in the same
+    (nationkey, mktsegment) block whose names are within
+    ``ENTITY_EDIT_MAX`` edit distance. Returns one row per matched pair
+    ``(custkey_a, custkey_b, nationkey, mktsegment, edit_dist)`` with
+    ``custkey_a < custkey_b``.
+
+    Plan: ONE self-join shuffled on the block keys (sort-merge, never
+    broadcast — both sides are the full dimension), with the edit-distance
+    predicate evaluated post-join inside codegen. No all-pairs stage
+    anywhere; see the module docstring for the 100 TB block-cap story."""
+    cust = _customers(spark, sf_dir)
+    a = cust.alias("a")
+    b = cust.alias("b")
+    block = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in _BLOCK_KEYS]
+    cond = block + [F.col("a.c_custkey") < F.col("b.c_custkey")]
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, cond)
+        .filter(dist <= ENTITY_EDIT_MAX)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("mktsegment"),
+            dist.alias("edit_dist"),
+        )
+    )
+
+
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One golden record per matched entity cluster: connected components
+    over the match pairs (entity id = min reachable custkey), then per
+    entity the representative record (highest balance, then lowest
+    custkey — the survivorship rule) and exact merged totals. Returns
+    ``(entity_id, n_records, total_bal_cents, rep_custkey, rep_name)``
+    for clusters with >= 2 records (singletons pass through unmerged in a
+    real pipeline and are skipped here by construction: only matched
+    custkeys enter the graph).
+
+    Plan: the match join (one block-keyed shuffle) feeds the LSS
+    components kernel on the edge frame (~2k edges ≪ 15k records at
+    sf0.1); the member join back to the dimension is key-partitioned, and
+    the survivorship pick is one cluster-partitioned window — no global
+    sort. All aggregates are BIGINT (cents), so the result is order-free
+    and the DuckDB oracle bit-exact."""
+    pairs = entity_match_pairs(spark, sf_dir).select(
+        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
+    )
+    comp = connected_components_lss(pairs)
+    members = comp.join(
+        _customers(spark, sf_dir),
+        comp.id == F.col("c_custkey"),
+    ).select(
+        F.col("label").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey").asc()
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+        F.max(F.when(F.col("rn") == 1, F.col("c_custkey"))).alias(
+            "rep_custkey"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("c_name"))).alias("rep_name"),
+    )
+
+
+_PAIRS_CTE = f"""
+    pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+             levenshtein(a.c_name, b.c_name) AS edit_dist
+      FROM customer a
+      JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {ENTITY_EDIT_MAX})"""
+
+ORACLES: dict[str, str] = {
+    "entity_match_pairs": f"""
+        WITH {_PAIRS_CTE}
+        SELECT custkey_a, custkey_b, nationkey, mktsegment, edit_dist
+        FROM pairs
+    """,
+    "entity_golden_records": f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (SELECT custkey_a AS src, custkey_b AS dst FROM pairs
+                  UNION SELECT custkey_b, custkey_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS id, r.label
+          FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS c_custkey, min(label) AS entity_id
+                 FROM reach GROUP BY id),
+        mem AS (
+          SELECT c.entity_id, cu.c_custkey, cu.c_name,
+                 CAST(round(cu.c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+          FROM comp c JOIN customer cu USING (c_custkey)),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY entity_id
+                    ORDER BY bal_cents DESC, c_custkey ASC) AS rn
+          FROM mem)
+        SELECT entity_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents,
+               max(CASE WHEN rn = 1 THEN c_custkey END) AS rep_custkey,
+               max(CASE WHEN rn = 1 THEN c_name END) AS rep_name
+        FROM ranked GROUP BY entity_id
+    """,
+}

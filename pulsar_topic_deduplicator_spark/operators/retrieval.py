@@ -1,0 +1,153 @@
+"""Positional inverted index + phrase search over the ``documents`` corpus.
+
+NOT in the reference (opaque payloads — SURVEY.md §2.3); this is the
+retrieval-side tier next to BM25/TF-IDF (``textops``): build the positional
+posting lists a search engine shards, then answer a phrase query by
+position-adjacency intersection — the classic Lucene/ES positional-index
+workload, expressed as Catalyst plans.
+
+Scale design:
+
+- **Index build is one shuffle.** tokenize (codegen ``split``/``posexplode``,
+  zero Python) → groupBy (term, doc) with partial aggregation. The output is
+  *term-partitioned* — exactly the sharding a distributed index wants: a
+  query for one term prunes to that term's partitions.
+- **Phrase matching never re-joins the corpus positionally.** Adjacent word
+  pairs are derived per-document with the shifted-``slice`` + ``arrays_zip``
+  zip (the ``functions.text.shingles`` kernel — one array op per row, no
+  positional self-join, no shuffle before the count agg). A positional
+  self-join of the token table with itself would shuffle corpus-sized
+  token frames twice; the zip form reads each document once.
+- **The query constant is data-derived, not collected.** The demo phrase is
+  the corpus's most frequent bigram (deterministic tie-break count DESC,
+  then lexicographic) — computed as a 1-row frame and broadcast onto the
+  per-doc pair counts (the sanctioned scalar-broadcast ``crossJoin``), so
+  the operator is a fixed pipeline with no driver round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cachereg import persist_scoped
+from ..functions.text import whitespace_tokens
+from ..sources.io import load_table
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, term) — 0-based positions, single-space tokenization
+    (the corpus convention shared with every textops oracle)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "term"),
+    )
+
+
+def _adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per ADJACENT token pair occurrence,
+    derived per-document with the shifted-slice zip (no positional join)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = whitespace_tokens(F.col("text"))
+    n = F.size(words) - 1
+    zipped = F.arrays_zip(F.slice(words, 1, n), F.slice(words, 2, n))
+    return (
+        docs.select("doc_id", F.explode(zipped).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p")["0"].alias("w1"),
+            F.col("p")["1"].alias("w2"),
+        )
+    )
+
+
+def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional inverted index in long form: one row per (term, doc)
+    posting with its term frequency and first position —
+    ``(term, doc_id, tf, first_pos)``.
+
+    Plan: codegen tokenize → ONE (term, doc)-keyed aggregate with map-side
+    partials. Term-partitioned output = the shardable index (module
+    docstring); at 100 TB this is a pure scan + one shuffle, and a
+    single-term lookup prunes to the term's hash partitions."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the corpus's most frequent two-word phrase,
+    with per-document match counts — ``(doc_id, phrase, n_matches)``.
+
+    The phrase is chosen in-query (top bigram by corpus count, tie-break
+    lexicographic on both words), so the operator is fully deterministic
+    with no data-dependent constant baked in. Matching filters the per-doc
+    adjacent-pair frame against the broadcast 1-row phrase — the pair
+    frame is computed once (scoped persist) and reused by both the
+    chooser and the matcher."""
+    pairs = persist_scoped(_adjacent_pairs(spark, sf_dir))
+    top = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(1)
+        .select(F.col("w1").alias("q1"), F.col("w2").alias("q2"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(top))
+        .filter((F.col("w1") == F.col("q1")) & (F.col("w2") == F.col("q2")))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.first("q1"), F.first("q2")).alias("phrase"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS INT) AS pos,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL)"""
+
+#: adjacent-pair occurrences via positional self-join — semantically
+#: identical to the Spark shifted-slice zip (every pos p joins p+1 exactly
+#: once); the oracle favors the relational form DuckDB optimizes well.
+_PAIRS_CTE = f"""
+    {_TOKS_CTE},
+    pairs AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)"""
+
+ORACLES: dict[str, str] = {
+    "posting_lists": f"""
+        WITH {_TOKS_CTE}
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+               min(pos) AS first_pos
+        FROM toks GROUP BY term, doc_id
+    """,
+    "phrase_search": f"""
+        WITH {_PAIRS_CTE},
+        top AS (
+          SELECT w1 AS q1, w2 AS q2
+          FROM (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2)
+          ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1)
+        SELECT p.doc_id, t.q1 || ' ' || t.q2 AS phrase,
+               CAST(count(*) AS BIGINT) AS n_matches
+        FROM pairs p JOIN top t ON p.w1 = t.q1 AND p.w2 = t.q2
+        GROUP BY p.doc_id, t.q1, t.q2
+    """,
+}
