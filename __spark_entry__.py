@@ -35,6 +35,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     dedup,
     entity,
     graph,
+    heavyhitters,
     lineage,
     multimodal,
     neardup,
@@ -290,8 +291,8 @@ def queries() -> dict[str, QueryFn]:
     # cohort — the five entries that slipped past round 7's window edge
     # plus the five sql_* portable-SQL entries, the stalest checkable
     # evidence in the ledger — then (c) the r5-checked tier in its round-5
-    # order. ~26 entries of (c) sit past the ~50-entry edge and lead round
-    # 9's rotation (corpus_curation_report .. scd2_point_in_time_join).
+    # order. ~29 entries of (c) sit past the ~50-entry edge and lead round
+    # 9's rotation (doc_repetition_stats .. scd2_point_in_time_join).
     # The r6- and r7-checked tiers follow (freshest evidence, last to
     # rotate back in), and the seven rows-only RAW entries remain at the
     # very end, OUTSIDE the window BY DESIGN: each is driver-checked
@@ -307,6 +308,9 @@ def queries() -> dict[str, QueryFn]:
         "phrase_search": retrieval.phrase_search,
         "kmeans_assign": clustering.kmeans_assign,
         "kmeans_centroids": clustering.kmeans_centroids,
+        "profile_orders": lineage.profile_orders,
+        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
+        "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
         "duplicate_substring_spans": textops.duplicate_substring_spans,
         "dedup_substrings_global": textops.dedup_substrings_global,
         "dedup_spans_within_doc": textops.dedup_spans_within_doc,
@@ -347,11 +351,11 @@ def queries() -> dict[str, QueryFn]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
+        # ── end of the ~50-entry checked window ────────────────────────────
+        # r5-checked remainder (slipped past the edge; leads round 9)
         "doc_repetition_stats": textops.doc_repetition_stats,
         "gopher_quality_flags": textops.gopher_quality_flags,
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
-        # ── end of the ~50-entry checked window ────────────────────────────
-        # r5-checked remainder (slipped past the edge; leads round 9)
         "corpus_curation_report": pipeline.corpus_curation_report,
         "centroid_outlier_flags": similarity.centroid_outlier_flags,
         "stream_quality_gate": _stream_quality_gate_query,
@@ -512,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         clustering,
         curation,
         entity,
+        heavyhitters,
         retrieval,
         dedup,
         graph,

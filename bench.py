@@ -102,6 +102,8 @@ HEADLINE = [
     "posting_lists",  # positional inverted index (one (term,doc) shuffle)
     "phrase_search",  # top-bigram phrase match (zip pairs, broadcast query)
     "kmeans_assign",  # 3-round integer Lloyd (broadcast centroids ×3)
+    "profile_orders",  # deequ-style profile (one Expand agg, scalar output)
+    "mg_heavy_hitters_contracts",  # MG sketch + guarantee replay vs exact
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -233,3 +233,111 @@ def message_dq_violations() -> "Column":
     return F.array_compact(
         F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
     )
+
+
+#: columns profiled by ``profile_orders`` after exact normalization —
+#: money to BIGINT cents (the corpus's own 2-dp precision), timestamps to
+#: epoch micros — so every min/max stringifies identically on both engines
+#: (raw DOUBLE/TIMESTAMP renderings would not be byte-stable cross-engine).
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice_cents",
+    "o_orderdate_us",
+    "o_orderpriority",
+)
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deequ-style exact column profile of the ``orders`` table — the
+    stats artifact next to the pass/fail ``dq_check_events`` gate: one row
+    per column with ``(col_name, n_rows, n_nulls, n_distinct, min_s,
+    max_s)``. Completeness (n_nulls), distinctness, and range land in one
+    report a pipeline publishes per ingest batch.
+
+    Plan: ONE scan; the multi-column ``count(DISTINCT ...)`` family runs
+    as Catalyst's Expand (column-count× row inflation map-side, partial
+    aggs — the standard multi-distinct shape), everything else rides the
+    same aggregate; output is a single row exploded to O(columns) rows —
+    scalar-sized at any corpus scale. n_distinct excludes nulls on both
+    engines (SQL count-distinct semantics)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("o_totalprice_cents"),
+        # o_orderdate arrives as TIMESTAMP_NTZ from the parquet; the cast
+        # to TIMESTAMP is value-identical under the engine's pinned UTC
+        # session zone (applied at runtime by load_table) and lets
+        # unix_micros produce the same naive-µs integer DuckDB's epoch_us
+        # reads directly
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "o_orderdate_us"
+        ),
+        "o_orderpriority",
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    metrics = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_s"),
+                F.col(f"mx_{c}").alias("max_s"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select("n_rows", F.explode(metrics).alias("m")).select(
+        F.col("m.col_name").alias("col_name"),
+        "n_rows",
+        F.col("m.n_nulls").alias("n_nulls"),
+        F.col("m.n_distinct").alias("n_distinct"),
+        F.col("m.min_s").alias("min_s"),
+        F.col("m.max_s").alias("max_s"),
+    )
+
+
+def _profile_oracle() -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               (SELECT n FROM tot) AS n_rows,
+               CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT)
+                 AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM t"""
+        for c in _PROFILE_COLS
+    )
+    return f"""
+        WITH t AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   AS o_totalprice_cents,
+                 CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+                 o_orderpriority
+          FROM orders),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+        {per_col}
+    """
+
+
+ORACLES["profile_orders"] = _profile_oracle()
