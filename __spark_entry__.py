@@ -33,6 +33,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     clustering,
     curation,
     dedup,
+    diversify,
     entity,
     graph,
     heavyhitters,
@@ -308,6 +309,7 @@ def queries() -> dict[str, QueryFn]:
         "phrase_search": retrieval.phrase_search,
         "kmeans_assign": clustering.kmeans_assign,
         "kmeans_centroids": clustering.kmeans_centroids,
+        "mmr_diversify": diversify.mmr_diversify,
         "profile_orders": lineage.profile_orders,
         "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
         "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
@@ -515,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         cdc,
         clustering,
         curation,
+        diversify,
         entity,
         heavyhitters,
         retrieval,

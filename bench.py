@@ -104,6 +104,7 @@ HEADLINE = [
     "kmeans_assign",  # 3-round integer Lloyd (broadcast centroids ×3)
     "profile_orders",  # deequ-style profile (one Expand agg, scalar output)
     "mg_heavy_hitters_contracts",  # MG sketch + guarantee replay vs exact
+    "mmr_diversify",  # MMR diversified top-K (one scan + pool greedy)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

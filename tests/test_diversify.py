@@ -1,0 +1,74 @@
+"""MMR diversified selection: the greedy order must diverge from pure
+relevance order when near-duplicates crowd the top, ties must break on
+the smaller vec_id, and an exact duplicate of a picked item must carry a
+zero diversity term — all hand-computed in integer micro-unit space, and
+cross-checked against the DuckDB oracle on the same fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pulsar_topic_deduplicator_spark.operators.diversify import (
+    ORACLES,
+    mmr_diversify,
+)
+
+# query = vec 0 (smallest vec_id). Candidates: a tight near cluster
+# (1, 2, 3 — and 6, an exact duplicate of 2) the pure top-k would sweep,
+# plus two genuinely diverse directions (4, 5) farther from the query.
+VECS = [
+    (0, [0.0, 0.0]),
+    (1, [1.0, 0.0]),
+    (2, [1.01, 0.0]),
+    (3, [1.02, 0.0]),
+    (4, [-1.2, 0.0]),
+    (5, [0.0, 1.3]),
+    (6, [1.01, 0.0]),
+]
+
+# hand-walked greedy (micro-units; see module docstring for the algebra):
+# pick 1 = vec 1 (most relevant); pick 2 = vec 4 (diversity beats the
+# nearer 2/3); pick 3 = vec 5; pick 4 = vec 2 (ties vec 6 on score,
+# smaller id wins); pick 5 = vec 6 (its min_div collapses to 0 against
+# its duplicate 2, but still outscores 3); pick 6 = vec 3.
+EXPECTED_ORDER = [1, 4, 5, 2, 6, 3]
+
+
+@pytest.fixture(scope="module")
+def mmr_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("mmr")
+    spark.createDataFrame(
+        VECS, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(path / "embeddings.parquet"))
+    return str(path)
+
+
+def test_mmr_diverges_from_pure_relevance(spark, mmr_dir):
+    rows = sorted(
+        mmr_diversify(spark, mmr_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["vec_id"] for r in rows] == EXPECTED_ORDER
+    # pure relevance would have swept the near cluster first
+    assert [r["vec_id"] for r in rows][:3] != [1, 2, 3]
+    # relevance distances: exact squared micro-unit distances to vec 0
+    assert rows[0]["rel_dist_q"] == 1_000_000**2
+    assert rows[1]["rel_dist_q"] == 1_200_000**2  # vec 4: |-1.2 - 0| in micro-units
+    # rank 1 carries no diversity term by definition
+    assert rows[0]["min_div_q"] == 0
+    # vec 6 duplicates the already-picked vec 2: zero diversity term
+    by_vec = {r["vec_id"]: r for r in rows}
+    assert by_vec[6]["min_div_q"] == 0
+    # monotone rank column 1..6
+    assert [r["rank"] for r in rows] == list(range(1, 7))
+
+
+def test_mmr_matches_oracle_on_fixture(spark, mmr_dir):
+    got = sorted(tuple(r) for r in mmr_diversify(spark, mmr_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{mmr_dir}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["mmr_diversify"]).fetchall())
+    assert got == want
