@@ -313,6 +313,8 @@ def queries() -> dict[str, QueryFn]:
         "profile_orders": lineage.profile_orders,
         "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
         "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
+        "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
+        "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
         "duplicate_substring_spans": textops.duplicate_substring_spans,
         "dedup_substrings_global": textops.dedup_substrings_global,
         "dedup_spans_within_doc": textops.dedup_spans_within_doc,

@@ -59,11 +59,13 @@ MMR_K = 6
 MMR_POOL = 32
 
 
-def _pool_frames(spark: SparkSession, sf_dir: str):
-    """(pool_rows, pair_rows): the MMR_POOL most query-relevant vectors
+def _pool_plan(spark: SparkSession, sf_dir: str):
+    """(pool_df, pairs_df): the MMR_POOL most query-relevant vectors
     ``(vec_id, rel_dist_q)`` and their exact pairwise squared distances
-    ``(va, vb, d)`` — both KB-sized by construction, computed in Spark,
-    collected for the sequential greedy loop."""
+    ``(va, vb, d)`` — both KB-sized by construction, as unresolved plans
+    so `tests/test_diversify.py` can assert their physical shape
+    (TakeOrdered pool cut, broadcast relevance join — never a global
+    sort, never a corpus-sized exchange)."""
     q = persist_scoped(_quantized(spark, sf_dir))
     query_id = q.agg(F.min("vec_id")).collect()[0][0]  # scalar, sanctioned
     qvec = F.broadcast(
@@ -92,6 +94,14 @@ def _pool_frames(spark: SparkSession, sf_dir: str):
         )
         .agg(F.sum(dd * dd).alias("d"))
     )
+    return pool, pairs
+
+
+def _pool_frames(spark: SparkSession, sf_dir: str):
+    """Collected (pool_rows, pair_rows) for the sequential greedy loop —
+    ≤ MMR_POOL and ≤ MMR_POOL² rows respectively (the IVF/PQ codebook
+    collect precedent)."""
+    pool, pairs = _pool_plan(spark, sf_dir)
     return pool.collect(), pairs.collect()
 
 

@@ -55,7 +55,9 @@ MG_K = 15
 _SUMMARY_SCHEMA = "item string, weight long"
 
 
-def _mg_partition_summaries(df: DataFrame, col: str) -> DataFrame:
+def _mg_partition_summaries(
+    df: DataFrame, col: str, weight: str | None = None
+) -> DataFrame:
     """≤ MG_K (item, weight) rows per partition: the k-counter Misra-Gries
     pass in its BATCHED form (Agarwal et al. §3.1 — fold each batch's
     exact counts into the summary, then trim by the (MG_K+1)-th largest
@@ -64,14 +66,25 @@ def _mg_partition_summaries(df: DataFrame, col: str) -> DataFrame:
     reached with pandas ``value_counts`` doing the per-batch counting at C
     speed instead of a per-row Python loop; only the ≤ MG_K + distinct-
     per-batch counter merge runs in Python. State carries across the
-    partition's Arrow batches."""
+    partition's Arrow batches.
+
+    With ``weight`` set (a non-negative BIGINT column), each row carries
+    that many units instead of 1 — the WEIGHTED Misra-Gries (top talkers
+    by bytes/revenue, not by message count): the same fold with per-batch
+    ``groupby(...).sum()``, the same trim, and the same guarantees with n
+    replaced by the total weight W (every bound statement scales)."""
 
     def summarize(batches: Iterator) -> Iterator:
         import pandas as pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for item, c in pdf[col].value_counts().items():
+            per_batch = (
+                pdf.groupby(col)["w"].sum()
+                if weight is not None
+                else pdf[col].value_counts()
+            )
+            for item, c in per_batch.items():
                 key = str(item)
                 counters[key] = counters.get(key, 0) + int(c)
             if len(counters) > MG_K:
@@ -83,19 +96,22 @@ def _mg_partition_summaries(df: DataFrame, col: str) -> DataFrame:
             {"item": list(counters), "weight": list(counters.values())}
         )
 
-    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        summarize, _SUMMARY_SCHEMA
-    )
+    cols = [F.col(col).cast("string").alias(col)]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
+    return df.select(*cols).mapInPandas(summarize, _SUMMARY_SCHEMA)
 
 
-def _mg_merged(df: DataFrame, col: str) -> DataFrame:
+def _mg_merged(
+    df: DataFrame, col: str, weight: str | None = None
+) -> DataFrame:
     """Merged summary ``(item, est_count)``: sum per-partition counters,
     apply the mergeable-summaries offset (subtract the (MG_K+1)-th
     largest merged weight; 0 when fewer items), keep positive. Runs
     entirely on P×MG_K rows."""
     from pyspark.sql import Window
 
-    parts = _mg_partition_summaries(df, col)
+    parts = _mg_partition_summaries(df, col, weight)
     merged = parts.groupBy("item").agg(F.sum("weight").alias("w"))
     # rank window over the KB-sized merged frame (single partition by
     # construction: ≤ P×MG_K rows — never corpus-sized)
@@ -196,6 +212,89 @@ def mg_heavy_hitters_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mg_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Misra-Gries over orders — ``(item, est_revenue_cents)``:
+    ``o_orderpriority`` items, each carrying the order's exact totalprice
+    cents (non-negative BIGINT — the guarantee precondition). Oracle-EXACT
+    by the unsaturated discipline: the 5-value priority vocabulary never
+    saturates MG_K=15, so no trim fires, the merge offset is 0, and the
+    summary equals the exact per-priority revenue on any partition
+    layout. The saturating weighted algebra is ``mg_revenue_contracts``'s
+    job."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return _mg_merged(od, "o_orderpriority", "cents").select(
+        "item", F.col("est_count").alias("est_revenue_cents")
+    )
+
+
+def mg_revenue_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract twin on the SATURATING weighted sketch: per-customer
+    revenue (customers ≫ MG_K everywhere), every Misra-Gries guarantee
+    restated with n replaced by the total weight W (cents):
+
+    * ``total_cents`` / ``k`` — exact scalars;
+    * ``at_most_k_ok`` — ≤ MG_K summary rows;
+    * ``no_overcount_ok`` — every estimate ≤ the customer's true revenue;
+    * ``undercount_bounded_ok`` — true − estimate ≤ floor(W/(k+1));
+    * ``all_heavy_present_ok`` — every customer with revenue above the
+      threshold is reported (non-vacuity is pinned adversarially in
+      ``tests/test_heavyhitters.py``, where a dominant weighted item must
+      survive saturation)."""
+    from ..cachereg import persist_scoped
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    mg = persist_scoped(_mg_merged(od, "o_custkey", "cents"))
+    exact = persist_scoped(
+        od.groupBy(F.col("o_custkey").cast("string").alias("item")).agg(
+            F.sum("cents").alias("true_w")
+        )
+    )
+    n = exact.agg(F.sum("true_w").alias("w")).select(
+        "w", F.floor(F.col("w") / (MG_K + 1)).alias("bound")
+    )
+    per_item = (
+        mg.join(exact, "item", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("est_count") <= F.col("true_w")).alias("noc"),
+            (F.col("true_w") - F.col("est_count") <= F.col("bound")).alias(
+                "ub"
+            ),
+        )
+    )
+    heavy_missing_empty = (
+        exact.crossJoin(F.broadcast(n))
+        .filter(F.col("true_w") > F.col("bound"))
+        .join(mg, "item", "left_anti")
+        .groupBy()
+        .agg((F.count(F.lit(1)) == 0).alias("all_heavy_present_ok"))
+    )
+    verdicts = per_item.groupBy().agg(
+        F.coalesce(F.min("noc"), F.lit(True)).alias("no_overcount_ok"),
+        F.coalesce(F.min("ub"), F.lit(True)).alias("undercount_bounded_ok"),
+        (F.count(F.lit(1)) <= MG_K).alias("at_most_k_ok"),
+    )
+    return (
+        n.select("w")
+        .crossJoin(F.broadcast(verdicts))
+        .crossJoin(F.broadcast(heavy_missing_empty))
+        .select(
+            F.col("w").alias("total_cents"),
+            F.lit(MG_K).alias("k"),
+            "at_most_k_ok",
+            "no_overcount_ok",
+            "undercount_bounded_ok",
+            "all_heavy_present_ok",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     #: exact BECAUSE unsaturated — see mg_heavy_hitters docstring
     "mg_heavy_hitters": """
@@ -212,5 +311,23 @@ ORACLES: dict[str, str] = {
                TRUE AS undercount_bounded_ok,
                TRUE AS all_heavy_present_ok
         FROM events
+    """,
+    #: exact BECAUSE unsaturated — see mg_revenue_by_priority docstring
+    "mg_revenue_by_priority": """
+        SELECT o_orderpriority AS item,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS est_revenue_cents
+        FROM orders GROUP BY o_orderpriority
+    """,
+    #: contract oracle: exact weight scalar + pinned verdict constants
+    "mg_revenue_contracts": f"""
+        SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               {MG_K} AS k,
+               TRUE AS at_most_k_ok,
+               TRUE AS no_overcount_ok,
+               TRUE AS undercount_bounded_ok,
+               TRUE AS all_heavy_present_ok
+        FROM orders
     """,
 }

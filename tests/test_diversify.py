@@ -72,3 +72,28 @@ def test_mmr_matches_oracle_on_fixture(spark, mmr_dir):
     )
     want = sorted(tuple(r) for r in con.execute(ORACLES["mmr_diversify"]).fetchall())
     assert got == want
+
+
+def test_mmr_pool_plan_shape(spark, sf_dir):
+    """The corpus-touching stage must be a broadcast relevance join into a
+    TakeOrdered pool cut — never a global sort, never more than the one
+    relevance-aggregate exchange; the pairs stage stays KB-sized."""
+    from pulsar_topic_deduplicator_spark.operators.diversify import _pool_plan
+    from pulsar_topic_deduplicator_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+        has_broadcast_join,
+    )
+
+    pool, pairs = _pool_plan(spark, sf_dir)
+    plan = formatted_plan(pool)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort " not in plan, plan[:2000]  # no global sort anywhere
+    assert has_broadcast_join(pool), plan[:2000]
+    # exchanges: the per-vec relevance aggregate, plus — inside the cached
+    # quantize plan — the 64-row per-dim mins aggregate and its broadcast;
+    # nothing corpus-sized beyond the one relevance shuffle
+    assert count_exchanges(pool) <= 3, plan[:2000]
+    # the pairwise stage joins the pool against itself on dim — a
+    # broadcastable KB-sized frame on at least one side
+    assert has_broadcast_join(pairs), formatted_plan(pairs)[:2000]

@@ -75,3 +75,43 @@ def test_multi_partition_merge_preserves_guarantees(spark):
     for item, t in true.items():
         if t > bound:
             assert item in mg
+
+
+def test_weighted_unsaturated_is_exact(spark):
+    # 3 items << MG_K, each row carrying a weight: the weighted sketch
+    # must equal the exact weight sums on any partition layout
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 7), ("a", 2), ("c", 1), ("b", 3)],
+        "item_col string, w long",
+    ).repartition(4)
+    got = {
+        r["item"]: r["est_count"]
+        for r in _mg_merged(df, "item_col", "w").collect()
+    }
+    assert got == {"a": 7, "b": 10, "c": 1}
+
+
+def test_weighted_saturating_guarantees_nonvacuous(spark):
+    # same 31-user skew, but user 0's rows carry weight 10: W = 590,
+    # bound = floor(590/16) = 36, user 0's true weight 500 >> bound —
+    # recall, no-overcount and the weighted undercount bound are all
+    # non-vacuous across a forced 8-partition layout
+    rows = [(u, 10 if u == 0 else 1) for _, u, _ in ROWS]
+    df = spark.createDataFrame(rows, "user_id long, w long").repartition(8)
+    mg = {
+        r["item"]: r["est_count"]
+        for r in _mg_merged(df, "user_id", "w").collect()
+    }
+    true = {
+        str(u): sum(w for v, w in rows if v == u) for u in range(31)
+    }
+    total = sum(w for _, w in rows)
+    bound = total // (MG_K + 1)
+    assert len(mg) <= MG_K
+    assert "0" in mg  # the dominant weighted item always survives
+    for item, est in mg.items():
+        assert est <= true[item]
+        assert true[item] - est <= bound
+    for item, t in true.items():
+        if t > bound:
+            assert item in mg
