@@ -30,6 +30,8 @@ from pulsar_topic_deduplicator_spark.operators import (
     analytics,
     asof,
     cdc,
+    changepoint,
+    classify,
     clustering,
     curation,
     dedup,
@@ -330,6 +332,7 @@ def queries() -> dict[str, QueryFn]:
         "sq8_codes": similarity.sq8_codes,
         "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
         "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
+        "cusum_drift_flags": changepoint.cusum_drift_flags,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
@@ -398,6 +401,7 @@ def queries() -> dict[str, QueryFn]:
         "cluster_representatives": neardup.cluster_representatives,
         "chunk_documents": textops.chunk_documents,
         "lm_bigram_nll": textops.lm_bigram_nll,
+        "nb_classifier_scores": classify.nb_classifier_scores,
         "rollup_sales": relational.rollup_sales,
         "except_ordered_parts": relational.except_ordered_parts,
         "intersect_nations": relational.intersect_nations,
@@ -517,6 +521,8 @@ def oracle_sql() -> dict[str, str]:
         analytics,
         asof,
         cdc,
+        changepoint,
+        classify,
         clustering,
         curation,
         diversify,

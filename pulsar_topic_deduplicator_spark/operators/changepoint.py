@@ -1,0 +1,131 @@
+"""CUSUM drift detection over the event stream — the sequential
+changepoint monitor (Page 1954) next to `hourly_anomaly_flags`' trailing
+z-test: the z-test catches single-bucket spikes, CUSUM accumulates SMALL
+persistent shifts ("volume has been 10% above normal for six hours")
+that no single bucket trips.
+
+NOT in the reference (its telemetry is three scalar counters —
+SURVEY.md §2.2 op #13); this is the drift alarm a production dedup
+service publishes beside them.
+
+**The recursion → prefix-min reduction (why this is pure SQL).** CUSUM is
+defined sequentially: ``S_t = max(0, S_{t-1} + y_t)`` — not directly a
+window aggregate. But the classic max-drawdown identity rewrites it
+closed-form: with prefix sums ``P_t = Σ_{i≤t} y_i``,
+
+    S_t = P_t − min(0, min_{i≤t} P_i)
+
+(each reset-to-0 is exactly the running-minimum baseline). Both sides
+are plain ordered-window aggregates, so the whole operator is two
+windows over the bucket frame — no recursion, no Python, no loop.
+
+**Exactness discipline.** The centered increment is scaled to stay
+integer: ``y_t = n·x_t − total`` per event type (n = the type's bucket
+count, total = its total events; Σy = 0 by construction, so a
+drift-free stream accumulates nothing). S_t is then n×(the run's excess
+event count), all BIGINT; the alarm ``S_t > CUSUM_H · total`` means
+"this run's cumulative excess exceeds CUSUM_H average-hours of volume"
+(both sides integers — total·CUSUM_H = n·mean·CUSUM_H exactly).
+
+**Scale shape.** ONE (type, bucket) count aggregate (map-side combined —
+the corpus collapses to types × hours rows), then per-type windows over
+that KB-to-MB frame: one unordered (n, total), one ordered prefix
+(P, running min). Nothing corpus-sized is shuffled twice; at 100 TB the
+window input is still types × hours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+#: alarm threshold, in average-hours of excess volume: a run must
+#: accumulate more than CUSUM_H hours' worth of mean traffic above the
+#: type's own mean before its buckets flag. Shared verbatim by the oracle.
+CUSUM_H = 3
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(event_type, bucket_us, n_events, cusum_scaled, is_drift)`` —
+    hourly buckets per type with the integer CUSUM statistic (scaled by
+    the type's bucket count n) and the drift alarm. Consecutive flagged
+    buckets are one sustained run crossing the threshold — the intended
+    monitoring read."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr(f"unix_micros(ts) div {_US_PER_HOUR}") * F.lit(_US_PER_HOUR)
+    counts = (
+        ev.select("event_type", hb.alias("bucket_us"))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    whole = Window.partitionBy("event_type")
+    prefix = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # windows can't nest: stage y = n·x − total, then prefix-sum it
+    with_y = counts.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        F.sum("n_events").over(whole).alias("total"),
+        (
+            F.count(F.lit(1)).over(whole) * F.col("n_events")
+            - F.sum("n_events").over(whole)
+        ).alias("y"),
+    )
+    with_p = with_y.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        "total",
+        F.sum("y").over(prefix).alias("p"),
+    )
+    s = F.col("p") - F.least(F.lit(0), F.min("p").over(prefix))
+    return with_p.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        s.alias("cusum_scaled"),
+        (s > F.col("total") * CUSUM_H).alias("is_drift"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "cusum_drift_flags": f"""
+        WITH counts AS (
+          SELECT event_type,
+                 (epoch_us(ts) // {_US_PER_HOUR}) * {_US_PER_HOUR}
+                   AS bucket_us,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        centered AS (
+          SELECT event_type, bucket_us, n_events,
+                 sum(n_events) OVER tw AS total,
+                 count(*) OVER tw * n_events - sum(n_events) OVER tw AS y
+          FROM counts
+          WINDOW tw AS (PARTITION BY event_type)),
+        pre AS (
+          SELECT event_type, bucket_us, n_events, total,
+                 sum(y) OVER pw AS p
+          FROM centered
+          WINDOW pw AS (PARTITION BY event_type ORDER BY bucket_us
+                        ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, bucket_us,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(p - least(0, min(p) OVER pw) AS BIGINT)
+                 AS cusum_scaled,
+               (p - least(0, min(p) OVER pw)) > total * {CUSUM_H}
+                 AS is_drift
+        FROM pre
+        WINDOW pw AS (PARTITION BY event_type ORDER BY bucket_us
+                      ROWS UNBOUNDED PRECEDING)
+    """,
+}

@@ -1,0 +1,169 @@
+"""Classifier-based quality filtering — a multinomial Naive Bayes text
+classifier TRAINED IN-QUERY on the corpus's own labels and applied to
+every document, the "train a filter model, score the crawl" pipeline
+stage (GPT-3's WebText-vs-crawl classifier, CCNet's fastText filter,
+LLaMA's Wikipedia-reference classifier all have this shape).
+
+NOT in the reference (no text ops there — SURVEY.md §2.3). The demo task
+is language classification: positive class = ``lang = 'en'`` (the corpus
+ships the label), evidence = word occurrences. Swapping the label column
+for any other deterministic predicate re-targets the same plan at
+quality, domain, or toxicity filtering — the label is one boolean
+expression.
+
+**Exactness discipline (the `lm_bigram_nll` nano-nat shape, taken one
+step further).** Each per-word class log-likelihood
+``ln((c_cls(w)+1) / (n_cls+V))`` (Laplace smoothing) is rounded ONCE to
+integer nano-nats; the word's logit weight is the exact BIGINT
+difference of the two rounded terms; the document score is the exact
+BIGINT sum of its words' weights plus the (identically rounded) class
+prior. Unlike `lm_bigram_nll` there is NO float in the output at all:
+the score column IS the nano-nat integer, so the only cross-engine
+surface is ln() itself — absorbed by the nano-nat rounding, same
+acceptance as the bigram LM.
+
+**Scale shape.** Training = ONE aggregate over the exploded token
+stream (both class counts in the same pass via conditional sums —
+map-side combined) + three scalars (class totals, vocabulary size);
+the resulting vocabulary-sized weight table IS the trained model — at
+100 TB it is materialized once and reused across scoring runs, exactly
+like the bigram LM's count tables. Scoring = one token⋈weights join
+keyed by word (stopword skew is real — AQE skew-join splits it, the
+`lm_bigram_nll` precedent) + one per-doc aggregate. No per-row Python
+anywhere; the whole plan is codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cachereg import persist_scoped
+from ..sources.io import load_table
+from .textops import _WORDS, _words
+
+#: the positive-class label: the demo trains an is-English classifier.
+NB_POS_LANG = "en"
+
+
+def _nanonat_ln(num, den):
+    """round(ln(num/den) * 1e9) as BIGINT — num/den exact integers, the
+    single rounding per term (associative BIGINT sums after this)."""
+    return F.round(
+        F.ln(num.cast("double") / den.cast("double")) * 1e9, 0
+    ).cast("long")
+
+
+def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, n_words, logit_nanonats, is_pos_pred)`` — every document
+    scored by the corpus-trained NB model: logit > 0 predicts the
+    positive class. Documents with no tokens (NULL text) carry no word
+    evidence and are absent, like the oracle's unnest."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = persist_scoped(
+        docs.select(
+            "doc_id",
+            # NULL lang is NOT the positive class, in both engines (a bare
+            # equality would three-value NULL through the class sums)
+            F.coalesce(F.col("lang") == NB_POS_LANG, F.lit(False)).alias(
+                "pos"
+            ),
+            F.explode(_words(F.col("text"))).alias("w"),
+        )
+    )
+    # training pass: both class counts per word in ONE aggregate
+    pos_int = F.col("pos").cast("long")
+    counts = tok.groupBy("w").agg(
+        F.sum(pos_int).alias("c_pos"),
+        F.sum(1 - pos_int).alias("c_neg"),
+    )
+    # model scalars: class token totals, vocabulary, doc-level priors
+    n_pos, n_neg = (
+        tok.agg(F.sum(pos_int), F.sum(1 - pos_int)).collect()[0]
+    )
+    v = counts.count()  # vocabulary size (counts has one row per word)
+    is_pos = F.coalesce(F.col("lang") == NB_POS_LANG, F.lit(False))
+    d_pos, d_neg = (
+        docs.agg(
+            F.sum(is_pos.cast("long")),
+            F.sum((~is_pos).cast("long")),
+        ).collect()[0]
+    )
+    prior = int(
+        spark.range(1)
+        .select(
+            _nanonat_ln(F.lit(d_pos + 1), F.lit(d_pos + d_neg + 2))
+            - _nanonat_ln(F.lit(d_neg + 1), F.lit(d_pos + d_neg + 2))
+        )
+        .collect()[0][0]
+    )
+    weights = counts.select(
+        "w",
+        (
+            _nanonat_ln(F.col("c_pos") + 1, F.lit(n_pos + v))
+            - _nanonat_ln(F.col("c_neg") + 1, F.lit(n_neg + v))
+        ).alias("wt"),
+    )
+    return (
+        tok.join(weights, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("wt").alias("s"))
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("s") + F.lit(prior)).alias("logit_nanonats"),
+            (F.col("s") + F.lit(prior) > 0).alias("is_pos_pred"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "nb_classifier_scores": f"""
+        WITH tok AS (
+          SELECT doc_id, coalesce(lang = '{NB_POS_LANG}', FALSE) AS pos,
+                 unnest({_WORDS}) AS w
+          FROM documents WHERE text IS NOT NULL),
+        counts AS (
+          SELECT w,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+          FROM tok GROUP BY w),
+        scal AS (
+          SELECT (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) FROM tok)
+                   AS n_pos,
+                 (SELECT sum(CASE WHEN pos THEN 0 ELSE 1 END) FROM tok)
+                   AS n_neg,
+                 (SELECT count(*) FROM counts) AS v,
+                 (SELECT count(*) FROM documents WHERE text IS NOT NULL
+                   AND coalesce(lang = '{NB_POS_LANG}', FALSE)) AS d_pos,
+                 (SELECT count(*) FROM documents WHERE text IS NOT NULL
+                   AND NOT coalesce(lang = '{NB_POS_LANG}', FALSE))
+                   AS d_neg),
+        prior AS (
+          SELECT CAST(round(ln(CAST(d_pos + 1 AS DOUBLE)
+                               / CAST(d_pos + d_neg + 2 AS DOUBLE))
+                            * 1000000000.0, 0) AS BIGINT)
+               - CAST(round(ln(CAST(d_neg + 1 AS DOUBLE)
+                               / CAST(d_pos + d_neg + 2 AS DOUBLE))
+                            * 1000000000.0, 0) AS BIGINT) AS p
+          FROM scal),
+        weights AS (
+          SELECT w,
+                 CAST(round(ln(CAST(c_pos + 1 AS DOUBLE)
+                               / CAST(n_pos + v AS DOUBLE))
+                            * 1000000000.0, 0) AS BIGINT)
+               - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE)
+                               / CAST(n_neg + v AS DOUBLE))
+                            * 1000000000.0, 0) AS BIGINT) AS wt
+          FROM counts, scal)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(wt) + (SELECT p FROM prior) AS BIGINT)
+                 AS logit_nanonats,
+               (sum(wt) + (SELECT p FROM prior)) > 0 AS is_pos_pred
+        FROM tok t JOIN weights USING (w)
+        GROUP BY t.doc_id
+    """,
+}

@@ -1,0 +1,86 @@
+"""CUSUM drift flags: the prefix-min closed form must equal the
+sequential recursion exactly (integer reference replayed per bucket), a
+sustained shift must flag while an equal-volume spike does not, and the
+fixture must match the DuckDB oracle bit-for-bit."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pulsar_topic_deduplicator_spark.operators.changepoint import (
+    CUSUM_H,
+    ORACLES,
+    cusum_drift_flags,
+)
+
+HOUR_US = 3_600_000_000
+
+# type "drift": 10/hour for 18 h, then 22/hour for 6 h — the sustained
+# run accumulates past CUSUM_H average-hours of excess (S reaches 1080
+# then 1296 vs threshold 936).  type "spike": 10/hour with one 40-event
+# hour — a huge z-score, but its one-bucket excess (690) stays under the
+# threshold (810) and decays.  type "flat": constant control.
+RATES = {
+    "drift": [10] * 18 + [22] * 6,
+    "spike": [10] * 11 + [40] + [10] * 12,
+    "flat": [10] * 24,
+}
+
+
+def _expected(xs: list[int]) -> list[tuple[int, bool]]:
+    """The sequential definition: S_t = max(0, S_{t-1} + (n·x_t − total))."""
+    n, total = len(xs), sum(xs)
+    s, out = 0, []
+    for x in xs:
+        s = max(0, s + n * x - total)
+        out.append((s, s > total * CUSUM_H))
+    return out
+
+
+@pytest.fixture(scope="module")
+def cp_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("cusum")
+    rows = []
+    eid = 0
+    for etype, xs in RATES.items():
+        for h, x in enumerate(xs):
+            for _ in range(x):
+                rows.append((eid, etype, h * HOUR_US))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, tus long"
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tus) AS ts")
+    df.write.mode("overwrite").parquet(str(path / "events.parquet"))
+    return str(path)
+
+
+def test_cusum_matches_sequential_reference(spark, cp_dir):
+    got = {
+        (r["event_type"], r["bucket_us"]): (r["cusum_scaled"], r["is_drift"])
+        for r in cusum_drift_flags(spark, cp_dir).collect()
+    }
+    for etype, xs in RATES.items():
+        exp = _expected(xs)
+        for h, (s, flag) in enumerate(exp):
+            assert got[(etype, h * HOUR_US)] == (s, flag), (etype, h)
+    # the sustained shift flags, the equal-or-larger spike and the
+    # control never do
+    assert any(flag for (t, _), (_, flag) in got.items() if t == "drift")
+    assert not any(flag for (t, _), (_, flag) in got.items() if t == "spike")
+    assert not any(flag for (t, _), (_, flag) in got.items() if t == "flat")
+
+
+def test_cusum_matches_oracle_on_fixture(spark, cp_dir):
+    got = sorted(
+        tuple(r) for r in cusum_drift_flags(spark, cp_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{cp_dir}/events.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ORACLES["cusum_drift_flags"]).fetchall()
+    )
+    assert got == want
