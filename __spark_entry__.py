@@ -312,6 +312,7 @@ def queries() -> dict[str, QueryFn]:
         "kmeans_assign": clustering.kmeans_assign,
         "kmeans_centroids": clustering.kmeans_centroids,
         "mmr_diversify": diversify.mmr_diversify,
+        "mmr_per_label": diversify.mmr_per_label,
         "profile_orders": lineage.profile_orders,
         "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
         "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,

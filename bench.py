@@ -105,6 +105,7 @@ HEADLINE = [
     "profile_orders",  # deequ-style profile (one Expand agg, scalar output)
     "mg_heavy_hitters_contracts",  # MG sketch + guarantee replay vs exact
     "mmr_diversify",  # MMR diversified top-K (one scan + pool greedy)
+    "mmr_per_label",  # distributed per-class MMR (R window rounds)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -97,3 +97,66 @@ def test_mmr_pool_plan_shape(spark, sf_dir):
     # the pairwise stage joins the pool against itself on dim — a
     # broadcastable KB-sized frame on at least one side
     assert has_broadcast_join(pairs), formatted_plan(pairs)[:2000]
+
+
+# per-label variant: label 0 has a near-duplicate pair (0, 1) among more
+# diverse options; label 1 has only two members (pool shortfall)
+LABEL_VECS = [
+    (0, [0.0, 0.0], 0),
+    (1, [0.01, 0.0], 0),
+    (2, [2.0, 0.0], 0),
+    (3, [0.0, 2.0], 0),
+    (4, [1.0, 1.0], 0),
+    (5, [5.0, 5.0], 1),
+    (6, [5.0, 6.0], 1),
+]
+
+
+@pytest.fixture(scope="module")
+def mmr_label_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("mmrlab")
+    spark.createDataFrame(
+        LABEL_VECS, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(str(path / "embeddings.parquet"))
+    return str(path)
+
+
+def test_mmr_per_label_structure_and_diversity(spark, mmr_label_dir):
+    from pulsar_topic_deduplicator_spark.operators.diversify import (
+        mmr_per_label,
+    )
+
+    rows = mmr_per_label(spark, mmr_label_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["label"], r["rank"])):
+        by_label.setdefault(r["label"], []).append(r)
+    # label 0 fills MMR_G_K picks; label 1 exhausts its 2 members
+    assert [r["rank"] for r in by_label[0]] == [1, 2, 3, 4]
+    assert [r["rank"] for r in by_label[1]] == [1, 2]
+    # rank 1 carries no diversity term; later ranks always do (no exact
+    # duplicates in this fixture)
+    for picks in by_label.values():
+        assert picks[0]["min_div_q"] == 0
+        assert all(p["min_div_q"] > 0 for p in picks[1:])
+    # diversity: the near-duplicate pair (0, 1) is never two of the top-3
+    top3 = {p["vec_id"] for p in by_label[0][:3]}
+    assert not {0, 1} <= top3
+
+
+def test_mmr_per_label_matches_oracle_on_fixture(spark, mmr_label_dir):
+    from pulsar_topic_deduplicator_spark.operators.diversify import (
+        mmr_per_label,
+    )
+
+    got = sorted(
+        tuple(r) for r in mmr_per_label(spark, mmr_label_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{mmr_label_dir}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ORACLES["mmr_per_label"]).fetchall()
+    )
+    assert got == want
