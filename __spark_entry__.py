@@ -399,6 +399,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
+        "lp_communities": graph.lp_communities,
         "cluster_representatives": neardup.cluster_representatives,
         "chunk_documents": textops.chunk_documents,
         "lm_bigram_nll": textops.lm_bigram_nll,

@@ -235,3 +235,89 @@ ORACLES: dict[str, str] = {
     "pagerank_top_suppliers": _oracle(),
     "pagerank_converged_suppliers": _oracle(N_ITER_CONV),
 }
+
+
+#: synchronous label-propagation rounds — pinned so the unrolled oracle
+#: replays the same R (on a bipartite graph sync LP can oscillate rather
+#: than converge, so the operator CONTRACTS the R-round state, exactly
+#: like the fixed-k PageRank entries contract their k-th iterate).
+LP_ROUNDS = 3
+
+
+def lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the customer↔supplier graph — the third classic of the
+    iterative tier (PageRank = influence, connected components =
+    reachability, LP = density): ``(node, community)`` after LP_ROUNDS
+    synchronous updates, each node adopting the most frequent label among
+    its neighbors (ties → smallest label; labels start as the node's own
+    id).
+
+    Determinism: the update is a pure integer/string argmax — count
+    descending, label ascending — so the R-round state is bit-identical
+    on any partitioning and the unrolled DuckDB CTE chain replays it
+    exactly (no RNG, no async update order — the usual LP nondeterminism
+    sources are defined away).
+
+    Scale: per round ONE join of the edge set against the node-sized
+    label frame + one (node, label) count + one per-node argmax — the
+    same two-shuffle step as PageRank, over the same cached
+    degree-annotated edges; R is fixed so the plan is a static DAG. At
+    100 TB: src-bucketed edges co-locate every round's join."""
+    from ..cachereg import persist_scoped
+
+    edges = persist_scoped(_interaction_edges(spark, sf_dir))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    for _ in range(LP_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("community").alias("lbl"),
+                ),
+                "dst",
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax(count desc, label asc) == min(struct(-count, label))
+        labels = cnt.groupBy("src").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
+                "m"
+            )
+        ).select(F.col("src").alias("node"), F.col("m.lbl").alias("community"))
+    return labels
+
+
+def _lp_oracle() -> str:
+    steps = []
+    prev = "lbl0"
+    for r in range(1, LP_ROUNDS + 1):
+        steps.append(f"""cnt{r} AS (
+          SELECT e.src, l.community AS lbl, count(*) AS c
+          FROM edges e JOIN lbl{r - 1} l ON l.node = e.dst
+          GROUP BY e.src, l.community),
+        lbl{r} AS MATERIALIZED (
+          SELECT src AS node, lbl AS community FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY c DESC, lbl) AS rn FROM cnt{r})
+          WHERE rn = 1)""")
+        prev = f"lbl{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs),
+        lbl0 AS (SELECT DISTINCT src AS node, src AS community FROM edges),
+        {chain}
+        SELECT node, community FROM {prev}
+    """
+
+
+ORACLES["lp_communities"] = _lp_oracle()
