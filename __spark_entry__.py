@@ -43,6 +43,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     multimodal,
     neardup,
     pipeline,
+    recommend,
     relational,
     retrieval,
     sampling,
@@ -400,6 +401,7 @@ def queries() -> dict[str, QueryFn]:
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
         "lp_communities": graph.lp_communities,
+        "cf_similar_suppliers": recommend.cf_similar_suppliers,
         "cluster_representatives": neardup.cluster_representatives,
         "chunk_documents": textops.chunk_documents,
         "lm_bigram_nll": textops.lm_bigram_nll,
@@ -535,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         graph,
         lineage,
         pipeline,
+        recommend,
         relational,
         sampling,
         scalarfuncs,

@@ -1,0 +1,157 @@
+"""Item-item collaborative filtering over co-purchase baskets — the
+recommendation/affinity family (Sarwar et al. 2001, "Item-based
+collaborative filtering"; the Amazon item-to-item shape): for every
+supplier, the top-K most similar suppliers by shared-customer Jaccard.
+
+NOT in the reference (no joins there — SURVEY.md §2.3); in a data
+platform this is the "customers who bought X also bought Y" read, and
+the same plan computes source-affinity or domain-affinity over any
+(user, item) interaction table.
+
+**Exactness discipline.** Similarity is the audience Jaccard
+``shared / (deg_a + deg_b − shared)`` — a rational. Instead of float
+division (cross-engine last-ulp risk in the ranking), the score is the
+EXACT integer ``jacc_ppb = (1e9 · shared) div union`` (parts-per-billion,
+floor — identical integral division on both engines), and the per-item
+top-K ranks by (jacc_ppb desc, shared desc, neighbor asc) — all integer
+comparisons, fully deterministic.
+
+**Scale shape (the skew story is the design).** The co-occurrence
+self-join is keyed on the customer; a power customer with F distinct
+suppliers contributes F² pairs, so an uncapped join is quadratic in the
+hottest key. The cap is PART OF THE MODEL, not a hack: customers with
+more than ``CF_MAX_FANOUT`` distinct suppliers are excluded from the
+basket set (standard CF practice — indiscriminate power users carry no
+affinity signal), which bounds every join task at ≤ CF_MAX_FANOUT² rows
+per customer BEFORE the join runs; the oracle applies the same exclusion,
+so the cap is oracle-checked, and degrees are computed over the SAME
+capped basket set (the similarity stays a true Jaccard of the modeled
+audiences). After the cap: one distinct aggregate (baskets), one
+fanout-filter aggregate, the bounded self-join + (a, b) count, a
+broadcastable degree join, and one per-item TopK window over the pair
+frame. Nothing uncapped is quadratic; AQE skew-join splits what remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cachereg import persist_scoped
+from ..sources.io import load_table
+
+#: customers with more distinct suppliers than this are excluded from the
+#: basket model (power-user cap — the per-task quadratic bound; shared
+#: verbatim by the oracle so the cap itself is checked).
+CF_MAX_FANOUT = 50
+
+#: similar items returned per item
+CF_TOP_K = 5
+
+#: fixed-point Jaccard scale (parts per billion)
+CF_PPB = 1_000_000_000
+
+
+def cf_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(suppkey, neighbor, shared, jacc_ppb, rank)`` — each supplier's
+    CF_TOP_K most similar suppliers by capped-audience Jaccard (exact
+    integer parts-per-billion; ranking fully integer-deterministic)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    fanout = raw.groupBy("cust").agg(F.count(F.lit(1)).alias("f"))
+    baskets = persist_scoped(
+        raw.join(
+            F.broadcast(fanout.filter(F.col("f") <= CF_MAX_FANOUT)), "cust"
+        ).select("cust", "supp")
+    )
+    deg = baskets.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") != F.col("b.supp")),
+        )
+        .groupBy(
+            F.col("a.supp").alias("suppkey"),
+            F.col("b.supp").alias("neighbor"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        co.join(
+            F.broadcast(deg.select(F.col("supp").alias("suppkey"),
+                                   F.col("deg").alias("deg_a"))),
+            "suppkey",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("supp").alias("neighbor"),
+                                   F.col("deg").alias("deg_b"))),
+            "neighbor",
+        )
+        .select(
+            "suppkey",
+            "neighbor",
+            "shared",
+            F.expr(
+                f"({CF_PPB} * shared) div (deg_a + deg_b - shared)"
+            ).alias("jacc_ppb"),
+        )
+    )
+    w = Window.partitionBy("suppkey").orderBy(
+        F.col("jacc_ppb").desc(), F.col("shared").desc(), "neighbor"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CF_TOP_K)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "cf_similar_suppliers": f"""
+        WITH raw AS (
+          SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        baskets AS MATERIALIZED (
+          SELECT cust, supp FROM raw
+          WHERE cust IN (SELECT cust FROM raw GROUP BY cust
+                         HAVING count(*) <= {CF_MAX_FANOUT})),
+        deg AS (SELECT supp, count(*) AS deg FROM baskets GROUP BY supp),
+        co AS (
+          SELECT a.supp AS suppkey, b.supp AS neighbor,
+                 count(*) AS shared
+          FROM baskets a JOIN baskets b
+            ON a.cust = b.cust AND a.supp <> b.supp
+          GROUP BY a.supp, b.supp),
+        scored AS (
+          SELECT co.suppkey, co.neighbor,
+                 CAST(co.shared AS BIGINT) AS shared,
+                 CAST(({CF_PPB} * co.shared)
+                      // (da.deg + db.deg - co.shared) AS BIGINT)
+                   AS jacc_ppb
+          FROM co
+          JOIN deg da ON da.supp = co.suppkey
+          JOIN deg db ON db.supp = co.neighbor)
+        SELECT suppkey, neighbor, shared, jacc_ppb,
+               CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY suppkey
+            ORDER BY jacc_ppb DESC, shared DESC, neighbor) AS rank
+          FROM scored)
+        WHERE rank <= {CF_TOP_K}
+    """,
+}
