@@ -263,6 +263,17 @@ def _stream_warmup_flagged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_warmup_flagged_bounded(spark, sf_dir, glob_filter="events.parquet")
 
 
+def _stream_drift_flags_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor over the streaming (type, hour) count aggregate
+    (complete mode, availableNow) — shares the batch entry's exact oracle;
+    stream==batch parity pinned in tests/test_changepoint.py."""
+    from pulsar_topic_deduplicator_spark.streaming.drift import (
+        run_stream_drift_bounded,
+    )
+
+    return run_stream_drift_bounded(spark, sf_dir, glob_filter="events.parquet")
+
+
 def _stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling counts with watermark (reference op #13 on event
     time) — append mode emits watermark-finalized windows only."""
@@ -335,6 +346,8 @@ def queries() -> dict[str, QueryFn]:
         "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
         "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
         "cusum_drift_flags": changepoint.cusum_drift_flags,
+        "event_transitions": analytics.event_transitions,
+        "stream_drift_flags": _stream_drift_flags_query,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
@@ -584,4 +597,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(quality.ORACLES)
     oracles.update(latest_state.ORACLES)
     oracles.update(span_dedup.ORACLES)
+    from pulsar_topic_deduplicator_spark.streaming import drift as _drift
+
+    oracles.update(_drift.ORACLES)
     return oracles

@@ -479,3 +479,62 @@ ORACLES["hourly_anomaly_flags"] = f"""
              AS is_spike
     FROM hist
 """
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream —
+    ``(from_type, to_type, n_transitions, prob_ppb)``: for each user's
+    event sequence (ordered by event time, tie-broken by event_id), the
+    count of each consecutive type pair and the row-normalized transition
+    probability in exact integer parts-per-billion
+    (``1e9·n div row_total`` — no float division, the `cf_similar_suppliers`
+    fixed-point discipline). The next-event model behind funnel analysis
+    and session-behavior monitoring.
+
+    Plan: one per-user ordered window (lead) over the events scan — the
+    same single-shuffle shape as `sessionize_events` — then a (from, to)
+    count whose output is |types|² rows, and a broadcast row-total join on
+    the KB-sized matrix. Nothing corpus-sized shuffles twice."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("(1000000000 * n_transitions) div row_total").alias(
+            "prob_ppb"
+        ),
+    )
+
+
+ORACLES["event_transitions"] = """
+    WITH steps AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM steps WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type),
+    totals AS (
+      SELECT from_type, sum(n_transitions) AS row_total
+      FROM counts GROUP BY from_type)
+    SELECT c.from_type, c.to_type,
+           CAST(c.n_transitions AS BIGINT) AS n_transitions,
+           CAST((1000000000 * c.n_transitions) // t.row_total AS BIGINT)
+             AS prob_ppb
+    FROM counts c JOIN totals t USING (from_type)
+"""

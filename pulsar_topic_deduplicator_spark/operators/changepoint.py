@@ -49,21 +49,13 @@ CUSUM_H = 3
 _US_PER_HOUR = 3_600_000_000
 
 
-def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(event_type, bucket_us, n_events, cusum_scaled, is_drift)`` —
-    hourly buckets per type with the integer CUSUM statistic (scaled by
-    the type's bucket count n) and the drift alarm. Consecutive flagged
-    buckets are one sustained run crossing the threshold — the intended
-    monitoring read."""
+def cusum_flags(counts: DataFrame) -> DataFrame:
+    """The CUSUM kernel over a bucket-count frame ``(event_type,
+    bucket_us, n_events)`` — shared by the batch entry and the streaming
+    monitor (``streaming/drift.py``), which differ only in how the counts
+    frame is produced."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    hb = F.expr(f"unix_micros(ts) div {_US_PER_HOUR}") * F.lit(_US_PER_HOUR)
-    counts = (
-        ev.select("event_type", hb.alias("bucket_us"))
-        .groupBy("event_type", "bucket_us")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
     whole = Window.partitionBy("event_type")
     prefix = (
         Window.partitionBy("event_type")
@@ -96,6 +88,22 @@ def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("cusum_scaled"),
         (s > F.col("total") * CUSUM_H).alias("is_drift"),
     )
+
+
+def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(event_type, bucket_us, n_events, cusum_scaled, is_drift)`` —
+    hourly buckets per type with the integer CUSUM statistic (scaled by
+    the type's bucket count n) and the drift alarm. Consecutive flagged
+    buckets are one sustained run crossing the threshold — the intended
+    monitoring read."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr(f"unix_micros(ts) div {_US_PER_HOUR}") * F.lit(_US_PER_HOUR)
+    counts = (
+        ev.select("event_type", hb.alias("bucket_us"))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return cusum_flags(counts)
 
 
 ORACLES: dict[str, str] = {

@@ -83,3 +83,42 @@ def test_histogram_partitions_the_table(spark, sf_dir):
         "left_anti",
     )
     assert joined.count() == 0
+
+
+def test_event_transitions_hand_pinned(spark, tmp_path_factory):
+    """Markov transitions: per-user lead order (ts, then event_id for ties),
+    cross-user isolation, exact ppb row normalization."""
+    from pulsar_topic_deduplicator_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    # user 1: A B A C (same-ts pair (2,3) ordered by event_id: B then A);
+    # user 2: C A — isolated from user 1's chain
+    rows = [
+        (1, 1, "A", 1_000_000, 1.0, "{}"),
+        (2, 1, "B", 2_000_000, 1.0, "{}"),
+        (3, 1, "A", 2_000_000, 1.0, "{}"),
+        (4, 1, "C", 3_000_000, 1.0, "{}"),
+        (5, 2, "C", 1_000_000, 1.0, "{}"),
+        (6, 2, "A", 2_000_000, 1.0, "{}"),
+    ]
+    path = tmp_path_factory.mktemp("trans")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, tus long,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(tus) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob_ppb"])
+        for r in event_transitions(spark, str(path)).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 500_000_000),   # A row: A→B, A→C (1 each of 2)
+        ("A", "C"): (1, 500_000_000),
+        ("B", "A"): (1, 1_000_000_000),  # tie at ts=2s: event_id 2 < 3
+        ("C", "A"): (1, 1_000_000_000),  # user 2's chain, isolated
+    }

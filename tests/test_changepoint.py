@@ -46,11 +46,22 @@ def cp_dir(spark, tmp_path_factory):
     for etype, xs in RATES.items():
         for h, x in enumerate(xs):
             for _ in range(x):
-                rows.append((eid, etype, h * HOUR_US))
+                # full events schema: the streaming source projects every
+                # column even though the monitor only reads (event_type, ts)
+                rows.append((eid, etype, h * HOUR_US, eid % 7, 1.0, "{}"))
                 eid += 1
     df = spark.createDataFrame(
-        rows, "event_id long, event_type string, tus long"
-    ).selectExpr("event_id", "event_type", "timestamp_micros(tus) AS ts")
+        rows,
+        "event_id long, event_type string, tus long, user_id long,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(tus) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
     df.write.mode("overwrite").parquet(str(path / "events.parquet"))
     return str(path)
 
@@ -84,3 +95,24 @@ def test_cusum_matches_oracle_on_fixture(spark, cp_dir):
         tuple(r) for r in con.execute(ORACLES["cusum_drift_flags"]).fetchall()
     )
     assert got == want
+
+
+def test_stream_drift_equals_batch(spark, cp_dir):
+    """The streamed (complete-mode, availableNow) bucket table drained over
+    the fixture must produce bit-identical CUSUM flags to the batch scan."""
+    from pulsar_topic_deduplicator_spark.streaming.drift import (
+        run_stream_drift_bounded,
+    )
+
+    # the fixture's events.parquet is a directory of part files — stream
+    # the directory itself (no file-name glob)
+    got = sorted(
+        tuple(r)
+        for r in run_stream_drift_bounded(
+            spark, f"{cp_dir}/events.parquet"
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in cusum_drift_flags(spark, cp_dir).collect()
+    )
+    assert got == batch and len(got) == 72  # 3 types × 24 hours
