@@ -298,11 +298,15 @@ def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
     # round. Round 8 continues the self-sustaining staleness rotation:
     # (a) the never-driver-checked round-8 additions (entity resolution,
-    # positional index + phrase search, integer-exact k-means,
+    # positional index + phrase search, integer-exact k-means, MMR
+    # diversified selection + per-label variant, table profiler,
+    # Misra-Gries heavy hitters + weighted revenue twins,
     # substring-dedup family, DSIR selection + Gumbel resampling, KMV
     # set-algebra overlap, fuzzy decontamination, vocab coverage, BPE pair
     # counts, n-gram novelty, SAX time-series words, SQ8 quantization +
-    # error audit, trailing-window anomaly flags), then (b) the r4-era
+    # error audit, trailing-window anomaly flags, CUSUM drift batch +
+    # streaming twins, event-transition matrix, NB classifier, label
+    # propagation, item-item CF), then (b) the r4-era
     # cohort — the five entries that slipped past round 7's window edge
     # plus the five sql_* portable-SQL entries, the stalest checkable
     # evidence in the ledger — then (c) the r5-checked tier in its round-5
@@ -348,6 +352,9 @@ def queries() -> dict[str, QueryFn]:
         "cusum_drift_flags": changepoint.cusum_drift_flags,
         "event_transitions": analytics.event_transitions,
         "stream_drift_flags": _stream_drift_flags_query,
+        "nb_classifier_scores": classify.nb_classifier_scores,
+        "lp_communities": graph.lp_communities,
+        "cf_similar_suppliers": recommend.cf_similar_suppliers,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
@@ -413,12 +420,9 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
-        "lp_communities": graph.lp_communities,
-        "cf_similar_suppliers": recommend.cf_similar_suppliers,
         "cluster_representatives": neardup.cluster_representatives,
         "chunk_documents": textops.chunk_documents,
         "lm_bigram_nll": textops.lm_bigram_nll,
-        "nb_classifier_scores": classify.nb_classifier_scores,
         "rollup_sales": relational.rollup_sales,
         "except_ordered_parts": relational.except_ordered_parts,
         "intersect_nations": relational.intersect_nations,
