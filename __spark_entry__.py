@@ -355,6 +355,7 @@ def queries() -> dict[str, QueryFn]:
         "nb_classifier_scores": classify.nb_classifier_scores,
         "lp_communities": graph.lp_communities,
         "cf_similar_suppliers": recommend.cf_similar_suppliers,
+        "ppr_related_suppliers": graph.ppr_related_suppliers,
         # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,

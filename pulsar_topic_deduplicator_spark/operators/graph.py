@@ -321,3 +321,109 @@ def _lp_oracle() -> str:
 
 
 ORACLES["lp_communities"] = _lp_oracle()
+
+
+#: PPR iteration budget (oracle replays the same k)
+PPR_ITER = 3
+
+
+def ppr_related_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank — the "related to X" graph-retrieval read
+    (random walk with restart): all restart mass returns to a single SEED
+    node instead of spreading uniformly, so the fixed point scores every
+    node by its proximity to the seed through the interaction graph. Same
+    exact-integer discipline as `pagerank_fixed_point` (scaled BIGINT
+    mass, floor shares, integer damping); the seed is data-derived and
+    deterministic — the smallest supplier node — and the oracle replays
+    the identical PPR_ITER iterations with the same CASE-gated restart.
+
+    Output: the TOP_K highest-scoring nodes ``(node, pr)`` — the seed's
+    graph neighborhood ranked. Scale shape: identical to PageRank (the
+    per-iteration join + aggregate over the cached degree-annotated
+    edges); personalization changes one per-node constant, not the plan."""
+    from ..cachereg import persist_scoped
+
+    edges = _interaction_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = persist_scoped(edges.join(deg, "src"))
+    nodes = edges_deg.select("src").distinct()
+    seed = (
+        nodes.filter(F.col("src").startswith("s"))
+        .agg(F.min(F.expr("CAST(substring(src, 2) AS BIGINT)")))
+        .collect()[0][0]
+    )  # scalar: smallest supplier id — deterministic, data-derived
+    seed_node = f"s{seed}"
+    restart = (15 * SCALE) // 100
+    is_seed = F.col("node") == seed_node
+    # all walk mass starts at the seed (pure random-walk-with-restart)
+    pr = nodes.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") == seed_node, F.lit(SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(PPR_ITER):
+        contrib = (
+            F.broadcast(pr.alias("p"))
+            .join(edges_deg.alias("e"), F.col("p.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                F.expr("p.pr div e.outdeg").alias("share"),
+            )
+        )
+        pr = contrib.groupBy("node").agg(
+            (
+                F.when(is_seed, F.lit(restart)).otherwise(F.lit(0))
+                + F.expr(f"({DAMP_PCT} * sum(share)) div 100")
+            ).alias("pr")
+        )
+    out = pr.orderBy(F.desc("pr"), "node").limit(TOP_K)
+    out = out.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    return out
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, PPR_ITER + 1):
+        steps.append(
+            f"""pr{i} AS (
+          SELECT e.dst AS node,
+                 (CASE WHEN e.dst = (SELECT sn FROM seedc)
+                       THEN {(15 * SCALE) // 100} ELSE 0 END)
+                   + ({DAMP_PCT} * CAST(sum(p.pr // d.outdeg) AS BIGINT)) // 100
+                   AS pr
+          FROM edges e
+          JOIN {prev} p ON e.src = p.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        seedc AS (SELECT 's' || min(CAST(substring(src, 2) AS BIGINT)) AS sn
+                  FROM (SELECT DISTINCT src FROM edges)
+                  WHERE src LIKE 's%'),
+        pr0 AS (SELECT src AS node,
+                       CASE WHEN src = (SELECT sn FROM seedc)
+                            THEN CAST({SCALE} AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS pr
+                FROM (SELECT DISTINCT src FROM edges)),
+        {chain}
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM {prev}
+        ORDER BY pr DESC, node
+        LIMIT {TOP_K}
+    """
+
+
+ORACLES["ppr_related_suppliers"] = _ppr_oracle()

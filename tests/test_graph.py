@@ -68,3 +68,54 @@ def test_k10_lineage_truncation_and_stable_stop(spark):
         )
     )
     assert stable == full
+
+
+def test_ppr_ranks_seed_neighborhood(spark, tmp_path_factory):
+    """Personalized PageRank: the integer fixed-point replayed in pure
+    Python must match bit-for-bit, and the seed's neighbor must outrank
+    the globally-popular hub that dominates UNIFORM PageRank."""
+    from pulsar_topic_deduplicator_spark.operators.graph import (
+        DAMP_PCT,
+        PPR_ITER,
+        SCALE,
+        ppr_related_suppliers,
+    )
+
+    # seed region: c1—s1, c1—s2; hub: s9 with customers 2, 3, 4; weak
+    # link back via c4—s2 so the graph is connected
+    pairs = [(1, 1), (1, 2), (2, 9), (3, 9), (4, 9), (4, 2)]
+    path = tmp_path_factory.mktemp("ppr")
+    spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(pairs)],
+        "o_orderkey long, o_custkey long",
+    ).write.mode("overwrite").parquet(str(path / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(pairs)],
+        "l_orderkey long, l_suppkey long",
+    ).write.mode("overwrite").parquet(str(path / "lineitem.parquet"))
+
+    # exact integer replay of the same PPR_ITER iterations
+    adj: dict[str, list[str]] = {}
+    for c, s in pairs:
+        adj.setdefault(f"c{c}", []).append(f"s{s}")
+        adj.setdefault(f"s{s}", []).append(f"c{c}")
+    restart = (15 * SCALE) // 100
+    pr = {n: (SCALE if n == "s1" else 0) for n in adj}
+    for _ in range(PPR_ITER):
+        new = {n: 0 for n in adj}
+        for src, nbrs in adj.items():
+            share = pr[src] // len(nbrs)
+            for dst in nbrs:
+                new[dst] += share
+        pr = {
+            n: (restart if n == "s1" else 0) + (DAMP_PCT * v) // 100
+            for n, v in new.items()
+        }
+
+    got = {
+        r["node"]: r["pr"]
+        for r in ppr_related_suppliers(spark, str(path)).collect()
+    }
+    assert got == pr  # 11 nodes <= TOP_K: the full frame is returned
+    # the retrieval claim: proximity to the seed beats global popularity
+    assert got["s2"] > got["s9"]
