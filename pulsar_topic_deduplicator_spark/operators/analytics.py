@@ -503,8 +503,16 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    counts = steps.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n_transitions")
+    from ..cachereg import persist_scoped
+
+    # counts feeds both the join side and the row totals — without the
+    # persist, Catalyst evaluates the corpus-sized window+count sub-DAG
+    # twice (plan audit showed 5 exchanges; the matrix is |types|² rows,
+    # so pinning it costs KBs and halves the corpus work)
+    counts = persist_scoped(
+        steps.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).alias("n_transitions")
+        )
     )
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").alias("row_total")
