@@ -233,7 +233,9 @@ def mmr_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     simply emit fewer picks (both engines derive the same shortfall)."""
     from pyspark.sql import Window
 
-    q = _quantized(spark, sf_dir)
+    # q feeds both the centroid/relevance pass and the pool-dims join —
+    # pin it so the corpus quantization runs once (plan-audit finding)
+    q = persist_scoped(_quantized(spark, sf_dir))
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     ql = q.join(lab, "vec_id")
     cent = ql.groupBy("label", "dim").agg(

@@ -64,7 +64,9 @@ def cf_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    raw = (
+    # raw feeds both the fanout aggregate and the basket filter — pin it
+    # so the corpus-sized join+distinct runs once (plan-audit finding)
+    raw = persist_scoped(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("cust"),
