@@ -116,3 +116,48 @@ def test_stream_drift_equals_batch(spark, cp_dir):
         tuple(r) for r in cusum_drift_flags(spark, cp_dir).collect()
     )
     assert got == batch and len(got) == 72  # 3 types × 24 hours
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_cusum_random_series_match_sequential_reference(
+    spark, tmp_path_factory, seed
+):
+    """Seeded random bucket series: the window-function closed form must
+    equal the sequential recursion on arbitrary integer data, including
+    empty-feeling flats and repeated saturations."""
+    import random
+
+    rng = random.Random(seed)
+    rates = {
+        f"t{k}": [rng.randint(0, 40) for _ in range(rng.randint(2, 30))]
+        for k in range(4)
+    }
+    rows, eid = [], 0
+    for etype, xs in rates.items():
+        for h, x in enumerate(xs):
+            for _ in range(x):
+                rows.append((eid, etype, h * HOUR_US, eid % 5, 1.0, "{}"))
+                eid += 1
+    path = tmp_path_factory.mktemp(f"cusum_r{seed}")
+    spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, tus long, user_id long,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(tus) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    got = {
+        (r["event_type"], r["bucket_us"]): (r["cusum_scaled"], r["is_drift"])
+        for r in cusum_drift_flags(spark, str(path)).collect()
+    }
+    for etype, xs in rates.items():
+        # zero-count hours carry no rows, so the operator sees only the
+        # observed buckets — replay the reference over the same subset
+        observed = [(h, x) for h, x in enumerate(xs) if x > 0]
+        sub = [x for _, x in observed]
+        exp = _expected(sub)
+        assert len([k for k in got if k[0] == etype]) == len(observed)
+        for (h, _), (s, flag) in zip(observed, exp):
+            assert got[(etype, h * HOUR_US)] == (s, flag), (seed, etype, h)

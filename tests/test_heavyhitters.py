@@ -115,3 +115,39 @@ def test_weighted_saturating_guarantees_nonvacuous(spark):
     for item, t in true.items():
         if t > bound:
             assert item in mg
+
+
+@pytest.mark.parametrize("seed", [11, 42, 77])
+def test_weighted_random_streams_keep_guarantees(spark, seed):
+    """Seeded random weighted streams across forced partition layouts:
+    no-overcount, the W/(k+1) undercount bound, the ≤ k size bound, and
+    heavy-item recall must hold for arbitrary skews."""
+    import random
+
+    rng = random.Random(seed)
+    n_items = rng.randint(5, 120)  # spans unsaturated AND saturated
+    rows = [
+        (rng.randrange(n_items), rng.randint(1, 50))
+        for _ in range(rng.randint(50, 400))
+    ]
+    # plant a heavy item so recall is non-vacuous under saturation
+    rows += [(0, 40)] * 30
+    df = spark.createDataFrame(rows, "item_col long, w long").repartition(
+        rng.choice([1, 3, 8])
+    )
+    mg = {
+        r["item"]: r["est_count"]
+        for r in _mg_merged(df, "item_col", "w").collect()
+    }
+    true: dict[str, int] = {}
+    for i, w in rows:
+        true[str(i)] = true.get(str(i), 0) + w
+    total = sum(w for _, w in rows)
+    bound = total // (MG_K + 1)
+    assert len(mg) <= MG_K
+    for item, est in mg.items():
+        assert est <= true[item], (seed, item)
+        assert true[item] - est <= bound, (seed, item)
+    for item, t in true.items():
+        if t > bound:
+            assert item in mg, (seed, item)
