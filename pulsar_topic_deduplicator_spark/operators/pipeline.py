@@ -81,8 +81,14 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is per-source scalar rows."""
     from .textops import PREFIX_WORDS, gopher_pass
 
+    from ..cachereg import persist_scoped
+
     docs = load_table(spark, sf_dir, "documents")
-    exact_ids = (
+    # each survivor-id set is consumed twice (the next stage's semi-join
+    # AND the final funnel join) and the later sets nest the earlier ones
+    # — unpinned, the full-text sha2 pass re-ran ~4x (plan-audit finding);
+    # the id frames are doc-count-sized, so the persists are cheap
+    exact_ids = persist_scoped(
         docs.select(F.sha2(F.col("text"), 256).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -90,7 +96,7 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = docs.join(exact_ids, "doc_id", "left_semi")
     prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, PREFIX_WORDS), " ")
-    prefix_ids = (
+    prefix_ids = persist_scoped(
         d1.select(F.sha2(prefix, 256).alias("pk"), "doc_id")
         .groupBy("pk")
         .agg(F.min("doc_id").alias("doc_id"))
