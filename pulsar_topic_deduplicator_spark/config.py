@@ -77,6 +77,16 @@ def _read_int(env: dict, name: str, default: int) -> int:
         raise ConfigError(f"{name} must parse as an int, got {raw!r}") from exc
 
 
+def _read_int_nonneg(env: dict, name: str, default: int) -> int:
+    """The reference's ``getOptionalNonNegativeInteger``
+    (``src/config.ts:86-98``): optional, but if present must be an
+    integer ≥ 0 — fail-fast otherwise."""
+    v = _read_int(env, name, default)
+    if v < 0:
+        raise ConfigError(f"{name} must be non-negative, got {v}")
+    return v
+
+
 @dataclass(frozen=True)
 class OAuth2Config:
     """Pulsar OAuth2 client-credentials group (``src/config.ts:142-168``)."""
@@ -123,6 +133,14 @@ class EngineConfig:
     cache_rebuild_disable_seek: bool = False
     health_check_port: int = 8080
     oauth2: OAuth2Config | None = None
+    #: the reference's warm-up reader admission bound
+    #: (``PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE``, default 10,
+    #: ``src/config.ts:233-235``): at most N messages buffered client-side.
+    #: The engine's broker connectors take it verbatim
+    #: (``sources/formats.py:pulsar_reader_options``); the file-source
+    #: analog is ``max_files_per_trigger`` on the service starters —
+    #: bounded ingest slices instead of one unbounded replay batch.
+    cache_reader_receiver_queue_size: int = 10
 
     @property
     def dedup_window_ms(self) -> int:
@@ -152,4 +170,7 @@ class EngineConfig:
             ),
             health_check_port=_read_int(env, "HEALTH_CHECK_PORT", 8080),
             oauth2=_read_oauth2(env),
+            cache_reader_receiver_queue_size=_read_int_nonneg(
+                env, "PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE", 10
+            ),
         )

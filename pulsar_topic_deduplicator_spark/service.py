@@ -13,8 +13,12 @@ the engine's pieces:
    (op #12, message-granular skip), seed the dedup state — completed
    strictly BEFORE live consumption, the reference's happens-before edge
    (``src/deduplication.ts:75-79``);
-3. exact-TTL streaming dedup keyed on the config's ignored-properties
-   projection (ops #4–#9);
+3. TTL streaming dedup keyed on the config's ignored-properties
+   projection (ops #4–#9) — DEFAULT kernel: the JVM-only watermark TTL
+   (``dedup_stream_ingest_ttl``; digest groups are near-singleton in dedup
+   traffic, so per-group Python is effectively per-row — see its
+   docstring); ``exact_processing_ttl=True`` opts into the exact
+   processing-clock kernels;
 4. health / counters / graceful stop (ops #13–#15) surfaced as methods.
 
 The live broker line is the one piece the sandbox cannot exercise: swap the
@@ -33,7 +37,11 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .config import EngineConfig
 from .operators.lineage import extract_origin_digests, message_dq_violations
-from .streaming.dedup import run_ttl_dedup_bounded, start_ttl_dedup
+from .streaming.dedup import (
+    dedup_stream_ingest_ttl,
+    run_ttl_dedup_bounded,
+    start_ttl_dedup,
+)
 from .streaming.ops import graceful_stop, health_status, observed_counters
 
 
@@ -214,15 +222,35 @@ def start_dedup_service(
     prior_output: DataFrame | None = None,
     now_ts: str = "2024-01-03 00:00:00",
     glob_filter: str | None = None,
+    exact_processing_ttl: bool = False,
     use_tws: bool | None = None,
     dq_gate: bool = False,
     messages: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DedupService:
     """Wire config → warm-up → live dedup in the reference's startup order
     and return the running service. ``prior_output`` is the batch view of
     the service's own previous output (the reference re-reads its output
     topic); None (or a disabled cache window) skips warm-up exactly like
     ``cacheWindowInSeconds <= 0`` (``src/cacheBuilding.ts:71-77``).
+
+    Kernel selection: the DEFAULT is the JVM-only watermark TTL kernel
+    (``dedup_stream_ingest_ttl``) — all dedup state lives in the JVM state
+    store, no per-group Python. Dedup keys are crypto digests, so in real
+    traffic group count ≈ row count and the GroupState kernel's per-group
+    Python round-trip is effectively per-row (~3× slower measured at
+    sf0.1); the watermark kernel's only deviation is that state EVICTION
+    (re-admission after TTL expiry) lags by the watermark advance — late
+    eviction, never early re-admission, the same direction ObliviousSet
+    errs (``src/obliviousSet.ts:15-24``). ``exact_processing_ttl=True``
+    opts into the exact processing-time-TTL kernels for deployments that
+    need expiry exact to the millisecond (``use_tws`` then selects
+    GroupState vs transformWithState); its output additionally carries the
+    per-digest ``n_dropped`` counter rows.
+
+    ``max_files_per_trigger`` rate-limits ingest (admission control — the
+    reference's bounded receive queue, ``src/config.ts:231-235``); dedup
+    output is batch-split invariant (tests/test_admission.py).
 
     ``dq_gate=True`` composes the row-local DQ gate as an ingest
     pre-filter: rows violating any constraint never reach the dedup state
@@ -239,18 +267,32 @@ def start_dedup_service(
     if config.warmup_enabled and prior_output is not None:
         seeds = warmup_seed_digests(prior_output, config, now_ts)
     predicate = F.size(message_dq_violations()) == 0 if dq_gate else None
-    query, name = start_ttl_dedup(
-        spark,
-        source_dir,
-        checkpoint_dir,
-        ttl_ms=config.dedup_window_ms,
-        seed_digests=seeds,
-        glob_filter=glob_filter,
-        use_tws=use_tws,
-        ignored=config.ignored_properties,
-        message_predicate=predicate,
-        messages=messages,
-    )
+    if exact_processing_ttl:
+        query, name = start_ttl_dedup(
+            spark,
+            source_dir,
+            checkpoint_dir,
+            ttl_ms=config.dedup_window_ms,
+            seed_digests=seeds,
+            glob_filter=glob_filter,
+            use_tws=use_tws,
+            ignored=config.ignored_properties,
+            message_predicate=predicate,
+            messages=messages,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    else:
+        query, name = _start_watermark_dedup_query(
+            spark,
+            config,
+            source_dir,
+            checkpoint_dir,
+            seeds=seeds,
+            glob_filter=glob_filter,
+            message_predicate=predicate,
+            messages=messages,
+            max_files_per_trigger=max_files_per_trigger,
+        )
     q_query = q_name = None
     if dq_gate:
         # the quarantine side-stream MUST observe the same transport the
@@ -267,6 +309,51 @@ def start_dedup_service(
         quarantine_query=q_query,
         quarantine_table=q_name,
     )
+
+
+def _start_watermark_dedup_query(
+    spark: SparkSession,
+    config: EngineConfig,
+    source_dir: str,
+    checkpoint_dir: str | None,
+    seeds: DataFrame | None = None,
+    glob_filter: str | None = None,
+    message_predicate=None,
+    messages: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+):
+    """Start the default-kernel service query: (optional gate predicate) →
+    warm-up anti-join seeding → JVM watermark TTL dedup → memory sink.
+    Returns ``(query, table_name)``."""
+    import uuid
+
+    from .streaming.source import events_message_stream
+
+    name = f"svc_wm_{uuid.uuid4().hex[:8]}"
+    if messages is None:
+        messages = events_message_stream(
+            spark,
+            source_dir,
+            glob_filter=glob_filter,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    if message_predicate is not None:
+        messages = messages.filter(message_predicate)
+    deduped = dedup_stream_ingest_ttl(
+        messages,
+        config.dedup_window_ms,
+        config.ignored_properties,
+        exclude_digests=seeds,
+    )
+    writer = (
+        deduped.writeStream.format("memory").queryName(name).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), name
 
 
 def start_quarantine_stream(
@@ -314,37 +401,65 @@ def run_dedup_service_bounded(
     prior_output: DataFrame | None = None,
     now_ts: str = "2024-01-03 00:00:00",
     glob_filter: str | None = None,
+    exact_processing_ttl: bool = False,
     use_tws: bool | None = None,
 ) -> DataFrame:
     """Bounded (drain-and-stop) run of the full service composition — the
-    test/backfill entry point."""
+    test/backfill entry point. Default kernel = JVM watermark TTL (full
+    surviving message rows); ``exact_processing_ttl=True`` opts into the
+    exact GroupState/transformWithState kernels (digest/message_id/
+    event_ts/n_dropped rows) — see ``start_dedup_service``."""
     seeds = None
     if config.warmup_enabled and prior_output is not None:
         seeds = warmup_seed_digests(prior_output, config, now_ts)
-    return run_ttl_dedup_bounded(
+    if exact_processing_ttl:
+        return run_ttl_dedup_bounded(
+            spark,
+            source_dir,
+            checkpoint_dir,
+            ttl_ms=config.dedup_window_ms,
+            seed_digests=seeds,
+            glob_filter=glob_filter,
+            use_tws=use_tws,
+            ignored=config.ignored_properties,
+        )
+    query, name = _start_watermark_dedup_query(
         spark,
+        config,
         source_dir,
         checkpoint_dir,
-        ttl_ms=config.dedup_window_ms,
-        seed_digests=seeds,
+        seeds=seeds,
         glob_filter=glob_filter,
-        use_tws=use_tws,
-        ignored=config.ignored_properties,
+        available_now=True,
     )
+    query.awaitTermination()
+    return spark.table(name)
 
 
 def run_gated_service_bounded(
     spark: SparkSession,
     config: EngineConfig,
     source_dir: str,
-    checkpoint_dir: str,
+    checkpoint_dir: str | None = None,
     glob_filter: str | None = None,
+    exact_processing_ttl: bool = False,
     use_tws: bool | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Bounded run of the DQ-gated service composition: the ingest stream is
-    split by the row-local gate — clean rows flow through the exact-TTL
-    dedup, dirty rows land in quarantine with their violated constraints.
-    Returns ``(dedup_output, quarantine)``."""
+    split by the row-local gate — clean rows flow through the TTL dedup,
+    dirty rows land in quarantine with their violated constraints. Returns
+    ``(dedup_output, quarantine, n_clean)`` where ``n_clean`` is the
+    gate-passing ingest count, so ``dropped = n_clean − forwarded`` on both
+    kernels. Default kernel = JVM watermark TTL (``start_dedup_service``
+    rationale); ``exact_processing_ttl=True`` opts into the exact
+    GroupState/transformWithState kernels, whose output additionally
+    carries per-digest ``n_dropped`` counter rows."""
+    if not exact_processing_ttl:
+        return run_gated_service_watermark_bounded(
+            spark, config, source_dir, glob_filter=glob_filter
+        )
+    import tempfile
+
     predicate = F.size(message_dq_violations()) == 0
     # start the stateless quarantine pass FIRST (async) so it overlaps the
     # stateful dedup run instead of paying a second sequential source scan
@@ -354,7 +469,7 @@ def run_gated_service_bounded(
     out = run_ttl_dedup_bounded(
         spark,
         source_dir,
-        checkpoint_dir,
+        checkpoint_dir or tempfile.mkdtemp("gated_ckpt"),
         ttl_ms=config.dedup_window_ms,
         glob_filter=glob_filter,
         use_tws=use_tws,
@@ -362,7 +477,9 @@ def run_gated_service_bounded(
         message_predicate=predicate,
     )
     q_query.awaitTermination()
-    return out, spark.table(q_name)
+    forwarded = out.filter(F.col("message_id").isNotNull()).count()
+    dropped = out.agg(F.sum("n_dropped")).collect()[0][0] or 0
+    return out, spark.table(q_name), int(forwarded + dropped)
 
 
 def service_counters_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,15 +496,18 @@ def service_counters_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the counters are aggregates OVER the bounded run's outputs
     (micro-batch sinks); the scalar collects are three counts — no
-    row-level driver traffic."""
-    import tempfile
+    row-level driver traffic.
 
-    out, quarantine = run_gated_service_bounded(
+    This entry deliberately opts into the EXACT processing-time-TTL kernel
+    (``exact_processing_ttl=True``) so the driver keeps checking that
+    kernel's composed path; the default-kernel twin is
+    ``service_counters_watermark``."""
+    out, quarantine, _n_clean = run_gated_service_bounded(
         spark,
         EngineConfig(),
         sf_dir,
-        tempfile.mkdtemp("gated_ckpt"),
         glob_filter="events.parquet",
+        exact_processing_ttl=True,
         use_tws=False,
     )
     forwarded = out.filter(F.col("message_id").isNotNull()).count()
@@ -459,7 +579,9 @@ def run_gated_service_watermark_bounded(
 def service_counters_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: the same composed gate→dedup telemetry as
     ``service_counters_composed``, with the dedup stage on the watermark
-    TTL kernel — forwarded / dropped_duplicates / quarantined reconcile to
+    TTL kernel — the service DEFAULT path since round 9
+    (``start_dedup_service`` kernel rationale) — forwarded /
+    dropped_duplicates / quarantined reconcile to
     the input row count by construction (dropped = observed clean ingest −
     forwarded; the pytest twin asserts the reconciliation on an
     injected-dirty corpus). Shares the composed entry's exact SQL oracle:

@@ -59,6 +59,7 @@ def pulsar_reader_options(
     topics_pattern: str,
     start: str = "earliest",
     oauth2=None,
+    receiver_queue_size: int | None = None,
 ) -> dict[str, str]:
     """Option map for the pulsar-spark connector mirroring the reference's
     consumer config (regex subscription, Earliest start —
@@ -70,12 +71,18 @@ def pulsar_reader_options(
     ``oauth2`` (a ``config.OAuth2Config``) maps the reference's
     client-credentials auth (``src/pulsar.ts:4-16``) onto the connector's
     documented ``pulsar.client.auth*`` options — the official Pulsar OAuth2
-    plugin class plus its JSON params blob."""
+    plugin class plus its JSON params blob. ``receiver_queue_size`` is the
+    reference's client-side admission bound
+    (``PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE``, default 10,
+    ``src/config.ts:233-235``), passed through as the connector's
+    documented consumer conf."""
     opts = {
         "service.url": service_url,
         "topicsPattern": topics_pattern,
         "startingOffsets": start,
     }
+    if receiver_queue_size is not None:
+        opts["pulsar.consumer.receiverQueueSize"] = str(int(receiver_queue_size))
     if oauth2 is not None:
         import json
 

@@ -360,9 +360,17 @@ def start_ttl_dedup(
     ignored: tuple[str, ...] = (),
     message_predicate: Column | None = None,
     messages: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the exact-TTL dedup as a live streaming query; returns
     ``(StreamingQuery, output_table_name)`` (memory sink).
+
+    ``max_files_per_trigger`` is the admission-control cap (the reference
+    bounds its warm-up reader with a 10-message receive queue,
+    ``src/config.ts:231-235``; the file-source analog is rate-limiting
+    files per micro-batch so a backlog replay is processed in bounded
+    slices instead of one executor-memory-sized batch). Dedup output is
+    invariant to the batch split — pinned in tests/test_admission.py.
 
     ``message_predicate`` is an optional stateless admission gate applied to
     the message stream BEFORE hashing/state (the service's DQ pre-filter —
@@ -398,7 +406,10 @@ def start_ttl_dedup(
     name = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
     if messages is None:
         messages = events_message_stream(
-            spark, source_dir, glob_filter=glob_filter
+            spark,
+            source_dir,
+            glob_filter=glob_filter,
+            max_files_per_trigger=max_files_per_trigger,
         )
     if message_predicate is not None:
         messages = messages.filter(message_predicate)
@@ -552,10 +563,13 @@ def dedup_stream_ingest_ttl(
     ttl_ms: int = 3_600_000,
     ignored=(),
     ingest_ts_col: str | None = None,
+    exclude_digests: DataFrame | None = None,
 ) -> DataFrame:
-    """Third TTL kernel: the reference's processing-time TTL
-    (``src/deduplication.ts:76``) approximated ENTIRELY JVM-side — no
-    per-group Python invocation, no Arrow boundary.
+    """DEFAULT TTL kernel (the service runs this one unless
+    ``exact_processing_ttl=True`` opts into the GroupState kernel): the
+    reference's processing-time TTL (``src/deduplication.ts:76``)
+    approximated ENTIRELY JVM-side — no per-group Python invocation, no
+    Arrow boundary.
 
     Each row is stamped with an ingest timestamp (micro-batch processing
     time via ``current_timestamp()`` by default; tests inject a synthetic
@@ -577,17 +591,36 @@ def dedup_stream_ingest_ttl(
       cross-pin against the exact kernel on expiry fixtures lives in
       tests/test_streaming.py.
 
+    ``exclude_digests`` (a batch DataFrame with a ``digest`` column) is the
+    warm-up seeding composition for this kernel (op #11): a stream-static
+    LEFT ANTI join suppresses live occurrences of every seeded digest with
+    NO ordering caveat — the static side is fixed at query start, exactly
+    the reference's "warm-up completes strictly before live consumption"
+    happens-before edge (``src/deduplication.ts:75-79``). Semantic
+    deviation vs the exact kernel's seed-message replay: anti-joined seeds
+    never expire mid-run (the exact kernel TTLs them out like any state
+    row). That errs toward suppression — the same direction as the
+    watermark lag above — and a restart re-scans the warm-up window anyway.
+
     100 TB: all state lives in the JVM state store keyed by the crypto
-    digest (uniform, no skew); this is the kernel to run when
-    exact-to-the-millisecond expiry is not required and the GroupState
-    kernel's per-group Python cost dominates (bench: stream_dedup_ttl vs
-    stream_dedup_ttl_watermark)."""
+    digest (uniform, no skew); the seed set is bounded by the cache window
+    and broadcast when small (AQE re-plans it per micro-batch). This is the
+    DEFAULT kernel because a dedup key is a crypto digest: in real traffic
+    most groups carry 1-2 rows, so group count ≈ row count and the
+    GroupState kernel's per-GROUP Python round-trip is effectively per-row
+    (bench: stream_dedup_ttl 9-14 s vs stream_dedup_ttl_watermark ~3 s at
+    sf0.1). Run the GroupState kernel only when expiry must be exact to the
+    millisecond on the processing clock."""
     ingest = (
         F.col(ingest_ts_col) if ingest_ts_col else F.current_timestamp()
     )
+    keyed = messages.withColumn("digest", message_digest(ignored))
+    if exclude_digests is not None:
+        keyed = keyed.join(
+            F.broadcast(exclude_digests.select("digest")), "digest", "left_anti"
+        )
     return (
-        messages.withColumn("digest", message_digest(ignored))
-        .withColumn("ingest_ts", ingest)
+        keyed.withColumn("ingest_ts", ingest)
         .withWatermark("ingest_ts", f"{int(ttl_ms)} milliseconds")
         .dropDuplicatesWithinWatermark(["digest"])
     )

@@ -1,0 +1,110 @@
+"""Streaming admission control (VERDICT r8 item 6): the reference bounds
+its warm-up reader with a 10-message receive queue
+(``PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE``, src/config.ts:231-235) so a
+backlog replay cannot blow past client memory. The engine analog is
+``maxFilesPerTrigger`` rate limiting on the file source: a capped run
+processes the backlog in bounded micro-batch slices, and the dedup output
+must be IDENTICAL to the uncapped single-batch run — the batch-split
+invariance that makes the cap a pure memory knob, never a semantics knob.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pulsar_topic_deduplicator_spark.config import EngineConfig
+from pulsar_topic_deduplicator_spark.service import start_dedup_service
+
+BASE_TS = 1704067200 * 1_000_000_000  # 2024-01-01 UTC in ns
+NS = 1_000_000_000
+
+
+def _append_one_file(spark, path, rows):
+    spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        schema=(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ),
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, src, ckpt, cap):
+    svc = start_dedup_service(
+        spark,
+        EngineConfig.from_env({"CACHE_WINDOW_IN_SECONDS": "0"}),
+        src,
+        ckpt,
+        max_files_per_trigger=cap,
+    )
+    try:
+        svc.query.processAllAvailable()
+        digests = {r["digest"] for r in svc.output().select("digest").collect()}
+        n_rows = svc.output().count()
+        data_batches = sum(
+            1 for p in svc.query.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        svc.stop()
+    return digests, n_rows, data_batches
+
+
+def test_max_files_per_trigger_bounds_batches_and_preserves_output(
+    spark, tmp_path
+):
+    """Four backlog files with duplicates WITHIN a file, ACROSS adjacent
+    files, and ACROSS distant files. Capped at one file per trigger the
+    engine must take ≥4 micro-batches (the admission bound), suppress the
+    cross-batch duplicates from state (not in-batch collapse), and emit
+    exactly the uncapped run's digest set."""
+    src = str(tmp_path / "backlog_src")
+    k = lambda i: f'{{"k": "{i}"}}'  # noqa: E731
+    # content identity = (event_type, value, props); ids/ts vary per delivery
+    _append_one_file(
+        spark,
+        src,
+        [
+            (1, BASE_TS + 0 * NS, 1, "click", 1.0, k(1)),
+            (2, BASE_TS + 1 * NS, 1, "click", 1.0, k(1)),  # in-file dup of 1
+            (3, BASE_TS + 2 * NS, 2, "view", 2.0, k(2)),
+        ],
+    )
+    _append_one_file(
+        spark,
+        src,
+        [
+            (4, BASE_TS + 3 * NS, 2, "view", 2.0, k(2)),  # dup of 3 (adjacent)
+            (5, BASE_TS + 4 * NS, 3, "purchase", 3.0, k(3)),
+        ],
+    )
+    _append_one_file(
+        spark,
+        src,
+        [(6, BASE_TS + 5 * NS, 4, "click", 4.0, k(4))],
+    )
+    _append_one_file(
+        spark,
+        src,
+        [
+            (7, BASE_TS + 6 * NS, 1, "click", 1.0, k(1)),  # dup of 1 (distant)
+            (8, BASE_TS + 7 * NS, 5, "view", 5.0, k(5)),
+        ],
+    )
+
+    capped, capped_rows, capped_batches = _run(
+        spark, src, str(tmp_path / "ck_capped"), cap=1
+    )
+    uncapped, uncapped_rows, uncapped_batches = _run(
+        spark, src, str(tmp_path / "ck_uncapped"), cap=None
+    )
+
+    # admission bound honored: one file per micro-batch → ≥4 data batches
+    assert capped_batches >= 4
+    assert uncapped_batches <= capped_batches
+    # batch-split invariance: identical survivors, exactly one row per
+    # distinct content digest (5 distinct contents among 8 deliveries)
+    assert capped == uncapped
+    assert capped_rows == uncapped_rows == len(capped) == 5

@@ -40,6 +40,32 @@ def test_zero_cache_window_disables_warmup():
     assert not cfg.warmup_enabled
 
 
+def test_receiver_queue_size_parses_nonneg_int():
+    # config.ts:233-235: optional non-negative integer, default 10
+    assert EngineConfig.from_env({}).cache_reader_receiver_queue_size == 10
+    cfg = EngineConfig.from_env(
+        {"PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE": "0"}
+    )
+    assert cfg.cache_reader_receiver_queue_size == 0
+    with pytest.raises(ConfigError):
+        EngineConfig.from_env(
+            {"PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE": "-1"}
+        )
+    with pytest.raises(ConfigError):
+        EngineConfig.from_env(
+            {"PULSAR_CACHE_READER_RECEIVER_QUEUE_SIZE": "many"}
+        )
+    # the connector option map carries it verbatim
+    from pulsar_topic_deduplicator_spark.sources.formats import (
+        pulsar_reader_options,
+    )
+
+    opts = pulsar_reader_options(
+        "pulsar://x:6650", "persistent://t/.*", receiver_queue_size=10
+    )
+    assert opts["pulsar.consumer.receiverQueueSize"] == "10"
+
+
 def test_ignored_properties_json_array():
     cfg = EngineConfig.from_env(
         {"DEDUPLICATION_IGNORED_PROPERTIES": '["mqttQos", "mqttIsRetained"]'}

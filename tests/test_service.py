@@ -84,6 +84,7 @@ def test_service_end_to_end_with_warmup_and_ignored_props(spark, tmp_path):
         str(tmp_path / "svc_ckpt"),
         prior_output=prior,
         now_ts="2024-01-01 01:00:00",
+        exact_processing_ttl=True,
         use_tws=False,
     )
     emitted = {r["message_id"] for r in out.collect() if r["message_id"]}
@@ -93,10 +94,31 @@ def test_service_end_to_end_with_warmup_and_ignored_props(spark, tmp_path):
     n_dropped = out.agg(F.sum("n_dropped")).first()[0]
     assert n_dropped == 2
 
+    # DEFAULT kernel (JVM watermark TTL, round-9 flip): same composition,
+    # same forwarded digests — the warm-up seeding runs as a stream-static
+    # anti-join, the ignored-props projection shapes the same digest, and
+    # exactly one of the {1,2} ignored-prop twins survives (which one is
+    # engine-arbitrary under in-batch first-seen; the EXACT kernel above
+    # pins the deterministic winner)
+    wm_out = run_dedup_service_bounded(
+        spark,
+        config,
+        src,
+        str(tmp_path / "svc_wm_ckpt"),
+        prior_output=prior,
+        now_ts="2024-01-01 01:00:00",
+    )
+    wm_rows = wm_out.collect()
+    assert "n_dropped" not in wm_out.columns  # full-row output, no counters
+    wm_ids = {r["message_id"] for r in wm_rows}
+    assert len(wm_ids) == 2 and "3" in wm_ids and wm_ids & {"1", "2"}
+    assert "4" not in wm_ids  # warm-up-seeded digest suppressed
+
 
 def test_service_lifecycle_health_counters_stop(spark, tmp_path):
-    """Ops #13-#15 through the service handle: healthy while active,
-    graceful stop terminates, unhealthy afterwards."""
+    """Ops #13-#15 through the service handle on the DEFAULT (JVM
+    watermark TTL) kernel: healthy while active, graceful stop terminates,
+    unhealthy afterwards."""
     src = str(tmp_path / "live_src")
     _write_events(
         spark, src, [(1, BASE_TS, 1, "click", 1.0, '{"k": "1"}')]
@@ -104,7 +126,7 @@ def test_service_lifecycle_health_counters_stop(spark, tmp_path):
     config = EngineConfig.from_env({"CACHE_WINDOW_IN_SECONDS": "0"})
     assert not config.warmup_enabled  # src/cacheBuilding.ts:71-77
     svc = start_dedup_service(
-        spark, config, src, str(tmp_path / "live_ckpt"), use_tws=False
+        spark, config, src, str(tmp_path / "live_ckpt")
     )
     try:
         svc.query.processAllAvailable()
@@ -140,11 +162,12 @@ def test_service_dq_gate_quarantines_and_counters_reconcile(spark, tmp_path):
         ),
     ).coalesce(1).write.mode("append").parquet(src)
 
-    out, quarantine = run_gated_service_bounded(
+    out, quarantine, exact_n_clean = run_gated_service_bounded(
         spark,
         EngineConfig(),
         src,
         str(tmp_path / "ck_gated"),
+        exact_processing_ttl=True,
         use_tws=False,
     )
     q = quarantine.collect()
@@ -159,15 +182,12 @@ def test_service_dq_gate_quarantines_and_counters_reconcile(spark, tmp_path):
     assert forwarded == 2  # digest(1|2) once, digest(6) once
     assert dropped == 1  # event 2, duplicate content inside the gate
     assert forwarded + dropped + len(q) == len(rows)
+    assert exact_n_clean == forwarded + dropped
 
-    # same composition on the JVM watermark TTL kernel (VERDICT r6 item 4):
-    # identical gate verdicts, identical counter reconciliation — dropped
-    # derives from the observe() clean-ingest counter on this kernel
-    from pulsar_topic_deduplicator_spark.service import (
-        run_gated_service_watermark_bounded,
-    )
-
-    wm_out, wm_quarantine, n_clean = run_gated_service_watermark_bounded(
+    # the DEFAULT path (JVM watermark TTL kernel, round-9 flip): identical
+    # gate verdicts, identical counter reconciliation — dropped derives
+    # from the observe() clean-ingest counter on this kernel
+    wm_out, wm_quarantine, n_clean = run_gated_service_bounded(
         spark, EngineConfig(), src
     )
     wm_viol = {
@@ -207,6 +227,7 @@ def test_dq_gate_with_messages_override_quarantines_same_stream(spark, tmp_path)
         config,
         str(tmp_path / "does_not_exist"),
         str(tmp_path / "override_ckpt"),
+        exact_processing_ttl=True,
         use_tws=False,
         dq_gate=True,
         messages=events_message_stream(spark, src),

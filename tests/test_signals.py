@@ -27,7 +27,6 @@ spark = get_spark("signal-shutdown-test")
 spark.sparkContext.setLogLevel("ERROR")
 svc = start_dedup_service(
     spark, EngineConfig(), sys.argv[1], tempfile.mkdtemp("sig_ck"),
-    use_tws=False,
 )
 server, port = svc.serve_health()
 svc.install_signal_handlers(
