@@ -296,80 +296,35 @@ def _stream_session_activity_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 8 continues the self-sustaining staleness rotation:
-    # (a) the never-driver-checked round-8 additions (entity resolution,
-    # positional index + phrase search, integer-exact k-means, MMR
-    # diversified selection + per-label variant, table profiler,
-    # Misra-Gries heavy hitters + weighted revenue twins,
-    # substring-dedup family, DSIR selection + Gumbel resampling, KMV
-    # set-algebra overlap, fuzzy decontamination, vocab coverage, BPE pair
-    # counts, n-gram novelty, SAX time-series words, SQ8 quantization +
-    # error audit, trailing-window anomaly flags, CUSUM drift batch +
-    # streaming twins, event-transition matrix, NB classifier, label
-    # propagation, item-item CF), then (b) the r4-era
-    # cohort — the five entries that slipped past round 7's window edge
-    # plus the five sql_* portable-SQL entries, the stalest checkable
-    # evidence in the ledger — then (c) the r5-checked tier in its round-5
-    # order. ~29 entries of (c) sit past the ~50-entry edge and lead round
-    # 9's rotation (doc_repetition_stats .. scd2_point_in_time_join).
-    # The r6- and r7-checked tiers follow (freshest evidence, last to
-    # rotate back in), and the seven rows-only RAW entries remain at the
-    # very end, OUTSIDE the window BY DESIGN: each is driver-checked
-    # through an oracle-pinned contract twin (ann_recall_contracts /
-    # stream_near_dup_contracts / semantic_dedup_contracts /
-    # approx_quantiles_contracts), so the ledger carries zero
-    # `no_oracle` rows.
+    # round. Round 9 continues the self-sustaining staleness rotation:
+    # (a) the never-driver-checked round-9 additions (iterated BPE merge
+    # steps, URL keep-first dedup + the per-domain attrition funnel), then
+    # (b) service_counters_watermark — re-checked THIS round because the
+    # service default kernel flipped to the JVM watermark TTL path
+    # (VERDICT r8 item 2), with stream_dedup_ttl_watermark (same kernel)
+    # beside it — then (c) the r5-checked tier: the eleven entries that
+    # slipped past round 8's window edge (dedup_counters ..
+    # approx_quantiles_contracts) followed by the ~34-entry remainder
+    # (doc_repetition_stats .. scd2_point_in_time_join), the stalest
+    # checkable evidence in the ledger. That fills the window at exactly
+    # 50; after this round no oracle-bearing evidence is older than r6,
+    # and the r6 tier (next-stalest) leads round 10. The r6/r7/r8-checked
+    # tiers follow in staleness order, and the seven rows-only RAW entries
+    # remain at the very end, OUTSIDE the window BY DESIGN: each is
+    # driver-checked through an oracle-pinned contract twin
+    # (ann_recall_contracts / stream_near_dup_contracts /
+    # semantic_dedup_contracts / approx_quantiles_contracts), so the
+    # ledger carries zero `no_oracle` rows.
     return {
-        # ── (a) round-8 additions (never driver-checked) ───────────────────
-        "entity_match_pairs": entity.entity_match_pairs,
-        "entity_golden_records": entity.entity_golden_records,
-        "posting_lists": retrieval.posting_lists,
-        "phrase_search": retrieval.phrase_search,
-        "kmeans_assign": clustering.kmeans_assign,
-        "kmeans_centroids": clustering.kmeans_centroids,
-        "mmr_diversify": diversify.mmr_diversify,
-        "mmr_per_label": diversify.mmr_per_label,
-        "profile_orders": lineage.profile_orders,
-        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
-        "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
-        "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
-        "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
-        "duplicate_substring_spans": textops.duplicate_substring_spans,
-        "dedup_substrings_global": textops.dedup_substrings_global,
-        "dedup_spans_within_doc": textops.dedup_spans_within_doc,
-        "dsir_select": curation.dsir_select,
-        "kmv_audience_overlap": dedup.kmv_audience_overlap,
-        "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
-        "vocab_coverage": textops.vocab_coverage,
-        "bpe_pair_counts": textops.bpe_pair_counts,
-        "dsir_resample": curation.dsir_resample,
-        "doc_novelty_scores": textops.doc_novelty_scores,
-        "sax_fingerprints": analytics.sax_fingerprints,
-        "sax_word_counts": analytics.sax_word_counts,
-        "sq8_codes": similarity.sq8_codes,
-        "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
-        "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
-        "cusum_drift_flags": changepoint.cusum_drift_flags,
-        "event_transitions": analytics.event_transitions,
-        "stream_drift_flags": _stream_drift_flags_query,
-        "nb_classifier_scores": classify.nb_classifier_scores,
-        "lp_communities": graph.lp_communities,
-        "cf_similar_suppliers": recommend.cf_similar_suppliers,
-        "ppr_related_suppliers": graph.ppr_related_suppliers,
-        # ── (b) r4-era cohort (stalest checkable evidence) ─────────────────
-        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
-        "asof_last_purchase": asof.asof_last_purchase,
-        "conditional_agg_demo": relational.conditional_agg_demo,
-        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
-        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
-        # SQL surface (same SQL text runs on Spark AND DuckDB) — r4-era
-        **sqlapi.QUERIES,
-        # ── (c) r5-checked tier to the window edge ─────────────────────────
-        "hash_payload": dedup.hash_payload,
-        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
-        "dedup_within_window": dedup.dedup_within_window,
-        "ignore_props_projection": dedup.ignore_props_projection,
-        "first_per_key": dedup.first_per_key,
+        # ── (a) round-9 additions (never driver-checked) ───────────────────
+        "bpe_merge_steps": textops.bpe_merge_steps,
+        "dedup_docs_by_url": curation.dedup_docs_by_url,
+        "domain_attrition_report": curation.domain_attrition_report,
+        # ── (b) the flipped default service kernel, re-checked ─────────────
+        "service_counters_watermark": _service_counters_watermark_query,
+        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
+        # ── (c) r5-checked tier (stalest checkable evidence) ───────────────
+        # the eleven that slipped past round 8's edge
         "dedup_counters": dedup.dedup_counters,
         "distinct_digests": dedup.distinct_digests,
         "origin_lineage": lineage.origin_lineage,
@@ -381,8 +336,7 @@ def queries() -> dict[str, QueryFn]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
-        # ── end of the ~50-entry checked window ────────────────────────────
-        # r5-checked remainder (slipped past the edge; leads round 9)
+        # the r5 remainder, in its round-5 order
         "doc_repetition_stats": textops.doc_repetition_stats,
         "gopher_quality_flags": textops.gopher_quality_flags,
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
@@ -417,8 +371,8 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         "session_purchase_overlaps": asof.session_purchase_overlaps,
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        # r6-checked tier
-        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
+        # ── end of the ~50-entry checked window ────────────────────────────
+        # r6-checked tier (leads round 10)
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
         "cluster_representatives": neardup.cluster_representatives,
@@ -522,6 +476,54 @@ def queries() -> dict[str, QueryFn]:
         # harness — it is the consumer-API twin, pytest-pinned against numpy)
         "array_funcs_demo": scalarfuncs.array_funcs_demo,
         "map_funcs_demo": scalarfuncs.map_funcs_demo,
+        # r8-checked tier (freshest evidence — last to rotate back in)
+        "entity_match_pairs": entity.entity_match_pairs,
+        "entity_golden_records": entity.entity_golden_records,
+        "posting_lists": retrieval.posting_lists,
+        "phrase_search": retrieval.phrase_search,
+        "kmeans_assign": clustering.kmeans_assign,
+        "kmeans_centroids": clustering.kmeans_centroids,
+        "mmr_diversify": diversify.mmr_diversify,
+        "mmr_per_label": diversify.mmr_per_label,
+        "profile_orders": lineage.profile_orders,
+        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
+        "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
+        "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
+        "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
+        "duplicate_substring_spans": textops.duplicate_substring_spans,
+        "dedup_substrings_global": textops.dedup_substrings_global,
+        "dedup_spans_within_doc": textops.dedup_spans_within_doc,
+        "dsir_select": curation.dsir_select,
+        "kmv_audience_overlap": dedup.kmv_audience_overlap,
+        "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
+        "vocab_coverage": textops.vocab_coverage,
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        "dsir_resample": curation.dsir_resample,
+        "doc_novelty_scores": textops.doc_novelty_scores,
+        "sax_fingerprints": analytics.sax_fingerprints,
+        "sax_word_counts": analytics.sax_word_counts,
+        "sq8_codes": similarity.sq8_codes,
+        "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
+        "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
+        "cusum_drift_flags": changepoint.cusum_drift_flags,
+        "event_transitions": analytics.event_transitions,
+        "stream_drift_flags": _stream_drift_flags_query,
+        "nb_classifier_scores": classify.nb_classifier_scores,
+        "lp_communities": graph.lp_communities,
+        "cf_similar_suppliers": recommend.cf_similar_suppliers,
+        "ppr_related_suppliers": graph.ppr_related_suppliers,
+        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
+        "asof_last_purchase": asof.asof_last_purchase,
+        "conditional_agg_demo": relational.conditional_agg_demo,
+        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
+        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        # SQL surface (same SQL text runs on Spark AND DuckDB) — r8-checked
+        **sqlapi.QUERIES,
+        "hash_payload": dedup.hash_payload,
+        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
+        "dedup_within_window": dedup.dedup_within_window,
+        "ignore_props_projection": dedup.ignore_props_projection,
+        "first_per_key": dedup.first_per_key,
         # ── rows-only RAW entries (outside the checked window BY DESIGN) ───
         # Each is real consumer API surface whose VALUES are engine-specific
         # (seeded planes / numpy codebooks / greedy sequential selection /

@@ -446,6 +446,121 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: words of leading content that define a synthetic page address — short
+#: enough that re-crawls (same opening, drifted tail) collide, long enough
+#: that unrelated docs don't
+URL_PREFIX_WORDS = 8
+
+#: crawl-clock epoch for the synthetic crawl_ts (2024-01-01 UTC; doc_id is
+#: the crawl order, one second apart — deterministic on both engines)
+URL_CRAWL_EPOCH = 1_704_067_200
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Synthetic-but-deterministic crawl identity for the documents corpus
+    (VERDICT r8 item 5 — the corpus carries no url column, so one is
+    DERIVED, identically on both engines): the pseudo-host is
+    ``source.lang.example`` and the path is the MD5 of the first
+    URL_PREFIX_WORDS words — a re-crawl of the same page shares source,
+    language and opening content, which is exactly the population the
+    boilerplate-prefix tier already demonstrated exists. ``crawl_ts`` is
+    the epoch plus doc_id seconds (ingest order = crawl order)."""
+    from ..functions.text import whitespace_tokens
+
+    domain = F.concat_ws(".", "source", "lang", F.lit("example"))
+    prefix = F.array_join(
+        F.slice(whitespace_tokens(F.col("text")), 1, URL_PREFIX_WORDS), " "
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        domain.alias("domain"),
+        F.concat(
+            F.lit("https://"), domain, F.lit("/"), F.md5(prefix)
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(URL_CRAWL_EPOCH) + F.col("doc_id")).alias(
+            "crawl_ts"
+        ),
+    )
+
+
+def dedup_docs_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL-granularity dedup, keep-FIRST by crawl time — the pass
+    every production crawl pipeline runs BEFORE content dedup (the same
+    page fetched on successive crawls shouldn't compete as near-dup
+    content). Returns ``(url, doc_id, crawl_ts, n_crawls)``: the earliest
+    crawl per url and how many crawls it collapsed.
+
+    Plan: one ``min(struct(crawl_ts, doc_id))`` aggregate keyed on the
+    url — the ``dedup_exact_keep_first`` shape (partial agg collapses
+    duplicates map-side; the url key is an MD5 path under a ~uniform host
+    spread, no skew; one shuffle of one row per (url, partition))."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return (
+        _doc_urls(docs)
+        .groupBy("url")
+        .agg(
+            F.min(F.struct("crawl_ts", "doc_id")).alias("w"),
+            F.count(F.lit(1)).alias("n_crawls"),
+        )
+        .select(
+            "url",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.crawl_ts").alias("crawl_ts"),
+            "n_crawls",
+        )
+    )
+
+
+def domain_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN curation funnel — the domain-axis twin of
+    ``corpus_curation_report`` (which reports per mixture source): how many
+    docs each pseudo-domain contributes after each sequential stage,
+    url keep-first → exact content dedup → Gopher quality gate. The
+    per-domain attrition table is what a crawl operator reads to spot
+    domains that are all re-crawls or all boilerplate.
+
+    Same scale shape as the per-source report: survivor-id sets (join-
+    reduced, persisted because consumed twice), left-joined back, one
+    per-domain aggregate."""
+    from ..cachereg import persist_scoped
+    from .textops import gopher_pass
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    u = _doc_urls(docs)
+    url_ids = persist_scoped(
+        u.groupBy("url")
+        .agg(F.min(F.struct("crawl_ts", "doc_id")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"))
+    )
+    d1 = u.join(url_ids, "doc_id", "left_semi")
+    exact_ids = persist_scoped(
+        d1.select(F.sha2(F.col("text"), 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d2 = d1.join(exact_ids, "doc_id", "left_semi")
+    quality_ids = d2.filter(gopher_pass(F.col("text"))).select("doc_id")
+
+    flagged = (
+        u.select("doc_id", "domain")
+        .join(url_ids.withColumn("s1", F.lit(1)), "doc_id", "left")
+        .join(exact_ids.withColumn("s2", F.lit(1)), "doc_id", "left")
+        .join(quality_ids.withColumn("s3", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("s1").alias("n_after_url"),
+        F.count("s2").alias("n_after_exact"),
+        F.count("s3").alias("n_after_quality"),
+    )
+
+
 _H60_TEXT = duck_stable_uint60("text")
 _GRAM4 = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_N))
 
@@ -890,3 +1005,64 @@ def _dsir_resample_oracle() -> str:
 
 ORACLES["dsir_select"] = _dsir_oracle()
 ORACLES["dsir_resample"] = _dsir_resample_oracle()
+
+
+def _url_oracles() -> dict[str, str]:
+    from .textops import GOPHER_PASS_SQL, gopher_stats_sql
+
+    url_sql = (
+        "'https://' || source || '.' || lang || '.example/' || "
+        "md5(array_to_string(list_slice(string_split(text, ' '), 1, "
+        f"{URL_PREFIX_WORDS}), ' '))"
+    )
+    url_cte = f"""
+        u AS (
+          SELECT doc_id, text,
+                 source || '.' || lang || '.example' AS domain,
+                 {url_sql} AS url,
+                 make_timestamp(CAST(({URL_CRAWL_EPOCH} + doc_id) AS BIGINT)
+                                * 1000000) AS crawl_ts
+          FROM documents WHERE text IS NOT NULL)"""
+    dedup = f"""
+        WITH {url_cte},
+        r AS (
+          SELECT url, doc_id, crawl_ts,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY crawl_ts, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY url) AS n
+          FROM u)
+        SELECT url, doc_id, crawl_ts, CAST(n AS BIGINT) AS n_crawls
+        FROM r WHERE rn = 1
+    """
+    report = f"""
+        WITH {url_cte},
+        url_ids AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY url
+                     ORDER BY crawl_ts, doc_id) AS rn
+            FROM u) rr WHERE rn = 1),
+        e AS (
+          SELECT min(doc_id) AS doc_id FROM u
+          WHERE doc_id IN (SELECT doc_id FROM url_ids)
+          GROUP BY sha256(text)),
+        g AS (
+          SELECT doc_id
+          FROM ({gopher_stats_sql(
+              src="(SELECT * FROM u WHERE doc_id IN (SELECT doc_id FROM e)) d2"
+          )}) stats
+          WHERE {GOPHER_PASS_SQL})
+        SELECT d.domain,
+               count(*) AS n_docs,
+               count(s1.doc_id) AS n_after_url,
+               count(e.doc_id) AS n_after_exact,
+               count(g.doc_id) AS n_after_quality
+        FROM u d
+        LEFT JOIN url_ids s1 ON d.doc_id = s1.doc_id
+        LEFT JOIN e ON d.doc_id = e.doc_id
+        LEFT JOIN g ON d.doc_id = g.doc_id
+        GROUP BY d.domain
+    """
+    return {"dedup_docs_by_url": dedup, "domain_attrition_report": report}
+
+
+ORACLES.update(_url_oracles())

@@ -346,3 +346,58 @@ def test_chunk_documents_covers_and_reconstructs(spark, sf_dir):
             stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
         stitched.extend(rows[-1]["chunk_text"].split(" "))
         assert stitched == toks
+
+
+def test_dedup_docs_by_url_keeps_first_crawl(spark, tmp_path_factory):
+    """Re-crawls (same source+lang+opening words, drifted tail) collapse to
+    the EARLIEST crawl; a different domain or different opening is a
+    different page. Funnel arithmetic reconciles per domain."""
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        dedup_docs_by_url,
+        domain_attrition_report,
+    )
+
+    opening = "the quick brown fox jumps over the lazy"  # 8 words = the key
+    rows = [
+        # page A on src0.en: crawled 3x (doc_ids 0, 5, 9) with tail drift
+        (0, f"{opening} dog first crawl", "en", "src0"),
+        (5, f"{opening} dog second crawl updated", "en", "src0"),
+        (9, f"{opening} dog third crawl updated again", "en", "src0"),
+        # same opening on ANOTHER domain -> different url
+        (1, f"{opening} dog mirrored elsewhere", "en", "src1"),
+        # same source, different lang -> different domain, different url
+        (2, f"{opening} dog translated", "de", "src0"),
+        # unrelated page on src0.en
+        (3, "completely different opening words for the other page here",
+         "en", "src0"),
+    ]
+    path = tmp_path_factory.mktemp("urls")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+    out = {r["url"]: r for r in dedup_docs_by_url(spark, str(path)).collect()}
+    assert len(out) == 4  # 6 docs, the 3-way re-crawl collapses to one
+    recrawled = [r for r in out.values() if r["n_crawls"] == 3]
+    assert len(recrawled) == 1
+    assert recrawled[0]["doc_id"] == 0  # keep-first by crawl_ts
+    assert recrawled[0]["url"].startswith("https://src0.en.example/")
+    assert str(recrawled[0]["crawl_ts"]) == "2024-01-01 00:00:00"
+    assert {r["doc_id"] for r in out.values()} == {0, 1, 2, 3}
+
+    rep = {
+        r["domain"]: r
+        for r in domain_attrition_report(spark, str(path)).collect()
+    }
+    assert set(rep) == {"src0.en.example", "src1.en.example", "src0.de.example"}
+    a = rep["src0.en.example"]
+    # 4 docs (0,5,9,3) -> url stage keeps 0 and 3 -> both unique content,
+    # both fail the 20-word Gopher floor (short fixtures)
+    assert (a["n_docs"], a["n_after_url"], a["n_after_exact"]) == (4, 2, 2)
+    assert a["n_after_quality"] == 0
+    for r in rep.values():  # funnel is monotone per domain
+        assert (
+            r["n_docs"] >= r["n_after_url"] >= r["n_after_exact"]
+            >= r["n_after_quality"]
+        )

@@ -18,6 +18,7 @@ from pulsar_topic_deduplicator_spark.operators.neardup import (
     decontaminate_fuzzy,
 )
 from pulsar_topic_deduplicator_spark.operators.textops import (
+    bpe_merge_steps,
     bpe_pair_counts,
     vocab_coverage,
 )
@@ -156,6 +157,60 @@ def test_bpe_pair_counts_by_hand(spark, tmp_path_factory):
     # "ba": 1 per abab ×2 = 2
     assert (rows["ba"]["n_words"], rows["ba"]["n_occurrences"]) == (1, 2)
     assert set(rows) == {"ab", "ba"}
+
+
+def test_bpe_merge_steps_hand_replayed(spark, tmp_path_factory):
+    """The iterated trainer loop, replayed by hand — later merges MUST
+    consume earlier merges' output symbols.
+
+    vocab: "abab" ×4, "abc" ×2, "cc" ×3 (plus "x" ×1, filtered: no pairs).
+
+    Round 1 stats: (a,b) = 2·4 + 1·2 = 10; (b,a) = 4; (b,c) = 2;
+    (c,c) = 3 → merge (a,b), n=10. Re-segmented: ab·ab ×4, ab·c ×2, c·c ×3.
+    Round 2 stats over the NEW symbols: (ab,ab) = 4; (ab,c) = 2;
+    (c,c) = 3 → merge (ab,ab), n=4 — a pair of round-1 OUTPUT symbols,
+    the thing `bpe_pair_counts` alone cannot express.
+    Round 3: (ab,c) = 2 vs (c,c) = 3 → merge (c,c), n=3.
+    Round 4: (ab,c) = 2 → merge, n=2. Round 5+: no pairs left — the loop
+    must stop early and emit exactly 4 steps."""
+    path = tmp_path_factory.mktemp("bpemerge")
+    d = _write_docs(
+        spark,
+        path,
+        [(0, "abab abab abab abab abc abc cc cc cc x", "s")],
+    )
+    rows = [
+        (r["step"], r["left_sym"], r["right_sym"], r["n_occurrences"])
+        for r in bpe_merge_steps(spark, d).orderBy("step").collect()
+    ]
+    assert rows == [
+        (1, "a", "b", 10),
+        (2, "ab", "ab", 4),
+        (3, "c", "c", 3),
+        (4, "ab", "c", 2),
+    ]
+
+
+def test_bpe_merge_greedy_left_to_right_nonoverlapping(
+    spark, tmp_path_factory
+):
+    """"aaaa" under merge (a,a): greedy left-to-right gives (aa)(aa) — so
+    round 2's top pair is (aa,aa), and "aaa" contributes (aa)(a), never
+    a(aa). Overlap counting in round 1: "aaaa" has three (a,a) positions."""
+    path = tmp_path_factory.mktemp("bpegreedy")
+    d = _write_docs(spark, path, [(0, "aaaa aaaa aaa", "s")])
+    rows = [
+        (r["step"], r["left_sym"], r["right_sym"], r["n_occurrences"])
+        for r in bpe_merge_steps(spark, d).orderBy("step").collect()
+    ]
+    # round 1: (a,a) = 3+3+2 = 8.  segmentation: (aa)(aa) ×2, (aa)(a)
+    # round 2: (aa,aa) = 2 beats (aa,a) = 1.  segmentation: (aaaa) ×2, (aa)(a)
+    # round 3: (aa,a) = 1.  round 4: nothing — early stop at 3 steps.
+    assert rows == [
+        (1, "a", "a", 8),
+        (2, "aa", "aa", 2),
+        (3, "aa", "a", 1),
+    ]
 
 
 def test_dsir_resample_is_weighted_not_topk(spark, tmp_path_factory):
