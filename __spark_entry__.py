@@ -298,11 +298,11 @@ def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
     # round. Round 9 continues the self-sustaining staleness rotation:
     # (a) the never-driver-checked round-9 additions (iterated BPE merge
-    # steps, URL keep-first dedup + the per-domain attrition funnel), then
-    # (b) service_counters_watermark — re-checked THIS round because the
+    # steps + the trained-tokenizer encode pass, URL keep-first dedup +
+    # the per-domain attrition funnel), then (b)
+    # service_counters_watermark — re-checked THIS round because the
     # service default kernel flipped to the JVM watermark TTL path
-    # (VERDICT r8 item 2), with stream_dedup_ttl_watermark (same kernel)
-    # beside it — then (c) the r5-checked tier: the eleven entries that
+    # (VERDICT r8 item 2) — then (c) the r5-checked tier: the eleven entries that
     # slipped past round 8's window edge (dedup_counters ..
     # approx_quantiles_contracts) followed by the ~34-entry remainder
     # (doc_repetition_stats .. scd2_point_in_time_join), the stalest
@@ -318,11 +318,11 @@ def queries() -> dict[str, QueryFn]:
     return {
         # ── (a) round-9 additions (never driver-checked) ───────────────────
         "bpe_merge_steps": textops.bpe_merge_steps,
+        "bpe_encode_token_counts": textops.bpe_encode_token_counts,
         "dedup_docs_by_url": curation.dedup_docs_by_url,
         "domain_attrition_report": curation.domain_attrition_report,
         # ── (b) the flipped default service kernel, re-checked ─────────────
         "service_counters_watermark": _service_counters_watermark_query,
-        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         # ── (c) r5-checked tier (stalest checkable evidence) ───────────────
         # the eleven that slipped past round 8's edge
         "dedup_counters": dedup.dedup_counters,
@@ -373,6 +373,7 @@ def queries() -> dict[str, QueryFn]:
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
         # ── end of the ~50-entry checked window ────────────────────────────
         # r6-checked tier (leads round 10)
+        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
         "cluster_representatives": neardup.cluster_representatives,

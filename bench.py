@@ -108,6 +108,7 @@ HEADLINE = [
     "mmr_per_label",  # distributed per-class MMR (R window rounds)
     # round-9 additions
     "bpe_merge_steps",  # iterated BPE trainer loop (R argmax rounds over vocab)
+    "bpe_encode_token_counts",  # trained-tokenizer encode (vocab join-back)
     "dedup_docs_by_url",  # URL keep-first dedup (min-struct agg, 1 shuffle)
     "domain_attrition_report",  # per-domain curation funnel (3 id-set stages)
     # designated drops — keep LAST: when the printed headline line nears the

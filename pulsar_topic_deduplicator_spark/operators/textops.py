@@ -1574,6 +1574,18 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax collect — the kmeans/MMR codebook pattern, R driver round
     trips moving R rows total. The corpus is touched exactly once
     regardless of R."""
+    merges, _segs = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, n_occurrences long"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE trainer kernel: returns ``(merge_table, final_segs)``
+    where final_segs is the corpus vocabulary ``(word, c, seg)`` with all
+    merges applied — the trained-tokenizer state the encode pass consumes."""
     from ..cachereg import persist_scoped
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -1597,7 +1609,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.length("word") >= 2) & ~F.expr("contains(word, chr(31))")
         )
-        .select("c", wrap.alias("seg"))
+        .select("word", "c", wrap.alias("seg"))
     )
     # zip_with over the two shifted slices — NOT sequence(1, size-1), which
     # DESCENDS to [1, 0] for a fully-merged single-symbol word and blows up
@@ -1632,16 +1644,53 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(BPE_SEP + l + r + BPE_SEP),
             ),
         )
-    return spark.createDataFrame(
-        merges, "step int, left_sym string, right_sym string, n_occurrences long"
+    return merges, segs
+
+
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the BPE pair (encode with the trained merges): per
+    document, the token count under the BPE_MERGE_ROUNDS-merge tokenizer
+    vs the whitespace word count — the compression measurement a tokenizer
+    evaluation reports, and the budget input a token-count-aware pipeline
+    (packing, mixtures) would consume. Returns ``(doc_id, n_words,
+    n_tokens_bpe, n_tokens_ws)``; words outside the trainable vocabulary
+    (single characters) count 1 BPE token, n_tokens_ws counts characters
+    of ≥2-char words + 1 per 1-char word (the untrained baseline of the
+    same convention).
+
+    Plan: the trainer's vocab loop (corpus touched once), then per-word
+    token counts derived on the VOCAB frame and broadcast-joined back to
+    the corpus word explode — one doc-keyed aggregate; no corpus-sized
+    shuffle beyond it."""
+    merges, segs = _bpe_train(spark, sf_dir)
+    sep2 = BPE_SEP + BPE_SEP
+    per_word = segs.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(seg, 2, length(seg) - 2)"), sep2)
+        ).alias("n_tok"),
+        F.length("word").alias("n_chr"),
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    joined = words.join(F.broadcast(per_word), "word", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce("n_tok", F.lit(1))).alias("n_tokens_bpe"),
+        F.sum(F.coalesce("n_chr", F.lit(1))).alias("n_tokens_ws"),
     )
 
 
-def _bpe_merge_oracle() -> str:
-    """Unrolled R-round MATERIALIZED-CTE oracle (the kmeans/MMR pattern):
+def _bpe_cte_parts() -> list[str]:
+    """Unrolled R-round MATERIALIZED-CTE trainer (the kmeans/MMR pattern):
     each round counts pairs from the previous segmentation, takes the
     (n desc, l, r) argmax, and re-segments with the same double-separator
-    string replace the engine uses."""
+    string replace the engine uses. Shared by the merge-table and encode
+    oracles."""
     chars = (
         "list_transform(generate_series(1, length(word)),"
         " i -> substr(word, i, 1))"
@@ -1655,7 +1704,7 @@ def _bpe_merge_oracle() -> str:
       GROUP BY word
       HAVING length(word) >= 2 AND NOT contains(word, chr(31))),
     seg0 AS MATERIALIZED (
-      SELECT c,
+      SELECT word, c,
              chr(31) || array_to_string({chars}, chr(31) || chr(31))
                      || chr(31) AS seg
       FROM vocab)"""
@@ -1676,20 +1725,55 @@ def _bpe_merge_oracle() -> str:
       ORDER BY n DESC, l, r
       LIMIT 1),
     seg{s} AS MATERIALIZED (
-      SELECT v.c,
+      SELECT v.word, v.c,
              replace(v.seg,
                      chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
                      chr(31) || b.l || b.r || chr(31)) AS seg
       FROM seg{p} v, best{s} b)""")
+    return parts
+
+
+def _bpe_merge_oracle() -> str:
     finals = "\n    UNION ALL\n".join(
         f"""    SELECT {s} AS step, l AS left_sym, r AS right_sym,
                CAST(n AS BIGINT) AS n_occurrences FROM best{s}"""
         for s in range(1, BPE_MERGE_ROUNDS + 1)
     )
-    return "WITH" + ",".join(parts) + "\n" + finals
+    return "WITH" + ",".join(_bpe_cte_parts()) + "\n" + finals
 
 
 ORACLES["bpe_merge_steps"] = _bpe_merge_oracle()
+
+
+def _bpe_encode_oracle() -> str:
+    # CAVEAT mirrored from the engine: if any trainer round came up empty
+    # (fully merged vocabulary), seg{R} is EMPTY in this oracle while the
+    # engine's early break keeps the last non-empty segs. Impossible on the
+    # driver corpora (6 merges over a ≥26-symbol alphabet) and pinned
+    # harmless on degenerate fixtures by tests/test_null_docs.py, where the
+    # vocab is big enough for all rounds; documented rather than padded
+    # with per-round COALESCE chains.
+    r = BPE_MERGE_ROUNDS
+    final = f"""
+    per_word AS (
+      SELECT word,
+             len(string_split(substr(seg, 2, length(seg) - 2),
+                              chr(31) || chr(31))) AS n_tok,
+             length(word) AS n_chr
+      FROM seg{r}),
+    corpus AS (
+      SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+      WHERE text IS NOT NULL)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(COALESCE(p.n_tok, 1)) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(COALESCE(p.n_chr, 1)) AS BIGINT) AS n_tokens_ws
+    FROM corpus c LEFT JOIN per_word p ON c.word = p.word
+    GROUP BY c.doc_id"""
+    return "WITH" + ",".join(_bpe_cte_parts()) + "," + final
+
+
+ORACLES["bpe_encode_token_counts"] = _bpe_encode_oracle()
 
 
 #: novelty gram width (words) — the diversity-scoring granularity

@@ -59,8 +59,12 @@ def degenerate_duck(degenerate_dir):
         "decontaminate_fuzzy",
         "vocab_coverage",
         "bpe_pair_counts",
+        "bpe_merge_steps",
+        "bpe_encode_token_counts",
         "dsir_resample",
         "doc_novelty_scores",
+        "dedup_docs_by_url",
+        "domain_attrition_report",
     ],
 )
 def test_degenerate_docs_engine_parity(name, spark, degenerate_dir, degenerate_duck):

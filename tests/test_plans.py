@@ -612,3 +612,37 @@ def test_sax_single_corpus_shuffle_no_python(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_dedup_docs_by_url_single_shuffle_partial_agg(spark, sf_dir):
+    """URL keep-first is the dedup_exact_keep_first shape on the derived
+    url key: exactly one exchange with a map-side partial struct-min, no
+    ranked window, no join, no Python."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.dedup_docs_by_url(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_domain_attrition_report_equi_joins_only(spark, sf_dir):
+    """The per-domain funnel joins survivor-id sets back onto the corpus:
+    every join must be an equi-join (doc_id keys) — no cartesian, no NLJ,
+    no Python anywhere."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.domain_attrition_report(spark, sf_dir)
+    plan = formatted_plan(df)
+    for bad in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+    ):
+        assert bad not in plan, plan[:2000]

@@ -213,6 +213,43 @@ def test_bpe_merge_greedy_left_to_right_nonoverlapping(
     ]
 
 
+def test_bpe_encode_token_counts_by_hand(spark, tmp_path_factory):
+    """Encode under the trained merges: 6 rounds exhaust on the frequent
+    words, the never-merged pair stays 2 tokens, the 1-char word (outside
+    the trainable vocab) counts 1.
+
+    vocab: abab ×3, xy ×2, qq/st/uv/wz ×1, k ×1 (len-1, untrained).
+    merges: (a,b) n=6 → (ab,ab) n=3 → (x,y) n=2 → ties n=1 by pair asc:
+    (q,q), (s,t), (u,v) — wz never merges. Tokens: abab=1, xy=1, qq=1,
+    st=1, uv=1, wz=2, k=1 → 10 words, 11 BPE tokens, 25 ws tokens."""
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        bpe_encode_token_counts,
+    )
+
+    path = tmp_path_factory.mktemp("bpeenc")
+    d = _write_docs(
+        spark, path, [(0, "abab abab abab xy xy qq st uv wz k", "s")]
+    )
+    steps = [
+        (r["step"], r["left_sym"], r["right_sym"], r["n_occurrences"])
+        for r in bpe_merge_steps(spark, d).orderBy("step").collect()
+    ]
+    assert steps == [
+        (1, "a", "b", 6),
+        (2, "ab", "ab", 3),
+        (3, "x", "y", 2),
+        (4, "q", "q", 1),
+        (5, "s", "t", 1),
+        (6, "u", "v", 1),
+    ]
+    [row] = bpe_encode_token_counts(spark, d).collect()
+    assert (row["n_words"], row["n_tokens_bpe"], row["n_tokens_ws"]) == (
+        10,
+        11,
+        25,
+    )
+
+
 def test_dsir_resample_is_weighted_not_topk(spark, tmp_path_factory):
     """Gumbel-top-k must (a) reproduce deterministically, (b) respect the
     weights in aggregate — a doc with overwhelming weight always wins —
