@@ -250,6 +250,92 @@ def test_bpe_encode_token_counts_by_hand(spark, tmp_path_factory):
     )
 
 
+def _ref_bpe(counts: dict[str, int], rounds: int):
+    """Pure-Python BPE reference (Sennrich get_stats + greedy left-to-right
+    merge): an implementation with NO shared machinery with the engine —
+    no string-replace encoding, no Spark, no SQL — so agreement on random
+    corpora pins the algorithm, not the encoding trick."""
+    segs = {w: list(w) for w in counts}
+    merges = []
+    for _ in range(rounds):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + counts[w]
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, n))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_matches_pure_python_reference_on_random_corpora(
+    spark, tmp_path_factory
+):
+    """Seeded-random stress: three corpora over a tight alphabet (so merges
+    collide and chain), trainer + encoder both compared against the
+    independent reference implementation."""
+    import random
+
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        BPE_MERGE_ROUNDS,
+        bpe_encode_token_counts,
+    )
+
+    rng = random.Random(90213)
+    for case in range(3):
+        docs = []
+        for doc_id in range(5):
+            words = [
+                "".join(
+                    rng.choice("abcd") for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(30)
+            ]
+            docs.append((doc_id, " ".join(words), "s"))
+        path = tmp_path_factory.mktemp(f"bperand{case}")
+        d = _write_docs(spark, path, docs)
+
+        counts: dict[str, int] = {}
+        for _, text, _src in docs:
+            for w in text.split(" "):
+                if len(w) >= 2:
+                    counts[w] = counts.get(w, 0) + 1
+        ref_merges, ref_segs = _ref_bpe(counts, BPE_MERGE_ROUNDS)
+
+        got = [
+            (r["left_sym"], r["right_sym"], r["n_occurrences"])
+            for r in bpe_merge_steps(spark, d).orderBy("step").collect()
+        ]
+        assert got == ref_merges, f"case {case}: {got} != {ref_merges}"
+
+        enc = {
+            r["doc_id"]: (r["n_words"], r["n_tokens_bpe"], r["n_tokens_ws"])
+            for r in bpe_encode_token_counts(spark, d).collect()
+        }
+        for doc_id, text, _src in docs:
+            ws = text.split(" ")
+            want_bpe = sum(
+                len(ref_segs[w]) if len(w) >= 2 else 1 for w in ws
+            )
+            want_ws = sum(len(w) if len(w) >= 2 else 1 for w in ws)
+            assert enc[doc_id] == (len(ws), want_bpe, want_ws), (
+                case,
+                doc_id,
+                enc[doc_id],
+            )
+
+
 def test_dsir_resample_is_weighted_not_topk(spark, tmp_path_factory):
     """Gumbel-top-k must (a) reproduce deterministically, (b) respect the
     weights in aggregate — a doc with overwhelming weight always wins —
