@@ -42,14 +42,27 @@ from .source import events_message_stream
 DEFAULT_DEDUP_WINDOW = "1 hour"  # reference default TTL 3600 s (config.ts:133)
 
 
-def message_digest(ignored=()) -> Column:
-    """Content digest of a message-schema row: sha2 over payload bytes +
+def message_digest(ignored=(), algo: str = "sha256") -> Column:
+    """Content digest of a message-schema row over payload bytes +
     canonical-JSON bytes of (properties − ignored) — reference op #6
-    (``src/deduplication.ts:26-39``), with the sanctioned hash substitution."""
+    (``src/deduplication.ts:26-39``).
+
+    ``algo="sha256"`` (default): the sanctioned hash substitution — JVM-side,
+    codegen'd, DuckDB-reproducible. ``algo="blake2b512"``: the reference's
+    EXACT algorithm for byte-for-byte digest interop in a mixed fleet
+    (engine instances sharing an output topic with original-service
+    instances) — an Arrow-batched pandas_udf, the documented escape hatch
+    of VERDICT "what's missing" #3; same input bytes, so the two algos
+    dedup identically (cross-pinned in tests/test_hashing.py)."""
     props = filter_ignored_keys(F.col("properties"), ignored)
-    return F.sha2(
-        F.concat(F.col("value"), F.encode(canonical_json(props), "UTF-8")), 256
-    )
+    to_hash = F.concat(F.col("value"), F.encode(canonical_json(props), "UTF-8"))
+    if algo == "blake2b512":
+        from ..functions.hashing import blake2b512_hex
+
+        return blake2b512_hex(to_hash)
+    if algo != "sha256":
+        raise ValueError(f"unsupported digest algo: {algo!r}")
+    return F.sha2(to_hash, 256)
 
 
 def dedup_stream(

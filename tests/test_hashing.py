@@ -278,3 +278,115 @@ def test_null_properties_equal_empty_map(spark):
     assert d[0] == d[1]  # null props == empty props
     assert d[0] != d[2]  # payload still splits
     assert all(x is not None for x in d)
+
+
+def test_blake2b512_algorithm_identity(spark):
+    """The interop digest IS OpenSSL/Node BLAKE2b512: pinned against the
+    published BLAKE2b-512 test vectors (RFC 7693 appendix A family), not
+    just hashlib-vs-hashlib."""
+    from pulsar_topic_deduplicator_spark.functions.hashing import (
+        blake2b512_hex,
+    )
+
+    df = spark.createDataFrame(
+        [(b"",), (b"abc",)], "data binary"
+    ).select("data", blake2b512_hex(F.col("data")).alias("h"))
+    got = {bytes(r["data"]): r["h"] for r in df.collect()}
+    assert got[b""].startswith("786a02f742015903c6c6fd852552d272")
+    assert got[b"abc"].startswith("ba80a53f981c4d0d6a2797b69f12f6e9")
+    assert all(len(h) == 128 for h in got.values())  # 64-byte digest, hex
+
+
+def test_message_digest_blake2b_bit_compatible_with_reference_recipe(spark):
+    """``message_digest(algo="blake2b512")`` must equal a from-scratch
+    Python replay of the reference recipe — BLAKE2b-512 over
+    ``payload_bytes + utf8(stable_stringify(props − ignored))``
+    (src/deduplication.ts:26-39) — byte for byte, and both algos must
+    induce the SAME duplicate groups."""
+    import hashlib
+
+    rows = [
+        (b"foo", {"baz": "qux", "mqttQos": "0"}),
+        (b"foo", {"baz": "qux", "mqttQos": "1"}),  # dup under ignored key
+        (b"bar", {"plugh": "xyzzy"}),
+        (b"bar", {}),
+    ]
+    ignored = ("mqttQos",)
+    df = spark.createDataFrame(
+        [(v, p, None) for v, p in rows], schema=MSG_SCHEMA
+    ).select(
+        message_digest(ignored, algo="blake2b512").alias("b2"),
+        message_digest(ignored).alias("sha"),
+    )
+    got = df.collect()
+    for (payload, props), r in zip(rows, got):
+        kept = {k: v for k, v in props.items() if k not in ignored}
+        canonical = json.dumps(
+            kept, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+        )
+        want = hashlib.blake2b(
+            payload + canonical.encode("utf-8"), digest_size=64
+        ).hexdigest()
+        assert r["b2"] == want
+    # same grouping under either algorithm (rows 0,1 collapse; 2,3 differ)
+    b2 = [r["b2"] for r in got]
+    sha = [r["sha"] for r in got]
+    assert (b2[0] == b2[1]) and (sha[0] == sha[1])
+    assert len({b2[2], b2[3], b2[0]}) == 3 and len({sha[2], sha[3], sha[0]}) == 3
+
+
+def test_watermark_kernel_runs_on_blake2b_digest(spark, tmp_path):
+    """The interop digest drops into the JVM watermark kernel unchanged:
+    same dedup output as the sha2 path on the same stream (only the digest
+    VALUES differ)."""
+    import pandas as pd
+
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_message_stream,
+    )
+
+    src = str(tmp_path / "b2src")
+    base = 1704067200 * 1_000_000_000
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, base, 1, "click", 1.0, '{"k": "1"}'),
+                (2, base + 10**9, 1, "click", 1.0, '{"k": "1"}'),  # dup
+                (3, base + 2 * 10**9, 2, "view", 2.0, '{"k": "2"}'),
+            ],
+            columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            ],
+        ),
+        schema=(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    outs = {}
+    for algo in ("sha256", "blake2b512"):
+        messages = events_message_stream(spark, src)
+        keyed = messages.withColumn(
+            "digest", message_digest(algo=algo)
+        )
+        # dedup_stream_ingest_ttl re-keys internally on sha2; key manually
+        # here to exercise the blake2b column through the same kernel shape
+        deduped = (
+            keyed.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", "3600000 milliseconds")
+            .dropDuplicatesWithinWatermark(["digest"])
+        )
+        name = f"b2_{algo[:3]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        outs[algo] = {r["message_id"] for r in spark.table(name).collect()}
+    # one survivor of the {1,2} dup pair + message 3, under BOTH algorithms
+    for algo, ids in outs.items():
+        assert len(ids) == 2 and "3" in ids and ids & {"1", "2"}, (algo, ids)
