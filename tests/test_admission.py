@@ -108,3 +108,61 @@ def test_max_files_per_trigger_bounds_batches_and_preserves_output(
     # distinct content digest (5 distinct contents among 8 deliveries)
     assert capped == uncapped
     assert capped_rows == uncapped_rows == len(capped) == 5
+
+
+def test_capped_ingest_with_warmup_antijoin_seeding(spark, tmp_path):
+    """Admission control composed with the default kernel's warm-up
+    seeding (round-9 service flip): the seed set is STATIC, so a seeded
+    digest is suppressed in EVERY micro-batch of a capped multi-batch
+    replay — including the first — with no ordering caveat."""
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.service import (
+        run_dedup_service_bounded,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import messages_view
+    from pulsar_topic_deduplicator_spark.streaming.dedup import message_digest
+
+    base = str(tmp_path / "warm_base")  # sf-layout dir for messages_view
+    src = f"{base}/events.parquet"
+    k = lambda i: f'{{"k": "{i}"}}'  # noqa: E731
+    # two files; the seeded content appears in BOTH batches
+    _append_one_file(
+        spark,
+        src,
+        [
+            (1, BASE_TS + 0 * NS, 1, "click", 1.0, k(1)),  # seeded content
+            (2, BASE_TS + 1 * NS, 2, "view", 2.0, k(2)),
+        ],
+    )
+    _append_one_file(
+        spark,
+        src,
+        [
+            (3, BASE_TS + 2 * NS, 1, "click", 1.0, k(1)),  # seeded again
+            (4, BASE_TS + 3 * NS, 3, "purchase", 3.0, k(3)),
+        ],
+    )
+    # prior output = message 1's content with origin lineage (the service's
+    # own output topic shape)
+    prior = (
+        messages_view(spark, base)
+        .filter(F.col("message_id") == "1")
+        .withColumn("digest", message_digest())
+        .select(
+            "publish_ts",
+            "event_ts",
+            F.to_json(F.array(F.col("digest"))).alias("origin"),
+        )
+    )
+    out = run_dedup_service_bounded(
+        spark,
+        EngineConfig.from_env({"CACHE_WINDOW_IN_SECONDS": "172800"}),
+        src,
+        str(tmp_path / "warm_ck"),
+        prior_output=prior,
+        now_ts="2024-01-01 01:00:00",
+    )
+    ids = {r["message_id"] for r in out.collect()}
+    # 1 and 3 share the warm-up-seeded digest: both suppressed; 2 and 4 pass
+    assert ids == {"2", "4"}
