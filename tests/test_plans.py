@@ -646,3 +646,17 @@ def test_domain_attrition_report_equi_joins_only(spark, sf_dir):
         "MapInPandas",
     ):
         assert bad not in plan, plan[:2000]
+
+
+def test_bpe_encode_broadcast_vocab_no_python(spark, sf_dir):
+    """Encode joins per-word token counts back to the corpus explode via a
+    BROADCAST of the vocab-sized frame — never a corpus-keyed shuffle join —
+    and stays JVM-side end to end."""
+    from pulsar_topic_deduplicator_spark.operators import textops
+
+    df = textops.bpe_encode_token_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, plan[:2000]
