@@ -201,3 +201,97 @@ def test_service_composition_over_socket_transport(spark, tmp_path):
     counter_rows = [r for r in rows if r["message_id"] is None]
     assert {r["digest"] for r in counter_rows} == {seeded_digest}
     assert sum(r["n_dropped"] for r in rows) == 2
+
+
+def test_default_kernel_service_over_socket_transport(spark, tmp_path):
+    """Round-9 default-kernel twin of the composition test: the SAME
+    socket transport drives `start_dedup_service` on its DEFAULT (JVM
+    watermark TTL) kernel with warm-up anti-join seeding — the seeded
+    digest is suppressed across the network hop and the in-stream
+    duplicate collapses, with zero per-group Python anywhere."""
+    lines = [
+        {"message_id": "a-1", "topic": "t", "payload": "p1",
+         "props": {"k": "v"}, "ts": 1704240000},
+        {"message_id": "b-1", "topic": "t", "payload": "p2", "props": {},
+         "ts": 1704240060},
+        {"message_id": "c-1", "topic": "t", "payload": "p2", "props": {},
+         "ts": 1704240120},
+        {"message_id": "d-1", "topic": "t", "payload": "p3", "props": {},
+         "ts": 1704240180},
+    ]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(
+                "".join(json.dumps(l) + "\n" for l in lines).encode()
+            )
+            try:
+                conn.recv(1)
+            except OSError:
+                pass
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    from pulsar_topic_deduplicator_spark.config import EngineConfig
+    from pulsar_topic_deduplicator_spark.service import start_dedup_service
+
+    prior = (
+        spark.range(1)
+        .select(
+            F.encode(F.lit("p1"), "UTF-8").alias("value"),
+            F.create_map(F.lit("k"), F.lit("v")).alias("properties"),
+        )
+        .select(
+            F.lit("2024-01-02 12:00:00").cast("timestamp").alias("publish_ts"),
+            F.lit("2024-01-02 12:00:00").cast("timestamp").alias("event_ts"),
+            F.to_json(F.array(message_digest())).alias("origin"),
+        )
+    )
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    messages = raw.select(
+        F.from_json(
+            "value",
+            "message_id string, topic string, payload string,"
+            " props map<string,string>, ts long",
+        ).alias("m")
+    ).select(
+        F.col("m.message_id").alias("message_id"),
+        F.col("m.topic").alias("topic"),
+        F.encode(F.col("m.payload"), "UTF-8").alias("value"),
+        F.col("m.props").alias("properties"),
+        F.timestamp_seconds(F.col("m.ts")).alias("event_ts"),
+    )
+    svc = start_dedup_service(
+        spark,
+        EngineConfig(),
+        source_dir="unused-when-messages-given",
+        checkpoint_dir=str(tmp_path / "ck_sock_wm"),
+        prior_output=prior,
+        now_ts="2024-01-03 00:00:00",
+        messages=messages,
+    )
+    try:
+        svc.query.processAllAvailable()
+        rows = svc.output().collect()
+    finally:
+        svc.stop()
+    server.close()
+
+    # warm-up hit (p1) suppressed across the hop by the anti-join; one of
+    # the {b-1, c-1} duplicate pair survives (arrival-order first-seen);
+    # no counter rows exist on this kernel — full message rows only
+    ids = {r["message_id"] for r in rows}
+    assert len(ids) == 2 and "d-1" in ids and ids & {"b-1", "c-1"}
+    assert "a-1" not in ids
+    assert "n_dropped" not in svc.output().columns
