@@ -111,6 +111,8 @@ HEADLINE = [
     "bpe_encode_token_counts",  # trained-tokenizer encode (vocab join-back)
     "dedup_docs_by_url",  # URL keep-first dedup (min-struct agg, 1 shuffle)
     "domain_attrition_report",  # per-domain curation funnel (3 id-set stages)
+    "kmv_hourly_distinct_rollup",  # sketch rollup hierarchy (distinct metric)
+    "stream_heavy_hitters",  # streaming MG fold (foreachBatch + O(k) state)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

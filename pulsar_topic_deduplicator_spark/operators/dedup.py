@@ -878,3 +878,115 @@ ORACLES["kmv_audience_overlap"] = f"""
     JOIN sizes x ON x.event_type = e.type_a
     JOIN sizes y ON y.event_type = e.type_b
 """
+
+
+_HOUR_US = 3600 * 1_000_000
+_DAY_US = 24 * _HOUR_US
+
+
+def kmv_hourly_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count ROLLUP HIERARCHY from mergeable sketches — the
+    non-additive-metric twin of ``hourly_rollup_from_minutely``: distinct
+    counts don't re-roll (daily uniques ≠ sum of hourly uniques), so a
+    time-series store materializes per-bucket SKETCHES and answers coarser
+    windows by MERGING them. Hourly KMV sketches of the distinct-user set
+    are built once from the corpus; the daily estimate is then computed
+    ONLY from the hourly sketches (k smallest of their concatenation —
+    never re-scanning raw events). Returns one row per day:
+    ``(bucket_day, n_exact, n_kept, kmv_estimate)`` with the exact daily
+    distinct beside the sketch-merged estimate (deterministic under the
+    sha2-derived hash, hence oracle-EXACT — unlike HLL).
+
+    100 TB: the raw scan happens once at sketch-build; every coarser
+    window (day/week/month/arbitrary range) reads k longs per hour —
+    KBs — and a new hour's data touches only its own sketch (incremental
+    refresh is O(new data), the continuous-aggregate contract)."""
+    from ..functions.hashing import stable_uint60
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    h = stable_uint60(F.col("user_id").cast("string"))
+    hashes = ev.select(
+        F.timestamp_micros(us - (us % F.lit(_HOUR_US))).alias("bucket_hour"),
+        h.alias("h"),
+    ).distinct()
+    hourly_kept = _kmv_k_smallest(hashes, "bucket_hour")
+
+    hour_us = F.unix_micros(F.col("bucket_hour"))
+    daily_in = hourly_kept.select(
+        F.timestamp_micros(hour_us - (hour_us % F.lit(_DAY_US))).alias(
+            "bucket_day"
+        ),
+        "h",
+    ).distinct()
+    merged = _kmv_k_smallest(daily_in, "bucket_day")
+
+    exact = (
+        ev.select(
+            F.timestamp_micros(us - (us % F.lit(_DAY_US))).alias("bucket_day"),
+            h.alias("h"),
+        )
+        .groupBy("bucket_day")
+        .agg(F.countDistinct("h").alias("n_exact"))
+    )
+    return _kmv_report(merged, exact, "bucket_day")
+
+
+def _kmv_rollup_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    h = duck_stable_uint60("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashes AS (
+      SELECT DISTINCT
+             make_timestamp(epoch_us(ts) - epoch_us(ts) % {_HOUR_US})
+               AS bucket_hour,
+             {h} AS h
+      FROM events),
+    pre AS (
+      SELECT bucket_hour, h,
+             row_number() OVER (PARTITION BY bucket_hour, h % {_KMV_SALTS}
+                                ORDER BY h) AS r1
+      FROM hashes),
+    hourly AS (
+      SELECT bucket_hour, h FROM (
+        SELECT bucket_hour, h,
+               row_number() OVER (PARTITION BY bucket_hour ORDER BY h) AS r2
+        FROM pre WHERE r1 <= {KMV_K})
+      WHERE r2 <= {KMV_K}),
+    daily_in AS (
+      SELECT DISTINCT
+             make_timestamp(epoch_us(bucket_hour)
+                            - epoch_us(bucket_hour) % {_DAY_US}) AS bucket_day,
+             h
+      FROM hourly),
+    dpre AS (
+      SELECT bucket_day, h,
+             row_number() OVER (PARTITION BY bucket_day, h % {_KMV_SALTS}
+                                ORDER BY h) AS r1
+      FROM daily_in),
+    merged AS (
+      SELECT bucket_day, h FROM (
+        SELECT bucket_day, h,
+               row_number() OVER (PARTITION BY bucket_day ORDER BY h) AS r2
+        FROM dpre WHERE r1 <= {KMV_K})
+      WHERE r2 <= {KMV_K}),
+    agg AS (
+      SELECT bucket_day, count(*) AS n_kept, max(h) AS u_k_int
+      FROM merged GROUP BY bucket_day),
+    exact AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {_DAY_US})
+               AS bucket_day,
+             count(DISTINCT {h}) AS n_exact
+      FROM events GROUP BY 1)
+    SELECT e.bucket_day, CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(a.n_kept AS BIGINT) AS n_kept,
+           CASE WHEN a.n_kept < {KMV_K} THEN CAST(a.n_kept AS DOUBLE)
+                ELSE {float(KMV_K - 1)}
+                     / (CAST(a.u_k_int AS DOUBLE) / {_TWO_POW_60})
+           END AS kmv_estimate
+    FROM exact e JOIN agg a ON e.bucket_day = a.bucket_day
+    """
+
+
+ORACLES["kmv_hourly_distinct_rollup"] = _kmv_rollup_oracle()

@@ -151,3 +151,97 @@ def test_weighted_random_streams_keep_guarantees(spark, seed):
     for item, t in true.items():
         if t > bound:
             assert item in mg, (seed, item)
+
+
+BASE_TS = 1704067200 * 1_000_000_000  # 2024-01-01 UTC in ns
+NS = 1_000_000_000
+
+
+def _write_full_events_file(spark, path, rows):
+    """One parquet file per call in the driver events schema (the
+    streaming source probes the physical schema, so the fixture must
+    carry all six columns)."""
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream_rows(u, i, etype):
+    return (i, BASE_TS + i * NS, u, etype, 1.0, '{"k": "x"}')
+
+
+def test_stream_heavy_hitters_unsaturated_batch_split_invariant(
+    spark, tmp_path
+):
+    """Streaming MG over event_type (unsaturated): the accumulated
+    summary equals the exact counts, and a one-file-per-trigger multi-
+    batch replay produces the identical summary (no trim ever fires, so
+    the cross-batch fold is plain addition)."""
+    from pulsar_topic_deduplicator_spark.streaming.heavyhitters_stream import (
+        run_stream_heavy_hitters_bounded,
+    )
+
+    src = str(tmp_path / "mg_stream_src")
+    # 3 files, 2 event types
+    _write_full_events_file(
+        spark, src, [_stream_rows(1, i, "click") for i in range(6)]
+    )
+    _write_full_events_file(
+        spark, src, [_stream_rows(2, 10 + i, "view") for i in range(4)]
+    )
+    _write_full_events_file(
+        spark, src, [_stream_rows(3, 20 + i, "click") for i in range(5)]
+    )
+    uncapped = {
+        r["item"]: r["est_count"]
+        for r in run_stream_heavy_hitters_bounded(
+            spark, src, glob_filter=None
+        ).collect()
+    }
+    capped = {
+        r["item"]: r["est_count"]
+        for r in run_stream_heavy_hitters_bounded(
+            spark, src, glob_filter=None, max_files_per_trigger=1
+        ).collect()
+    }
+    assert uncapped == capped == {"click": 11, "view": 4}
+
+
+def test_stream_heavy_hitters_saturating_keeps_guarantees(spark, tmp_path):
+    """Streaming MG over user_id with 31 distinct users ≫ MG_K, replayed
+    one file per trigger so trims fire ACROSS batches: every Misra-Gries
+    guarantee must survive the batch-level fold — ≤ k rows, no overcount,
+    undercount ≤ n/(k+1), and the dominant user present."""
+    from pulsar_topic_deduplicator_spark.streaming.heavyhitters_stream import (
+        run_stream_heavy_hitters_bounded,
+    )
+
+    src = str(tmp_path / "mg_sat_src")
+    rows = [_stream_rows(0, i, "click") for i in range(50)] + [
+        _stream_rows(u, 100 + 3 * (u - 1) + j, "view")
+        for u in range(1, 31)
+        for j in range(3)
+    ]
+    # split into 4 files so the cross-batch fold is exercised
+    for c in range(4):
+        _write_full_events_file(spark, src, rows[c * 35 : (c + 1) * 35])
+    n = len(rows)
+    got = {
+        r["item"]: r["est_count"]
+        for r in run_stream_heavy_hitters_bounded(
+            spark, src, col="user_id", glob_filter=None,
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    exact = {}
+    for r in rows:
+        exact[str(r[2])] = exact.get(str(r[2]), 0) + 1
+    assert len(got) <= MG_K
+    bound = n / (MG_K + 1)
+    for item, est in got.items():
+        assert est <= exact[item]  # no overcount
+        assert exact[item] - est <= bound  # bounded undercount
+    # user 0 (50/140 = 36% ≫ 1/16) must be present and dominant
+    assert "0" in got and got["0"] == max(got.values())
