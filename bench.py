@@ -113,6 +113,8 @@ HEADLINE = [
     "domain_attrition_report",  # per-domain curation funnel (3 id-set stages)
     "kmv_hourly_distinct_rollup",  # sketch rollup hierarchy (distinct metric)
     "stream_heavy_hitters",  # streaming MG fold (foreachBatch + O(k) state)
+    "seasonal_anomaly_flags",  # hour-of-day leave-one-out z-test (2 aggs)
+    "quota_cap_events",  # per-(user,hour) quota (1 shuffle + ranked window)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -546,3 +546,97 @@ ORACLES["event_transitions"] = """
              AS prob_ppb
     FROM counts c JOIN totals t USING (from_type)
 """
+
+
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-baseline spike detection — the complement of
+    ``hourly_anomaly_flags``'s trailing window: each (event_type, hourly
+    bucket) is tested against the mean/σ of the SAME HOUR-OF-DAY across
+    all OTHER days (leave-one-out), catching "3 am traffic at noon
+    levels" that a trailing window normalizes away and not flagging a
+    daily rush hour the trailing window would. Returns (event_type,
+    bucket_us, hour_of_day, n_events, hist_n, hist_sum, hist_sumsq,
+    is_spike); baselines shorter than ANOM_MIN_HIST never flag.
+
+    Exactness: the same all-integer z-test algebra as the trailing twin —
+    (c·n − s1)² > S²·(n·s2 − s1²) with the spike side sign-tested first —
+    where the leave-one-out history is derived by SUBTRACTION from the
+    (type, hour-of-day) group totals: hist_n = cnt−1, hist_sum = Σ−c,
+    hist_sumsq = Σ²−c², all BIGINT.
+
+    Plan: ONE (type, bucket) count aggregate (the corpus-sized stage,
+    map-side combined), then one (type, hour-of-day) aggregate over the
+    bucket frame broadcast-joined back — no ordered window at all; at
+    100 TB the bucket frame is types × hours, KBs."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr("unix_micros(ts) div 3600000000") * F.lit(3_600_000_000)
+    counts = (
+        ev.select("event_type", hb.alias("bucket_us"))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "hour_of_day",
+            (F.col("bucket_us") / F.lit(3_600_000_000) % 24).cast("int"),
+        )
+    )
+    totals = counts.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("g_n"),
+        F.sum("n_events").alias("g_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("g_sumsq"),
+    )
+    j = counts.join(F.broadcast(totals), ["event_type", "hour_of_day"])
+    c = F.col("n_events")
+    n = F.col("g_n") - 1
+    s1 = F.col("g_sum") - c
+    s2 = F.col("g_sumsq") - c * c
+    dev = c * n - s1
+    var_n2 = n * s2 - s1 * s1
+    spike = (
+        (n >= ANOM_MIN_HIST)
+        & (dev > 0)
+        & (dev * dev > F.lit(ANOM_SIGMAS * ANOM_SIGMAS) * var_n2)
+    )
+    return j.select(
+        "event_type",
+        F.col("bucket_us").cast("long").alias("bucket_us"),
+        "hour_of_day",
+        c.cast("long").alias("n_events"),
+        n.cast("long").alias("hist_n"),
+        s1.cast("long").alias("hist_sum"),
+        s2.cast("long").alias("hist_sumsq"),
+        spike.alias("is_spike"),
+    )
+
+
+ORACLES["seasonal_anomaly_flags"] = f"""
+    WITH counts AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    hod AS (
+      SELECT event_type, bucket_us, n_events,
+             CAST((bucket_us // 3600000000) % 24 AS INTEGER) AS hour_of_day
+      FROM counts),
+    totals AS (
+      SELECT event_type, hour_of_day,
+             count(*) AS g_n, sum(n_events) AS g_sum,
+             sum(n_events * n_events) AS g_sumsq
+      FROM hod GROUP BY 1, 2)
+    SELECT h.event_type, CAST(h.bucket_us AS BIGINT) AS bucket_us,
+           h.hour_of_day,
+           CAST(h.n_events AS BIGINT) AS n_events,
+           CAST(t.g_n - 1 AS BIGINT) AS hist_n,
+           CAST(t.g_sum - h.n_events AS BIGINT) AS hist_sum,
+           CAST(t.g_sumsq - h.n_events * h.n_events AS BIGINT) AS hist_sumsq,
+           (t.g_n - 1) >= {ANOM_MIN_HIST}
+           AND (h.n_events * (t.g_n - 1) - (t.g_sum - h.n_events)) > 0
+           AND (h.n_events * (t.g_n - 1) - (t.g_sum - h.n_events))
+               * (h.n_events * (t.g_n - 1) - (t.g_sum - h.n_events))
+               > {ANOM_SIGMAS * ANOM_SIGMAS}
+                 * ((t.g_n - 1) * (t.g_sumsq - h.n_events * h.n_events)
+                    - (t.g_sum - h.n_events) * (t.g_sum - h.n_events))
+             AS is_spike
+    FROM hod h JOIN totals t
+      ON h.event_type = t.event_type AND h.hour_of_day = t.hour_of_day
+"""

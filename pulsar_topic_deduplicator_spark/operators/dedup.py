@@ -990,3 +990,65 @@ def _kmv_rollup_oracle() -> str:
 
 
 ORACLES["kmv_hourly_distinct_rollup"] = _kmv_rollup_oracle()
+
+
+#: per-(user, hour) event quota — the rate-limiting generalization of
+#: first-wins (K=1 degenerates to first_per_key on the windowed key)
+QUOTA_K = 5
+
+
+def quota_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota enforcement / rate limiting: keep the EARLIEST ``QUOTA_K``
+    events per (user, hour window), drop the overflow — the governance
+    pass a multi-tenant ingest runs before dedup (a runaway producer
+    cannot flood the pipeline). Returns the kept rows as (event_id,
+    user_id, bucket_us, rank_in_window) plus the window's overflow count
+    on each row — first_per_key generalized from K=1 to K per windowed
+    key, deterministic under the (ts, event_id) order.
+
+    Plan: ONE shuffle on (user, bucket) + a ranked window inside each
+    group; groups are user-hour sized (bounded by the quota's reason for
+    existing), so no skew — a hot user produces many GROUPS, not a hot
+    partition."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr("unix_micros(ts) div 3600000000") * F.lit(3_600_000_000)
+    w = Window.partitionBy("user_id", "bucket_us").orderBy("ts", "event_id")
+    ranked = (
+        ev.select("event_id", "user_id", "ts", hb.alias("bucket_us"))
+        .withColumn("rank_in_window", F.row_number().over(w))
+        .withColumn(
+            "n_overflow",
+            F.greatest(
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("user_id", "bucket_us")
+                )
+                - F.lit(QUOTA_K),
+                F.lit(0),
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank_in_window") <= QUOTA_K).select(
+        "event_id",
+        "user_id",
+        F.col("bucket_us").cast("long").alias("bucket_us"),
+        "rank_in_window",
+        F.col("n_overflow").cast("long").alias("n_overflow"),
+    )
+
+
+ORACLES["quota_cap_events"] = f"""
+    WITH ranked AS (
+      SELECT event_id, user_id,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             row_number() OVER (PARTITION BY user_id,
+                                  (epoch_us(ts) // 3600000000)
+                                ORDER BY ts, event_id) AS rank_in_window,
+             count(*) OVER (PARTITION BY user_id,
+                              (epoch_us(ts) // 3600000000)) AS n_in_window
+      FROM events)
+    SELECT event_id, user_id, CAST(bucket_us AS BIGINT) AS bucket_us,
+           CAST(rank_in_window AS BIGINT) AS rank_in_window,
+           CAST(greatest(n_in_window - {QUOTA_K}, 0) AS BIGINT)
+             AS n_overflow
+    FROM ranked WHERE rank_in_window <= {QUOTA_K}
+"""

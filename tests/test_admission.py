@@ -166,3 +166,37 @@ def test_capped_ingest_with_warmup_antijoin_seeding(spark, tmp_path):
     ids = {r["message_id"] for r in out.collect()}
     # 1 and 3 share the warm-up-seeded digest: both suppressed; 2 and 4 pass
     assert ids == {"2", "4"}
+
+
+def test_quota_cap_keeps_earliest_k_and_counts_overflow(spark, tmp_path):
+    """A flooding user is capped at QUOTA_K per hour window (earliest by
+    (ts, event_id) kept, overflow counted); a quiet user in the same hour
+    is untouched — the per-(user, window) isolation that makes quota a
+    governance primitive, not a global rate limit."""
+    from pulsar_topic_deduplicator_spark.operators.dedup import (
+        QUOTA_K,
+        quota_cap_events,
+    )
+
+    base = str(tmp_path / "quota_base")
+    rows = (
+        # user 1 floods hour 0 with 9 events (ids 0..8, one per minute)
+        [(i, BASE_TS + i * 60 * NS, 1, "click", 1.0, '{"k":"1"}')
+         for i in range(9)]
+        # user 2 sends 2 events in the same hour
+        + [(100, BASE_TS + 5 * 60 * NS, 2, "view", 1.0, '{"k":"2"}'),
+           (101, BASE_TS + 6 * 60 * NS, 2, "view", 1.0, '{"k":"2"}')]
+        # user 1 again in the NEXT hour: fresh window, 2 events kept
+        + [(200, BASE_TS + 3700 * NS, 1, "click", 1.0, '{"k":"1"}'),
+           (201, BASE_TS + 3800 * NS, 1, "click", 1.0, '{"k":"1"}')]
+    )
+    _append_one_file(spark, f"{base}/events.parquet", rows)
+    out = quota_cap_events(spark, base).collect()
+    kept = {r["event_id"] for r in out}
+    # earliest QUOTA_K of the flood + both quiet-user events + next hour
+    assert kept == set(range(QUOTA_K)) | {100, 101, 200, 201}
+    flood = [r for r in out if r["user_id"] == 1 and r["event_id"] < 100]
+    assert all(r["n_overflow"] == 9 - QUOTA_K for r in flood)
+    assert {r["rank_in_window"] for r in flood} == set(range(1, QUOTA_K + 1))
+    quiet = [r for r in out if r["user_id"] == 2]
+    assert all(r["n_overflow"] == 0 for r in quiet)
