@@ -576,7 +576,12 @@ def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .withColumn(
             "hour_of_day",
-            (F.col("bucket_us") / F.lit(3_600_000_000) % 24).cast("int"),
+            # integer div/mod, matching the oracle's // arithmetic exactly
+            # (float division happens to be exact on the hour grid, but
+            # BIGINT-in/BIGINT-out is the discipline)
+            F.expr(
+                "CAST((bucket_us div 3600000000) % 24 AS INT)"
+            ),
         )
     )
     totals = counts.groupBy("event_type", "hour_of_day").agg(
