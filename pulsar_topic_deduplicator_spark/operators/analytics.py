@@ -645,3 +645,109 @@ ORACLES["seasonal_anomaly_flags"] = f"""
     FROM hod h JOIN totals t
       ON h.event_type = t.event_type AND h.hour_of_day = t.hour_of_day
 """
+
+
+#: reported histogram quantiles (permille — integer rank math end to end)
+HQ_PERMILLES = (500, 950, 990)
+
+
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile ROLLUP from mergeable fixed-bin histograms — the
+    monitoring-percentile pattern (Prometheus ``histogram_quantile``):
+    quantiles don't re-roll, so the store materializes per-hour histograms
+    and answers daily (or any coarser) percentiles from the MERGED bins —
+    bin counts add, so the merge is one sum, never a raw re-scan. Returns
+    ``(event_type, bucket_day_us, quantile_permille, total_n, est_upper)``
+    per day × HQ_PERMILLES: est_upper is the upper edge of the first bin
+    whose cumulative count reaches rank ceil(q·total/1000) — the
+    conservative upper bound; the true value lies in
+    (est_upper − width, est_upper], pinned in tests.
+
+    Exactness: bins are floor(value/width) (IEEE-deterministic like
+    ``value_histogram``); the rank crossing is pure BIGINT
+    (cum·1000 ≥ total·q ⟺ cum ≥ ⌈total·q/1000⌉); est_upper is an exact
+    multiple of the width. Fully oracle-exact — the property HLL/t-digest
+    style sketches cannot offer.
+
+    Plan: ONE corpus-sized (type, hour, bin) count agg (the level-1
+    artifact a store materializes incrementally), then everything runs on
+    the bin frame: a (type, day, bin) re-sum, one cumulative window per
+    (type, day) over ≤ bins rows, a broadcast quantile frame, and a
+    min-bin argmin — KBs at any corpus scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr("unix_micros(ts) div 3600000000") * F.lit(3_600_000_000)
+    hourly = (
+        ev.select(
+            "event_type",
+            hb.alias("bucket_us"),
+            F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long").alias(
+                "bin"
+            ),
+        )
+        .groupBy("event_type", "bucket_us", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    day = (
+        F.expr("bucket_us div 86400000000") * F.lit(86_400_000_000)
+    ).cast("long")
+    daily = (
+        hourly.groupBy("event_type", day.alias("bucket_day_us"), "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = Window.partitionBy("event_type", "bucket_day_us").orderBy("bin")
+    cum = daily.select(
+        "event_type",
+        "bucket_day_us",
+        "bin",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy("event_type", "bucket_day_us")
+        ).alias("total_n"),
+    )
+    qf = spark.createDataFrame(
+        [(q,) for q in HQ_PERMILLES], "quantile_permille int"
+    )
+    hits = cum.crossJoin(F.broadcast(qf)).filter(
+        F.col("cum") * 1000 >= F.col("total_n") * F.col("quantile_permille")
+    )
+    return hits.groupBy(
+        "event_type", "bucket_day_us", "quantile_permille"
+    ).agg(
+        F.max("total_n").alias("total_n"),
+        ((F.min("bin") + 1) * F.lit(HIST_WIDTH)).alias("est_upper"),
+    )
+
+
+ORACLES["histogram_quantile_rollup"] = f"""
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(floor(value / {HIST_WIDTH!r}) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    daily AS (
+      SELECT event_type,
+             (bucket_us // 86400000000) * 86400000000 AS bucket_day_us,
+             bin, sum(n) AS n
+      FROM hourly GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT event_type, bucket_day_us, bin,
+             sum(n) OVER (PARTITION BY event_type, bucket_day_us
+                          ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type, bucket_day_us)
+               AS total_n
+      FROM daily),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in HQ_PERMILLES)}])
+             AS quantile_permille)
+    SELECT event_type, CAST(bucket_day_us AS BIGINT) AS bucket_day_us,
+           CAST(quantile_permille AS INTEGER) AS quantile_permille,
+           CAST(max(total_n) AS BIGINT) AS total_n,
+           (min(bin) + 1) * CAST({HIST_WIDTH!r} AS DOUBLE) AS est_upper
+    FROM cum, qs
+    WHERE cum * 1000 >= total_n * quantile_permille
+    GROUP BY 1, 2, 3
+"""

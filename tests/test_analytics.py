@@ -122,3 +122,58 @@ def test_event_transitions_hand_pinned(spark, tmp_path_factory):
         ("B", "A"): (1, 1_000_000_000),  # tie at ts=2s: event_id 2 < 3
         ("C", "A"): (1, 1_000_000_000),  # user 2's chain, isolated
     }
+
+
+def test_histogram_quantile_brackets_true_percentile(spark, tmp_path):
+    """The merged-histogram quantile must bracket the exact percentile:
+    true p-th value ∈ (est_upper − width, est_upper], with the rank math
+    hand-checkable — 100 values 0.5, 25.5, 50.5, … (one per bin) make
+    every quantile's crossing bin computable by eye. Data spans two days
+    of hourly buckets so the daily answer genuinely MERGES hourly
+    histograms."""
+    import pyspark.sql.functions as F
+
+    from pulsar_topic_deduplicator_spark.operators.analytics import (
+        HIST_WIDTH,
+        HQ_PERMILLES,
+        histogram_quantile_rollup,
+    )
+
+    rows = []
+    # day 0: values 0.5 + 25*i for i in 0..99, spread across 10 hours
+    for i in range(100):
+        rows.append((i, i % 10 * 3600, 0.5 + 25.0 * i))
+    # day 1: constant value 12.5 → every quantile in bin 0
+    for i in range(40):
+        rows.append((1000 + i, 86400 + i % 4 * 3600, 12.5))
+    path = tmp_path / "hq"
+    spark.createDataFrame(
+        rows, "event_id long, sec long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("sec") + 1_700_006_400).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit('{"k":1}').alias("props"),
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    out = {
+        (r["bucket_day_us"], r["quantile_permille"]): r
+        for r in histogram_quantile_rollup(spark, str(path)).collect()
+    }
+    day0 = 1_700_006_400 * 1_000_000
+    day1 = day0 + 86_400_000_000
+    # day 0: value i sits alone in bin i; rank ⌈q·100/1000⌉ crosses at bin
+    # rank−1 → est_upper = rank·25
+    for q in HQ_PERMILLES:
+        rank = -(-100 * q // 1000)  # ceil
+        r = out[(day0, q)]
+        assert r["total_n"] == 100
+        assert r["est_upper"] == rank * HIST_WIDTH
+        true_val = 0.5 + 25.0 * (rank - 1)  # percentile_disc at rank
+        assert r["est_upper"] - HIST_WIDTH < true_val <= r["est_upper"]
+    # day 1: everything in bin 0 → every quantile reports 25.0
+    for q in HQ_PERMILLES:
+        r = out[(day1, q)]
+        assert (r["total_n"], r["est_upper"]) == (40, HIST_WIDTH)
