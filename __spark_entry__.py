@@ -394,6 +394,7 @@ def queries() -> dict[str, QueryFn]:
         "seasonal_anomaly_flags": analytics.seasonal_anomaly_flags,
         "quota_cap_events": dedup.quota_cap_events,
         "histogram_quantile_rollup": analytics.histogram_quantile_rollup,
+        "near_dup_triangles": neardup.near_dup_triangles,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

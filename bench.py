@@ -116,6 +116,7 @@ HEADLINE = [
     "seasonal_anomaly_flags",  # hour-of-day leave-one-out z-test (2 aggs)
     "quota_cap_events",  # per-(user,hour) quota (1 shuffle + ranked window)
     "histogram_quantile_rollup",  # mergeable histogram percentiles (2 levels)
+    "near_dup_triangles",  # triangle census over the verified pair graph
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

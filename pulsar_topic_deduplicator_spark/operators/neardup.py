@@ -1105,3 +1105,52 @@ def _decontaminate_fuzzy_oracle() -> str:
 
 
 ORACLES["decontaminate_fuzzy"] = _decontaminate_fuzzy_oracle()
+
+
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the VERIFIED near-dup graph — the dedup-audit
+    read behind cluster quality: a triangle (three docs pairwise verified
+    ≥ threshold) marks a DENSE duplicate family whose representative
+    choice is safe, while a long path without triangles marks chain-drift
+    (A~B~C with A̸~C), the classic false-merge hazard of transitive
+    clustering. Returns each triangle once as ``(doc_a, doc_b, doc_c)``
+    with doc_a < doc_b < doc_c.
+
+    Plan: the verified-pair frame (already canonical doc_a < doc_b) is
+    persisted once — the expensive LSH+verify sub-DAG never re-runs — and
+    the census is two equi-joins over it: e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c).
+    The pair graph is duplicate-family-sized (orders smaller than the
+    corpus), and near-dup degree is bounded by family size, so the wedge
+    explosion the node-iterator algorithm fears has no fuel here; at true
+    web scale the standard degree-ordered orientation applies unchanged
+    because pairs are already stored low-id-first."""
+    from ..cachereg import persist_scoped
+
+    pairs = persist_scoped(
+        near_dup_pairs_verified(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    e2 = pairs.select(
+        F.col("doc_a").alias("b2"), F.col("doc_b").alias("doc_c")
+    )
+    e3 = pairs.select(
+        F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3")
+    )
+    return (
+        pairs.join(e2, pairs.doc_b == e2.b2)
+        .join(
+            e3,
+            (F.col("doc_a") == F.col("a3")) & (F.col("doc_c") == F.col("c3")),
+        )
+        .select("doc_a", "doc_b", "doc_c")
+    )
+
+
+ORACLES["near_dup_triangles"] = f"""
+    WITH pairs AS MATERIALIZED (
+        {ORACLES["near_dup_pairs_verified"]}
+    )
+    SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""

@@ -51,3 +51,50 @@ def test_lss_handles_reversed_and_duplicate_edges(spark):
         r["id"]: r["label"] for r in connected_components_lss(edges).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 5: 1}
+
+
+def test_triangle_census_counts_dense_families_only(
+    spark, tmp_path_factory
+):
+    """A pairwise-verified triple forms exactly one triangle; a verified
+    PAIR (a path, the chain-drift shape) forms none — the distinction the
+    census exists to surface. (A three-link chain whose closure stays
+    under the 0.5 threshold needs link similarity ~0.5-0.7, where the
+    4x4-band LSH recall is deliberately probabilistic — so the
+    no-closure shape is pinned here with the 2-node path, and the
+    closure arithmetic itself is the verify stage's oracle-checked
+    job.)"""
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        near_dup_pairs_verified,
+        near_dup_triangles,
+    )
+
+    w = [f"w{i}" for i in range(1, 41)]
+    v = [f"v{i}" for i in range(1, 31)]
+    docs = [
+        # path: two docs at J~0.70 — verified pair, no triangle
+        (0, " ".join(w[0:30])),
+        (1, " ".join(w[5:35])),
+        # dense family: three near-identical docs (one word swapped)
+        (10, " ".join(v)),
+        (11, " ".join(v[:-1] + ["vX"])),
+        (12, " ".join(["vY"] + v[1:])),
+    ]
+    path = tmp_path_factory.mktemp("tricensus")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_verified(spark, str(path)).collect()
+    }
+    assert (0, 1) in pairs  # the path edge
+    assert {(10, 11), (10, 12), (11, 12)} <= pairs  # the family
+
+    tris = {
+        (r["doc_a"], r["doc_b"], r["doc_c"])
+        for r in near_dup_triangles(spark, str(path)).collect()
+    }
+    assert tris == {(10, 11, 12)}  # family counted once; path contributes 0
