@@ -39,6 +39,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     entity,
     graph,
     heavyhitters,
+    layoutstats,
     lineage,
     multimodal,
     neardup,
@@ -395,6 +396,11 @@ def queries() -> dict[str, QueryFn]:
         "quota_cap_events": dedup.quota_cap_events,
         "histogram_quantile_rollup": analytics.histogram_quantile_rollup,
         "near_dup_triangles": neardup.near_dup_triangles,
+        "zonemap_prune_stats": layoutstats.zonemap_prune_stats,
+        "zorder_bucket_spans": layoutstats.zorder_bucket_spans,
+        "hits_hub_authority": graph.hits_hub_authority,
+        "stratified_sample_events": sampling.stratified_sample_events,
+        "jaccard_join_prefix_filtered": neardup.jaccard_join_prefix_filtered,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
@@ -579,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         retrieval,
         dedup,
         graph,
+        layoutstats,
         lineage,
         pipeline,
         recommend,

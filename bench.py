@@ -117,6 +117,11 @@ HEADLINE = [
     "quota_cap_events",  # per-(user,hour) quota (1 shuffle + ranked window)
     "histogram_quantile_rollup",  # mergeable histogram percentiles (2 levels)
     "near_dup_triangles",  # triangle census over the verified pair graph
+    "zonemap_prune_stats",  # 3-layout zone-map prune readout (2 ntile sorts)
+    "zorder_bucket_spans",  # Morton-code bucketing + 2-D prune (1 agg pass)
+    "hits_hub_authority",  # HITS mutual reinforcement (2R joins, int-exact)
+    "stratified_sample_events",  # exact-k per stratum (bottom-k of hash)
+    "jaccard_join_prefix_filtered",  # exact PPJoin-bound join (rare-token prefixes)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

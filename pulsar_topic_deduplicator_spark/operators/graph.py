@@ -427,3 +427,136 @@ def _ppr_oracle() -> str:
 
 
 ORACLES["ppr_related_suppliers"] = _ppr_oracle()
+
+
+#: HITS fixed-point scale (smaller than PageRank's SCALE: the rescale step
+#: multiplies a raw neighbor-sum by it, so ``max_degree · HITS_SCALE²`` must
+#: stay inside int64 — 1e6 leaves room for ~9e6-degree hubs; beyond that a
+#: production run drops to 1e3 or real-valued scores)
+HITS_SCALE = 1_000_000
+#: synchronous HITS rounds (oracle replays the same R)
+HITS_ROUNDS = 3
+#: rows returned per role
+HITS_TOP = 10
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the bipartite customer→supplier order
+    graph — the mutual-reinforcement complement of PageRank: a customer is
+    a good HUB if it buys from good suppliers, a supplier a good AUTHORITY
+    if good hubs buy from it. Returns the top ``HITS_TOP`` nodes per role
+    as ``(role, node, score)``.
+
+    Exact-integer discipline (same contract as ``pagerank_fixed_point``):
+    scores are scaled BIGINTs; each half-step is a neighbor SUM followed by
+    a max-normalization ``(raw · HITS_SCALE) div max(raw)`` — the integer
+    analog of the usual norm divide, bit-identical on any partitioning, so
+    the unrolled DuckDB CTE chain replays the identical HITS_ROUNDS rounds
+    (floats would drift: neither the sum order nor an L2 norm is
+    associative-stable).
+
+    Scale shape: per round two (edges ⋈ node-frame → agg) steps plus two
+    one-row max aggregates (broadcast, no collect); node frames here are
+    ≪ BROADCAST_NODES_MAX so they broadcast into the edge join exactly like
+    the PPR entry — a web-scale run flips to a shuffle join over
+    src-bucketed edges, same as PageRank."""
+    from ..cachereg import persist_scoped
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = persist_scoped(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    hub = pairs.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        araw = (
+            pairs.join(F.broadcast(hub), pairs.c == hub.node)
+            .groupBy("s")
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            F.col("s").alias("node"),
+            F.expr(f"(raw * {HITS_SCALE}) div mx").alias("a"),
+        )
+        hraw = (
+            pairs.join(F.broadcast(auth), pairs.s == auth.node)
+            .groupBy("c")
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            F.col("c").alias("node"),
+            F.expr(f"(raw * {HITS_SCALE}) div mx").alias("h"),
+        )
+
+    auth_out = (
+        auth.orderBy(F.desc("a"), "node")
+        .limit(HITS_TOP)
+        .select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("s"), F.col("node")).alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    hub_out = (
+        hub.orderBy(F.desc("h"), "node")
+        .limit(HITS_TOP)
+        .select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("c"), F.col("node")).alias("node"),
+            F.col("h").alias("score"),
+        )
+    )
+    out = auth_out.unionByName(hub_out).localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "hub0"
+    for r in range(1, HITS_ROUNDS + 1):
+        steps.append(
+            f"""a{r}r AS MATERIALIZED (
+          SELECT p.s AS node, CAST(sum(h.h) AS BIGINT) AS raw
+          FROM pairs p JOIN {prev_h} h ON p.c = h.node GROUP BY p.s),
+        a{r} AS MATERIALIZED (
+          SELECT node, (raw * {HITS_SCALE}) // (SELECT max(raw) FROM a{r}r)
+                   AS a
+          FROM a{r}r),
+        h{r}r AS MATERIALIZED (
+          SELECT p.c AS node, CAST(sum(a.a) AS BIGINT) AS raw
+          FROM pairs p JOIN a{r} a ON p.s = a.node GROUP BY p.c),
+        h{r} AS MATERIALIZED (
+          SELECT node, (raw * {HITS_SCALE}) // (SELECT max(raw) FROM h{r}r)
+                   AS h
+          FROM h{r}r)"""
+        )
+        prev_h = f"h{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        hub0 AS (
+          SELECT DISTINCT c AS node, CAST({HITS_SCALE} AS BIGINT) AS h
+          FROM pairs),
+        {chain}
+        SELECT 'authority' AS role, 's' || node AS node, a AS score
+        FROM (SELECT * FROM a{HITS_ROUNDS} ORDER BY a DESC, node
+              LIMIT {HITS_TOP})
+        UNION ALL
+        SELECT 'hub' AS role, 'c' || node AS node, h AS score
+        FROM (SELECT * FROM h{HITS_ROUNDS} ORDER BY h DESC, node
+              LIMIT {HITS_TOP})
+    """
+
+
+ORACLES["hits_hub_authority"] = _hits_oracle()

@@ -1154,3 +1154,70 @@ ORACLES["near_dup_triangles"] = f"""
     JOIN pairs e2 ON e2.doc_a = e1.doc_b
     JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
 """
+
+
+def jaccard_join_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold-Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin candidate bound of Bayardo et al. 2007 / Xiao et al.
+    2008) — same output contract as ``ngram_jaccard_pairs`` (every pair
+    with word-3-gram Jaccard ≥ 0.5, exact scores), but the candidate set
+    comes from joining only each document's PREFIX tokens instead of every
+    token.
+
+    The bound: order each doc's tokens by ascending global document
+    frequency (rarest first, ties by hash). If J(a,b) ≥ t then the overlap
+    is ≥ ceil(t·n_a), so at most n_a − ceil(t·n_a) of a's tokens are
+    non-shared — by pigeonhole every qualifying pair shares a token within
+    each side's first ``n − ceil(t·n) + 1`` tokens. Joining prefixes only
+    is therefore LOSSLESS for the threshold, and because prefixes hold the
+    RAREST tokens, the join's collision volume collapses (frequent tokens
+    — the quadratic blowup in a full token self-join — never enter it).
+    Survivors are verified with the shared exact-Jaccard stage.
+
+    Correctness gate: the oracle is the BRUTE-FORCE all-pairs SQL
+    (byte-identical to ``ngram_jaccard_pairs``'s), so every driver round
+    re-proves the filter's completeness — a lost candidate would
+    hash-mismatch immediately.
+
+    100 TB: this is the EXACT-join scale path beside the probabilistic
+    LSH tier — prefix join volume is bounded by rare-token collision
+    counts (df-ordered prefixes make hot tokens non-join-keys), and the
+    df table is token-vocabulary-sized. ngram_jaccard_pairs stays as the
+    small-corpus ground-truth tier."""
+    from ..cachereg import persist_scoped
+
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
+    df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (
+        sh.join(df, "h")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    # prefix length n − ceil(t·n) + 1 at t = JACCARD_THRESHOLD = 0.5:
+    # ceil(n/2) = (n+1) div 2, all-integer
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + F.lit(1)
+    ).select("doc_id", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_candidate_pairs(sh, cands).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+# the brute-force SQL IS the oracle: output equality proves the prefix
+# filter lost no pair (completeness), every driver round
+ORACLES["jaccard_join_prefix_filtered"] = ORACLES["ngram_jaccard_pairs"]

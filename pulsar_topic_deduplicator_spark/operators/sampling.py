@@ -11,14 +11,16 @@ consistent as the corpus grows (a document keeps its split forever), and
 exactly reproducible in the DuckDB oracle (same sha2 construction as the
 MinHash seeds).
 
-All three operators are single-scan, shuffle-free selections (the plan is
-scan → filter/project), so they run at 100 TB for the cost of reading the
-input once — and the hash predicate could push into a smarter source.
+The hash-percent operators are single-scan, shuffle-free selections (the
+plan is scan → filter/project), so they run at 100 TB for the cost of
+reading the input once — and the hash predicate could push into a smarter
+source. ``stratified_sample_events`` adds the EXACT-k per-stratum variant
+(bottom-k of the same hash), which costs one per-stratum top-k.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_uint60
@@ -109,3 +111,48 @@ ORACLES: dict[str, str] = {
         WHERE {_H_PCT.format(expr="text")} < {_MIX_CASE}
     """,
 }
+
+
+#: exact per-stratum sample size
+STRATUM_K = 20
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k stratified sample: precisely ``STRATUM_K`` events per
+    event_type (or all of them if the stratum is smaller), selected as the
+    bottom-k of the stable content hash — i.e. a uniform
+    without-replacement draw per stratum that is a pure function of the
+    data (same rows on every run/cluster/retry, and a row stays selected
+    as long as it stays in the k smallest of its stratum).
+
+    The hash-percent operators above give BERNOULLI samples (size varies
+    ±√n); evaluation sets and per-class probes need exact counts — this is
+    the bottom-k/priority-sampling construction those pipelines use.
+
+    Plan: one shuffle on event_type + a ranked window per stratum; stratum
+    count is small (event types), so the 100 TB shape is a per-stratum
+    top-k which Spark executes as partial top-k map-side (rank ≤ k filter
+    collapses each partition to k rows before the exchange under AQE's
+    window-group-limit pushdown)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = stable_uint60(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        ev.select("event_id", "event_type", h.alias("h"))
+        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("stratum_rank") <= STRATUM_K)
+        .select("event_id", "event_type", "stratum_rank")
+    )
+
+
+_H_ID = duck_stable_uint60("CAST(event_id AS VARCHAR)")
+
+ORACLES["stratified_sample_events"] = f"""
+    SELECT event_id, event_type, CAST(stratum_rank AS BIGINT) AS stratum_rank
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {_H_ID}, event_id) AS stratum_rank
+      FROM events)
+    WHERE stratum_rank <= {STRATUM_K}
+"""

@@ -119,3 +119,24 @@ def test_ppr_ranks_seed_neighborhood(spark, tmp_path_factory):
     assert got == pr  # 11 nodes <= TOP_K: the full frame is returned
     # the retrieval claim: proximity to the seed beats global popularity
     assert got["s2"] > got["s9"]
+
+
+def test_hits_roles_and_normalization(spark, sf_dir):
+    """HITS invariants on the real corpus: both roles present, HITS_TOP
+    rows each, every score in (0, HITS_SCALE], and the per-role max is
+    EXACTLY HITS_SCALE (the integer max-normalization pins the best node
+    of each role to the scale — the fixed anchor the oracle replays)."""
+    rows = graph.hits_hub_authority(spark, sf_dir).collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r["score"])
+    assert set(by_role) == {"authority", "hub"}
+    for role, scores in by_role.items():
+        assert len(scores) == graph.HITS_TOP, role
+        assert max(scores) == graph.HITS_SCALE, role
+        assert all(0 < s <= graph.HITS_SCALE for s in scores), role
+    # prefixes encode the bipartite roles
+    assert all(
+        r["node"].startswith("s" if r["role"] == "authority" else "c")
+        for r in rows
+    )
