@@ -122,6 +122,7 @@ HEADLINE = [
     "hits_hub_authority",  # HITS mutual reinforcement (2R joins, int-exact)
     "stratified_sample_events",  # exact-k per stratum (bottom-k of hash)
     "jaccard_join_prefix_filtered",  # exact PPJoin-bound join (rare-token prefixes)
+    "snapshot_merkle_diff",  # anti-entropy bucket diff (xor summaries + descent)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

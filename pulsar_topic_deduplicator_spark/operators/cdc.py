@@ -219,3 +219,218 @@ ORACLES["scd2_point_in_time_join"] = f"""
     FROM p ASOF LEFT JOIN dim d
       ON p.user_id = d.user_id AND p.lookup_ts >= d.valid_from
 """
+
+
+#: Merkle-diff bucket geometry: LEAF buckets are the sync unit (what gets
+#: re-shipped); TOP buckets are the first tree level the replicas compare.
+#: leaf→top rollup is ``leaf div (MERKLE_LEAVES // MERKLE_TOPS)``.
+MERKLE_LEAVES = 512
+MERKLE_TOPS = 64
+#: deterministic "replica drift" fixture: keys divisible by 997 got a price
+#: bump + status rewrite on the remote side, keys divisible by 1499 were
+#: deleted there (inserts are symmetric — a bucket with an extra row diffs
+#: the same way a bucket with a missing one does)
+_DRIFT_UPDATE_MOD = 997
+_DRIFT_DELETE_MOD = 1499
+
+
+def _orders_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, leaf, fp): 60-bit row fingerprint over every column
+    (canonical renderings: %.2f price, epoch-µs date) + the key's leaf
+    bucket. The fingerprint construction is the engine's standard
+    ``stable_uint60`` so the oracle replays it exactly."""
+    from ..functions.hashing import SEP, stable_uint60
+
+    o = load_table(spark, sf_dir, "orders")
+    rendered = F.concat_ws(
+        SEP,
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        (stable_uint60(F.col("o_orderkey").cast("string")) % MERKLE_LEAVES).alias(
+            "leaf"
+        ),
+        stable_uint60(rendered).alias("fp"),
+        "o_totalprice",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def snapshot_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy snapshot diff via Merkle buckets — how two 100 TB
+    replicas find their differences WITHOUT shipping either table: each
+    side publishes per-bucket summaries ``(count, XOR of row
+    fingerprints)``, the comparison descends the bucket tree, and only
+    buckets whose summaries differ are re-synced (the rsync/Dynamo/
+    Cassandra repair primitive, as a declarative plan).
+
+    Local side = the orders snapshot; remote side = the same snapshot with
+    a deterministic drift fixture applied (price/status updates on keys
+    ÷ 997, deletions on keys ÷ 1499). Both sides are summarized at
+    MERKLE_LEAVES leaf buckets; the engine compares the MERKLE_TOPS
+    top-level rollups FIRST (XOR of leaf XORs — XOR is associative, so the
+    rollup needs no re-scan) and descends only into differing top buckets
+    — a semi-join prune that touches O(drifted buckets) of the leaf
+    summaries, which is the property that makes repair feasible at scale
+    (the exchanged summaries are KBs; re-shipped data is proportional to
+    actual drift, not table size).
+
+    Returns one row per DIFFERING leaf bucket: ``(leaf, n_local, n_remote,
+    xor_local, xor_remote)`` (absent side = count 0 / XOR 0). The oracle
+    computes the leaf-level diff FLAT — the tree descent is pure pruning,
+    so hash-equality against the flat answer proves the descent lost
+    nothing, the same completeness discipline as the prefix-filtered
+    Jaccard join."""
+    from ..cachereg import persist_scoped
+
+    base = persist_scoped(_orders_fingerprints(spark, sf_dir))
+    remote = (
+        base.filter(F.col("o_orderkey") % _DRIFT_DELETE_MOD != 0)
+        .withColumn(
+            "drifted", F.col("o_orderkey") % _DRIFT_UPDATE_MOD == 0
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("drifted"),
+                F.col("o_totalprice") + F.lit(_UPDATE_PRICE_DELTA),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("drifted"), F.lit("U")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    # drifted rows need their fingerprint recomputed from the new values
+    remote = _refingerprint(remote)
+
+    def _leaves(df: DataFrame) -> DataFrame:
+        return df.groupBy("leaf").agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(fp)").alias("x")
+        )
+
+    lv_l = _leaves(base)
+    lv_r = _leaves(remote)
+    top_div = MERKLE_LEAVES // MERKLE_TOPS
+
+    def _tops(lv: DataFrame) -> DataFrame:
+        return (
+            lv.withColumn("top", F.expr(f"leaf div {top_div}"))
+            .groupBy("top")
+            .agg(F.sum("n").alias("n"), F.expr("bit_xor(x)").alias("x"))
+        )
+
+    t = (
+        _tops(lv_l)
+        .alias("a")
+        .join(_tops(lv_r).alias("b"), "top", "full_outer")
+        .filter(
+            ~(
+                F.col("a.n").eqNullSafe(F.col("b.n"))
+                & F.col("a.x").eqNullSafe(F.col("b.x"))
+            )
+        )
+        .select("top")
+    )
+    # descend: leaf comparison restricted to differing top buckets only
+    in_tops = F.broadcast(t)
+
+    def _pruned(lv: DataFrame) -> DataFrame:
+        return lv.join(
+            in_tops, F.expr(f"leaf div {top_div}") == F.col("top"), "semi"
+        )
+
+    diff = (
+        _pruned(lv_l)
+        .alias("a")
+        .join(_pruned(lv_r).alias("b"), "leaf", "full_outer")
+        .filter(
+            ~(
+                F.col("a.n").eqNullSafe(F.col("b.n"))
+                & F.col("a.x").eqNullSafe(F.col("b.x"))
+            )
+        )
+        .select(
+            "leaf",
+            F.coalesce(F.col("a.n"), F.lit(0)).alias("n_local"),
+            F.coalesce(F.col("b.n"), F.lit(0)).alias("n_remote"),
+            F.coalesce(F.col("a.x"), F.lit(0)).alias("xor_local"),
+            F.coalesce(F.col("b.x"), F.lit(0)).alias("xor_remote"),
+        )
+    )
+    return diff
+
+
+def _refingerprint(df: DataFrame) -> DataFrame:
+    from ..functions.hashing import SEP, stable_uint60
+
+    rendered = F.concat_ws(
+        SEP,
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        F.col("o_orderpriority"),
+    )
+    return df.withColumn("fp", stable_uint60(rendered))
+
+
+def _merkle_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    def fp(price_expr: str, status_expr: str) -> str:
+        return duck_stable_uint60(
+            "CAST(o_orderkey AS VARCHAR) || chr(31) || "
+            "CAST(o_custkey AS VARCHAR) || chr(31) || "
+            f"{status_expr} || chr(31) || "
+            f"printf('%.2f', {price_expr}) || chr(31) || "
+            "CAST(epoch_us(o_orderdate) AS VARCHAR) || chr(31) || "
+            "o_orderpriority"
+        )
+
+    leaf = (
+        duck_stable_uint60("CAST(o_orderkey AS VARCHAR)")
+        + f" % {MERKLE_LEAVES}"
+    )
+    return f"""
+    WITH local AS (
+      SELECT {leaf} AS leaf,
+             {fp("o_totalprice", "o_orderstatus")} AS fp
+      FROM orders),
+    remote AS (
+      SELECT {leaf} AS leaf,
+             {fp(
+                 f"CASE WHEN o_orderkey % {_DRIFT_UPDATE_MOD} = 0 "
+                 f"THEN o_totalprice + {_UPDATE_PRICE_DELTA} "
+                 "ELSE o_totalprice END",
+                 f"CASE WHEN o_orderkey % {_DRIFT_UPDATE_MOD} = 0 "
+                 "THEN 'U' ELSE o_orderstatus END",
+             )} AS fp
+      FROM orders WHERE o_orderkey % {_DRIFT_DELETE_MOD} != 0),
+    la AS (SELECT leaf, count(*) AS n, bit_xor(fp) AS x
+           FROM local GROUP BY leaf),
+    ra AS (SELECT leaf, count(*) AS n, bit_xor(fp) AS x
+           FROM remote GROUP BY leaf)
+    SELECT COALESCE(la.leaf, ra.leaf) AS leaf,
+           CAST(COALESCE(la.n, 0) AS BIGINT) AS n_local,
+           CAST(COALESCE(ra.n, 0) AS BIGINT) AS n_remote,
+           CAST(COALESCE(la.x, 0) AS BIGINT) AS xor_local,
+           CAST(COALESCE(ra.x, 0) AS BIGINT) AS xor_remote
+    FROM la FULL OUTER JOIN ra ON la.leaf = ra.leaf
+    WHERE la.n IS DISTINCT FROM ra.n OR la.x IS DISTINCT FROM ra.x
+    """
+
+
+ORACLES["snapshot_merkle_diff"] = _merkle_oracle()
