@@ -402,6 +402,7 @@ def queries() -> dict[str, QueryFn]:
         "stratified_sample_events": sampling.stratified_sample_events,
         "jaccard_join_prefix_filtered": neardup.jaccard_join_prefix_filtered,
         "snapshot_merkle_diff": cdc.snapshot_merkle_diff,
+        "bfs_hops_from_seed": graph.bfs_hops_from_seed,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

@@ -123,6 +123,7 @@ HEADLINE = [
     "stratified_sample_events",  # exact-k per stratum (bottom-k of hash)
     "jaccard_join_prefix_filtered",  # exact PPJoin-bound join (rare-token prefixes)
     "snapshot_merkle_diff",  # anti-entropy bucket diff (xor summaries + descent)
+    "bfs_hops_from_seed",  # BFS hop distance (R min-relax rounds, int-exact)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

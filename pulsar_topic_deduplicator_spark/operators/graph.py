@@ -475,10 +475,18 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auth = None
     for _ in range(HITS_ROUNDS):
+        # materialize each half-step's raw-sum frame (node-sized, KBs):
+        # it has TWO consumers (the one-row max and the rescale crossJoin),
+        # so left lazy the join+agg sub-DAG doubles per half-step and the
+        # doubling COMPOUNDS across rounds (4^R re-execution — measured
+        # 79.6 s at sf0.1; 2.5 s with the checkpoints). Same discipline as
+        # pagerank's checkpoint_every, just mandatory because of the
+        # two-consumer max-normalization.
         araw = (
             pairs.join(F.broadcast(hub), pairs.c == hub.node)
             .groupBy("s")
             .agg(F.sum("h").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         amax = araw.agg(F.max("raw").alias("mx"))
         auth = araw.crossJoin(F.broadcast(amax)).select(
@@ -489,6 +497,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.join(F.broadcast(auth), pairs.s == auth.node)
             .groupBy("c")
             .agg(F.sum("a").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hmax = hraw.agg(F.max("raw").alias("mx"))
         hub = hraw.crossJoin(F.broadcast(hmax)).select(
@@ -560,3 +569,105 @@ def _hits_oracle() -> str:
 
 
 ORACLES["hits_hub_authority"] = _hits_oracle()
+
+
+#: BFS round budget (bipartite interaction graph: diameter is small; the
+#: oracle replays the same R, and like the fixed-k PageRank entries the
+#: operator contracts the R-round frontier)
+BFS_ROUNDS = 4
+#: unreached sentinel — keeps every distance an exact BIGINT (no NULL
+#: arithmetic; both engines compute least(INF, d+1) identically)
+BFS_INF = 1_000_000_000
+
+
+def bfs_hops_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from a seed node over the interaction
+    graph — the UNWEIGHTED-shortest-path classic beside PageRank
+    (influence), connected components (reachability), label propagation
+    (density), and PPR (proximity). Returns ``(node, hops)`` for every
+    node reached within BFS_ROUNDS rounds; seed = the smallest supplier id
+    (data-derived, deterministic, same rule as ``ppr_related_suppliers``).
+
+    Pure integer relaxation: each round is
+    ``dist' = least(dist, min over in-neighbors (dist + 1))`` with an INF
+    sentinel for unreached — min/least over BIGINTs, bit-identical on any
+    partitioning, replayed exactly by the unrolled CTE oracle. Per round:
+    one join of the node-sized distance frame against cached edges + one
+    min-agg (the PageRank step with min instead of sum), distance frame
+    checkpointed per round so the plan stays one-round-sized."""
+    from ..cachereg import persist_scoped
+
+    edges = persist_scoped(_interaction_edges(spark, sf_dir))
+    nodes = edges.select("src").distinct()
+    seed = (
+        nodes.filter(F.col("src").startswith("s"))
+        .agg(F.min(F.expr("CAST(substring(src, 2) AS BIGINT)")))
+        .collect()[0][0]
+    )  # scalar: smallest supplier id
+    seed_node = f"s{seed}"
+    dist = nodes.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") == seed_node, F.lit(0))
+        .otherwise(F.lit(BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(BFS_ROUNDS):
+        nbr = (
+            F.broadcast(dist.alias("p"))
+            .join(edges.alias("e"), F.col("p.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(
+                F.least(
+                    F.lit(BFS_INF).cast("long"), F.min(F.col("p.d") + 1)
+                ).alias("nd")
+            )
+        )
+        dist = (
+            dist.join(nbr, "node")
+            .select("node", F.least("d", "nd").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.filter(F.col("d") < BFS_INF).select(
+        "node", F.col("d").alias("hops")
+    )
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for r in range(1, BFS_ROUNDS + 1):
+        steps.append(
+            f"""n{r} AS (
+          SELECT e.dst AS node,
+                 least({BFS_INF}, min(p.d + 1)) AS nd
+          FROM edges e JOIN {prev} p ON e.src = p.node
+          GROUP BY e.dst),
+        d{r} AS MATERIALIZED (
+          SELECT d.node, least(d.d, n.nd) AS d
+          FROM {prev} d JOIN n{r} n ON d.node = n.node)"""
+        )
+        prev = f"d{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs),
+        seedc AS (SELECT 's' || min(CAST(substring(src, 2) AS BIGINT)) AS sn
+                  FROM (SELECT DISTINCT src FROM edges)
+                  WHERE src LIKE 's%'),
+        d0 AS (SELECT src AS node,
+                      CASE WHEN src = (SELECT sn FROM seedc)
+                           THEN CAST(0 AS BIGINT)
+                           ELSE CAST({BFS_INF} AS BIGINT) END AS d
+               FROM (SELECT DISTINCT src FROM edges)),
+        {chain}
+        SELECT node, d AS hops FROM {prev} WHERE d < {BFS_INF}
+    """
+
+
+ORACLES["bfs_hops_from_seed"] = _bfs_oracle()

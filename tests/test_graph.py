@@ -140,3 +140,54 @@ def test_hits_roles_and_normalization(spark, sf_dir):
         r["node"].startswith("s" if r["role"] == "authority" else "c")
         for r in rows
     )
+
+
+def test_bfs_hand_graph_distances(spark):
+    """BFS relaxation on a path-with-branch graph where every hop count is
+    known by eye; nodes beyond BFS_ROUNDS hops must be absent."""
+    from pulsar_topic_deduplicator_spark.cachereg import persist_scoped  # noqa: F401
+
+    # s1 - c1 - s2 - c2 - s3 - c3 - s4 - c4 - s5 (a path; seed = s1 is the
+    # smallest supplier). Hops: c1=1, s2=2, c2=3, s3=4, rest unreached at
+    # BFS_ROUNDS=4.
+    pairs = [("c1", "s1"), ("c1", "s2"), ("c2", "s2"), ("c2", "s3"),
+             ("c3", "s3"), ("c3", "s4"), ("c4", "s4"), ("c4", "s5")]
+    edges = _edges(spark, [(c, s) for c, s in pairs])
+
+    # drive the same relaxation the operator runs, against the hand graph
+    dist = {
+        r["node"]: r["hops"]
+        for r in _bfs_on_edges(spark, edges, "s1").collect()
+    }
+    assert dist == {"s1": 0, "c1": 1, "s2": 2, "c2": 3, "s3": 4}
+
+
+def _bfs_on_edges(spark, edges, seed_node):
+    """Inline replay of bfs_hops_from_seed's loop on an arbitrary edge
+    frame (the operator derives edges + seed from the corpus)."""
+    nodes = edges.select("src").distinct()
+    dist = nodes.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") == seed_node, F.lit(0))
+        .otherwise(F.lit(graph.BFS_INF))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(graph.BFS_ROUNDS):
+        nbr = (
+            F.broadcast(dist.alias("p"))
+            .join(edges.alias("e"), F.col("p.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(
+                F.least(
+                    F.lit(graph.BFS_INF).cast("long"),
+                    F.min(F.col("p.d") + 1),
+                ).alias("nd")
+            )
+        )
+        dist = dist.join(nbr, "node").select(
+            "node", F.least("d", "nd").alias("d")
+        )
+    return dist.filter(F.col("d") < graph.BFS_INF).select(
+        "node", F.col("d").alias("hops")
+    )
