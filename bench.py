@@ -124,6 +124,7 @@ HEADLINE = [
     "jaccard_join_prefix_filtered",  # exact PPJoin-bound join (rare-token prefixes)
     "snapshot_merkle_diff",  # anti-entropy bucket diff (xor summaries + descent)
     "bfs_hops_from_seed",  # BFS hop distance (R min-relax rounds, int-exact)
+    "ab_test_report",  # two-proportion A/B readout (2 aggs + pivot, 1 row)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

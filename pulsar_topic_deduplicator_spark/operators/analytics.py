@@ -751,3 +751,140 @@ ORACLES["histogram_quantile_rollup"] = f"""
     WHERE cum * 1000 >= total_n * quantile_permille
     GROUP BY 1, 2, 3
 """
+
+
+#: A/B assignment split point (hash-percent of user id; < AB_SPLIT = control)
+AB_SPLIT = 50
+#: conversion event + value floor (the corpus's per-user max purchase value
+#: has median ≈ 140 at every SF, so this keeps conversion near 50% — a
+#: degenerate all-converted pool makes the z denominator exactly 0)
+AB_GOAL = "purchase"
+AB_VALUE_MIN = 140.0
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B experiment readout over the event stream — the
+    analysis every deduped product-event pipeline feeds next: users are
+    assigned to control/treatment by the STABLE content hash of their id
+    (a pure function of the user — same arm on every run, every cluster,
+    and on re-ingest; `rand()` assignment would unbalance on retries),
+    conversion = the user emitted ≥1 ``AB_GOAL`` event, and the readout is
+    one row: per-arm user/converter counts, exact-integer value totals
+    (cents), conversion rates, and the pooled two-proportion z-score.
+
+    Determinism: counts and cent totals are exact BIGINTs; the rates and
+    z-score are doubles built from the SAME expression tree in both
+    engines (casts, div, sqrt — all IEEE-exact operations), so even the
+    float columns hash-match. (The synthetic arms differ only by hash
+    noise, so z ≈ 0 — the A/A-test shape; a real experiment reads the same
+    query.)
+
+    Plan: per-user conversion flags are one groupBy(user) over a
+    projected scan; arm totals are a second KB-sized agg; the final row
+    is a conditional-aggregation pivot — two shuffles total, the second
+    over (n_users ≪ events) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.hashing import stable_uint60
+
+    goal = (F.col("event_type") == AB_GOAL) & (
+        F.col("value") >= AB_VALUE_MIN
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(goal.cast("int")).alias("conv"),
+        F.sum(
+            F.when(
+                F.col("event_type") == AB_GOAL,
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("value_cents"),
+    )
+    armed = per_user.withColumn(
+        "arm",
+        F.when(
+            stable_uint60(F.col("user_id").cast("string")) % 100 < AB_SPLIT,
+            "control",
+        ).otherwise("treatment"),
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("x"),
+        F.sum("value_cents").alias("v"),
+    )
+    row = arms.agg(
+        F.sum(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "control", F.col("x"))).alias("x_c"),
+        F.sum(F.when(F.col("arm") == "control", F.col("v"))).alias(
+            "value_cents_c"
+        ),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("x"))).alias("x_t"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("v"))).alias(
+            "value_cents_t"
+        ),
+    )
+    # rates and z from the exact counts — identical expression text in the
+    # oracle so the doubles are bit-equal
+    z_expr = (
+        "(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) / "
+        "sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * "
+        "(CAST(1 AS DOUBLE) - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * "
+        "(CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t))"
+    )
+    return row.select(
+        "n_c",
+        "x_c",
+        "value_cents_c",
+        "n_t",
+        "x_t",
+        "value_cents_t",
+        F.expr("CAST(x_c AS DOUBLE) / n_c").alias("rate_c"),
+        F.expr("CAST(x_t AS DOUBLE) / n_t").alias("rate_t"),
+        F.expr(z_expr).alias("z_score"),
+    )
+
+
+def _ab_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    h = duck_stable_uint60("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = '{AB_GOAL}'
+                       AND value >= {AB_VALUE_MIN} THEN 1 ELSE 0 END)
+               AS conv,
+             sum(CASE WHEN event_type = '{AB_GOAL}'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END) AS value_cents
+      FROM events GROUP BY user_id),
+    armed AS (
+      SELECT *, CASE WHEN {h} % 100 < {AB_SPLIT} THEN 'control'
+                     ELSE 'treatment' END AS arm
+      FROM per_user),
+    arms AS (
+      SELECT arm, count(*) AS n, sum(conv) AS x, sum(value_cents) AS v
+      FROM armed GROUP BY arm),
+    row_ AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'control' THEN n END) AS BIGINT) AS n_c,
+        CAST(sum(CASE WHEN arm = 'control' THEN x END) AS BIGINT) AS x_c,
+        CAST(sum(CASE WHEN arm = 'control' THEN v END) AS BIGINT)
+          AS value_cents_c,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN n END) AS BIGINT) AS n_t,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN x END) AS BIGINT) AS x_t,
+        CAST(sum(CASE WHEN arm = 'treatment' THEN v END) AS BIGINT)
+          AS value_cents_t
+      FROM arms)
+    SELECT n_c, x_c, value_cents_c, n_t, x_t, value_cents_t,
+           CAST(x_c AS DOUBLE) / n_c AS rate_c,
+           CAST(x_t AS DOUBLE) / n_t AS rate_t,
+           (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) /
+           sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) *
+                (CAST(1 AS DOUBLE) - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) *
+                (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t))
+             AS z_score
+    FROM row_
+    """
+
+
+ORACLES["ab_test_report"] = _ab_oracle()

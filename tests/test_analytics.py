@@ -177,3 +177,26 @@ def test_histogram_quantile_brackets_true_percentile(spark, tmp_path):
     for q in HQ_PERMILLES:
         r = out[(day1, q)]
         assert (r["total_n"], r["est_upper"]) == (40, HIST_WIDTH)
+
+
+def test_ab_report_counts_reconcile(spark, sf_dir):
+    """A/B readout invariants: arms partition the user pool, converters
+    never exceed users, rates reproduce the exact counts, and the A/A
+    z-score is finite (the AB_VALUE_MIN floor keeps pooled p strictly
+    inside (0,1) — p=0 or 1 would zero the denominator)."""
+    import math
+
+    from pulsar_topic_deduplicator_spark.operators.analytics import (
+        ab_test_report,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    r = ab_test_report(spark, sf_dir).collect()[0]
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert r["n_c"] + r["n_t"] == n_users
+    assert 0 < r["x_c"] <= r["n_c"] and 0 < r["x_t"] <= r["n_t"]
+    assert r["rate_c"] == r["x_c"] / r["n_c"]
+    assert r["rate_t"] == r["x_t"] / r["n_t"]
+    assert math.isfinite(r["z_score"])
