@@ -671,3 +671,87 @@ def _bfs_oracle() -> str:
 
 
 ORACLES["bfs_hops_from_seed"] = _bfs_oracle()
+
+
+#: k-core peel rounds (the operator contracts the R-round peel state, like
+#: the fixed-k PageRank/LP entries; a converged peel is the true k-core)
+KCORE_ROUNDS = 3
+#: the core threshold: minimum within-subgraph degree to survive a peel
+#: round (k=10 keeps the peel non-trivial at every SF — a data-derived
+#: average-degree k empties the graph here, because the bipartite hubs
+#: pull the mean above every customer's degree)
+KCORE_K = 10
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peeling over the interaction graph — the density
+    filter that strips low-engagement periphery before community/influence
+    analysis (nodes outside the k-core inflate PageRank sinks and LP
+    noise). KCORE_ROUNDS synchronous rounds each drop every node whose
+    CURRENT within-subgraph degree is below KCORE_K, then discard edges
+    touching dropped nodes (removals cascade). Returns the surviving
+    subgraph's ``(node, deg)``.
+
+    All-integer, order-free (degree counts + threshold filters), so the
+    unrolled CTE oracle replays the identical rounds. Scale shape: per
+    round one degree aggregate + two semi-joins of the (shrinking) edge
+    frame against the broadcast survivor set; edges checkpoint per round
+    so the plan stays one-round-sized — the same peel a 100 TB graph runs
+    with src/dst-bucketed edges."""
+    from ..cachereg import persist_scoped
+
+    edges = persist_scoped(_interaction_edges(spark, sf_dir))
+
+    surv = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = surv.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        surv = (
+            surv.join(F.broadcast(keep), "src", "semi")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))),
+                "dst",
+                "semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    edges.unpersist()
+    return out
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS (SELECT src, count(*) AS d FROM {prev} GROUP BY src),
+        s{r} AS MATERIALIZED (
+          SELECT src FROM d{r} WHERE d >= {KCORE_K}),
+        e{r} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM {prev} e
+          JOIN s{r} a ON e.src = a.src
+          JOIN s{r} b ON e.dst = b.src)"""
+        )
+        prev = f"e{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e0 AS MATERIALIZED (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs),
+        {chain}
+        SELECT src AS node, count(*) AS deg FROM {prev} GROUP BY src
+    """
+
+
+ORACLES["kcore_membership"] = _kcore_oracle()

@@ -191,3 +191,34 @@ def _bfs_on_edges(spark, edges, seed_node):
     return dist.filter(F.col("d") < graph.BFS_INF).select(
         "node", F.col("d").alias("hops")
     )
+
+
+def test_kcore_corpus_invariants(spark, sf_dir):
+    """k-core peel on the corpus: every survivor's reported degree is a
+    true within-subgraph degree ≥ KCORE_K, and the peel removed something."""
+    rows = graph.kcore_membership(spark, sf_dir).collect()
+    all_nodes = (
+        graph._interaction_edges(spark, sf_dir).select("src").distinct().count()
+    )
+    assert 0 < len(rows) < all_nodes
+    assert all(r["deg"] >= graph.KCORE_K for r in rows)
+
+
+def test_kcore_cascade_on_hand_graph(spark):
+    """The peel must CASCADE: on a path a-b-c-d with k=2 the endpoints
+    fall in round 1, which drops b/c's degree below 2 so they fall in
+    round 2 — the same loop the operator runs, k parametrized."""
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    surv = edges
+    survivors_per_round = []
+    for _ in range(3):
+        deg = surv.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select("src")
+        surv = surv.join(keep, "src", "semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+        survivors_per_round.append(
+            {r["src"] for r in surv.select("src").distinct().collect()}
+        )
+    assert survivors_per_round[0] == {"b", "c"}  # endpoints peeled
+    assert survivors_per_round[1] == set()  # cascade empties the path
