@@ -405,6 +405,7 @@ def queries() -> dict[str, QueryFn]:
         "bfs_hops_from_seed": graph.bfs_hops_from_seed,
         "ab_test_report": analytics.ab_test_report,
         "kcore_membership": graph.kcore_membership,
+        "pmi_collocations": retrieval.pmi_collocations,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

@@ -126,6 +126,7 @@ HEADLINE = [
     "bfs_hops_from_seed",  # BFS hop distance (R min-relax rounds, int-exact)
     "ab_test_report",  # two-proportion A/B readout (2 aggs + pivot, 1 row)
     "kcore_membership",  # k-core peel (R rounds of deg-filter semi-joins)
+    "pmi_collocations",  # PMI collocations (pair count + marginals, nanonat ln)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

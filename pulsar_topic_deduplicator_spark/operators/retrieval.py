@@ -151,3 +151,74 @@ ORACLES: dict[str, str] = {
         GROUP BY p.doc_id, t.q1, t.q2
     """,
 }
+
+
+#: PMI collocation knobs: minimum pair occurrences (rare-pair PMI is
+#: degenerate — a hapax pair of two hapax words maxes the score) and
+#: result size
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church & Hanks
+    1990) over adjacent token pairs — the lexical-association readout a
+    corpus pipeline runs to find multiword units ("new york") before
+    tokenizer/vocab decisions. PMI = ln(c_xy·N / (c_x·c_y)) with c_x/c_y
+    the pair table's left/right marginals and N the total pair count;
+    pairs below PMI_MIN_COUNT occurrences are dropped, top PMI_TOP
+    returned as ``(w1, w2, n_pair, pmi_nanonats)``.
+
+    Exactness: counts/marginals/N are exact BIGINTs; the single ln per
+    pair is pinned to integer NANO-NATS (the bm25/NB discipline —
+    ``round(ln·1e9)``), so ordering, ties, and values are bit-identical
+    cross-engine.
+
+    Scale: one adjacent-pair explode (zero-shuffle, the shifted-slice
+    zip) → one (w1,w2) count shuffle; marginals re-aggregate the
+    vocabulary²-bounded pair-count frame (≪ corpus) and broadcast back."""
+    from .classify import _nanonat_ln
+
+    pc = (
+        _adjacent_pairs(spark, sf_dir)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    pc = persist_scoped(pc)
+    left = pc.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
+    right = pc.groupBy("w2").agg(F.sum("n_pair").alias("c2"))
+    nf = pc.agg(F.sum("n_pair").alias("n_total"))
+    scored = (
+        pc.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            _nanonat_ln(
+                F.col("n_pair") * F.col("n_total"),
+                F.col("c1") * F.col("c2"),
+            ).alias("pmi_nanonats"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_nanonats"), "w1", "w2").limit(PMI_TOP)
+
+
+ORACLES["pmi_collocations"] = f"""
+    WITH {_PAIRS_CTE},
+    pc AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY w1, w2),
+    lm AS (SELECT w1, sum(n_pair) AS c1 FROM pc GROUP BY w1),
+    rm AS (SELECT w2, sum(n_pair) AS c2 FROM pc GROUP BY w2),
+    nt AS (SELECT sum(n_pair) AS n_total FROM pc)
+    SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(round(ln(CAST(p.n_pair * n_total AS DOUBLE)
+                         / CAST(c1 * c2 AS DOUBLE)) * 1e9, 0) AS BIGINT)
+             AS pmi_nanonats
+    FROM pc p JOIN lm ON p.w1 = lm.w1 JOIN rm ON p.w2 = rm.w2 CROSS JOIN nt
+    WHERE p.n_pair >= {PMI_MIN_COUNT}
+    ORDER BY pmi_nanonats DESC, p.w1, p.w2
+    LIMIT {PMI_TOP}
+"""

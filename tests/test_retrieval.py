@@ -73,3 +73,44 @@ def test_posting_build_is_single_shuffle_pruned_scan(spark, retr_dir):
     # only the two needed columns reach the scan
     (cols,) = read_schema_columns(df)
     assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_pmi_ranks_planted_collocation_first(spark):
+    """A pair that ALWAYS co-occurs ('new york', 5x) must out-PMI a pair
+    of frequent-but-independent words; the nanonat score of the perfect
+    collocation is ln(N / c) · 1e9 exactly."""
+    import math
+
+    from pulsar_topic_deduplicator_spark.operators.classify import _nanonat_ln  # noqa: F401
+    from pulsar_topic_deduplicator_spark.operators.retrieval import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+
+    assert PMI_MIN_COUNT == 5
+    filler = " ".join(["the cat sat on the mat"] * 5)
+    rows = [(1, f"new york {filler}"), (2, f"new york {filler}"),
+            (3, f"new york {filler}"), (4, f"new york {filler}"),
+            (5, f"new york {filler}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import pulsar_topic_deduplicator_spark.operators.retrieval as R
+    import pulsar_topic_deduplicator_spark.sources.io as io_mod
+
+    orig = io_mod.load_table
+    try:
+        io_mod_load = lambda spark_, sf_dir_, name_: docs  # noqa: E731
+        R.load_table = io_mod_load
+        out = pmi_collocations(spark, "ignored").collect()
+    finally:
+        R.load_table = orig
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    assert ("new", "york") in by_pair
+    ny = by_pair[("new", "york")]
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # perfect collocation: c_xy = c_x = c_y = 5 ⇒ pmi = ln(N/5)
+    n_total = sum(
+        len(t.split()) - 1 for _, t in rows
+    )
+    assert ny["pmi_nanonats"] == round(math.log(n_total / 5) * 1e9)
