@@ -43,6 +43,7 @@ from pulsar_topic_deduplicator_spark.operators import (
     lineage,
     multimodal,
     neardup,
+    pareto,
     pipeline,
     recommend,
     relational,
@@ -406,6 +407,7 @@ def queries() -> dict[str, QueryFn]:
         "ab_test_report": analytics.ab_test_report,
         "kcore_membership": graph.kcore_membership,
         "pmi_collocations": retrieval.pmi_collocations,
+        "skyline_orders": pareto.skyline_orders,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
@@ -592,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         graph,
         layoutstats,
         lineage,
+        pareto,
         pipeline,
         recommend,
         relational,

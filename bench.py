@@ -127,6 +127,7 @@ HEADLINE = [
     "ab_test_report",  # two-proportion A/B readout (2 aggs + pivot, 1 row)
     "kcore_membership",  # k-core peel (R rounds of deg-filter semi-joins)
     "pmi_collocations",  # PMI collocations (pair count + marginals, nanonat ln)
+    "skyline_orders",  # grid-pruned Pareto frontier (staircase cells + anti-join)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).
