@@ -408,6 +408,8 @@ def queries() -> dict[str, QueryFn]:
         "kcore_membership": graph.kcore_membership,
         "pmi_collocations": retrieval.pmi_collocations,
         "skyline_orders": pareto.skyline_orders,
+        "key_skew_report": skew.key_skew_report,
+        "rendezvous_assignment": skew.rendezvous_assignment,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

@@ -128,6 +128,8 @@ HEADLINE = [
     "kcore_membership",  # k-core peel (R rounds of deg-filter semi-joins)
     "pmi_collocations",  # PMI collocations (pair count + marginals, nanonat ln)
     "skyline_orders",  # grid-pruned Pareto frontier (staircase cells + anti-join)
+    "key_skew_report",  # shuffle-key skew advisor (3 vocab-sized counts)
+    "rendezvous_assignment",  # HRW placement + minimal-movement readout
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).
