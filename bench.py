@@ -130,6 +130,7 @@ HEADLINE = [
     "skyline_orders",  # grid-pruned Pareto frontier (staircase cells + anti-join)
     "key_skew_report",  # shuffle-key skew advisor (3 vocab-sized counts)
     "rendezvous_assignment",  # HRW placement + minimal-movement readout
+    "join_size_estimate",  # coordinated-sample join cardinality (KB sketches)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

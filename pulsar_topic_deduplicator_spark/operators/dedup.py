@@ -1052,3 +1052,84 @@ ORACLES["quota_cap_events"] = f"""
              AS n_overflow
     FROM ranked WHERE rank_in_window <= {QUOTA_K}
 """
+
+
+#: join-size estimator sampling rate denominator: keys with
+#: hash < 2^60/R are sampled (a coordinated ~1/R hash sample of the KEY
+#: DOMAIN — the same keys on both sides, which is the whole trick)
+JSE_R = 8
+_JSE_THRESHOLD = (1 << 60) // JSE_R
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-CARDINALITY estimation — the number a cost-based
+    planner needs BEFORE running a join (broadcast vs shuffle vs
+    skew-handling decisions): |A ⋈ B on k| = Σ over shared keys of
+    cA(k)·cB(k), estimated from a COORDINATED hash sample of the key
+    domain (keys with stable-hash < 2⁶⁰/R; both sides sample the SAME
+    keys because the hash is of the key, so per-key products are observed
+    intact — independent row samples would square the rate on the
+    products). Estimate = R · Σ over sampled shared keys cA·cB.
+
+    Demo pair: events.user_id ⋈ orders.o_custkey (both sides many rows
+    per key — the join-size problem is only interesting off unique keys).
+    Returns one row with the exact size beside the estimate:
+    ``(n_keys_shared, n_keys_sampled, join_rows_exact, join_rows_est)``
+    — all exact BIGINTs (the estimator itself is deterministic under the
+    seeded hash, so it is oracle-EXACT even though it is an estimate of
+    the true size).
+
+    100 TB: each side ships only its sampled-key counts (≈ vocab/R rows,
+    KBs) to the planner; the exact column here exists to expose the
+    estimator's real error as data, like the KMV/CMS entries."""
+    from ..functions.hashing import stable_uint60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    ca = ev.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    cb = od.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    joined = ca.join(cb, "k").select(
+        "k",
+        (F.col("ca") * F.col("cb")).alias("prod"),
+        (
+            stable_uint60(F.col("k").cast("string")) < _JSE_THRESHOLD
+        ).alias("sampled"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_keys_shared"),
+        F.sum(F.col("sampled").cast("long")).alias("n_keys_sampled"),
+        F.sum("prod").alias("join_rows_exact"),
+        (
+            F.lit(JSE_R)
+            * F.sum(F.when(F.col("sampled"), F.col("prod")).otherwise(0))
+        ).alias("join_rows_est"),
+    )
+
+
+def _jse_oracle() -> str:
+    from ._oracle_fragments import duck_stable_uint60
+
+    h = duck_stable_uint60("CAST(kk AS VARCHAR)")
+    return f"""
+    WITH ca AS (SELECT CAST(user_id AS BIGINT) AS k, count(*) AS ca
+                FROM events GROUP BY 1),
+    cb AS (SELECT CAST(o_custkey AS BIGINT) AS k, count(*) AS cb
+           FROM orders GROUP BY 1),
+    j AS (SELECT ca.k AS kk, ca.ca * cb.cb AS prod
+          FROM ca JOIN cb ON ca.k = cb.k),
+    js AS (SELECT prod, {h} < {_JSE_THRESHOLD} AS sampled FROM j)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys_shared,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_sampled,
+           CAST(sum(prod) AS BIGINT) AS join_rows_exact,
+           CAST({JSE_R} * sum(CASE WHEN sampled THEN prod ELSE 0 END)
+                AS BIGINT) AS join_rows_est
+    FROM js
+    """
+
+
+ORACLES["join_size_estimate"] = _jse_oracle()

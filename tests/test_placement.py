@@ -32,3 +32,27 @@ def test_rendezvous_moves_only_to_the_new_worker(spark, sf_dir):
     assert sum(r["n_keys_w5"] for r in rows.values()) == sum(
         r["n_keys_w6"] for r in rows.values()
     )
+
+
+def test_join_size_estimator_reconciles(spark, sf_dir):
+    """The exact join size must equal the count-frame product sum, the
+    estimate must be R x the sampled products (deterministic under the
+    seeded hash), and the sample must be a real subset."""
+    from pulsar_topic_deduplicator_spark.operators.dedup import (
+        JSE_R,
+        join_size_estimate,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    r = join_size_estimate(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    od = load_table(spark, sf_dir, "orders").groupBy("o_custkey").count()
+    exact = sum(
+        a["count"] * b["count"]
+        for a in ev.collect()
+        for b in od.collect()
+        if a["user_id"] == b["o_custkey"]
+    )
+    assert r["join_rows_exact"] == exact
+    assert 0 <= r["n_keys_sampled"] <= r["n_keys_shared"]
+    assert r["join_rows_est"] % JSE_R == 0
