@@ -131,6 +131,7 @@ HEADLINE = [
     "key_skew_report",  # shuffle-key skew advisor (3 vocab-sized counts)
     "rendezvous_assignment",  # HRW placement + minimal-movement readout
     "join_size_estimate",  # coordinated-sample join cardinality (KB sketches)
+    "fuzzy_name_search",  # SymSpell deletion-index lookup + exact verify
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -201,3 +201,74 @@ ORACLES: dict[str, str] = {
         FROM ranked GROUP BY entity_id
     """,
 }
+
+
+#: fuzzy-search demo: number of data-derived query names
+FUZZY_Q = 5
+
+
+def _deletion_keys(col: str) -> "F.Column":
+    """{s} ∪ all length-1 deletions of s — the SymSpell index keys: two
+    strings within edit distance 1 ALWAYS share a key (equal, deletion,
+    insertion, or — via a common deletion — substitution); sharing a key
+    does NOT imply distance ≤ 1 (e.g. 'ab'/'ba'), hence the verify."""
+    return F.expr(
+        f"array_union(array({col}), transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i - 1),"
+        f" substring({col}, i + 1, length({col})))))"
+    )
+
+
+def fuzzy_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string lookup at index speed — SymSpell deletion-
+    neighborhood search (Garbe 2012): find every customer name within
+    edit distance ≤ 1 of each query name WITHOUT scanning the dictionary
+    per query. Both sides expand to their {self} ∪ 1-deletion key sets;
+    candidates come from an equi-join on those keys (the pigeonhole
+    above guarantees no distance-1 pair is missed), then one exact
+    ``levenshtein`` verifies. Queries are data-derived (first FUZZY_Q
+    names); output ``(query_name, match_name, match_custkey, dist)``.
+
+    Oracle = the brute-force levenshtein cross join, so every driver
+    round re-proves the deletion-index's completeness (the prefix-join/
+    skyline discipline). Scale: the index is |dict| · (len+1) short keys
+    built once (the SymSpell trade — memory for per-query O(len)
+    lookups); queries broadcast; the quadratic brute scan never runs."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    queries = (
+        cust.select(F.col("c_name").alias("q"))
+        .orderBy("q")
+        .limit(FUZZY_Q)
+    )
+    qk = queries.select(
+        "q", F.explode(_deletion_keys("q")).alias("key")
+    )
+    vk = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(_deletion_keys("c_name")).alias("key"),
+    )
+    cand = (
+        vk.join(F.broadcast(qk), "key")
+        .select("q", "c_name", "c_custkey")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("q", "c_name") <= 1)
+        .select(
+            F.col("q").alias("query_name"),
+            F.col("c_name").alias("match_name"),
+            F.col("c_custkey").alias("match_custkey"),
+            F.levenshtein("q", "c_name").cast("long").alias("dist"),
+        )
+    )
+
+
+ORACLES["fuzzy_name_search"] = f"""
+    WITH v AS (SELECT c_custkey, c_name FROM customer),
+    qt AS (SELECT c_name AS q FROM v ORDER BY c_name LIMIT {FUZZY_Q})
+    SELECT q AS query_name, v.c_name AS match_name,
+           v.c_custkey AS match_custkey,
+           CAST(levenshtein(q, v.c_name) AS BIGINT) AS dist
+    FROM qt JOIN v ON levenshtein(q, v.c_name) <= 1
+"""

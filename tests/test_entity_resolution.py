@@ -83,3 +83,44 @@ def test_no_cartesian_blocked_join(spark, entity_dir):
     plan = formatted_plan(entity_match_pairs(spark, entity_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_search_finds_every_digit_neighbor(spark, sf_dir):
+    """Engine-side completeness of the deletion index: the SymSpell path
+    must return exactly the brute-force levenshtein<=1 matches (the
+    DuckDB oracle re-proves this cross-engine; this pins it within
+    Spark), and the fixture is non-trivial (every query has digit-edit
+    neighbors beyond itself)."""
+    from pulsar_topic_deduplicator_spark.operators.entity import (
+        fuzzy_name_search,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    got = {
+        (r["query_name"], r["match_name"])
+        for r in fuzzy_name_search(spark, sf_dir).collect()
+    }
+    names = [
+        r["c_name"]
+        for r in load_table(spark, sf_dir, "customer").select("c_name").collect()
+    ]
+    queries = sorted(names)[:5]
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # distance exactly 1 check via single edit scan
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1:] == s:
+                return True
+        return False
+
+    brute = {(q, n) for q in queries for n in names if lev1(q, n)}
+    assert got == brute
+    for q in queries:
+        assert sum(1 for g in got if g[0] == q) > 1, q
