@@ -412,6 +412,7 @@ def queries() -> dict[str, QueryFn]:
         "rendezvous_assignment": skew.rendezvous_assignment,
         "join_size_estimate": dedup.join_size_estimate,
         "fuzzy_name_search": entity.fuzzy_name_search,
+        "greedy_coverage_select": curation.greedy_coverage_select,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

@@ -1066,3 +1066,101 @@ def _url_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_url_oracles())
+
+
+#: greedy max-coverage rounds (the operator contracts the R-round pick
+#: sequence; greedy gives the classic (1 - 1/e) coverage guarantee)
+COVERAGE_ROUNDS = 5
+
+
+def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular CORESET selection: greedily pick the COVERAGE_ROUNDS
+    documents that maximize cumulative 3-gram-shingle coverage — each
+    round takes the doc adding the most not-yet-covered shingles (ties →
+    smallest doc_id). This is greedy maximum coverage (Nemhauser 1978's
+    (1−1/e) guarantee), the selection objective behind "maximize
+    diversity of what the model sees" curation passes — the coverage
+    complement of MMR (embedding diversity) and DSIR (distribution
+    matching).
+
+    Returns one row per round: ``(round, doc_id, gain, covered_total)``
+    — the pick, its marginal gain, and cumulative distinct coverage; the
+    unrolled CTE oracle replays the identical greedy argmaxes.
+
+    Scale: the shingle frame builds once (persisted); each round is one
+    broadcast anti-join against the covered set + a doc-keyed count +
+    a one-row argmax. Per-round driver traffic is ONE winner row and
+    the covered-set checkpoint is shingle-universe-bounded — the
+    codebook discipline (like k-means centroids/MMR pools), with R
+    fixed and small."""
+    from ..cachereg import persist_scoped
+    from .neardup import _shingle_hashes
+
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
+    covered = None
+    out_rows = []
+    for r in range(1, COVERAGE_ROUNDS + 1):
+        rem = (
+            sh
+            if covered is None
+            else sh.join(F.broadcast(covered), "h", "anti")
+        )
+        top = (
+            rem.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )  # scalar: the round's winner
+        win = sh.filter(F.col("doc_id") == top["doc_id"]).select("h")
+        covered = (
+            win
+            if covered is None
+            else covered.unionByName(win).distinct()
+        ).localCheckpoint(eager=True)
+        out_rows.append(
+            (r, int(top["doc_id"]), int(top["gain"]), covered.count())
+        )
+    return spark.createDataFrame(
+        out_rows, "round long, doc_id long, gain long, covered_total long"
+    )
+
+
+def _coverage_oracle() -> str:
+    from .neardup import _SHINGLES_CTE
+
+    steps = []
+    finals = []
+    prev_c = None
+    for r in range(1, COVERAGE_ROUNDS + 1):
+        rem = (
+            "sh"
+            if prev_c is None
+            else f"(SELECT s.doc_id, s.h FROM sh s ANTI JOIN {prev_c} c ON s.h = c.h)"
+        )
+        steps.append(
+            f"""w{r} AS MATERIALIZED (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+          FROM {rem} r{r} GROUP BY doc_id
+          ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        c_def = f"SELECT DISTINCT h FROM sh WHERE doc_id = (SELECT doc_id FROM w{r})"
+        if prev_c is not None:
+            c_def = f"SELECT h FROM {prev_c} UNION {c_def}"
+        steps.append(f"c{r} AS MATERIALIZED ({c_def})")
+        finals.append(
+            f"SELECT {r} AS round, doc_id, gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total"
+            f" FROM w{r}"
+        )
+        prev_c = f"c{r}"
+    chain = ",\n    ".join(steps)
+    body = "\n    UNION ALL\n    ".join(finals)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {chain}
+    {body}
+    """
+
+
+ORACLES["greedy_coverage_select"] = _coverage_oracle()

@@ -401,3 +401,25 @@ def test_dedup_docs_by_url_keeps_first_crawl(spark, tmp_path_factory):
             r["n_docs"] >= r["n_after_url"] >= r["n_after_exact"]
             >= r["n_after_quality"]
         )
+
+
+def test_greedy_coverage_invariants(spark, sf_dir):
+    """Greedy max-coverage: marginal gains are non-increasing (the
+    submodularity signature), cumulative coverage is exactly the running
+    gain sum (picks never re-cover), and picks are distinct docs."""
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        greedy_coverage_select,
+    )
+
+    rows = sorted(
+        greedy_coverage_select(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g > 0 for g in gains)
+    running = 0
+    for r in rows:
+        running += r["gain"]
+        assert r["covered_total"] == running
+    assert len({r["doc_id"] for r in rows}) == len(rows)
