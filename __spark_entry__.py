@@ -309,6 +309,23 @@ def _stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_heavy_hitters(spark, sf_dir)
 
 
+def _stream_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-(user, hour) quota enforcement — foreachBatch fold of
+    the admitted set (earliest-QUOTA_K per window, a mergeable k-smallest
+    summary, so the result is batch-split invariant and the batch ranked
+    SQL is an EXACT oracle; replay-idempotent via event-id dedup)."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.quota_stream import (
+        run_stream_quota_bounded,
+    )
+
+    return run_stream_quota_bounded(
+        spark, sf_dir, tempfile.mkdtemp("quota_stream"),
+        glob_filter="events.parquet",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
     # round. Round 9 continues the self-sustaining staleness rotation:
@@ -413,6 +430,7 @@ def queries() -> dict[str, QueryFn]:
         "join_size_estimate": dedup.join_size_estimate,
         "fuzzy_name_search": entity.fuzzy_name_search,
         "greedy_coverage_select": curation.greedy_coverage_select,
+        "stream_quota_cap": _stream_quota_query,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
@@ -656,4 +674,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles.update(_hhs.ORACLES)
+    from pulsar_topic_deduplicator_spark.streaming import (
+        quota_stream as _qs,
+    )
+
+    oracles.update(_qs.ORACLES)
     return oracles

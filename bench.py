@@ -133,6 +133,7 @@ HEADLINE = [
     "join_size_estimate",  # coordinated-sample join cardinality (KB sketches)
     "fuzzy_name_search",  # SymSpell deletion-index lookup + exact verify
     "greedy_coverage_select",  # submodular coreset pick (R anti-join rounds)
+    "stream_quota_cap",  # streaming quota fold (mergeable k-smallest state)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

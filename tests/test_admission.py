@@ -200,3 +200,53 @@ def test_quota_cap_keeps_earliest_k_and_counts_overflow(spark, tmp_path):
     assert {r["rank_in_window"] for r in flood} == set(range(1, QUOTA_K + 1))
     quiet = [r for r in out if r["user_id"] == 2]
     assert all(r["n_overflow"] == 0 for r in quiet)
+
+
+def test_stream_quota_is_batch_split_invariant(spark, tmp_path):
+    """Streaming quota fold (quota_stream.py): processing the backlog one
+    file per trigger — with a LATE file carrying the EARLIEST rows — must
+    admit exactly the global earliest-K per (user, window): the mergeable
+    k-smallest summary evicts a previously admitted later event when the
+    genuinely earlier straggler arrives."""
+    from pulsar_topic_deduplicator_spark.operators.dedup import QUOTA_K
+    from pulsar_topic_deduplicator_spark.streaming.quota_stream import (
+        run_stream_quota_bounded,
+    )
+
+    src = str(tmp_path / "src")
+    # one user, one hour window, 2*QUOTA_K+2 events; the earliest two rows
+    # arrive LAST (straggler file)
+    n = 2 * QUOTA_K + 2
+    later = [
+        (100 + i, BASE_TS + (i + 2) * NS, 1, "click", 1.0, "{}")
+        for i in range(n - 2)
+    ]
+    early = [
+        (1, BASE_TS, 1, "click", 1.0, "{}"),
+        (2, BASE_TS + NS, 1, "click", 1.0, "{}"),
+    ]
+    _append_one_file(spark, src, later)
+    _append_one_file(spark, src, early)
+
+    out = run_stream_quota_bounded(
+        spark,
+        src,
+        str(tmp_path / "w1"),
+        glob_filter="*.parquet",
+        max_files_per_trigger=1,
+    )
+    kept = sorted(r["event_id"] for r in out.collect())
+    # global earliest K = the two stragglers + the first K-2 of the rest
+    expected = sorted([1, 2] + [100 + i for i in range(QUOTA_K - 2)])
+    assert kept == expected
+    assert {r["rank_in_window"] for r in out.collect()} == set(
+        range(1, QUOTA_K + 1)
+    )
+
+    # and the capped multi-batch run equals an uncapped single-batch run
+    single = run_stream_quota_bounded(
+        spark, src, str(tmp_path / "w2"), glob_filter="*.parquet"
+    )
+    assert {tuple(r) for r in single.collect()} == {
+        tuple(r) for r in out.collect()
+    }
