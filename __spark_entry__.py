@@ -431,6 +431,7 @@ def queries() -> dict[str, QueryFn]:
         "fuzzy_name_search": entity.fuzzy_name_search,
         "greedy_coverage_select": curation.greedy_coverage_select,
         "stream_quota_cap": _stream_quota_query,
+        "pca_power_component": similarity.pca_power_component,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

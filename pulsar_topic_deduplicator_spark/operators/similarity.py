@@ -1260,3 +1260,137 @@ ORACLES["sq8_reconstruction_error"] = f"""
            max(code) AS max_code
     FROM jd GROUP BY vec_id
 """
+
+
+#: PCA power-iteration knobs: signed micro-unit quantization (the kmeans
+#: discipline, without the min-shift — the direction must see signed
+#: values), fixed rounds, and the rescale denominator trick that keeps
+#: every product inside int64: dividing by ``greatest(max|x| div 1e6, 1)``
+#: caps magnitudes near 1e6 WITHOUT the overflow-prone multiply-first form.
+PCA_SCALE = 1_000_000
+PCA_ROUNDS = 4
+
+
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    on the Gram matrix, in exact integer arithmetic — the linear-algebra
+    classic of the iterative tier (PageRank/HITS/BFS/k-core/k-means are
+    graph- or cluster-shaped; this is the spectral one). Returns
+    ``(dim, loading)``: the d=64 fixed-point components of the iterate
+    after PCA_ROUNDS rounds (deterministic sign: the all-positive start).
+
+    Like the fixed-k PageRank entries, the operator CONTRACTS the R-round
+    iterate, not the limit: this corpus's spectrum is near-degenerate
+    (λ2/λ1 ≈ 0.93 — synthetic near-isotropic embeddings), so the
+    DIRECTION converges slowly, but the iterate's Rayleigh quotient
+    reaches ≥ 0.8·λ1 by round 4 (vs a ~0.54 random baseline) — the
+    energy-capture contract pinned in tests/test_similarity.py. Corpora
+    with a real dominant direction converge the direction too.
+
+    Method: components quantize to SIGNED micro-units (round(x·1e6) — no
+    centering: these embeddings are near zero-mean by construction, so
+    this is the top direction of the second moment, documented); the Gram
+    G = Σ_vec qqᵀ accumulates in BIGINT (associative — no float-sum
+    order dependence anywhere); each round is v ← rescale(G·v), with the
+    division-first rescale keeping |values| ≤ ~1e6. Both engines truncate
+    integer division toward zero (verified for negatives), so the
+    unrolled CTE oracle replays the identical rounds bit-for-bit.
+
+    Scale: the Gram build is the only corpus-sized work — one self-join
+    on vec_id (d² rows per vector, map-side combined into the d²-row G);
+    at 100 TB it becomes an Arrow-batched per-partition outer-product
+    fold (numpy syrk) merged by one KB-sized sum, the Misra-Gries shape.
+    Iterations touch only the d²-row G and d-row v — driver-free KBs."""
+    from ..cachereg import persist_scoped
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xf").cast("double") * PCA_SCALE, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    q = persist_scoped(q)
+    gram = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+    )
+    gm = gram.agg(F.max(F.abs(F.col("g"))).alias("m"))
+    gs = (
+        gram.crossJoin(F.broadcast(gm))
+        .select(
+            "i",
+            "j",
+            F.expr(f"g div greatest(m div {PCA_SCALE}, 1)").alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q.unpersist()
+
+    v = gs.select(F.col("j").alias("dim")).distinct().select(
+        "dim", F.lit(PCA_SCALE).cast("long").alias("v")
+    )
+    for _ in range(PCA_ROUNDS):
+        w = (
+            gs.join(F.broadcast(v), gs.j == v.dim)
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        )
+        wm = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(wm))
+            .select(
+                F.col("i").alias("dim"),
+                F.expr(f"w div greatest(m div {PCA_SCALE}, 1)").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("dim", F.col("v").alias("loading"))
+
+
+def _pca_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for r in range(1, PCA_ROUNDS + 1):
+        steps.append(
+            f"""w{r} AS (
+          SELECT g.i, CAST(sum(g.g * p.v) AS BIGINT) AS w
+          FROM gs g JOIN {prev} p ON g.j = p.dim GROUP BY g.i),
+        v{r} AS MATERIALIZED (
+          SELECT i AS dim,
+                 w // greatest((SELECT max(abs(w)) FROM w{r})
+                               // {PCA_SCALE}, 1) AS v
+          FROM w{r})"""
+        )
+        prev = f"v{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {PCA_SCALE}, 0)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    gram AS MATERIALIZED (
+      SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim),
+    gs AS MATERIALIZED (
+      SELECT i, j,
+             g // greatest((SELECT max(abs(g)) FROM gram)
+                           // {PCA_SCALE}, 1) AS g
+      FROM gram),
+    v0 AS (SELECT DISTINCT j AS dim, CAST({PCA_SCALE} AS BIGINT) AS v
+           FROM gs),
+    {chain}
+    SELECT dim, v AS loading FROM {prev}
+    """
+
+
+ORACLES["pca_power_component"] = _pca_oracle()
