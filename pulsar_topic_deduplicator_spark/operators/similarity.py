@@ -1296,31 +1296,46 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division toward zero (verified for negatives), so the
     unrolled CTE oracle replays the identical rounds bit-for-bit.
 
-    Scale: the Gram build is the only corpus-sized work — one self-join
-    on vec_id (d² rows per vector, map-side combined into the d²-row G);
-    at 100 TB it becomes an Arrow-batched per-partition outer-product
-    fold (numpy syrk) merged by one KB-sized sum, the Misra-Gries shape.
-    Iterations touch only the d²-row G and d-row v — driver-free KBs."""
-    from ..cachereg import persist_scoped
+    Scale: the Gram build is the only corpus-sized work, and it runs as
+    an Arrow-batched per-partition integer ``syrk`` fold (numpy int64
+    QᵀQ per batch — EXACT, no float matmul anywhere) merged by one
+    d²-row sum — the Misra-Gries mergeable-summary shape; no d²-per-row
+    explode or self-join ever materializes. Iterations touch only the
+    d²-row G and d-row v — driver-free KBs."""
+    from collections.abc import Iterator
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "xf")
-    ).select(
-        "vec_id",
-        "dim",
-        F.round(F.col("xf").cast("double") * PCA_SCALE, 0)
-        .cast("long")
-        .alias("q"),
-    )
-    q = persist_scoped(q)
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def syrk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            y = x * PCA_SCALE
+            # Spark/DuckDB round() is HALF AWAY FROM ZERO; numpy rounds
+            # half-to-even — emulate the SQL semantics exactly
+            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            p = q.T @ q  # int64 matmul: exact
+            acc = p if acc is None else acc + p
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "g": acc.ravel(),
+                }
+            )
+
     gram = (
-        q.alias("a")
-        .join(q.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(
-            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
-        )
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+        emb.mapInPandas(syrk, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
     )
     gm = gram.agg(F.max(F.abs(F.col("g"))).alias("m"))
     gs = (
@@ -1332,7 +1347,6 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    q.unpersist()
 
     v = gs.select(F.col("j").alias("dim")).distinct().select(
         "dim", F.lit(PCA_SCALE).cast("long").alias("v")
