@@ -432,6 +432,7 @@ def queries() -> dict[str, QueryFn]:
         "greedy_coverage_select": curation.greedy_coverage_select,
         "stream_quota_cap": _stream_quota_query,
         "pca_power_component": similarity.pca_power_component,
+        "fk_discovery_report": lineage.fk_discovery_report,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

@@ -341,3 +341,113 @@ def _profile_oracle() -> str:
 
 
 ORACLES["profile_orders"] = _profile_oracle()
+
+
+#: (child table.col, parent table.col) join-key candidates the discovery
+#: pass profiles — includes a deliberate NON-key pair so the report shows
+#: a rejection, not just confirmations
+FK_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+)
+#: containment share (ppm) at or above which a pair is flagged joinable
+FK_FLAG_PPM = 999_000
+
+
+def fk_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key DISCOVERY: for each candidate (child.col → parent.col)
+    pair, the exact facts schema-inference tools (and humans) use to
+    decide whether an undocumented column pair is a foreign key —
+    ``(child, parent, n_child_distinct, n_contained, containment_ppm,
+    parent_unique, is_fk_candidate)``: how many of the child's distinct
+    values exist in the parent (containment, via one semi-join of
+    DISTINCT frames), whether the parent column is unique (a real key),
+    and the verdict at FK_FLAG_PPM. The list deliberately includes a
+    non-key pair (orders.o_orderkey → customer.c_custkey: ~10 %
+    containment — the synthetic key domains overlap at the low end) so
+    rejection is exercised, not just confirmation.
+
+    All-integer. Cost per pair: two distinct aggregates (map-side
+    combined) + one semi-join of the DISTINCT frames — never the raw
+    tables; at 100 TB the distinct frames are the only shuffled data, and
+    a production sweep would run the same arithmetic on KMV sketches
+    (`kmv_audience_overlap`) to screen hundreds of pairs before exact
+    confirmation."""
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).cast("long").alias("k"))
+            .distinct()
+        )
+        parent = load_table(spark, sf_dir, pt).select(
+            F.col(pc).cast("long").alias("k")
+        )
+        pdist = parent.distinct()
+        contained = child.join(pdist, "k", "semi")
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child_distinct")
+        ).crossJoin(
+            contained.agg(F.count(F.lit(1)).alias("n_contained"))
+        ).crossJoin(
+            parent.agg(
+                F.count(F.lit(1)).alias("_pn"),
+                F.count_distinct("k").alias("_pd"),
+            )
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_distinct",
+                "n_contained",
+                F.expr(
+                    "(n_contained * 1000000) div n_child_distinct"
+                ).alias("containment_ppm"),
+                (F.col("_pn") == F.col("_pd")).alias("parent_unique"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return rep.select(
+        "*",
+        (
+            (F.col("containment_ppm") >= FK_FLAG_PPM)
+            & F.col("parent_unique")
+        ).alias("is_fk_candidate"),
+    )
+
+
+def _fk_oracle() -> str:
+    selects = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        selects.append(
+            f"""SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+               (SELECT CAST(count(DISTINCT {cc}) AS BIGINT) FROM {ct})
+                 AS n_child_distinct,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                  (SELECT DISTINCT {cc} AS k FROM {ct}) c
+                WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.k))
+                 AS n_contained,
+               (SELECT count(*) = count(DISTINCT {pc}) FROM {pt})
+                 AS parent_unique"""
+        )
+    u = "\n        UNION ALL\n        ".join(selects)
+    return f"""
+    WITH rep AS (
+        {u})
+    SELECT child, parent, n_child_distinct, n_contained,
+           (n_contained * 1000000) // n_child_distinct AS containment_ppm,
+           parent_unique,
+           ((n_contained * 1000000) // n_child_distinct >= {FK_FLAG_PPM}
+            AND parent_unique) AS is_fk_candidate
+    FROM rep
+    """
+
+
+ORACLES["fk_discovery_report"] = _fk_oracle()

@@ -57,3 +57,28 @@ def test_profile_counts_nulls_distincts_and_ranges(spark, prof_dir):
     od = prof["o_orderdate_us"]
     # epoch micros stringified: 2023-12-31T00:00:00Z = 1703980800 s
     assert od["min_s"] == str(1703980800 * 1_000_000)
+
+
+def test_fk_discovery_confirms_and_rejects(spark, sf_dir):
+    """The discovery report must CONFIRM every true TPC-H foreign key and
+    REJECT the deliberate non-key pair (orders->customer key domains only
+    overlap at the low end)."""
+    from pulsar_topic_deduplicator_spark.operators.lineage import (
+        fk_discovery_report,
+    )
+
+    rows = {r["child"]: r for r in fk_discovery_report(spark, sf_dir).collect()}
+    for child in (
+        "lineitem.l_orderkey",
+        "orders.o_custkey",
+        "lineitem.l_partkey",
+        "lineitem.l_suppkey",
+        "events.user_id",
+    ):
+        r = rows[child]
+        assert r["is_fk_candidate"], child
+        assert r["containment_ppm"] == 1_000_000, child
+        assert r["n_contained"] == r["n_child_distinct"], child
+    neg = rows["orders.o_orderkey"]
+    assert not neg["is_fk_candidate"]
+    assert neg["containment_ppm"] < 200_000
