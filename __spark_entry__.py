@@ -405,9 +405,11 @@ def queries() -> dict[str, QueryFn]:
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
         # ── end of the ~50-entry checked window ────────────────────────────
         # round-9 LATE additions (landed after the window filled): never
-        # driver-checked — engine-verified at sf0.001+sf0.01 via the same
-        # oracle harness and pytest-pinned; they lead round 10's window
-        # together with the r6 tier below.
+        # driver-checked — every one engine-verified at sf0.001+sf0.01 via
+        # the same oracle harness (the 14 second-wave entries additionally
+        # at sf0.1) and pytest-pinned. This block is 25 entries, so round
+        # 10's ~50-entry window should be: these 25 first, then the
+        # stalest r6-checked tier below up to the window edge.
         "kmv_hourly_distinct_rollup": dedup.kmv_hourly_distinct_rollup,
         "stream_heavy_hitters": _stream_heavy_hitters_query,
         "seasonal_anomaly_flags": analytics.seasonal_anomaly_flags,
