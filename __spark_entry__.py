@@ -435,6 +435,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_quota_cap": _stream_quota_query,
         "pca_power_component": similarity.pca_power_component,
         "fk_discovery_report": lineage.fk_discovery_report,
+        "trimmed_mean_by_type": analytics.trimmed_mean_by_type,
         # r6-checked tier (leads round 10)
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,

@@ -136,6 +136,7 @@ HEADLINE = [
     "stream_quota_cap",  # streaming quota fold (mergeable k-smallest state)
     "pca_power_component",  # integer power iteration on the Gram (spectral)
     "fk_discovery_report",  # join-key discovery (distinct-frame containment)
+    "trimmed_mean_by_type",  # robust trimmed mean (rank trim + decimal sum)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

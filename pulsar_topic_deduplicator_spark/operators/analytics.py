@@ -888,3 +888,60 @@ def _ab_oracle() -> str:
 
 
 ORACLES["ab_test_report"] = _ab_oracle()
+
+
+#: trim share per tail, in percent (10 % lowest + 10 % highest dropped)
+TRIM_PCT = 10
+
+
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistic: the TRIMMED mean of event value per
+    event_type — drop the lowest and highest TRIM_PCT% of rows by rank
+    (deterministic tiebreak on event_id) and average the middle. The
+    robust-location complement of the profiler's raw mean and the GK
+    median: outliers and fat tails can't move it, which is why metric
+    pipelines alert on trimmed means.
+
+    Exactness: the trim boundary is integer rank arithmetic (drop k =
+    (n·TRIM_PCT) div 100 per tail); the kept sum accumulates in
+    DECIMAL(18,2) (associative — no float-order dependence) and divides
+    once at the end. One shuffle on event_type + one ranked window on the
+    same exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    ).withColumn("k", F.expr(f"(n * {TRIM_PCT}) div 100"))
+    kept = ranked.filter(
+        (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+
+
+ORACLES["trimmed_mean_by_type"] = f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    kept AS (
+      SELECT event_type, value
+      FROM ranked
+      WHERE rn > (n * {TRIM_PCT}) // 100
+        AND rn <= n - (n * {TRIM_PCT}) // 100)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS trimmed_mean
+    FROM kept GROUP BY event_type
+"""

@@ -200,3 +200,40 @@ def test_ab_report_counts_reconcile(spark, sf_dir):
     assert r["rate_c"] == r["x_c"] / r["n_c"]
     assert r["rate_t"] == r["x_t"] / r["n_t"]
     assert math.isfinite(r["z_score"])
+
+
+def test_trimmed_mean_is_outlier_robust(spark, sf_dir):
+    """The trimmed mean must sit strictly inside the raw min/max, match a
+    hand recomputation per group, and ignore a would-be outlier: groups
+    are small enough at sf0.001 to replay in Python."""
+    from pulsar_topic_deduplicator_spark.operators.analytics import (
+        TRIM_PCT,
+        trimmed_mean_by_type,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in trimmed_mean_by_type(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .collect()
+    )
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["value"], r["event_id"])
+        )
+    from decimal import Decimal
+
+    for et, vals in by_type.items():
+        vals.sort()
+        k = len(vals) * TRIM_PCT // 100
+        kept = [v for v, _ in vals[k : len(vals) - k]]
+        assert got[et]["n_kept"] == len(kept)
+        exact = float(
+            sum(Decimal(f"{v:.2f}") for v in kept)
+        ) / len(kept)
+        assert abs(got[et]["trimmed_mean"] - exact) < 1e-9, et
