@@ -117,6 +117,31 @@ def _stream_dedup_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_tws_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-TTL stateful dedup on the transformWithStateInPandas kernel —
+    the Spark-4 native-TTL API the TTL semantics will live on at scale
+    (state-server kernel, per-key TTL handled by the state store itself,
+    RocksDB-ready). Same bounded single-batch run and the SAME exact
+    oracle as ``stream_dedup_ttl``; kernel cross-pins live in
+    tests/test_streaming.py. Slower in this container BY MEASUREMENT
+    (pure-Python protobuf round trip per state op — see
+    streaming/dedup.py kernel notes), registered so the driver checks the
+    native-TTL path's VALUES, not just the GroupState twin's."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.dedup import (
+        run_ttl_dedup_bounded,
+    )
+
+    return run_ttl_dedup_bounded(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp("tws_ckpt"),
+        glob_filter="events.parquet",
+        use_tws=True,
+    )
+
+
 def _stream_dedup_ttl_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-only ingest-clock TTL dedup (third kernel): watermark on an
     ingest timestamp + dropDuplicatesWithinWatermark — no per-group Python.
@@ -328,88 +353,25 @@ def _stream_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 9 continues the self-sustaining staleness rotation:
-    # (a) the never-driver-checked round-9 additions (iterated BPE merge
-    # steps + the trained-tokenizer encode pass, URL keep-first dedup +
-    # the per-domain attrition funnel), then (b)
-    # service_counters_watermark — re-checked THIS round because the
-    # service default kernel flipped to the JVM watermark TTL path
-    # (VERDICT r8 item 2) — then (c) the r5-checked tier: the eleven entries that
-    # slipped past round 8's window edge (dedup_counters ..
-    # approx_quantiles_contracts) followed by the ~34-entry remainder
-    # (doc_repetition_stats .. scd2_point_in_time_join), the stalest
-    # checkable evidence in the ledger. That fills the window at exactly
-    # 50; after this round no oracle-bearing evidence is older than r6,
-    # and the r6 tier (next-stalest) leads round 10. The r6/r7/r8-checked
-    # tiers follow in staleness order, and the seven rows-only RAW entries
-    # remain at the very end, OUTSIDE the window BY DESIGN: each is
-    # driver-checked through an oracle-pinned contract twin
-    # (ann_recall_contracts / stream_near_dup_contracts /
+    # round. Round 10 continues the self-sustaining staleness rotation
+    # (VERDICT r9 item 1): (a) the 26 round-9 LATE additions
+    # (kmv_hourly_distinct_rollup .. trimmed_mean_by_type) — the only
+    # oracle-bearing entries that have never appeared in a driver
+    # CORRECTNESS artifact — lead the window; then (b) the NEW round-10
+    # entries (stream_dedup_tws — the transformWithState native-TTL kernel,
+    # VERDICT r9 item 6 — plus supplier_affinity and the other round-10
+    # additions), checked in their landing round so the late-addition debt
+    # does not recur; then (c) the stalest checked tier (r6:
+    # stream_dedup_ttl_watermark ..) fills to the window edge. After this
+    # round every oracle-bearing entry has driver evidence no older than
+    # r7. The r6-remainder/r7/r8/r9 tiers follow in staleness order, and
+    # the seven rows-only RAW entries remain at the very end, OUTSIDE the
+    # window BY DESIGN: each is driver-checked through an oracle-pinned
+    # contract twin (ann_recall_contracts / stream_near_dup_contracts /
     # semantic_dedup_contracts / approx_quantiles_contracts), so the
     # ledger carries zero `no_oracle` rows.
     return {
-        # ── (a) round-9 additions (never driver-checked) ───────────────────
-        "bpe_merge_steps": textops.bpe_merge_steps,
-        "bpe_encode_token_counts": textops.bpe_encode_token_counts,
-        "dedup_docs_by_url": curation.dedup_docs_by_url,
-        "domain_attrition_report": curation.domain_attrition_report,
-        # ── (b) the flipped default service kernel, re-checked ─────────────
-        "service_counters_watermark": _service_counters_watermark_query,
-        # ── (c) r5-checked tier (stalest checkable evidence) ───────────────
-        # the eleven that slipped past round 8's edge
-        "dedup_counters": dedup.dedup_counters,
-        "distinct_digests": dedup.distinct_digests,
-        "origin_lineage": lineage.origin_lineage,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
-        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
-        "top_orders_per_customer": relational.top_orders_per_customer,
-        "stream_near_dup_contracts": _stream_near_dup_contracts_query,
-        "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
-        # the r5 remainder, in its round-5 order
-        "doc_repetition_stats": textops.doc_repetition_stats,
-        "gopher_quality_flags": textops.gopher_quality_flags,
-        "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
-        "corpus_curation_report": pipeline.corpus_curation_report,
-        "centroid_outlier_flags": similarity.centroid_outlier_flags,
-        "stream_quality_gate": _stream_quality_gate_query,
-        "decontaminate_overlap": curation.decontaminate_overlap,
-        "pack_sequences": curation.pack_sequences,
-        "pii_scan": curation.pii_scan,
-        "token_budget_mixture": curation.token_budget_mixture,
-        "training_batch_pipeline": curation.training_batch_pipeline,
-        "cap_docs_per_source": curation.cap_docs_per_source,
-        "curriculum_order": curation.curriculum_order,
-        "purchase_attribution_events": asof.purchase_attribution_events,
-        "stream_attribution_events": _stream_attribution_query,
-        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
-        "cms_sketch": dedup.cms_sketch,
-        "cms_user_counts": dedup.cms_user_counts,
-        "band_self_join_prices": asof.band_self_join_prices,
-        "minutely_rollup": relational.minutely_rollup,
-        "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
-        "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
-        "dq_check_events": lineage.dq_check_events,
-        "bm25_rank": textops.bm25_rank,
-        "stream_stream_attribution": _stream_stream_attribution_query,
-        "merge_upsert_orders": cdc.merge_upsert_orders,
-        "scd2_event_type_history": cdc.scd2_event_type_history,
-        "stream_latest_state": _stream_latest_state_query,
-        "funnel_steps": analytics.funnel_steps,
-        "weekly_cohort_retention": analytics.weekly_cohort_retention,
-        "value_histogram": analytics.value_histogram,
-        "pagerank_top_suppliers": graph.pagerank_top_suppliers,
-        "session_purchase_overlaps": asof.session_purchase_overlaps,
-        "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        # ── end of the ~50-entry checked window ────────────────────────────
-        # round-9 LATE additions (landed after the window filled): never
-        # driver-checked — every one engine-verified at sf0.001+sf0.01 via
-        # the same oracle harness (the 14 second-wave entries additionally
-        # at sf0.1) and pytest-pinned. This block is 25 entries, so round
-        # 10's ~50-entry window should be: these 25 first, then the
-        # stalest r6-checked tier below up to the window edge.
+        # ── (a) round-9 late additions (never driver-checked): 26 ─────────
         "kmv_hourly_distinct_rollup": dedup.kmv_hourly_distinct_rollup,
         "stream_heavy_hitters": _stream_heavy_hitters_query,
         "seasonal_anomaly_flags": analytics.seasonal_anomaly_flags,
@@ -436,7 +398,13 @@ def queries() -> dict[str, QueryFn]:
         "pca_power_component": similarity.pca_power_component,
         "fk_discovery_report": lineage.fk_discovery_report,
         "trimmed_mean_by_type": analytics.trimmed_mean_by_type,
-        # r6-checked tier (leads round 10)
+        # ── (b) round-10 NEW entries (checked in their landing round) ─────
+        "stream_dedup_tws": _stream_dedup_tws_query,
+        "supplier_affinity": recommend.supplier_affinity,
+        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
+        "contrastive_pair_mining": similarity.contrastive_pair_mining,
+        "ccnet_quality_buckets": textops.ccnet_quality_buckets,
+        # ── (c) stalest checked tier (r6) fills to the window edge ────────
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
         "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
@@ -456,6 +424,8 @@ def queries() -> dict[str, QueryFn]:
         "window_analytics_demo": relational.window_analytics_demo,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
+        # ── end of the 50-entry checked window ─────────────────────────────
+        # r6-checked remainder (next-stalest; leads round 11)
         "q4_order_priority_checking": relational.q4_order_priority_checking,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q13_customer_distribution": relational.q13_customer_distribution,
@@ -493,7 +463,6 @@ def queries() -> dict[str, QueryFn]:
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "dedup_docs_incremental": neardup.dedup_docs_incremental,
         "stream_dedup_spans": _stream_span_dedup_query,
-        "service_counters_watermark": _service_counters_watermark_query,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
         "q11_important_value": relational.q11_important_value,
@@ -589,6 +558,58 @@ def queries() -> dict[str, QueryFn]:
         "dedup_within_window": dedup.dedup_within_window,
         "ignore_props_projection": dedup.ignore_props_projection,
         "first_per_key": dedup.first_per_key,
+        # r9-checked tier (freshest evidence — last to rotate back in; the
+        # exact CORRECTNESS_r09 window, in its checked order)
+        "bpe_merge_steps": textops.bpe_merge_steps,
+        "bpe_encode_token_counts": textops.bpe_encode_token_counts,
+        "dedup_docs_by_url": curation.dedup_docs_by_url,
+        "domain_attrition_report": curation.domain_attrition_report,
+        "service_counters_watermark": _service_counters_watermark_query,
+        "dedup_counters": dedup.dedup_counters,
+        "distinct_digests": dedup.distinct_digests,
+        "origin_lineage": lineage.origin_lineage,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
+        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "stream_near_dup_contracts": _stream_near_dup_contracts_query,
+        "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
+        "doc_repetition_stats": textops.doc_repetition_stats,
+        "gopher_quality_flags": textops.gopher_quality_flags,
+        "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
+        "corpus_curation_report": pipeline.corpus_curation_report,
+        "centroid_outlier_flags": similarity.centroid_outlier_flags,
+        "stream_quality_gate": _stream_quality_gate_query,
+        "decontaminate_overlap": curation.decontaminate_overlap,
+        "pack_sequences": curation.pack_sequences,
+        "pii_scan": curation.pii_scan,
+        "token_budget_mixture": curation.token_budget_mixture,
+        "training_batch_pipeline": curation.training_batch_pipeline,
+        "cap_docs_per_source": curation.cap_docs_per_source,
+        "curriculum_order": curation.curriculum_order,
+        "purchase_attribution_events": asof.purchase_attribution_events,
+        "stream_attribution_events": _stream_attribution_query,
+        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
+        "cms_sketch": dedup.cms_sketch,
+        "cms_user_counts": dedup.cms_user_counts,
+        "band_self_join_prices": asof.band_self_join_prices,
+        "minutely_rollup": relational.minutely_rollup,
+        "hourly_rollup_from_minutely": relational.hourly_rollup_from_minutely,
+        "kmv_distinct_by_type": dedup.kmv_distinct_by_type,
+        "dq_check_events": lineage.dq_check_events,
+        "bm25_rank": textops.bm25_rank,
+        "stream_stream_attribution": _stream_stream_attribution_query,
+        "merge_upsert_orders": cdc.merge_upsert_orders,
+        "scd2_event_type_history": cdc.scd2_event_type_history,
+        "stream_latest_state": _stream_latest_state_query,
+        "funnel_steps": analytics.funnel_steps,
+        "weekly_cohort_retention": analytics.weekly_cohort_retention,
+        "value_histogram": analytics.value_histogram,
+        "pagerank_top_suppliers": graph.pagerank_top_suppliers,
+        "session_purchase_overlaps": asof.session_purchase_overlaps,
+        "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
         # ── rows-only RAW entries (outside the checked window BY DESIGN) ───
         # Each is real consumer API surface whose VALUES are engine-specific
         # (seeded planes / numpy codebooks / greedy sequential selection /
@@ -652,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["stream_dedup_ttl"] = BOUNDED_TTL_ORACLE
+    # the transformWithState kernel emits the identical deterministic
+    # single-batch result, so it shares the exact oracle
+    oracles["stream_dedup_tws"] = BOUNDED_TTL_ORACLE
     oracles["stream_dedup"] = BOUNDED_STREAM_DEDUP_ORACLE
     oracles["stream_dedup_ttl_watermark"] = BOUNDED_WM_TTL_ORACLE
     from pulsar_topic_deduplicator_spark import service as _service

@@ -137,6 +137,15 @@ HEADLINE = [
     "pca_power_component",  # integer power iteration on the Gram (spectral)
     "fk_discovery_report",  # join-key discovery (distinct-frame containment)
     "trimmed_mean_by_type",  # robust trimmed mean (rank trim + decimal sum)
+    # round-10 additions (stream_dedup_tws is deliberately NOT benched: its
+    # wall is the vendored pure-Python-protobuf state-server shim, a
+    # container artifact measured once in BASELINE.md's dedicated note —
+    # the GroupState twin stream_dedup_ttl already anchors the exact-TTL
+    # machinery here)
+    "supplier_affinity",  # KMV-sketch affinity (default read; sketch-frame join)
+    "hybrid_search_rrf",  # BM25 + dense top-K fused by integer-ppb RRF
+    "contrastive_pair_mining",  # hardest pos/neg per anchor (broadcast pairs)
+    "ccnet_quality_buckets",  # per-lang perplexity terciles (LM + ntile)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).
@@ -234,6 +243,17 @@ def main() -> None:
         # dead handles that later evict as false "young" warnings).
         release_all()
         spark.catalog.clearCache()
+        # localCheckpoint leftovers (iterative graph/stream entries abandon
+        # per-round checkpointed RDDs when the loop variable advances) are
+        # persistent RDD blocks that neither release_all nor clearCache
+        # touches — they linger until Python GC reaches the py4j finalizer
+        # and showed up as cross-entry churn on the graph block
+        # (bfs_hops_from_seed 8.06 s only when run after hits/kcore —
+        # BASELINE.md round-9 closing-run note). Drain them explicitly so
+        # each entry starts with zero foreign blocks; the materialized
+        # result was already consumed by the noop write above.
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # stop BEFORE printing: once the JVM is down no logging thread can

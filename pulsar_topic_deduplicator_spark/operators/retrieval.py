@@ -222,3 +222,137 @@ ORACLES["pmi_collocations"] = f"""
     ORDER BY pmi_nanonats DESC, p.w1, p.w2
     LIMIT {PMI_TOP}
 """
+
+
+# ─── Hybrid retrieval: reciprocal-rank fusion of lexical + dense ────────────
+
+#: RRF smoothing constant (Cormack, Clarke & Buettcher 2009 — k=60 is the
+#: published default; shared verbatim by the oracle)
+RRF_K = 60
+#: fixed-point RRF scale (parts-per-billion, the engine's rational-score
+#: convention — floor division is identical on both engines)
+RRF_SCALE = 1_000_000_000
+#: candidates taken from the dense retriever (lexical side contributes
+#: textops.BM25_TOP_K)
+DENSE_TOP = 50
+#: fused results returned
+FUSE_TOP = 20
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, rank_lex, rank_dense, rrf_ppb, rank)`` — hybrid search:
+    the BM25 lexical top-50 (``textops.bm25_rank``, fixed term query) and
+    the dense cosine top-50 (corpus query vector, ``embeddings`` table)
+    fused by reciprocal-rank fusion (Cormack et al. 2009):
+    ``rrf = Σ_retriever 1/(k + rank)``, here as the EXACT integer
+    ``rrf_ppb = Σ (1e9 div (RRF_K + rank))`` so the fused ordering is
+    integer-deterministic cross-engine (ranks themselves are integers;
+    the only doubles — bm25 scores and cosines — never leave their own
+    retriever's ranking, where both engines compute bit-identical values
+    by the mirrored-fold discipline). A doc in only one list contributes
+    only that list's term (its other rank stays NULL).
+
+    Scale shape: each retriever ends in a top-K cut (TakeOrdered — no
+    global sort of the corpus; the lexical side is one scan + a
+    broadcast stats row, the dense side one scan against the inlined
+    query vector, or an ANN index at 100 TB). Fusion then runs on two
+    K-row frames — driver-trivial, independent of corpus size. This is
+    the standard RAG retrieval front-end: sparse recall + dense recall,
+    rank-fused without score calibration."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+    from .similarity import QUERY_VEC_ID, _query_vector
+    from .textops import bm25_rank
+
+    lex = bm25_rank(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).alias("rank_lex")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.lit(_query_vector(emb)).cast("array<double>")
+    dense = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(DENSE_TOP)
+    )
+    wd = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("rank_dense"),
+    )
+
+    fused = lex_r.join(dense_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_dense)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_ppb"),
+    )
+    wf = Window.orderBy(F.col("rrf_ppb").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= FUSE_TOP)
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .similarity import QUERY_VEC_ID
+    from .textops import _bm25_oracle
+
+    return f"""
+        WITH lex AS ({_bm25_oracle()}),
+        lex_r AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INT) AS rank_lex
+          FROM lex),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}),
+        dense AS (
+          SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(qv, qv))) AS cosine
+          FROM embeddings, q
+          WHERE vec_id <> {QUERY_VEC_ID}
+          ORDER BY cosine DESC, vec_id
+          LIMIT {DENSE_TOP}),
+        dense_r AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                      AS INT) AS rank_dense
+          FROM dense),
+        fused AS (
+          SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 rank_lex, rank_dense,
+                 CAST(coalesce({RRF_SCALE} // ({RRF_K} + rank_lex), 0)
+                      + coalesce({RRF_SCALE} // ({RRF_K} + rank_dense), 0)
+                      AS BIGINT) AS rrf_ppb
+          FROM lex_r l FULL OUTER JOIN dense_r d ON l.doc_id = d.doc_id)
+        SELECT doc_id, rank_lex, rank_dense, rrf_ppb,
+               CAST(rank AS INT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY rrf_ppb DESC, doc_id)
+                      AS rank
+          FROM fused)
+        WHERE rank <= {FUSE_TOP}
+    """
+
+
+ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle()

@@ -1408,3 +1408,114 @@ def _pca_oracle() -> str:
 
 
 ORACLES["pca_power_component"] = _pca_oracle()
+
+
+# ─── Contrastive pair mining (hard positives / hard negatives) ──────────────
+
+
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, label, pos_id, pos_cosine, neg_id, neg_cosine,
+    margin)`` — for every anchor vector, the HARDEST POSITIVE (most
+    similar same-label vector) and HARDEST NEGATIVE (most similar
+    different-label vector), plus the contrastive margin
+    ``pos_cosine − neg_cosine``: the standard mining step for
+    triplet/contrastive embedding training (Schroff et al. 2015, FaceNet
+    semi-hard mining — here the batch-global exact variant). A negative
+    margin flags an anchor whose nearest neighbor crosses the class
+    boundary — exactly the labels-vs-geometry disagreement a curation
+    pass wants to surface.
+
+    Exactness: cosines are the mirrored zip_with/aggregate double fold
+    (bit-identical to DuckDB's list_dot_product left fold); per-side
+    winners are row_number picks over (cosine DESC, id ASC) — the doubles
+    never cross engines except bit-identically, and the margin is one
+    subtraction of two such doubles. Anchors whose label has no second
+    member emit NULL positive columns (LEFT join), never vanish.
+
+    Scale: this is the exact O(n²) tier sharing ``knn_self_join_top1``'s
+    plan (broadcast catalog side, one pair pass, two windowed argmaxes
+    over the SAME persisted pair frame — the corpus is paired ONCE, not
+    once per side). At 100 TB mining runs per-batch or against an ANN
+    index (``ivf_topk_indexed`` with a label filter) — the published
+    in-batch-mining shape; this operator is its exact ground truth."""
+    from pyspark.sql import Window
+
+    from ..cachereg import persist_scoped
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_norm = emb.withColumn("nrm", l2_norm(F.col("v")))
+    a, b = with_norm.alias("a"), with_norm.alias("b")
+    pairs = persist_scoped(
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("nn_id"),
+            (F.col("a.label") == F.col("b.label")).alias("same"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+
+    def _best(frame, id_alias, cos_alias):
+        return (
+            frame.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                F.col("nn_id").alias(id_alias),
+                F.col("cosine").alias(cos_alias),
+            )
+        )
+
+    pos = _best(pairs.filter(F.col("same")), "pos_id", "pos_cosine")
+    neg = _best(pairs.filter(~F.col("same")), "neg_id", "neg_cosine")
+    anchors = emb.select("vec_id", "label")
+    return (
+        anchors.join(pos, "vec_id", "left")
+        .join(neg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "pos_id",
+            "pos_cosine",
+            "neg_id",
+            "neg_cosine",
+            (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+        )
+    )
+
+
+ORACLES["contrastive_pair_mining"] = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+          FROM v),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+             a.label = b.label AS same,
+             list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    pos AS (
+      SELECT vec_id, nn_id AS pos_id, cosine AS pos_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, nn_id) AS rn
+        FROM pairs WHERE same) WHERE rn = 1),
+    neg AS (
+      SELECT vec_id, nn_id AS neg_id, cosine AS neg_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, nn_id) AS rn
+        FROM pairs WHERE NOT same) WHERE rn = 1)
+    SELECT a.vec_id, a.label, pos_id, pos_cosine, neg_id, neg_cosine,
+           pos_cosine - neg_cosine AS margin
+    FROM v a
+    LEFT JOIN pos ON a.vec_id = pos.vec_id
+    LEFT JOIN neg ON a.vec_id = neg.vec_id
+"""

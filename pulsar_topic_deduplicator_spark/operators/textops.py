@@ -1849,3 +1849,81 @@ def _doc_novelty_oracle() -> str:
 
 
 ORACLES["doc_novelty_scores"] = _doc_novelty_oracle()
+
+
+# ─── CCNet-style perplexity buckets ─────────────────────────────────────────
+
+#: CCNet's quality split count (head/middle/tail — Wenzek et al. 2020,
+#: "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+#: Data"); shared verbatim by the oracle
+CCNET_BUCKETS = 3
+
+
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(lang, bucket, n_docs, n_bigrams, nll_min, nll_max)`` — the CCNet
+    corpus split (Wenzek et al. 2020): per LANGUAGE, rank documents by LM
+    negative log-likelihood (the in-corpus bigram model of
+    ``lm_bigram_nll``) and cut into equal head/middle/tail terciles —
+    head = most probable under the LM = highest quality. The per-bucket
+    readout a mixture designer consumes: volume (docs, bigram tokens) and
+    the NLL range each tercile spans.
+
+    Exactness: per-doc nll is the nano-nat-pinned 6-dp double (already
+    bit-identical cross-engine); the tercile cut is ``ntile`` over the
+    total order (nll ASC, doc_id) — standard SQL ntile semantics on both
+    engines (leading buckets take the ⌈n/k⌉ remainder). Per-bucket
+    aggregates are order-independent (count, BIGINT sum, min/max of
+    bit-identical doubles) — no float summation crosses engines.
+
+    Scale: scoring is ``lm_bigram_nll``'s two-count-aggregate plan; the
+    ranking shuffles ONE doc-sized row frame by language (the window's
+    partition key), and the output is languages × 3 rows. At 100 TB
+    CCNet's own trick applies unchanged: the per-language sort is the
+    only corpus-order operation, and it runs per-partition-key, never
+    globally."""
+    from pyspark.sql import Window
+
+    nll = lm_bigram_nll(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("nll").asc(), "doc_id")
+    bucketed = (
+        nll.join(langs, "doc_id")
+        .withColumn("nt", F.ntile(CCNET_BUCKETS).over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("nt") == 1, F.lit("head"))
+            .when(F.col("nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.min("nll").alias("nll_min"),
+            F.max("nll").alias("nll_max"),
+        )
+    )
+
+
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+        WITH scored AS ({ORACLES["lm_bigram_nll"]}),
+        bucketed AS (
+          SELECT d.lang, s.n_bigrams, s.nll,
+                 ntile({CCNET_BUCKETS}) OVER (PARTITION BY d.lang
+                     ORDER BY s.nll ASC, s.doc_id) AS nt
+          FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+        SELECT lang,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+               min(nll) AS nll_min,
+               max(nll) AS nll_max
+        FROM bucketed GROUP BY lang, nt
+    """
+
+
+ORACLES["ccnet_quality_buckets"] = _ccnet_buckets_oracle()

@@ -60,6 +60,54 @@ def test_cf_jaccard_ranking_and_fanout_cap(spark, cf_dir):
     assert all(r["suppkey"] < 100 for r in rows)
 
 
+def test_supplier_affinity_unsaturated_sketches_are_exact(spark, cf_dir):
+    """On the fixture every supplier audience is far below KMV_K, so each
+    sketch IS the audience, the merged sketch IS the union, and the
+    sketch-estimated Jaccard must equal the EXACT audience Jaccard in
+    parts-per-billion (floor). This pins the estimator's algebra: any
+    off-by-one in the merge/flag logic shifts n_both/n_merged and breaks
+    the equality. (The fixture has no fanout cap here — the sketch tier
+    models the FULL audiences; the power customer's one-off suppliers
+    legitimately appear as weak neighbors.)"""
+    from pulsar_topic_deduplicator_spark.operators.recommend import (
+        supplier_affinity,
+    )
+
+    rows = supplier_affinity(spark, cf_dir).collect()
+    assert rows, "affinity output empty on the fixture"
+    audiences: dict[int, set[int]] = {}
+    for cust, supp in PAIRS:
+        audiences.setdefault(supp, set()).add(cust)
+    for r in rows:
+        a, b = audiences[r["suppkey"]], audiences[r["neighbor"]]
+        inter, union = len(a & b), len(a | b)
+        assert r["n_both"] == inter and r["n_merged"] == union
+        assert r["jacc_ppb_est"] == (1_000_000_000 * inter) // union
+    # s1's top neighbors under FULL audiences: jacc(s1,s2)=3/5 (shares
+    # {c1,c2,c99}), jacc(s1,s3)=3/11 (shares {c1,c2,c3})
+    s1 = sorted((r for r in rows if r["suppkey"] == 1), key=lambda r: r["rank"])
+    assert [r["neighbor"] for r in s1[:2]] == [2, 3]
+
+
+def test_supplier_affinity_matches_oracle_on_fixture(spark, cf_dir):
+    from pulsar_topic_deduplicator_spark.operators.recommend import (
+        supplier_affinity,
+    )
+
+    got = sorted(tuple(r) for r in supplier_affinity(spark, cf_dir).collect())
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{cf_dir}/{t}.parquet/*.parquet'"
+        )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["supplier_affinity"]).fetchall()
+    )
+    assert got == want
+
+
 def test_cf_matches_oracle_on_fixture(spark, cf_dir):
     got = sorted(
         tuple(r) for r in cf_similar_suppliers(spark, cf_dir).collect()

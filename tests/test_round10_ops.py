@@ -1,0 +1,103 @@
+"""Semantics pins for the round-10 additions beyond oracle parity:
+hybrid RRF fusion arithmetic, contrastive-mining label discipline vs a
+numpy brute force, and CCNet tercile structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pulsar_topic_deduplicator_spark.operators.retrieval import (
+    FUSE_TOP,
+    RRF_K,
+    RRF_SCALE,
+    hybrid_search_rrf,
+)
+from pulsar_topic_deduplicator_spark.operators.similarity import (
+    contrastive_pair_mining,
+)
+from pulsar_topic_deduplicator_spark.operators.textops import (
+    CCNET_BUCKETS,
+    ccnet_quality_buckets,
+    lm_bigram_nll,
+)
+
+
+def test_hybrid_rrf_arithmetic_and_shape(spark, sf_dir):
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= FUSE_TOP
+    seen_both = 0
+    for r in rows:
+        want = 0
+        if r["rank_lex"] is not None:
+            assert r["rank_lex"] >= 1
+            want += RRF_SCALE // (RRF_K + r["rank_lex"])
+        if r["rank_dense"] is not None:
+            assert r["rank_dense"] >= 1
+            want += RRF_SCALE // (RRF_K + r["rank_dense"])
+        assert r["rank_lex"] is not None or r["rank_dense"] is not None
+        assert r["rrf_ppb"] == want
+        seen_both += r["rank_lex"] is not None and r["rank_dense"] is not None
+    # fused ordering: rrf desc, doc_id asc, ranks contiguous from 1
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["rrf_ppb"], -a["doc_id"]) >= (b["rrf_ppb"], -b["doc_id"])
+
+
+def test_contrastive_mining_matches_numpy_brute_force(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    labels = np.array([r["label"] for r in emb])
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+
+    got = {r["vec_id"]: r for r in contrastive_pair_mining(spark, sf_dir).collect()}
+    assert set(got) == set(ids.tolist())
+    label_of = dict(zip(ids.tolist(), labels.tolist()))
+    for i, vid in enumerate(ids):
+        r = got[int(vid)]
+        # winner identity: argmax over (cosine, then smaller id) per side
+        for side, want_same in (("pos", True), ("neg", False)):
+            mask = (labels == labels[i]) == want_same
+            mask[i] = False
+            if not mask.any():
+                assert r[f"{side}_id"] is None
+                continue
+            cand = np.where(mask)[0]
+            # numpy argmax with the (cosine desc, id asc) tie-break
+            best = min(cand, key=lambda j: (-cos[i, j], ids[j]))
+            assert r[f"{side}_id"] == ids[best], (vid, side)
+            assert abs(r[f"{side}_cosine"] - cos[i, best]) < 1e-9
+        if r["pos_id"] is not None:
+            assert label_of[r["pos_id"]] == r["label"]
+        assert label_of[r["neg_id"]] != r["label"]
+        if r["pos_cosine"] is not None:
+            assert abs(r["margin"] - (r["pos_cosine"] - r["neg_cosine"])) < 1e-12
+
+
+def test_ccnet_buckets_structure(spark, sf_dir):
+    rows = ccnet_quality_buckets(spark, sf_dir).collect()
+    n_scored = lm_bigram_nll(spark, sf_dir).count()
+    by_lang: dict[str, dict[str, tuple]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        sizes = [b["n_docs"] for b in buckets.values()]
+        # ntile: bucket sizes differ by at most 1 within a language
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if len(buckets) == CCNET_BUCKETS:
+            # terciles are ordered by nll: head spans the lowest range
+            assert (
+                buckets["head"]["nll_max"]
+                <= buckets["middle"]["nll_min"] + 1e-12
+            )
+            assert (
+                buckets["middle"]["nll_max"]
+                <= buckets["tail"]["nll_min"] + 1e-12
+            )

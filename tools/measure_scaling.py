@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Measured scaling curve: one operator per tier at 1× (sf0.01), 10×
+(sf0.1), and a synthetic 100× built by replicating the sf0.1 FACT tables
+×10 with fresh keys (dimensions unchanged) — the engine's evidence that no
+plan goes super-linear under the next 10×. Cited by BASELINE.md's
+"measured scaling curve" table; re-run per round.
+
+Synthetic 100× construction (written once to --workdir, reused):
+- events ×10 → 1M rows: event_id/user_id offset per replica, props
+  re-keyed per replica (fresh digests — replicas must NOT collapse as
+  duplicates), ts unchanged;
+- lineitem ×10 → 6M and orders ×10 → 1.5M: l_orderkey/o_orderkey offset
+  per replica IN STEP (joins stay consistent), o_custkey unchanged (dims
+  are not replicated);
+- documents ×10 → 50k: doc_id offset, every WORD suffixed with the
+  replica tag so replica corpora are mutually unrelated (near-dup
+  operators must not find cross-replica pairs);
+- dimensions (region nation customer supplier part) symlink-copied as-is.
+
+Wall seconds, noop sink, cold per (op, scale) run in ONE session per scale
+(cache registry drained between ops, same hygiene as bench.py).
+
+Usage: python tools/measure_scaling.py [--workdir /tmp/scale100]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pulsar_topic_deduplicator_spark.session import get_spark  # noqa: E402
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+
+#: one operator per tier (see BASELINE.md scaling table)
+OPS = [
+    "dedup_exact_keep_first",     # exact dedup (min_by agg)
+    "kmv_hourly_distinct_rollup", # sketch rollup hierarchy
+    "event_type_stats_salted",    # salted skew agg
+    "sessionize_events",          # gaps-and-islands windows
+    "q1_pricing_summary",         # TPC-H scan+agg
+    "q3_shipping_priority",       # broadcast dim + fact join
+    "dedup_docs_by_url",          # URL keep-first (documents)
+    "text_stats",                 # zero-shuffle text projection
+    "near_dup_pairs_verified",    # LSH candidates + exact verify
+    "bpe_merge_steps",            # iterative trainer loop
+]
+
+REPLICAS = 10
+_KEY_STRIDE = 10_000_000_000  # far above any sf0.1 key
+
+
+def build_100x(spark, workdir: str) -> str:
+    out = os.path.join(workdir, "sf1_synth")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        print(f"reusing synthetic 100x at {out}")
+        return out
+    os.makedirs(out, exist_ok=True)
+    t0 = time.time()
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    reps = []
+    for r in range(REPLICAS):
+        off = F.lit(r * _KEY_STRIDE)
+        reps.append(
+            ev.select(
+                (F.col("event_id") + off).alias("event_id"),
+                "ts",
+                (F.col("user_id") + off).alias("user_id"),
+                "event_type",
+                "value",
+                # fresh content per replica: dedup digests must not
+                # collapse replicas into one another
+                F.concat(F.col("props"), F.lit(f'#r{r}')).alias("props"),
+            )
+        )
+    _union(reps).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    _union(
+        [
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(r * _KEY_STRIDE)
+            )
+            for r in range(REPLICAS)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    od = spark.read.parquet(f"{SF01}/orders.parquet")
+    _union(
+        [
+            od.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(r * _KEY_STRIDE)
+            )
+            for r in range(REPLICAS)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    _union(
+        [
+            docs.select(
+                (F.col("doc_id") + F.lit(r * _KEY_STRIDE)).alias("doc_id"),
+                # suffix every word → replica corpora share no shingles
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(f"_r{r}")),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for r in range(REPLICAS)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    for dim in ["region", "nation", "customer", "supplier", "part",
+                "embeddings"]:
+        dst = f"{out}/{dim}.parquet"
+        if not os.path.exists(dst):
+            src = f"{SF01}/{dim}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    open(marker, "w").write("ok")
+    print(f"built synthetic 100x in {time.time() - t0:.0f}s at {out}")
+    return out
+
+
+def _union(frames):
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    return df
+
+
+def run_tier(sf_dir: str, label: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from pulsar_topic_deduplicator_spark.cachereg import release_all
+
+    spark = get_spark(f"scaling-{label}")
+    spark.sparkContext.setLogLevel("ERROR")
+    if label == "100x":
+        sf_dir = build_100x(spark, WORKDIR)
+    qs = entrymod.queries()
+    # session warm-up so the first op doesn't pay JVM/codegen startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out: dict[str, float] = {}
+    for name in OPS:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 2)
+        release_all()
+        spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):  # localCheckpoint leftovers (see bench.py hygiene note)
+            rdd.unpersist()
+        print(f"  {label:5s} {name} {out[name]}s")
+    spark.stop()
+    return out
+
+
+WORKDIR = "/tmp/scale100"
+
+if __name__ == "__main__":
+    if "--workdir" in sys.argv:
+        WORKDIR = sys.argv[sys.argv.index("--workdir") + 1]
+    os.makedirs(WORKDIR, exist_ok=True)
+    results = {
+        "1x": run_tier(SF001, "1x"),
+        "10x": run_tier(SF01, "10x"),
+        "100x": run_tier("", "100x"),
+    }
+    table = {
+        op: {
+            "1x": results["1x"][op],
+            "10x": results["10x"][op],
+            "100x": results["100x"][op],
+            "r10_1": round(results["10x"][op] / max(results["1x"][op], 1e-9), 1),
+            "r100_10": round(
+                results["100x"][op] / max(results["10x"][op], 1e-9), 1
+            ),
+        }
+        for op in OPS
+    }
+    print(json.dumps(table, indent=1))
