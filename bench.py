@@ -123,12 +123,19 @@ HEADLINE = [
     "stratified_sample_events",  # exact-k per stratum (bottom-k of hash)
     "jaccard_join_prefix_filtered",  # exact PPJoin-bound join (rare-token prefixes)
     "snapshot_merkle_diff",  # anti-entropy bucket diff (xor summaries + descent)
-    "bfs_hops_from_seed",  # BFS hop distance (R min-relax rounds, int-exact)
+    # graph-tier interleave (VERDICT r9 item 5): the three iterative graph
+    # entries ran back-to-back-ish through round 9 and the LAST of them
+    # paid ~1 s of cross-entry churn the dedicated sessions never show
+    # (bfs 8.06 r9 / 7.87 in the round-10 pre-interleave run vs dedicated
+    # steady 5.6–7.4). Light zero/one-shuffle entries now separate
+    # hits / bfs / kcore so each starts from the same executor state the
+    # dedicated anchors measure.
     "ab_test_report",  # two-proportion A/B readout (2 aggs + pivot, 1 row)
-    "kcore_membership",  # k-core peel (R rounds of deg-filter semi-joins)
     "pmi_collocations",  # PMI collocations (pair count + marginals, nanonat ln)
+    "bfs_hops_from_seed",  # BFS hop distance (R min-relax rounds, int-exact)
     "skyline_orders",  # grid-pruned Pareto frontier (staircase cells + anti-join)
     "key_skew_report",  # shuffle-key skew advisor (3 vocab-sized counts)
+    "kcore_membership",  # k-core peel (R rounds of deg-filter semi-joins)
     "rendezvous_assignment",  # HRW placement + minimal-movement readout
     "join_size_estimate",  # coordinated-sample join cardinality (KB sketches)
     "fuzzy_name_search",  # SymSpell deletion-index lookup + exact verify
@@ -146,6 +153,7 @@ HEADLINE = [
     "hybrid_search_rrf",  # BM25 + dense top-K fused by integer-ppb RRF
     "contrastive_pair_mining",  # hardest pos/neg per anchor (broadcast pairs)
     "ccnet_quality_buckets",  # per-lang perplexity terciles (LM + ntile)
+    "shard_plan_tokens",  # two-stage distributed prefix sum + shard cut
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

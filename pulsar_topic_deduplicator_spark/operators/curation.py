@@ -1164,3 +1164,96 @@ def _coverage_oracle() -> str:
 
 
 ORACLES["greedy_coverage_select"] = _coverage_oracle()
+
+
+# ─── Output-shard planning (distributed global prefix sum) ──────────────────
+
+#: tokens per output shard (the webdataset/TFRecord size target, scaled to
+#: the fixture corpus; shared verbatim by the oracle)
+SHARD_CAPACITY = 1024
+#: coarse-bucket width for the two-stage global prefix sum (doc_id span per
+#: stage-1 partial; the bucket-sum frame is n_docs/width rows — KB at any SF)
+SHARD_BUCKET_WIDTH = 256
+
+
+def shard_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, n_tokens, token_start, shard_id, offset_tokens)`` — the
+    output-shard plan: stream the corpus in deterministic doc_id order and
+    cut it into SHARD_CAPACITY-token shards (webdataset/TFRecord-style
+    size-targeted output files). A document starts in the shard its running
+    token offset falls in (``shard_id = token_start div capacity``) — docs
+    are not split, so shards overflow by at most one document, the standard
+    next-fit shard planner.
+
+    The point of this operator is the GLOBAL prefix sum done the way 100 TB
+    requires: a naive ``sum() OVER (ORDER BY doc_id)`` is a single-partition
+    window — one task sorts the corpus. Here it is the classic TWO-STAGE
+    scan: (1) per-bucket token sums over coarse doc_id ranges (a KB-sized
+    frame: n_docs/width rows), (2) exclusive cumulative offsets over THAT
+    frame (the only single-partition window, deliberately bucket-count-sized),
+    broadcast back, (3) within-bucket running sums partitioned by bucket.
+    Every corpus-sized stage is hash-partitioned; the serial step touches
+    KB. The oracle IS the naive global window, so the decomposition is
+    value-checked cell-for-cell every round.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {SHARD_BUCKET_WIDTH}").alias("bucket"),
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    # stage 1: per-bucket sums (map-side combined; KB output)
+    bsums = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    # stage 2: exclusive bucket offsets — the ONLY serial window, over the
+    # bucket-count-sized frame
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boff = bsums.select(
+        "bucket",
+        (F.sum("btok").over(wb) - F.col("btok")).alias("bucket_start"),
+    )
+    # stage 3: within-bucket running sum, co-partitioned on the bucket key
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = base.join(F.broadcast(boff), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("bucket_start")
+            + F.sum("n_tokens").over(ww)
+            - F.col("n_tokens")
+        ).alias("token_start"),
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "token_start",
+        F.expr(f"token_start div {SHARD_CAPACITY}").alias("shard_id"),
+        F.expr(f"token_start % {SHARD_CAPACITY}").alias("offset_tokens"),
+    )
+
+
+ORACLES["shard_plan_tokens"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                  AS BIGINT) AS token_start
+      FROM base)
+    SELECT doc_id, n_tokens, token_start,
+           CAST(token_start // {SHARD_CAPACITY} AS BIGINT) AS shard_id,
+           CAST(token_start % {SHARD_CAPACITY} AS BIGINT) AS offset_tokens
+    FROM placed
+"""

@@ -8,9 +8,10 @@ platform this is the "customers who bought X also bought Y" read, and
 the same plan computes source-affinity or domain-affinity over any
 (user, item) interaction table.
 
-Two tiers: ``supplier_affinity`` (KMV sketch estimates — the DEFAULT
-production read, O(items·k) state) and ``cf_similar_suppliers`` (exact
-capped co-occurrence — demo/audit only; see its docstring).
+Two tiers: ``supplier_affinity`` (one-permutation-hashing sketch
+estimates — the DEFAULT production read, O(items·buckets) state) and
+``cf_similar_suppliers`` (exact capped co-occurrence — demo/audit only;
+see its docstring).
 
 **Exactness discipline.** Similarity is the audience Jaccard
 ``shared / (deg_a + deg_b − shared)`` — a rational. Instead of float
@@ -55,6 +56,15 @@ CF_TOP_K = 5
 #: fixed-point Jaccard scale (parts per billion)
 CF_PPB = 1_000_000_000
 
+#: one-permutation-hashing bucket count for the sketch affinity tier
+#: (supplier sketch = min hash per bucket, ≤ this many rows)
+AFF_BUCKETS = 64
+
+#: hash-range width per bucket: stable_uint60 values are uniform in
+#: [0, 2^60), so integer-dividing by this stride yields bucket ids
+#: 0..AFF_BUCKETS−1 — identical integral division on both engines
+AFF_STRIDE = (1 << 60) // AFF_BUCKETS
+
 
 def cf_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(suppkey, neighbor, shared, jacc_ppb, rank)`` — each supplier's
@@ -66,11 +76,12 @@ def cf_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline model-build demo — per-task work is bounded by CF_MAX_FANOUT²,
     but total pair volume still grows linearly with customers × fanout²
     (≈2500), so it is NOT the 100 TB read path. The DEFAULT production
-    affinity surface is ``supplier_affinity`` below: per-item KMV audience
-    sketches (O(items·k) state), hash-collision candidate pre-filter, and
-    sketch-estimated Jaccard — the standard exact-tier/sketch-tier split,
-    with ``kmv_audience_overlap`` (``operators/dedup.py``) as the
-    set-algebra primitive it builds on."""
+    affinity surface is ``supplier_affinity`` below: per-item
+    one-permutation-hashing audience sketches (O(items·buckets) state),
+    min-collision candidate generation, and sketch-Jaccard scores — the
+    standard exact-tier/sketch-tier split; ``kmv_audience_overlap``
+    (``operators/dedup.py``) remains the bottom-k set-algebra primitive
+    for pairwise union/intersection ESTIMATES when those are the ask."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -139,35 +150,40 @@ def cf_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(suppkey, neighbor, n_both, n_merged, jacc_ppb_est, rank)`` — the
+    """``(suppkey, neighbor, n_eq, k_union, jacc_ppb_est, rank)`` — the
     DEFAULT supplier-affinity surface (VERDICT r9 item 4): each supplier's
-    CF_TOP_K most-affine suppliers by KMV-SKETCH-estimated audience
-    Jaccard, replacing the demo-only exact co-occurrence tier
-    (``cf_similar_suppliers``) as the production read.
+    CF_TOP_K most-affine suppliers by ONE-PERMUTATION-HASHING sketch
+    Jaccard (Li, Owen & Zhang 2012; Broder minwise), replacing the
+    demo-only exact co-occurrence tier (``cf_similar_suppliers``) as the
+    production read.
 
-    Estimator: the merged sketch (k smallest of the union of two
-    per-supplier KMV sketches, Beyer et al. 2007) is a uniform sample of
-    the audience union, so ρ = |merged ∩ both| / |merged| estimates the
-    Jaccard directly. Scores stay integer-exact cross-engine:
-    ``jacc_ppb_est = (1e9 · n_both) div n_merged`` (floor division on both
-    engines), and the per-supplier top-K ranks by
-    (jacc_ppb_est desc, n_both desc, neighbor asc) — all integer
+    Sketch: the 60-bit hash space is cut into ``AFF_BUCKETS`` equal
+    ranges; per (supplier, bucket) keep the MIN customer hash — a
+    supplier's sketch is its set of (bucket, min) pairs, ≤ AFF_BUCKETS
+    rows. The affinity score is the exact Jaccard OF THE SKETCH SETS,
+    ``n_eq / (k_a + k_b − n_eq)`` (n_eq = buckets whose mins coincide) —
+    a consistent estimator of the audience Jaccard that becomes EXACT
+    whenever no two same-supplier customers share a bucket (sketch ↔
+    audience is then a bijection; pinned on the fixture in
+    tests/test_recommend.py). Scores stay integer cross-engine:
+    ``jacc_ppb_est = (1e9 · n_eq) div k_union``; the per-supplier top-K
+    ranks by (jacc_ppb_est desc, n_eq desc, neighbor asc) — all integer
     comparisons, fully deterministic under the sha2-derived hash.
 
-    Scale shape (the reason this is the default): one corpus-sized
-    distinct (cust, supp) shuffle builds the audiences; per-supplier state
-    is O(k)=64 hashes (T·k longs total — KB/MB, broadcastable); candidate
-    pairs come from a self-join of the SKETCH frame on hash equality
-    (suppliers sharing a k-minimum customer hash), never an all-pairs T²
-    frame and never a re-scan of the corpus. The pre-filter is LOSSLESS
-    for the output: any pair with n_both ≥ 1 in the merged sketch shares
-    that hash in both raw sketches, so it is necessarily a candidate.
-    No fanout cap is needed — hot customers cost one hash per supplier
-    sketch, not fanout² join rows."""
+    Scale shape (the REASON this replaced the bottom-k merge design): the
+    first draft merged bottom-k sketches per candidate pair — under dense
+    overlap every pair is a candidate and the union frame hit 58M rows at
+    sf0.1 (measured; ~24 s). Here NOTHING pairwise materializes except
+    genuine min-collisions: one corpus-sized distinct shuffle builds the
+    audiences, the sketch frame is O(T·AFF_BUCKETS) rows, candidate pairs
+    come from a self-join on (bucket, min) EQUALITY, and a pair appears
+    at most AFF_BUCKETS times. Pairs with zero coinciding mins (estimated
+    J = 0) never exist — exactly the pairs a top-K affinity read ignores.
+    No fanout cap is needed: a hot customer costs one min-candidate per
+    bucket per supplier, never fanout² join rows."""
     from pyspark.sql import Window
 
     from ..functions.hashing import stable_uint60
-    from .dedup import KMV_K, _kmv_k_smallest
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -186,68 +202,72 @@ def supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = raw.select(
         "supp", stable_uint60(F.col("cust").cast("string")).alias("h")
     )
-    # kept feeds the candidate self-join AND both merged-sketch sides —
-    # pin the sketch frame (T·k rows) so the windowed build runs once
-    kept = persist_scoped(_kmv_k_smallest(hashes, "supp"))
+    # sketch: min hash per (supplier, bucket); ≤ AFF_BUCKETS rows each —
+    # pinned because it feeds the size frame and BOTH join sides
+    sk = persist_scoped(
+        hashes.groupBy(
+            "supp", F.expr(f"h div {AFF_STRIDE}").alias("bucket")
+        ).agg(F.min("h").alias("hmin"))
+    )
+    ksz = sk.groupBy("supp").agg(F.count(F.lit(1)).alias("k"))
 
-    # candidate pre-filter: supplier pairs whose k-minima share a hash
-    cand = (
-        kept.alias("a")
+    # only genuine min-collisions materialize: equality join on the
+    # (bucket, min) pair, upper triangle
+    eq = (
+        sk.alias("a")
         .join(
-            kept.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
+            sk.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.hmin") == F.col("b.hmin"))
             & (F.col("a.supp") < F.col("b.supp")),
         )
-        .select(
+        .groupBy(
             F.col("a.supp").alias("sa"), F.col("b.supp").alias("sb")
         )
-        .distinct()
-    )
-    pa = cand.join(
-        kept.select(F.col("supp").alias("sa"), "h"), "sa"
-    ).select("sa", "sb", "h", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
-    pb = cand.join(
-        kept.select(F.col("supp").alias("sb"), "h"), "sb"
-    ).select("sa", "sb", "h", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
-    merged = (
-        pa.unionByName(pb)
-        .groupBy("sa", "sb", "h")
-        .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
-    )
-    wp = Window.partitionBy("sa", "sb").orderBy("h")
-    sk = merged.withColumn("r", F.row_number().over(wp)).filter(
-        F.col("r") <= KMV_K
+        .agg(F.count(F.lit(1)).alias("n_eq"))
     )
     est = (
-        sk.groupBy("sa", "sb")
-        .agg(
-            F.count(F.lit(1)).alias("n_merged"),
-            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        eq.join(
+            F.broadcast(
+                ksz.select(F.col("supp").alias("sa"), F.col("k").alias("ka"))
+            ),
+            "sa",
         )
-        .filter(F.col("n_both") >= 1)
+        .join(
+            F.broadcast(
+                ksz.select(F.col("supp").alias("sb"), F.col("k").alias("kb"))
+            ),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "n_eq",
+            (F.col("ka") + F.col("kb") - F.col("n_eq")).alias("k_union"),
+        )
     )
     sym = est.select(
         F.col("sa").alias("suppkey"),
         F.col("sb").alias("neighbor"),
-        "n_both",
-        "n_merged",
+        "n_eq",
+        "k_union",
     ).unionByName(
         est.select(
             F.col("sb").alias("suppkey"),
             F.col("sa").alias("neighbor"),
-            "n_both",
-            "n_merged",
+            "n_eq",
+            "k_union",
         )
     )
     scored = sym.select(
         "suppkey",
         "neighbor",
-        "n_both",
-        "n_merged",
-        F.expr(f"({CF_PPB} * n_both) div n_merged").alias("jacc_ppb_est"),
+        "n_eq",
+        "k_union",
+        F.expr(f"({CF_PPB} * n_eq) div k_union").alias("jacc_ppb_est"),
     )
     w = Window.partitionBy("suppkey").orderBy(
-        F.col("jacc_ppb_est").desc(), F.col("n_both").desc(), "neighbor"
+        F.col("jacc_ppb_est").desc(), F.col("n_eq").desc(), "neighbor"
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -292,11 +312,7 @@ ORACLES: dict[str, str] = {
 
 
 def _supplier_affinity_oracle() -> str:
-    # mirrored expression-for-expression against supplier_affinity; the
-    # KMV constants come from the sketch module so a k/salt change cannot
-    # silently diverge the two engines
-    from .dedup import _KMV_SALTS, KMV_K
-
+    # mirrored expression-for-expression against supplier_affinity
     return f"""
         WITH raw AS (
           SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
@@ -306,56 +322,37 @@ def _supplier_affinity_oracle() -> str:
                  CAST('0x' || substr(sha256(CAST(cust AS VARCHAR)), 1, 15)
                       AS BIGINT) AS h
           FROM raw),
-        pre AS (
-          SELECT supp, h,
-                 row_number() OVER (PARTITION BY supp, h % {_KMV_SALTS}
-                                    ORDER BY h) AS r1
-          FROM hashes),
-        kept AS (
-          SELECT supp, h FROM (
-            SELECT supp, h,
-                   row_number() OVER (PARTITION BY supp ORDER BY h) AS r2
-            FROM pre WHERE r1 <= {KMV_K})
-          WHERE r2 <= {KMV_K}),
-        cand AS (
-          SELECT DISTINCT a.supp AS sa, b.supp AS sb
-          FROM kept a JOIN kept b ON a.h = b.h AND a.supp < b.supp),
-        merged AS (
-          SELECT sa, sb, h, max(fa) AS in_a, max(fb) AS in_b
-          FROM (
-            SELECT c.sa, c.sb, k.h, 1 AS fa, 0 AS fb
-            FROM cand c JOIN kept k ON k.supp = c.sa
-            UNION ALL
-            SELECT c.sa, c.sb, k.h, 0 AS fa, 1 AS fb
-            FROM cand c JOIN kept k ON k.supp = c.sb)
-          GROUP BY sa, sb, h),
         sk AS (
-          SELECT * FROM (
-            SELECT sa, sb, in_a, in_b,
-                   row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
-            FROM merged)
-          WHERE r <= {KMV_K}),
+          SELECT supp, h // {AFF_STRIDE} AS bucket, min(h) AS hmin
+          FROM hashes GROUP BY supp, h // {AFF_STRIDE}),
+        ksz AS (SELECT supp, count(*) AS k FROM sk GROUP BY supp),
+        eq AS (
+          SELECT a.supp AS sa, b.supp AS sb, count(*) AS n_eq
+          FROM sk a JOIN sk b
+            ON a.bucket = b.bucket AND a.hmin = b.hmin
+           AND a.supp < b.supp
+          GROUP BY a.supp, b.supp),
         est AS (
-          SELECT sa, sb, count(*) AS n_merged,
-                 sum(in_a * in_b) AS n_both
-          FROM sk GROUP BY sa, sb
-          HAVING sum(in_a * in_b) >= 1),
+          SELECT sa, sb, n_eq, ka.k + kb.k - n_eq AS k_union
+          FROM eq
+          JOIN ksz ka ON ka.supp = eq.sa
+          JOIN ksz kb ON kb.supp = eq.sb),
         sym AS (
-          SELECT sa AS suppkey, sb AS neighbor, n_both, n_merged FROM est
+          SELECT sa AS suppkey, sb AS neighbor, n_eq, k_union FROM est
           UNION ALL
-          SELECT sb AS suppkey, sa AS neighbor, n_both, n_merged FROM est),
+          SELECT sb AS suppkey, sa AS neighbor, n_eq, k_union FROM est),
         scored AS (
           SELECT suppkey, neighbor,
-                 CAST(n_both AS BIGINT) AS n_both,
-                 CAST(n_merged AS BIGINT) AS n_merged,
-                 CAST(({CF_PPB} * n_both) // n_merged AS BIGINT)
+                 CAST(n_eq AS BIGINT) AS n_eq,
+                 CAST(k_union AS BIGINT) AS k_union,
+                 CAST(({CF_PPB} * n_eq) // k_union AS BIGINT)
                    AS jacc_ppb_est
           FROM sym)
-        SELECT suppkey, neighbor, n_both, n_merged, jacc_ppb_est,
+        SELECT suppkey, neighbor, n_eq, k_union, jacc_ppb_est,
                CAST(rank AS INT) AS rank
         FROM (
           SELECT *, row_number() OVER (PARTITION BY suppkey
-            ORDER BY jacc_ppb_est DESC, n_both DESC, neighbor) AS rank
+            ORDER BY jacc_ppb_est DESC, n_eq DESC, neighbor) AS rank
           FROM scored)
         WHERE rank <= {CF_TOP_K}
     """

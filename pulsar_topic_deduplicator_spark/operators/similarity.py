@@ -1413,7 +1413,11 @@ ORACLES["pca_power_component"] = _pca_oracle()
 # ─── Contrastive pair mining (hard positives / hard negatives) ──────────────
 
 
-def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contrastive_pair_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_bytes: int = MAX_BROADCAST_CATALOG_BYTES,
+) -> DataFrame:
     """``(vec_id, label, pos_id, pos_cosine, neg_id, neg_cosine,
     margin)`` — for every anchor vector, the HARDEST POSITIVE (most
     similar same-label vector) and HARDEST NEGATIVE (most similar
@@ -1425,71 +1429,102 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — exactly the labels-vs-geometry disagreement a curation
     pass wants to surface.
 
-    Exactness: cosines are the mirrored zip_with/aggregate double fold
-    (bit-identical to DuckDB's list_dot_product left fold); per-side
-    winners are row_number picks over (cosine DESC, id ASC) — the doubles
-    never cross engines except bit-identically, and the margin is one
-    subtraction of two such doubles. Anchors whose label has no second
-    member emit NULL positive columns (LEFT join), never vanish.
+    Kernel: the ``knn_topk_blockwise`` shape — the (ids, labels,
+    unit-rows) catalog rides ONE torrent broadcast, each Arrow batch of
+    anchors scores against it with a single BLAS matmul, and the per-side
+    winners are row-wise argmaxes under label masks (argmax's
+    first-index-on-tie IS the smallest vec_id: the catalog is assembled
+    in vec_id order). Two pure-HOF drafts measured 23–27 s at sf0.1
+    (4M zip_with/aggregate folds dominate regardless of how the argmax
+    is expressed); this kernel does the same work in one matmul per
+    batch. Same small-catalog guard and ``knn_topk_tiled``-style escape
+    hatch as blockwise kNN; at 100 TB mining runs per-batch or against a
+    label-filtered ANN index (the published in-batch-mining shape).
 
-    Scale: this is the exact O(n²) tier sharing ``knn_self_join_top1``'s
-    plan (broadcast catalog side, one pair pass, two windowed argmaxes
-    over the SAME persisted pair frame — the corpus is paired ONCE, not
-    once per side). At 100 TB mining runs per-batch or against an ANN
-    index (``ivf_topk_indexed`` with a label filter) — the published
-    in-batch-mining shape; this operator is its exact ground truth."""
-    from pyspark.sql import Window
-
-    from ..cachereg import persist_scoped
+    Cross-engine boundary: BLAS partial-sum order differs from the
+    oracle's sequential fold in the last ulp, so the registry entry
+    rounds the cosines to 6 dp and derives the margin FROM THE ROUNDED
+    columns on both engines (the ``knn_topk_blockwise`` acceptance);
+    winner IDENTITY is ulp-robust and pinned unrounded against a numpy
+    brute force in tests/test_round10_ops.py. Anchors whose label has no
+    second member emit NULL positive columns, never vanish."""
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", "embedding"
     )
-    with_norm = emb.withColumn("nrm", l2_norm(F.col("v")))
-    a, b = with_norm.alias("a"), with_norm.alias("b")
-    pairs = persist_scoped(
-        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.label").alias("label"),
-            F.col("b.vec_id").alias("nn_id"),
-            (F.col("a.label") == F.col("b.label")).alias("same"),
-            (
-                dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
+    est_bytes = emb.count() * EMBEDDING_DIM * 8
+    if est_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"catalog estimated at {est_bytes} bytes exceeds the broadcast "
+            f"ceiling ({max_broadcast_bytes}); contrastive_pair_mining is "
+            "the small-catalog variant — tile it like knn_topk_tiled (or "
+            "mine per training batch) beyond this size"
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("nn_id")
+    cat_rows = emb.orderBy("vec_id").collect()
+    cat_ids = np.array([r["vec_id"] for r in cat_rows], dtype=np.int64)
+    cat_labels = np.array([r["label"] for r in cat_rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in cat_rows], dtype=np.float64)
+    cat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cat_ids, cat_labels, cat_norm))
+
+    def block(batches):
+        ids_c, labels_c, cat = bc.value
+        for pdf in batches:
+            ids = np.array(pdf["vec_id"], dtype=np.int64)
+            labels = np.array(pdf["label"], dtype=np.int64)
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cat.T
+            sims[ids[:, None] == ids_c[None, :]] = -np.inf  # mask self
+            same = labels[:, None] == labels_c[None, :]
+            out = {"vec_id": ids, "label": labels}
+            for side, mask in (("pos", same), ("neg", ~same)):
+                s = np.where(mask, sims, -np.inf)
+                best = np.argmax(s, axis=1)  # first index on tie = min id
+                val = s[np.arange(len(ids)), best]
+                has = np.isfinite(val)
+                out[f"{side}_id"] = pd.array(
+                    np.where(has, ids_c[best], 0), dtype="Int64"
+                )
+                out[f"{side}_id"][~has] = pd.NA
+                out[f"{side}_cosine"] = np.where(has, val, np.nan)
+            pdf_out = pd.DataFrame(out)
+            pdf_out.loc[
+                ~np.isfinite(pdf_out["pos_cosine"]), "pos_cosine"
+            ] = None
+            pdf_out.loc[
+                ~np.isfinite(pdf_out["neg_cosine"]), "neg_cosine"
+            ] = None
+            yield pdf_out
+
+    return emb.mapInPandas(
+        block,
+        schema=(
+            "vec_id long, label int, pos_id long, pos_cosine double, "
+            "neg_id long, neg_cosine double"
+        ),
     )
 
-    def _best(frame, id_alias, cos_alias):
-        return (
-            frame.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "vec_id",
-                F.col("nn_id").alias(id_alias),
-                F.col("cosine").alias(cos_alias),
-            )
-        )
 
-    pos = _best(pairs.filter(F.col("same")), "pos_id", "pos_cosine")
-    neg = _best(pairs.filter(~F.col("same")), "neg_id", "neg_cosine")
-    anchors = emb.select("vec_id", "label")
-    return (
-        anchors.join(pos, "vec_id", "left")
-        .join(neg, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            "pos_id",
-            "pos_cosine",
-            "neg_id",
-            "neg_cosine",
-            (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
-        )
+def contrastive_pair_mining_rounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-boundary form: cosines rounded to 6 dp, margin derived from
+    the ROUNDED columns (both engines compute the identical subtraction on
+    bit-identical 6-dp doubles — the knn_topk boundary discipline)."""
+    out = contrastive_pair_mining(spark, sf_dir)
+    pos6 = F.round("pos_cosine", 6)
+    neg6 = F.round("neg_cosine", 6)
+    return out.select(
+        "vec_id",
+        "label",
+        "pos_id",
+        pos6.alias("pos_cosine"),
+        "neg_id",
+        neg6.alias("neg_cosine"),
+        (pos6 - neg6).alias("margin"),
     )
 
 
@@ -1504,12 +1539,14 @@ ORACLES["contrastive_pair_mining"] = """
              list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
       FROM n a JOIN n b ON a.vec_id <> b.vec_id),
     pos AS (
-      SELECT vec_id, nn_id AS pos_id, cosine AS pos_cosine FROM (
+      SELECT vec_id, nn_id AS pos_id,
+             round(cosine, 6) AS pos_cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY cosine DESC, nn_id) AS rn
         FROM pairs WHERE same) WHERE rn = 1),
     neg AS (
-      SELECT vec_id, nn_id AS neg_id, cosine AS neg_cosine FROM (
+      SELECT vec_id, nn_id AS neg_id,
+             round(cosine, 6) AS neg_cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY cosine DESC, nn_id) AS rn
         FROM pairs WHERE NOT same) WHERE rn = 1)

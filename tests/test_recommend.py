@@ -60,14 +60,30 @@ def test_cf_jaccard_ranking_and_fanout_cap(spark, cf_dir):
     assert all(r["suppkey"] < 100 for r in rows)
 
 
-def test_supplier_affinity_unsaturated_sketches_are_exact(spark, cf_dir):
-    """On the fixture every supplier audience is far below KMV_K, so each
-    sketch IS the audience, the merged sketch IS the union, and the
-    sketch-estimated Jaccard must equal the EXACT audience Jaccard in
-    parts-per-billion (floor). This pins the estimator's algebra: any
-    off-by-one in the merge/flag logic shifts n_both/n_merged and breaks
-    the equality. (The fixture has no fanout cap here — the sketch tier
-    models the FULL audiences; the power customer's one-off suppliers
+def _oph_sketch(audience: set[int]) -> set[tuple[int, int]]:
+    """Python mirror of the operator's one-permutation sketch: min of the
+    stable_uint60 customer hashes per hash-range bucket."""
+    import hashlib
+
+    from pulsar_topic_deduplicator_spark.operators.recommend import (
+        AFF_STRIDE,
+    )
+
+    mins: dict[int, int] = {}
+    for cust in audience:
+        h = int(hashlib.sha256(str(cust).encode()).hexdigest()[:15], 16)
+        b = h // AFF_STRIDE
+        mins[b] = min(mins.get(b, h), h)
+    return set(mins.items())
+
+
+def test_supplier_affinity_matches_the_oph_mirror(spark, cf_dir):
+    """Every output row's (n_eq, k_union, jacc_ppb_est) must equal a
+    from-scratch python replay of the one-permutation sketches, and —
+    the estimator's exactness clause — whenever BOTH suppliers' sketches
+    are collision-free (audience ↔ sketch bijection) the estimate must
+    equal the EXACT audience Jaccard in floor parts-per-billion. (No
+    fanout cap in this tier: the power customer's one-off suppliers
     legitimately appear as weak neighbors.)"""
     from pulsar_topic_deduplicator_spark.operators.recommend import (
         supplier_affinity,
@@ -78,15 +94,19 @@ def test_supplier_affinity_unsaturated_sketches_are_exact(spark, cf_dir):
     audiences: dict[int, set[int]] = {}
     for cust, supp in PAIRS:
         audiences.setdefault(supp, set()).add(cust)
+    sketches = {s: _oph_sketch(a) for s, a in audiences.items()}
+    exact_checked = 0
     for r in rows:
+        sa, sb = sketches[r["suppkey"]], sketches[r["neighbor"]]
+        n_eq, k_union = len(sa & sb), len(sa | sb)
+        assert (r["n_eq"], r["k_union"]) == (n_eq, k_union)
+        assert r["jacc_ppb_est"] == (1_000_000_000 * n_eq) // k_union
         a, b = audiences[r["suppkey"]], audiences[r["neighbor"]]
-        inter, union = len(a & b), len(a | b)
-        assert r["n_both"] == inter and r["n_merged"] == union
-        assert r["jacc_ppb_est"] == (1_000_000_000 * inter) // union
-    # s1's top neighbors under FULL audiences: jacc(s1,s2)=3/5 (shares
-    # {c1,c2,c99}), jacc(s1,s3)=3/11 (shares {c1,c2,c3})
-    s1 = sorted((r for r in rows if r["suppkey"] == 1), key=lambda r: r["rank"])
-    assert [r["neighbor"] for r in s1[:2]] == [2, 3]
+        if len(sa) == len(a) and len(sb) == len(b):  # bijective sketches
+            inter, union = len(a & b), len(a | b)
+            assert r["jacc_ppb_est"] == (1_000_000_000 * inter) // union
+            exact_checked += 1
+    assert exact_checked > 0, "fixture never exercised the exactness clause"
 
 
 def test_supplier_affinity_matches_oracle_on_fixture(spark, cf_dir):

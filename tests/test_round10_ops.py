@@ -75,8 +75,46 @@ def test_contrastive_mining_matches_numpy_brute_force(spark, sf_dir):
         if r["pos_id"] is not None:
             assert label_of[r["pos_id"]] == r["label"]
         assert label_of[r["neg_id"]] != r["label"]
-        if r["pos_cosine"] is not None:
-            assert abs(r["margin"] - (r["pos_cosine"] - r["neg_cosine"])) < 1e-12
+
+
+def test_contrastive_rounded_boundary_derives_margin(spark, sf_dir):
+    """The driver-facing form rounds the cosines to 6 dp and computes the
+    margin FROM the rounded columns — the subtraction must reconcile."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        contrastive_pair_mining_rounded,
+    )
+
+    for r in contrastive_pair_mining_rounded(spark, sf_dir).collect():
+        if r["pos_cosine"] is None:
+            assert r["margin"] is None
+        else:
+            assert r["margin"] == r["pos_cosine"] - r["neg_cosine"]
+            assert round(r["pos_cosine"], 6) == r["pos_cosine"]
+
+
+def test_shard_plan_is_a_next_fit_cut_of_the_token_stream(spark, sf_dir):
+    """The two-stage distributed prefix sum must equal the naive global
+    cumsum: token_start is the exact running total in doc_id order, and
+    the shard cut is next-fit (monotone shard ids, offsets < capacity)."""
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        SHARD_CAPACITY,
+        shard_plan_tokens,
+    )
+
+    rows = sorted(
+        shard_plan_tokens(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows
+    running = 0
+    prev_shard = 0
+    for r in rows:
+        assert r["token_start"] == running, r
+        assert r["shard_id"] == running // SHARD_CAPACITY
+        assert r["offset_tokens"] == running % SHARD_CAPACITY
+        assert r["shard_id"] >= prev_shard
+        prev_shard = r["shard_id"]
+        running += r["n_tokens"]
+    assert prev_shard >= 1, "fixture corpus should span multiple shards"
 
 
 def test_ccnet_buckets_structure(spark, sf_dir):

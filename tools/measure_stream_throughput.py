@@ -80,9 +80,12 @@ def main() -> None:
     n_msgs = spark.read.parquet(f"{replay_dir}/events.parquet").count()
 
     # ── default JVM watermark kernel, 1M-message 90%-dup replay ────────
+    # point the stream at the part-file directory itself: the replay is a
+    # Spark-written events.parquet/ DIRECTORY, so a pathGlobFilter of
+    # "events.parquet" (the single-file testdata shape) matches nothing
     t0 = time.perf_counter()
     out = run_ttl_dedup_watermark_bounded(
-        spark, replay_dir, glob_filter="events.parquet"
+        spark, f"{replay_dir}/events.parquet"
     )
     forwarded = out.count()
     wall = time.perf_counter() - t0

@@ -21,10 +21,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 sys.path.insert(0, os.path.join(REPO, "tests"))
 from oracle_harness import duck_connection, normalize, type_check  # noqa: E402
+
+from pulsar_topic_deduplicator_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -33,12 +33,11 @@ def main() -> int:
     only = None
     if len(sys.argv) > 2 and sys.argv[1] == "--names":
         only = set(sys.argv[2].split(","))
-    # plain session on purpose: parity must not depend on tuned confs
-    spark = (
-        SparkSession.builder.master("local[*]")
-        .appName("parity-sf01-sweep")
-        .getOrCreate()
-    )
+    # the TUNED session: this sweep's job is VALUE parity at 10× scale
+    # (sf0.1 collects need the 8g driver heap — a plain 1g session OOMs);
+    # config-independence is the driver's own sf0.01 gate and the /verify
+    # driver-sim's plain-session job, not this harness's
+    spark = get_spark("parity-sf01-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entrymod
 
