@@ -154,6 +154,7 @@ HEADLINE = [
     "contrastive_pair_mining",  # hardest pos/neg per anchor (broadcast pairs)
     "ccnet_quality_buckets",  # per-lang perplexity terciles (LM + ntile)
     "shard_plan_tokens",  # two-stage distributed prefix sum + shard cut
+    "tokenizer_fertility_by_lang",  # per-lang BPE fertility (vocab loop + 2 aggs)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -1927,3 +1927,69 @@ def _ccnet_buckets_oracle() -> str:
 
 
 ORACLES["ccnet_quality_buckets"] = _ccnet_buckets_oracle()
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(lang, n_docs, n_words, n_tokens_bpe, fertility_ppb)`` — the
+    per-language tokenizer-evaluation readout
+    over the in-corpus trained BPE: FERTILITY = BPE tokens per whitespace
+    word (the standard multilingual-tokenizer equity metric — a language
+    with high fertility pays more sequence length per word), as an EXACT
+    integer parts-per-billion of exact BIGINT sums
+    (``(1e9 · Σtokens) div Σwords``), so ranking languages by tokenizer
+    cost is cross-engine deterministic.
+
+    Plan: ``bpe_encode_token_counts``'s plan (vocab-loop + broadcast
+    encode join + one doc aggregate) + a broadcast doc→lang join + one
+    languages-sized aggregate — nothing new touches the corpus."""
+    per_doc = bpe_encode_token_counts(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens_bpe").alias("n_tokens_bpe"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens_bpe",
+            F.expr("(1000000000 * n_tokens_bpe) div n_words").alias(
+                "fertility_ppb"
+            ),
+        )
+    )
+
+
+def _fertility_oracle() -> str:
+    r = BPE_MERGE_ROUNDS
+    final = f"""
+    per_word AS (
+      SELECT word,
+             len(string_split(substr(seg, 2, length(seg) - 2),
+                              chr(31) || chr(31))) AS n_tok
+      FROM seg{r}),
+    corpus AS (
+      SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+      WHERE text IS NOT NULL),
+    per_doc AS (
+      SELECT c.doc_id,
+             count(*) AS n_words,
+             sum(COALESCE(p.n_tok, 1)) AS n_tokens_bpe
+      FROM corpus c LEFT JOIN per_word p ON c.word = p.word
+      GROUP BY c.doc_id)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+           CAST(sum(pd.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+           CAST((1000000000 * sum(pd.n_tokens_bpe)) // sum(pd.n_words)
+                AS BIGINT) AS fertility_ppb
+    FROM per_doc pd JOIN documents d ON pd.doc_id = d.doc_id
+    GROUP BY d.lang"""
+    return "WITH" + ",".join(_bpe_cte_parts()) + "," + final
+
+
+ORACLES["tokenizer_fertility_by_lang"] = _fertility_oracle()

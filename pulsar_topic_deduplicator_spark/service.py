@@ -322,10 +322,17 @@ def _start_watermark_dedup_query(
     messages: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
+    output_dir: str | None = None,
 ):
     """Start the default-kernel service query: (optional gate predicate) →
-    warm-up anti-join seeding → JVM watermark TTL dedup → memory sink.
-    Returns ``(query, table_name)``."""
+    warm-up anti-join seeding → JVM watermark TTL dedup → sink.
+    Returns ``(query, table_name_or_output_dir)``.
+
+    Sink selection (the ``run_stream_dedup_bounded`` discipline): a caller
+    that passes ``output_dir`` gets the parquet file sink — the RESTARTABLE
+    shape (memory sinks refuse to recover from a checkpoint), used by
+    resumable backfills and the RocksDB restart tests; one-shot runs keep
+    the memory sink and skip the file-commit cost."""
     import uuid
 
     from .streaming.source import events_message_stream
@@ -346,9 +353,19 @@ def _start_watermark_dedup_query(
         config.ignored_properties,
         exclude_digests=seeds,
     )
-    writer = (
-        deduped.writeStream.format("memory").queryName(name).outputMode("append")
-    )
+    if output_dir:
+        writer = (
+            deduped.writeStream.format("parquet")
+            .option("path", output_dir)
+            .outputMode("append")
+        )
+        name = output_dir
+    else:
+        writer = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+        )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -403,12 +420,16 @@ def run_dedup_service_bounded(
     glob_filter: str | None = None,
     exact_processing_ttl: bool = False,
     use_tws: bool | None = None,
+    output_dir: str | None = None,
 ) -> DataFrame:
     """Bounded (drain-and-stop) run of the full service composition — the
     test/backfill entry point. Default kernel = JVM watermark TTL (full
     surviving message rows); ``exact_processing_ttl=True`` opts into the
     exact GroupState/transformWithState kernels (digest/message_id/
-    event_ts/n_dropped rows) — see ``start_dedup_service``."""
+    event_ts/n_dropped rows) — see ``start_dedup_service``. Pass
+    ``output_dir`` for the RESTARTABLE parquet-sink shape (resumable
+    backfills; memory sinks refuse checkpoint recovery) — the returned
+    frame then reads the cumulative sink directory."""
     seeds = None
     if config.warmup_enabled and prior_output is not None:
         seeds = warmup_seed_digests(prior_output, config, now_ts)
@@ -431,8 +452,11 @@ def run_dedup_service_bounded(
         seeds=seeds,
         glob_filter=glob_filter,
         available_now=True,
+        output_dir=output_dir,
     )
     query.awaitTermination()
+    if output_dir:
+        return spark.read.parquet(output_dir)
     return spark.table(name)
 
 

@@ -660,3 +660,52 @@ def test_bpe_encode_broadcast_vocab_no_python(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "SortMergeJoin", "CartesianProduct"):
         assert bad not in plan, plan[:2000]
+
+
+# ── round-10 additions ──────────────────────────────────────────────────────
+
+
+def test_supplier_affinity_sketch_sizes_broadcast(spark, sf_dir):
+    """The per-supplier bucket-count frame must BROADCAST onto the
+    collision pairs (it is T rows), and nothing may cartesian: the only
+    corpus-sized shuffles are the audience distinct and the sketch agg."""
+    from pulsar_topic_deduplicator_spark.operators import recommend
+
+    df = recommend.supplier_affinity(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_mining_is_one_arrow_stage(spark, sf_dir):
+    """The mining kernel is a broadcast catalog + one mapInPandas — no
+    pair-frame join, no window sort, no shuffle at all in the plan."""
+    from pulsar_topic_deduplicator_spark.operators import similarity
+
+    df = similarity.contrastive_pair_mining(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+    assert count_exchanges(df) == 0, plan[:2000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_shard_plan_serial_window_is_bucket_sized(spark, sf_dir):
+    """The two-stage prefix sum may contain EXACTLY ONE single-partition
+    exchange — the bucket-offset window over the n_docs/width frame —
+    and the doc-sized running sum must be hash-partitioned by bucket."""
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    df = curation.shard_plan_tokens(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") == 1, plan[:2000]
+    assert "hashpartitioning(bucket" in plan, plan[:2000]
+
+
+def test_hybrid_rrf_both_retrievers_take_ordered(spark, sf_dir):
+    """Both retriever legs must end in TakeOrderedAndProject (top-K cut,
+    never a global corpus sort)."""
+    from pulsar_topic_deduplicator_spark.operators import retrieval
+
+    df = retrieval.hybrid_search_rrf(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
