@@ -68,6 +68,11 @@ for name in [
     "dedup_substrings_global",  # gram windows + word-position join at scale
     "decontaminate_fuzzy",  # corpus x bench band join + verify at scale
     "kmv_audience_overlap",  # sketch build over the full distinct user set
+    "supplier_affinity",  # OPH sketch affinity (round-10 default read)
+    "contrastive_pair_mining",  # blockwise BLAS mining at scale
+    "ccnet_quality_buckets",  # LM scoring + per-lang ntile at scale
+    "shard_plan_tokens",  # two-stage global prefix sum at scale
+    "tokenizer_fertility_by_lang",  # BPE vocab loop + encode join at scale
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
