@@ -1221,3 +1221,98 @@ def jaccard_join_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the brute-force SQL IS the oracle: output equality proves the prefix
 # filter lost no pair (completeness), every driver round
 ORACLES["jaccard_join_prefix_filtered"] = ORACLES["ngram_jaccard_pairs"]
+
+
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(n_true, n_candidates, n_found, recall_ppb, precision_ppb)`` —
+    the banding-loss evaluation every LSH deployment owes its users: the
+    exact threshold-Jaccard pair set (``ngram_jaccard_pairs`` semantics,
+    the quadratic ground-truth tier) compared against the production
+    pipeline's LSH candidates and their verified survivors. ``recall``
+    = verified LSH pairs / true pairs (what banding loses);
+    ``precision`` = verified / raw candidates (what the exact-verify
+    stage filters). Both as EXACT integer parts-per-billion of exact
+    counts — cross-engine deterministic, NULL (not a crash) on an empty
+    denominator.
+
+    One shingle pass feeds ALL tiers (truth self-join sides + size
+    aggregate + signatures + verify joins) via the scoped persist. At
+    100 TB this evaluation runs on a held-out SAMPLE — the quadratic
+    truth tier is the evaluation's cost, not the pipeline's — and the
+    report is the recall-vs-threshold evidence for choosing banding
+    parameters (same discipline as ``ann_recall_contracts`` for ANN)."""
+    from ..cachereg import persist_scoped
+
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    truth = (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    cands = _near_dup_candidates(_signature_wide_from(sh))
+    found = _verify_candidate_pairs(sh, cands).select("doc_a", "doc_b")
+    flagged = truth.join(
+        found.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+    ).crossJoin(
+        F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_candidates")))
+    )
+    return counts.select(
+        "n_true",
+        "n_candidates",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN NULL "
+            "ELSE (1000000000 * n_found) div n_true END"
+        ).alias("recall_ppb"),
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN NULL "
+            "ELSE (1000000000 * n_found) div n_candidates END"
+        ).alias("precision_ppb"),
+    )
+
+
+ORACLES["lsh_recall_report"] = f"""
+    WITH truth AS ({ORACLES["ngram_jaccard_pairs"]}),
+    cands AS ({ORACLES["near_dup_minhash"]}),
+    foundp AS ({ORACLES["near_dup_pairs_verified"]}),
+    f AS (
+      SELECT count(*) AS n_true,
+             count(fp.doc_a) AS n_found
+      FROM truth t
+      LEFT JOIN foundp fp ON t.doc_a = fp.doc_a AND t.doc_b = fp.doc_b),
+    c AS (SELECT count(*) AS n_candidates FROM cands)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_found AS BIGINT) AS n_found,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE CAST((1000000000 * n_found) // n_true AS BIGINT)
+           END AS recall_ppb,
+           CASE WHEN n_candidates = 0 THEN NULL
+                ELSE CAST((1000000000 * n_found) // n_candidates AS BIGINT)
+           END AS precision_ppb
+    FROM f, c
+"""

@@ -117,6 +117,22 @@ def test_shard_plan_is_a_next_fit_cut_of_the_token_stream(spark, sf_dir):
     assert prev_shard >= 1, "fixture corpus should span multiple shards"
 
 
+def test_lsh_recall_report_bounds(spark, sf_dir):
+    """found ≤ min(true, candidates); the ratios reconcile with the counts
+    (floor ppb); verified survivors are a subset of the true pair set, so
+    precision counts what verify kept, never invents pairs."""
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        lsh_recall_report,
+    )
+
+    r = lsh_recall_report(spark, sf_dir).first()
+    assert r["n_found"] <= min(r["n_true"], r["n_candidates"])
+    assert r["recall_ppb"] == (10**9 * r["n_found"]) // r["n_true"]
+    assert r["precision_ppb"] == (10**9 * r["n_found"]) // r["n_candidates"]
+    assert 0 <= r["recall_ppb"] <= 10**9
+    assert 0 <= r["precision_ppb"] <= 10**9
+
+
 def test_ccnet_buckets_structure(spark, sf_dir):
     rows = ccnet_quality_buckets(spark, sf_dir).collect()
     n_scored = lm_bigram_nll(spark, sf_dir).count()
