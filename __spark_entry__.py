@@ -407,6 +407,7 @@ def queries() -> dict[str, QueryFn]:
         "shard_plan_tokens": curation.shard_plan_tokens,
         "tokenizer_fertility_by_lang": textops.tokenizer_fertility_by_lang,
         "lsh_recall_report": neardup.lsh_recall_report,
+        "duplicate_mass_report": neardup.duplicate_mass_report,
         # ── (c) stalest checked tier (r6) fills to the window edge ────────
         "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
         "service_counters_composed": _service_counters_query,
@@ -423,9 +424,9 @@ def queries() -> dict[str, QueryFn]:
         "cube_sales": relational.cube_sales,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
         # ── end of the 50-entry checked window ─────────────────────────────
         # r6-checked remainder (next-stalest; leads round 11)
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
         "window_analytics_demo": relational.window_analytics_demo,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,

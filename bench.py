@@ -156,6 +156,7 @@ HEADLINE = [
     "shard_plan_tokens",  # two-stage distributed prefix sum + shard cut
     "tokenizer_fertility_by_lang",  # per-lang BPE fertility (vocab loop + 2 aggs)
     "lsh_recall_report",  # banding recall/precision vs the exact pair tier
+    "duplicate_mass_report",  # corpus duplicate-mass readout (exact + near tiers)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

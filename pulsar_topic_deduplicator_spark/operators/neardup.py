@@ -1316,3 +1316,92 @@ ORACLES["lsh_recall_report"] = f"""
            END AS precision_ppb
     FROM f, c
 """
+
+
+def duplicate_mass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(n_docs, n_distinct_texts, n_exact_dup_docs, exact_dup_ppb,
+    n_near_dup_pairs, n_near_dup_docs, near_dup_doc_ppb)`` — the one-row
+    corpus duplicate-mass readout every dedup paper leads with: how much
+    of the corpus is byte-identical duplicate mass (docs beyond one copy
+    per distinct text), and how much carries a verified near-duplicate
+    (docs incident to ≥1 pair with word-3-gram Jaccard ≥ 0.5 from the
+    production LSH+verify pipeline). Ratios are EXACT integer
+    parts-per-billion of exact counts.
+
+    Plan: one sha2-distinct aggregate (the exact tier's single shuffle)
+    plus the LSH pipeline's pair frame reduced to an incident-doc count —
+    both corpus-linear; the quadratic tier never runs. The near-dup
+    figure counts GRAPH MEMBERS (docs with at least one verified
+    partner), the well-defined linear-time mass statistic; per-cluster
+    removable counts live with ``near_dup_clusters``/
+    ``cluster_representatives`` where the component structure is
+    actually materialized."""
+    from ..cachereg import persist_scoped
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias(
+            "n_distinct_texts"
+        ),
+    )
+    sh = persist_scoped(_shingle_hashes(spark, sf_dir))
+    pairs = _verify_candidate_pairs(
+        sh, _near_dup_candidates(_signature_wide_from(sh))
+    ).select("doc_a", "doc_b")
+    pairs = persist_scoped(pairs)  # feeds the pair count AND the member set
+    members = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_near_dup_docs"))
+    )
+    npairs = pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    return (
+        exact.crossJoin(F.broadcast(npairs))
+        .crossJoin(F.broadcast(members))
+        .select(
+            "n_docs",
+            "n_distinct_texts",
+            (F.col("n_docs") - F.col("n_distinct_texts")).alias(
+                "n_exact_dup_docs"
+            ),
+            F.expr(
+                "CASE WHEN n_docs = 0 THEN NULL ELSE "
+                "(1000000000 * (n_docs - n_distinct_texts)) div n_docs END"
+            ).alias("exact_dup_ppb"),
+            "n_near_dup_pairs",
+            "n_near_dup_docs",
+            F.expr(
+                "CASE WHEN n_docs = 0 THEN NULL ELSE "
+                "(1000000000 * n_near_dup_docs) div n_docs END"
+            ).alias("near_dup_doc_ppb"),
+        )
+    )
+
+
+ORACLES["duplicate_mass_report"] = f"""
+    WITH foundp AS ({ORACLES["near_dup_pairs_verified"]}),
+    exact AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT sha256(text)) AS n_distinct_texts
+      FROM documents WHERE text IS NOT NULL),
+    members AS (
+      SELECT count(*) AS n_near_dup_docs FROM (
+        SELECT doc_a AS d FROM foundp UNION SELECT doc_b FROM foundp)),
+    np AS (SELECT count(*) AS n_near_dup_pairs FROM foundp)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dup_docs,
+           CASE WHEN n_docs = 0 THEN NULL
+                ELSE CAST((1000000000 * (n_docs - n_distinct_texts))
+                          // n_docs AS BIGINT) END AS exact_dup_ppb,
+           CAST(n_near_dup_pairs AS BIGINT) AS n_near_dup_pairs,
+           CAST(n_near_dup_docs AS BIGINT) AS n_near_dup_docs,
+           CASE WHEN n_docs = 0 THEN NULL
+                ELSE CAST((1000000000 * n_near_dup_docs) // n_docs
+                          AS BIGINT) END AS near_dup_doc_ppb
+    FROM exact, members, np
+"""
