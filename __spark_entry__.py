@@ -15,9 +15,10 @@ verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
 (stream-equals-batch + greedy invariants), ``semantic_dedup_contracts``
 (conservation + no-kept-pair + drop-cause verdicts), and
-``approx_quantiles_contracts`` (GK rank-bracket verdicts) — and the raw
-entries sit past the driver's ~50-entry check window so the ledger carries
-no unverifiable rows.
+``approx_quantiles_contracts`` (GK rank-bracket verdicts). In round 11 the
+raw entries rotate through the driver's ~50-entry check window once
+(VERDICT r10 item 7) so the ledger gains fresh rows-only evidence that the
+raw surface runs at sf0.01; from round 12 they return past the window.
 """
 
 from __future__ import annotations
@@ -353,79 +354,28 @@ def _stream_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 10 continues the self-sustaining staleness rotation
-    # (VERDICT r9 item 1): (a) the 26 round-9 LATE additions
-    # (kmv_hourly_distinct_rollup .. trimmed_mean_by_type) — the only
-    # oracle-bearing entries that have never appeared in a driver
-    # CORRECTNESS artifact — lead the window; then (b) the NEW round-10
-    # entries (stream_dedup_tws — the transformWithState native-TTL kernel,
-    # VERDICT r9 item 6 — plus supplier_affinity and the other round-10
-    # additions), checked in their landing round so the late-addition debt
-    # does not recur; then (c) the stalest checked tier (r6:
-    # stream_dedup_ttl_watermark ..) fills to the window edge. After this
-    # round every oracle-bearing entry has driver evidence no older than
-    # r7. The r6-remainder/r7/r8/r9 tiers follow in staleness order, and
-    # the seven rows-only RAW entries remain at the very end, OUTSIDE the
-    # window BY DESIGN: each is driver-checked through an oracle-pinned
-    # contract twin (ann_recall_contracts / stream_near_dup_contracts /
-    # semantic_dedup_contracts / approx_quantiles_contracts), so the
-    # ledger carries zero `no_oracle` rows.
+    # round. Round 11 executes VERDICT r10 items 1 + 7: (a) the NEW
+    # round-11 entries (the image perceptual-hash near-dup tier) lead, so
+    # they are checked in their landing round; (b) the entire stalest
+    # (last-checked-r6) block — q18_large_volume_customers ..
+    # near_dup_pairs_verified, the round's only staleness debt — follows;
+    # (c) the seven rows-only RAW entries rotate through the window ONCE
+    # (their only prior driver rows are r04): the driver records a weaker
+    # rows-only row for each (no oracle BY DESIGN — seeded planes / numpy
+    # codebooks / greedy sequential selection / sketch internals), giving
+    # fresh evidence the raw surface runs at sf0.01; every family's VALUES
+    # remain oracle-checked through its contract twin
+    # (ann_recall_contracts / stream_near_dup_contracts /
+    # semantic_dedup_contracts / approx_quantiles_contracts); then (d) the
+    # stalest r7 entries fill to the window edge. After this round no
+    # oracle-bearing entry's driver evidence is older than r7. The
+    # r7-remainder/r8/r9/r10 tiers follow in staleness order (r10-checked
+    # last, freshest).
     return {
-        # ── (a) round-9 late additions (never driver-checked): 26 ─────────
-        "kmv_hourly_distinct_rollup": dedup.kmv_hourly_distinct_rollup,
-        "stream_heavy_hitters": _stream_heavy_hitters_query,
-        "seasonal_anomaly_flags": analytics.seasonal_anomaly_flags,
-        "quota_cap_events": dedup.quota_cap_events,
-        "histogram_quantile_rollup": analytics.histogram_quantile_rollup,
-        "near_dup_triangles": neardup.near_dup_triangles,
-        "zonemap_prune_stats": layoutstats.zonemap_prune_stats,
-        "zorder_bucket_spans": layoutstats.zorder_bucket_spans,
-        "hits_hub_authority": graph.hits_hub_authority,
-        "stratified_sample_events": sampling.stratified_sample_events,
-        "jaccard_join_prefix_filtered": neardup.jaccard_join_prefix_filtered,
-        "snapshot_merkle_diff": cdc.snapshot_merkle_diff,
-        "bfs_hops_from_seed": graph.bfs_hops_from_seed,
-        "ab_test_report": analytics.ab_test_report,
-        "kcore_membership": graph.kcore_membership,
-        "pmi_collocations": retrieval.pmi_collocations,
-        "skyline_orders": pareto.skyline_orders,
-        "key_skew_report": skew.key_skew_report,
-        "rendezvous_assignment": skew.rendezvous_assignment,
-        "join_size_estimate": dedup.join_size_estimate,
-        "fuzzy_name_search": entity.fuzzy_name_search,
-        "greedy_coverage_select": curation.greedy_coverage_select,
-        "stream_quota_cap": _stream_quota_query,
-        "pca_power_component": similarity.pca_power_component,
-        "fk_discovery_report": lineage.fk_discovery_report,
-        "trimmed_mean_by_type": analytics.trimmed_mean_by_type,
-        # ── (b) round-10 NEW entries (checked in their landing round) ─────
-        "stream_dedup_tws": _stream_dedup_tws_query,
-        "supplier_affinity": recommend.supplier_affinity,
-        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
-        "contrastive_pair_mining": similarity.contrastive_pair_mining_rounded,
-        "ccnet_quality_buckets": textops.ccnet_quality_buckets,
-        "shard_plan_tokens": curation.shard_plan_tokens,
-        "tokenizer_fertility_by_lang": textops.tokenizer_fertility_by_lang,
-        "lsh_recall_report": neardup.lsh_recall_report,
-        "duplicate_mass_report": neardup.duplicate_mass_report,
-        # ── (c) stalest checked tier (r6) fills to the window edge ────────
-        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
-        "service_counters_composed": _service_counters_query,
-        "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
-        "cluster_representatives": neardup.cluster_representatives,
-        "chunk_documents": textops.chunk_documents,
-        "lm_bigram_nll": textops.lm_bigram_nll,
-        "rollup_sales": relational.rollup_sales,
-        "except_ordered_parts": relational.except_ordered_parts,
-        "intersect_nations": relational.intersect_nations,
-        "union_segments": relational.union_segments,
-        "orders_topk": relational.orders_topk,
-        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
-        "cube_sales": relational.cube_sales,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        # ── end of the 50-entry checked window ─────────────────────────────
-        # r6-checked remainder (next-stalest; leads round 11)
+        # ── (a) round-11 NEW entries (checked in their landing round): 2 ──
+        "image_phash": multimodal.image_phash,
+        "phash_image_near_dup": multimodal.phash_image_near_dup,
+        # ── (b) stalest checked tier (r6 remainder): 35 ────────────────────
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "window_analytics_demo": relational.window_analytics_demo,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -461,13 +411,24 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        # r7-checked tier (freshest evidence — last to rotate back in)
+        # ── (c) rows-only RAW entries: one rotation through the window ─────
+        # (VERDICT r10 item 7 — each value-checked via its contract twin)
+        "ivf_topk_cosine": similarity.ivf_topk_cosine,  # twin: ann_recall_contracts
+        "ivf_topk_indexed": similarity.ivf_topk_indexed,  # twin: ann_recall_contracts
+        "pq_topk_cosine": similarity.pq_topk_cosine,  # twin: ann_recall_contracts
+        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # twin: ann_recall_contracts
+        "semantic_dedup": similarity.semantic_dedup,  # twin: semantic_dedup_contracts
+        "stream_near_dup": _stream_near_dup_query,  # twin: stream_near_dup_contracts
+        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # twin: approx_quantiles_contracts
+        # ── (d) stalest r7 entries fill to the window edge: 6 ──────────────
         "dedup_paragraphs": textops.dedup_paragraphs,
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "dedup_docs_incremental": neardup.dedup_docs_incremental,
         "stream_dedup_spans": _stream_span_dedup_query,
         "q8_market_share": relational.q8_market_share,
+        # ── end of the 50-entry checked window ─────────────────────────────
+        # r7-checked remainder (next-stalest)
         "q9_product_profit": relational.q9_product_profit,
         "q11_important_value": relational.q11_important_value,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
@@ -614,18 +575,58 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         "session_purchase_overlaps": asof.session_purchase_overlaps,
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        # ── rows-only RAW entries (outside the checked window BY DESIGN) ───
-        # Each is real consumer API surface whose VALUES are engine-specific
-        # (seeded planes / numpy codebooks / greedy sequential selection /
-        # sketch internals); each family's correctness is driver-checked via
-        # its contract twin above, and recall/parity is pytest-pinned.
-        "ivf_topk_cosine": similarity.ivf_topk_cosine,  # twin: ann_recall_contracts
-        "ivf_topk_indexed": similarity.ivf_topk_indexed,  # twin: ann_recall_contracts
-        "pq_topk_cosine": similarity.pq_topk_cosine,  # twin: ann_recall_contracts
-        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # twin: ann_recall_contracts
-        "semantic_dedup": similarity.semantic_dedup,  # twin: semantic_dedup_contracts
-        "stream_near_dup": _stream_near_dup_query,  # twin: stream_near_dup_contracts
-        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # twin: approx_quantiles_contracts
+        # r10-checked tier (freshest evidence — last to rotate back in; the
+        # exact CORRECTNESS_r10 window, in its checked order)
+        "kmv_hourly_distinct_rollup": dedup.kmv_hourly_distinct_rollup,
+        "stream_heavy_hitters": _stream_heavy_hitters_query,
+        "seasonal_anomaly_flags": analytics.seasonal_anomaly_flags,
+        "quota_cap_events": dedup.quota_cap_events,
+        "histogram_quantile_rollup": analytics.histogram_quantile_rollup,
+        "near_dup_triangles": neardup.near_dup_triangles,
+        "zonemap_prune_stats": layoutstats.zonemap_prune_stats,
+        "zorder_bucket_spans": layoutstats.zorder_bucket_spans,
+        "hits_hub_authority": graph.hits_hub_authority,
+        "stratified_sample_events": sampling.stratified_sample_events,
+        "jaccard_join_prefix_filtered": neardup.jaccard_join_prefix_filtered,
+        "snapshot_merkle_diff": cdc.snapshot_merkle_diff,
+        "bfs_hops_from_seed": graph.bfs_hops_from_seed,
+        "ab_test_report": analytics.ab_test_report,
+        "kcore_membership": graph.kcore_membership,
+        "pmi_collocations": retrieval.pmi_collocations,
+        "skyline_orders": pareto.skyline_orders,
+        "key_skew_report": skew.key_skew_report,
+        "rendezvous_assignment": skew.rendezvous_assignment,
+        "join_size_estimate": dedup.join_size_estimate,
+        "fuzzy_name_search": entity.fuzzy_name_search,
+        "greedy_coverage_select": curation.greedy_coverage_select,
+        "stream_quota_cap": _stream_quota_query,
+        "pca_power_component": similarity.pca_power_component,
+        "fk_discovery_report": lineage.fk_discovery_report,
+        "trimmed_mean_by_type": analytics.trimmed_mean_by_type,
+        "stream_dedup_tws": _stream_dedup_tws_query,
+        "supplier_affinity": recommend.supplier_affinity,
+        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
+        "contrastive_pair_mining": similarity.contrastive_pair_mining_rounded,
+        "ccnet_quality_buckets": textops.ccnet_quality_buckets,
+        "shard_plan_tokens": curation.shard_plan_tokens,
+        "tokenizer_fertility_by_lang": textops.tokenizer_fertility_by_lang,
+        "lsh_recall_report": neardup.lsh_recall_report,
+        "duplicate_mass_report": neardup.duplicate_mass_report,
+        "stream_dedup_ttl_watermark": _stream_dedup_ttl_watermark_query,
+        "service_counters_composed": _service_counters_query,
+        "pagerank_converged_suppliers": graph.pagerank_converged_suppliers,
+        "cluster_representatives": neardup.cluster_representatives,
+        "chunk_documents": textops.chunk_documents,
+        "lm_bigram_nll": textops.lm_bigram_nll,
+        "rollup_sales": relational.rollup_sales,
+        "except_ordered_parts": relational.except_ordered_parts,
+        "intersect_nations": relational.intersect_nations,
+        "union_segments": relational.union_segments,
+        "orders_topk": relational.orders_topk,
+        "agg_stats_per_event_type": relational.agg_stats_per_event_type,
+        "cube_sales": relational.cube_sales,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
     }
 
 

@@ -149,7 +149,7 @@ HEADLINE = [
     # container artifact measured once in BASELINE.md's dedicated note —
     # the GroupState twin stream_dedup_ttl already anchors the exact-TTL
     # machinery here)
-    "supplier_affinity",  # KMV-sketch affinity (default read; sketch-frame join)
+    "supplier_affinity",  # OPH-sketch affinity (default read; sketch-frame join)
     "hybrid_search_rrf",  # BM25 + dense top-K fused by integer-ppb RRF
     "contrastive_pair_mining",  # hardest pos/neg per anchor (broadcast pairs)
     "ccnet_quality_buckets",  # per-lang perplexity terciles (LM + ntile)
@@ -157,6 +157,10 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",  # per-lang BPE fertility (vocab loop + 2 aggs)
     "lsh_recall_report",  # banding recall/precision vs the exact pair tier
     "duplicate_mass_report",  # corpus duplicate-mass readout (exact + near tiers)
+    # round-11 additions
+    "phash_image_near_dup",  # image aHash pigeonhole banding + hamming verify
+    # (image_phash is deliberately NOT benched: it is a strict sub-plan of
+    # phash_image_near_dup — decode+hash Arrow stage with no join)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -455,7 +455,162 @@ _TILED_BYTES_CTE = """
         )
 """
 
+PHASH_BANDS = 4  # 4 × 16-bit blocks over the 64-bit aHash
+PHASH_HAM_MAX = PHASH_BANDS - 1  # pigeonhole: full recall within radius 3
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import CodecError, decode_ppm_p6
+
+    for pdf in batches:
+        ids: list[int] = []
+        lows: list[int] = []
+        highs: list[int] = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            try:
+                _w, _h, arr = decode_ppm_p6(bytes(payload))
+            except CodecError:
+                continue  # undecodable payloads carry no fingerprint
+            gray = arr.reshape(-1, 3).astype(np.int64).sum(axis=1)
+            total = int(gray.sum())
+            ph = 0
+            for p, g in enumerate(gray.tolist()):
+                if g * 64 > total:  # strict >: integer-exact mean compare
+                    ph |= 1 << p
+            ids.append(int(asset_id))
+            lows.append(ph & 0xFFFFFFFF)
+            highs.append(ph >> 32)
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "phash_lo": pd.Series(lows, dtype="int64"),
+                "phash_hi": pd.Series(highs, dtype="int64"),
+            }
+        )
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash (aHash) per decoded image: grayscale each of the
+    8×8 pixels as the integer channel sum r+g+b (0..765), set bit p iff
+    gray_p * 64 > Σ gray (the mean compare done in exact integers — no
+    float division, so the hash is bit-identical across engines). Emitted
+    as two unsigned 32-bit halves in BIGINTs (``phash_lo``/``phash_hi``)
+    so the oracle never shifts into the sign bit. Corrupt payloads
+    (truncated P6) are dropped — an unfingerprintable asset cannot be
+    near-dup matched. Plan: scan → encode → decode+hash in ONE Arrow
+    stage, no exchange."""
+    return ppm_assets(spark, sf_dir).mapInPandas(
+        _phash_batches, schema="asset_id long, phash_lo long, phash_hi long"
+    )
+
+
+def phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash — the multimodal member of
+    the near-dup family (the reference dedups opaque payload bytes,
+    ``src/deduplication.ts:27``; this is the perceptual generalization an
+    image corpus needs, where re-encoded/resized copies hash differently
+    byte-wise but identically perceptually).
+
+    Same pigeonhole discipline as ``simhash_near_dup_pairs``
+    (operators/neardup.py): band the 64-bit aHash into 4 × 16-bit blocks,
+    equi-join on (band_id, band_val), verify candidates by exact integer
+    hamming ≤ 3 = bands-1 — any pair within the radius shares ≥ 1 block,
+    so the banded join is EXACT (full recall, no all-pairs scan). Band
+    keys are 2-byte values; only candidates reach the bit_count verify —
+    the equi-join shape that scales to 100 TB of images."""
+    from ..cachereg import persist_scoped
+
+    width = 64 // PHASH_BANDS
+    mask = (1 << width) - 1
+    sig = persist_scoped(
+        image_phash(spark, sf_dir).select(
+            "asset_id",
+            F.shiftleft(F.col("phash_hi"), 32)
+            .bitwiseOR(F.col("phash_lo"))
+            .alias("sig"),
+        )
+    )
+    stack_args = ", ".join(
+        f"{i}, shiftrightunsigned(sig, {i * width}) & {mask}"
+        for i in range(PHASH_BANDS)
+    )
+    bands = sig.select(
+        "asset_id",
+        "sig",
+        F.expr(f"stack({PHASH_BANDS}, {stack_args}) AS (band_id, band_val)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("asset_a", "asset_b", "hamming")
+    )
+
+
+# aHash oracle CTE tail: per-pixel gray = byte triple sum from the tiled
+# bytes, exact-integer mean compare, packed into two 32-bit halves (the
+# top bit of a single 64-bit BIGINT pack would overflow DuckDB's `<<`).
+_PHASH_HALVES_SQL = """
+        , g AS (
+            SELECT asset_id, CAST(i // 3 AS INTEGER) AS p, sum(v) AS gray
+            FROM b GROUP BY asset_id, i // 3
+        ),
+        t AS (
+            SELECT asset_id, p, gray,
+                   sum(gray) OVER (PARTITION BY asset_id) AS total
+            FROM g
+        ),
+        h AS (
+            SELECT asset_id,
+                   CAST(sum(CASE WHEN gray * 64 > total AND p < 32
+                                 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                        AS BIGINT) AS phash_lo,
+                   CAST(sum(CASE WHEN gray * 64 > total AND p >= 32
+                                 THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END)
+                        AS BIGINT) AS phash_hi
+            FROM t GROUP BY asset_id
+        )
+"""
+
+
 ORACLES: dict[str, str] = {
+    "image_phash": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
+    + _PHASH_HALVES_SQL
+    + """
+        SELECT asset_id, phash_lo, phash_hi FROM h
+    """,
+    # brute-force all-pairs hamming ≤ 3 — independently verifies the banded
+    # join's pigeonhole exactness claim (the quadratic tier is the ORACLE's
+    # cost, never the pipeline's)
+    "phash_image_near_dup": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
+    + _PHASH_HALVES_SQL
+    + """
+        SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b,
+               CAST(bit_count(xor(a.phash_lo, b2.phash_lo))
+                  + bit_count(xor(a.phash_hi, b2.phash_hi)) AS INTEGER)
+                 AS hamming
+        FROM h a JOIN h b2 ON a.asset_id < b2.asset_id
+        WHERE bit_count(xor(a.phash_lo, b2.phash_lo))
+            + bit_count(xor(a.phash_hi, b2.phash_hi)) <= 3
+    """,
     "multimodal_meta": """
         SELECT doc_id AS asset_id,
                'text/plain' AS media_type,

@@ -1276,7 +1276,12 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = flagged.agg(
         F.count(F.lit(1)).alias("n_true"),
-        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+        # outer coalesce: SUM over zero rows is NULL in Spark but the
+        # oracle's count(fp.doc_a) is 0 — pin both engines to 0 on an
+        # empty truth set (ADVICE r10)
+        F.coalesce(
+            F.sum(F.coalesce("hit", F.lit(0))), F.lit(0).cast("bigint")
+        ).alias("n_found"),
     ).crossJoin(
         F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_candidates")))
     )

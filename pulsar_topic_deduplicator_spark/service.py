@@ -241,8 +241,10 @@ def start_dedup_service(
     Python round-trip is effectively per-row (~3× slower measured at
     sf0.1); the watermark kernel's only deviation is that state EVICTION
     (re-admission after TTL expiry) lags by the watermark advance — late
-    eviction, never early re-admission, the same direction ObliviousSet
-    errs (``src/obliviousSet.ts:15-24``). ``exact_processing_ttl=True``
+    eviction, never early re-admission, the same direction the reference's
+    ``oblivious-set`` dependency errs (lazy purge; ``package.json:51``,
+    behavior pinned in ``src/deduplication.test.ts:249-275``).
+    ``exact_processing_ttl=True``
     opts into the exact processing-time-TTL kernels for deployments that
     need expiry exact to the millisecond (``use_tws`` then selects
     GroupState vs transformWithState); its output additionally carries the

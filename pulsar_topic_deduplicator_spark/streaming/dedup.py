@@ -599,8 +599,10 @@ def dedup_stream_ingest_ttl(
       watermark trails the max observed ingest time by ``ttl_ms`` and only
       advances at batch boundaries, so suppression can extend PAST the TTL
       by the watermark lag. Late eviction, never early re-admission — the
-      same direction the reference itself errs (ObliviousSet purges lazily
-      on its next cleanup cycle, ``src/obliviousSet.ts:15-24``). The
+      same direction the reference itself errs (its ``oblivious-set``
+      dependency, ``package.json:51``, purges lazily on its next cleanup
+      cycle; the reference pins the cache's identity/TTL behavior in
+      ``src/deduplication.test.ts:249-275``). The
       cross-pin against the exact kernel on expiry fixtures lives in
       tests/test_streaming.py.
 

@@ -88,15 +88,18 @@ def test_registry_nonstream_entries_all_atomic(spark, sf_dir):
         _assert_atomic(fn(spark, sf_dir), name)
 
 
-def test_checked_window_has_no_rows_only_entries():
-    """The driver checks the first ~50 queries() entries; every rows-only
-    RAW entry must sit past that window (each is represented inside it by
-    an oracle-checked contract twin). Guards future rotations from
-    re-introducing `no_oracle` rows into the driver ledger."""
+def test_checked_window_oracle_less_entries_are_documented():
+    """The driver checks the first ~50 queries() entries. In round 11 the
+    seven rows-only RAW entries deliberately rotate through the window
+    once (VERDICT r10 item 7 — fresh rows-only evidence; values stay
+    oracle-checked via contract twins). Any OTHER oracle-less entry in
+    the window is a bug: it would put an unplanned `no_oracle` row into
+    the driver ledger."""
     import __spark_entry__ as e
+    from tests.test_registry import ROWS_ONLY_RAW
 
     names = list(e.queries())
     oracles = e.oracle_sql()
     window = names[:55]  # window is ~50; pad for driver-side slack
-    missing = [n for n in window if n not in oracles]
-    assert not missing, f"rows-only entries inside the checked window: {missing}"
+    missing = [n for n in window if n not in oracles and n not in ROWS_ONLY_RAW]
+    assert not missing, f"undocumented oracle-less entries in window: {missing}"

@@ -63,14 +63,45 @@ def test_every_oracle_has_a_query():
     assert not orphans, f"oracles without a queries() entry: {orphans}"
 
 
-def test_rows_only_raw_entries_stay_outside_window():
-    """The seven rows-only RAW entries (no oracle BY DESIGN, each covered
-    by a contract twin) must sit past the driver's ~50-entry check window
-    so the CORRECTNESS ledger never carries a `no_oracle` row."""
+#: the only entries allowed to lack an oracle — rows-only RAW surface,
+#: each value-checked through an oracle-pinned contract twin
+ROWS_ONLY_RAW = frozenset(
+    {
+        "ivf_topk_cosine",
+        "ivf_topk_indexed",
+        "pq_topk_cosine",
+        "ann_cosine_lsh",
+        "semantic_dedup",
+        "stream_near_dup",
+        "approx_quantiles_value",
+    }
+)
+
+#: single source of truth for the registry size — BASELINE.md / SURVEY §8
+#: must quote these numbers (VERDICT r10 item 4: the docs drifted once)
+EXPECTED_QUERIES = 243
+EXPECTED_ORACLES = 236
+
+
+def test_oracle_less_entries_are_exactly_the_documented_raw_set():
+    """Every queries() entry must carry an oracle UNLESS it is one of the
+    seven documented rows-only RAW entries (no oracle BY DESIGN; contract
+    twins carry the value checks). In round 11 the raw set deliberately
+    sits INSIDE the ~50-entry window for one rotation (VERDICT r10 item
+    7); this tripwire still catches any ACCIDENTAL oracle-less entry."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
-    order = list(qs)
-    window = order[:50]
-    missing = [k for k in window if k not in os_]
-    assert not missing, f"oracle-less entries inside the window: {missing}"
+    assert set(qs) - set(os_) == ROWS_ONLY_RAW
+
+
+def test_registry_counts_match_the_documented_ledger():
+    """len(queries()) / len(oracle_sql()) are quoted in BASELINE.md and
+    SURVEY §8 — pin them so the docs cannot drift from the executed
+    registry again (VERDICT r10 item 4)."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) == EXPECTED_QUERIES, len(qs)
+    assert len(os_) == EXPECTED_ORACLES, len(os_)
+    assert len(qs) - len(os_) == len(ROWS_ONLY_RAW)

@@ -77,6 +77,37 @@ def test_contrastive_mining_matches_numpy_brute_force(spark, sf_dir):
         assert label_of[r["neg_id"]] != r["label"]
 
 
+def test_contrastive_winner_tie_margin_exceeds_ulp_noise(spark, sf_dir):
+    """Cross-engine winner identity assumes the top-2 candidate cosines per
+    (anchor, side) are either exactly equal (id tie-break governs, both
+    engines agree) or separated by far more than BLAS-vs-sequential-fold
+    ulp noise (~1e-15 at d=64). Make that assumption CHECKABLE on the
+    fixtures: assert every non-exact top-2 gap clears 1e-9 (ADVICE r10)."""
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    labels = np.array([r["label"] for r in emb])
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+
+    min_gap = np.inf
+    n_exact_ties = 0
+    for i in range(len(emb)):
+        for want_same in (True, False):
+            mask = (labels == labels[i]) == want_same
+            mask[i] = False
+            if mask.sum() < 2:
+                continue
+            vals = np.sort(cos[i, mask])[::-1]
+            gap = float(vals[0] - vals[1])
+            if gap == 0.0:
+                n_exact_ties += 1  # id tie-break governs — engine-stable
+            else:
+                min_gap = min(min_gap, gap)
+    assert min_gap > 1e-9, f"near-tie within ulp noise: gap={min_gap}"
+
+
 def test_contrastive_rounded_boundary_derives_margin(spark, sf_dir):
     """The driver-facing form rounds the cosines to 6 dp and computes the
     margin FROM the rounded columns — the subtraction must reconcile."""

@@ -53,6 +53,12 @@ OPS = [
     "text_stats",                 # zero-shuffle text projection
     "near_dup_pairs_verified",    # LSH candidates + exact verify
     "bpe_merge_steps",            # iterative trainer loop
+    # span/substring dedup tier — the most corpus-bound LLM tier; the
+    # gram explode is the likeliest place a super-linear surprise hides
+    # (VERDICT r10 item 6)
+    "duplicate_substring_spans",  # Lee et al. exact-substring spans
+    "dedup_paragraphs",           # paragraph-hash keep-first
+    "near_dup_paragraphs",        # paragraph MinHash/LSH + verify
 ]
 
 REPLICAS = 10

@@ -44,17 +44,18 @@ _ID_STRIDE = 10_000_000_000
 WORKDIR = "/tmp/stream_tp"
 
 
-def build_replay(spark) -> str:
-    """1M-message 90%-duplicate replay: ×10 replicas, fresh event_id
-    (message identity), same content columns (payload digests collide)."""
-    out = os.path.join(WORKDIR, "replay")
+def build_replay(spark, replicas: int = REPLICAS, name: str = "replay") -> str:
+    """N-replica duplicate replay (×10 → 1M messages 90% dup, ×100 → 10M
+    messages 99% dup): fresh event_id (message identity), same content
+    columns (payload digests collide)."""
+    out = os.path.join(WORKDIR, name)
     if os.path.exists(os.path.join(out, "events.parquet")):
         print(f"reusing replay at {out}")
         return out
     os.makedirs(out, exist_ok=True)
     ev = spark.read.parquet(f"{SF01}/events.parquet")
     reps = None
-    for r in range(REPLICAS):
+    for r in range(replicas):
         rep = ev.withColumn(
             "event_id", F.col("event_id") + F.lit(r * _ID_STRIDE)
         )
@@ -109,6 +110,24 @@ def main() -> None:
         f"{n_small / wall / 1000:.1f}k msg/s ({forwarded:,} forwarded)"
     )
     shutil.rmtree(ckpt, ignore_errors=True)
+
+    # ── 10× replay: ×100 replicas = 10M messages, 99% duplicate ────────
+    # (VERDICT r10 item 8: show the watermark kernel's msg/s holds at the
+    # next decade — state is digest-keyed, so it should scale linearly)
+    if "--big" in sys.argv:
+        big_dir = build_replay(spark, replicas=100, name="replay100")
+        n_big = spark.read.parquet(f"{big_dir}/events.parquet").count()
+        t0 = time.perf_counter()
+        out = run_ttl_dedup_watermark_bounded(
+            spark, f"{big_dir}/events.parquet"
+        )
+        forwarded = out.count()
+        wall = time.perf_counter() - t0
+        print(
+            f"watermark kernel (10x): {n_big:,} messages in {wall:.1f} s = "
+            f"{n_big / wall / 1000:.0f}k msg/s ({forwarded:,} distinct "
+            f"contents forwarded)"
+        )
     spark.stop()
 
 
