@@ -367,14 +367,16 @@ def queries() -> dict[str, QueryFn]:
     # remain oracle-checked through its contract twin
     # (ann_recall_contracts / stream_near_dup_contracts /
     # semantic_dedup_contracts / approx_quantiles_contracts); then (d) the
-    # stalest r7 entries fill to the window edge. After this round no
+    # 4 stalest r7 entries fill to the window edge. After this round no
     # oracle-bearing entry's driver evidence is older than r7. The
     # r7-remainder/r8/r9/r10 tiers follow in staleness order (r10-checked
     # last, freshest).
     return {
-        # ── (a) round-11 NEW entries (checked in their landing round): 2 ──
+        # ── (a) round-11 NEW entries (checked in their landing round): 4 ──
         "image_phash": multimodal.image_phash,
         "phash_image_near_dup": multimodal.phash_image_near_dup,
+        "audio_fingerprint": multimodal.audio_fingerprint,
+        "audio_fingerprint_near_dup": multimodal.audio_fingerprint_near_dup,
         # ── (b) stalest checked tier (r6 remainder): 35 ────────────────────
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "window_analytics_demo": relational.window_analytics_demo,
@@ -420,15 +422,15 @@ def queries() -> dict[str, QueryFn]:
         "semantic_dedup": similarity.semantic_dedup,  # twin: semantic_dedup_contracts
         "stream_near_dup": _stream_near_dup_query,  # twin: stream_near_dup_contracts
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # twin: approx_quantiles_contracts
-        # ── (d) stalest r7 entries fill to the window edge: 6 ──────────────
+        # ── (d) stalest r7 entries fill to the window edge: 4 ──────────────
         "dedup_paragraphs": textops.dedup_paragraphs,
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "dedup_docs_incremental": neardup.dedup_docs_incremental,
-        "stream_dedup_spans": _stream_span_dedup_query,
-        "q8_market_share": relational.q8_market_share,
         # ── end of the 50-entry checked window ─────────────────────────────
         # r7-checked remainder (next-stalest)
+        "stream_dedup_spans": _stream_span_dedup_query,
+        "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
         "q11_important_value": relational.q11_important_value,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,

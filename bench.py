@@ -159,8 +159,10 @@ HEADLINE = [
     "duplicate_mass_report",  # corpus duplicate-mass readout (exact + near tiers)
     # round-11 additions
     "phash_image_near_dup",  # image aHash pigeonhole banding + hamming verify
-    # (image_phash is deliberately NOT benched: it is a strict sub-plan of
-    # phash_image_near_dup — decode+hash Arrow stage with no join)
+    "audio_fingerprint_near_dup",  # audio energy-envelope twin (same banding)
+    # (image_phash / audio_fingerprint are deliberately NOT benched: each
+    # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
+    # stage with no join)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -506,26 +506,21 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs by perceptual hash — the multimodal member of
-    the near-dup family (the reference dedups opaque payload bytes,
-    ``src/deduplication.ts:27``; this is the perceptual generalization an
-    image corpus needs, where re-encoded/resized copies hash differently
-    byte-wise but identically perceptually).
-
-    Same pigeonhole discipline as ``simhash_near_dup_pairs``
-    (operators/neardup.py): band the 64-bit aHash into 4 × 16-bit blocks,
+def _banded_hamming_pairs(halves: DataFrame) -> DataFrame:
+    """Shared pigeonhole near-dup join over a 64-bit fingerprint frame
+    ``(asset_id, phash_lo, phash_hi)`` — the ``simhash_near_dup_pairs``
+    discipline (operators/neardup.py): band into 4 × 16-bit blocks,
     equi-join on (band_id, band_val), verify candidates by exact integer
-    hamming ≤ 3 = bands-1 — any pair within the radius shares ≥ 1 block,
+    hamming ≤ 3 = bands-1. Any pair within the radius shares ≥ 1 block,
     so the banded join is EXACT (full recall, no all-pairs scan). Band
     keys are 2-byte values; only candidates reach the bit_count verify —
-    the equi-join shape that scales to 100 TB of images."""
+    the equi-join shape that scales to 100 TB of media assets."""
     from ..cachereg import persist_scoped
 
     width = 64 // PHASH_BANDS
     mask = (1 << width) - 1
     sig = persist_scoped(
-        image_phash(spark, sf_dir).select(
+        halves.select(
             "asset_id",
             F.shiftleft(F.col("phash_hi"), 32)
             .bitwiseOR(F.col("phash_lo"))
@@ -565,13 +560,84 @@ def phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# aHash oracle CTE tail: per-pixel gray = byte triple sum from the tiled
-# bytes, exact-integer mean compare, packed into two 32-bit halves (the
-# top bit of a single 64-bit BIGINT pack would overflow DuckDB's `<<`).
-_PHASH_HALVES_SQL = """
+def phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash — the multimodal member of
+    the near-dup family (the reference dedups opaque payload bytes,
+    ``src/deduplication.ts:27``; this is the perceptual generalization an
+    image corpus needs, where re-encoded/resized copies hash differently
+    byte-wise but identically perceptually). Banding/verify discipline:
+    see ``_banded_hamming_pairs``."""
+    return _banded_hamming_pairs(image_phash(spark, sf_dir))
+
+
+def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import CodecError, decode_wav_pcm16
+
+    for pdf in batches:
+        ids: list[int] = []
+        lows: list[int] = []
+        highs: list[int] = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            try:
+                _rate, _ch, samples = decode_wav_pcm16(bytes(payload))
+            except CodecError:
+                continue  # undecodable payloads carry no fingerprint
+            # 64 frames × 4 samples; energies are exact in int64
+            # (sample² ≤ 2^30, 4-term frame sums ≤ 2^32, total ≤ 2^38)
+            s = samples.astype(np.int64)
+            energy = (s * s).reshape(64, -1).sum(axis=1)
+            total = int(energy.sum())
+            fp = 0
+            for p, e in enumerate(energy.tolist()):
+                if e * 64 > total:  # strict >: integer-exact mean compare
+                    fp |= 1 << p
+            ids.append(int(asset_id))
+            lows.append(fp & 0xFFFFFFFF)
+            highs.append(fp >> 32)
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "fp_lo": pd.Series(lows, dtype="int64"),
+                "fp_hi": pd.Series(highs, dtype="int64"),
+            }
+        )
+
+
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit energy fingerprint per decoded audio asset: 64 frames of 4
+    PCM16 samples, bit p iff frame p's energy Σs² exceeds the asset mean
+    (energy_p · 64 > Σ energy — exact integers, no float division). The
+    PCM samples are (byte−128)·256, so energy = 65536·Σ(byte−128)²; the
+    65536 factor cancels in the comparison, which is why the oracle can
+    fingerprint from the raw tiled bytes with (v−128)² and get
+    bit-identical results. Same unsigned-halves pack as ``image_phash``;
+    corrupt payloads (torn RIFF headers) drop out. One Arrow stage, no
+    exchange."""
+    return wav_assets(spark, sf_dir).mapInPandas(
+        _audio_fp_batches, schema="asset_id long, fp_lo long, fp_hi long"
+    )
+
+
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by energy fingerprint — completes the
+    modality symmetry (text MinHash/SimHash, image aHash, audio energy
+    envelope): the same 4 × 16-bit pigeonhole banding + exact hamming ≤ 3
+    verify as ``phash_image_near_dup`` (see ``_banded_hamming_pairs``)."""
+    fp = audio_fingerprint(spark, sf_dir).toDF("asset_id", "phash_lo", "phash_hi")
+    return _banded_hamming_pairs(fp)
+
+
+# aHash oracle CTE tail: per-unit value (pixel gray / frame energy) from
+# the tiled bytes, exact-integer mean compare, packed into two 32-bit
+# halves (the top bit of a single 64-bit BIGINT pack would overflow
+# DuckDB's `<<`). %(stride)d bytes per unit, %(val)s the unit value term.
+_AHASH_HALVES_SQL_T = """
         , g AS (
-            SELECT asset_id, CAST(i // 3 AS INTEGER) AS p, sum(v) AS gray
-            FROM b GROUP BY asset_id, i // 3
+            SELECT asset_id, CAST(i // %(stride)d AS INTEGER) AS p,
+                   sum(%(val)s) AS gray
+            FROM b GROUP BY asset_id, i // %(stride)d
         ),
         t AS (
             SELECT asset_id, p, gray,
@@ -590,6 +656,26 @@ _PHASH_HALVES_SQL = """
         )
 """
 
+#: image aHash: 3 bytes per pixel, gray = r+g+b
+_PHASH_HALVES_SQL = _AHASH_HALVES_SQL_T % {"stride": 3, "val": "v"}
+#: audio energy hash: 4 bytes per frame; the engine's PCM energy is
+#: 65536 × Σ(v−128)² — the constant cancels in the mean compare, so the
+#: oracle fingerprints from unscaled (v−128)² with identical bits
+_AUDIO_HALVES_SQL = _AHASH_HALVES_SQL_T % {
+    "stride": 4,
+    "val": "(v - 128) * (v - 128)",
+}
+
+_BRUTE_PAIRS_SQL = """
+        SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b,
+               CAST(bit_count(xor(a.phash_lo, b2.phash_lo))
+                  + bit_count(xor(a.phash_hi, b2.phash_hi)) AS INTEGER)
+                 AS hamming
+        FROM h a JOIN h b2 ON a.asset_id < b2.asset_id
+        WHERE bit_count(xor(a.phash_lo, b2.phash_lo))
+            + bit_count(xor(a.phash_hi, b2.phash_hi)) <= 3
+    """
+
 
 ORACLES: dict[str, str] = {
     "image_phash": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
@@ -602,15 +688,15 @@ ORACLES: dict[str, str] = {
     # cost, never the pipeline's)
     "phash_image_near_dup": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
     + _PHASH_HALVES_SQL
+    + _BRUTE_PAIRS_SQL,
+    "audio_fingerprint": _TILED_BYTES_CTE % {"lim": WAV_SAMPLES, "corrupt": CORRUPT_MOD}
+    + _AUDIO_HALVES_SQL
     + """
-        SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b,
-               CAST(bit_count(xor(a.phash_lo, b2.phash_lo))
-                  + bit_count(xor(a.phash_hi, b2.phash_hi)) AS INTEGER)
-                 AS hamming
-        FROM h a JOIN h b2 ON a.asset_id < b2.asset_id
-        WHERE bit_count(xor(a.phash_lo, b2.phash_lo))
-            + bit_count(xor(a.phash_hi, b2.phash_hi)) <= 3
+        SELECT asset_id, phash_lo AS fp_lo, phash_hi AS fp_hi FROM h
     """,
+    "audio_fingerprint_near_dup": _TILED_BYTES_CTE % {"lim": WAV_SAMPLES, "corrupt": CORRUPT_MOD}
+    + _AUDIO_HALVES_SQL
+    + _BRUTE_PAIRS_SQL,
     "multimodal_meta": """
         SELECT doc_id AS asset_id,
                'text/plain' AS media_type,

@@ -709,3 +709,41 @@ def test_hybrid_rrf_both_retrievers_take_ordered(spark, sf_dir):
     df = retrieval.hybrid_search_rrf(spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+# ── round-11 additions ──────────────────────────────────────────────────────
+
+
+def test_phash_near_dup_is_banded_equi_join(spark, sf_dir):
+    """The image near-dup join must be an EQUI-join on the band key (no
+    cartesian, no theta join) with exactly one Arrow decode stage feeding
+    both sides through the scoped persist."""
+    from pulsar_topic_deduplicator_spark.operators import multimodal
+
+    df = multimodal.phash_image_near_dup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    # band equi-key visible in a hash-partitioned exchange or join key
+    assert "band_val" in plan, plan[:2000]
+
+
+def test_audio_near_dup_is_banded_equi_join(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import multimodal
+
+    df = multimodal.audio_fingerprint_near_dup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "band_val" in plan, plan[:2000]
+
+
+def test_fingerprint_stages_are_exchange_free(spark, sf_dir):
+    """image_phash / audio_fingerprint are scan → encode → decode+hash in
+    one Arrow pipeline: zero exchanges at any corpus size."""
+    from pulsar_topic_deduplicator_spark.operators import multimodal
+
+    for fn in (multimodal.image_phash, multimodal.audio_fingerprint):
+        df = fn(spark, sf_dir)
+        assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+        assert "MapInPandas" in formatted_plan(df)
