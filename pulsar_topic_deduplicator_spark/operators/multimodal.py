@@ -459,6 +459,22 @@ PHASH_BANDS = 4  # 4 × 16-bit blocks over the 64-bit aHash
 PHASH_HAM_MAX = PHASH_BANDS - 1  # pigeonhole: full recall within radius 3
 
 
+def _ahash_pack(values: list[int]) -> int:
+    """64-bit average-hash core, shared by the image and audio tiers: bit
+    p iff values[p] · 64 > Σ values — the mean compare done in EXACT
+    integers (no division), which gives the perceptual-hash robustness
+    properties for free and bit-exactly on any engine: invariant under a
+    uniform additive shift ((v+c)·64 > total+64c ⇔ v·64 > total) and
+    under any positive integer scale (property-pinned in
+    tests/test_phash_properties.py)."""
+    total = sum(values)
+    ph = 0
+    for p, v in enumerate(values):
+        if v * 64 > total:  # strict >: an all-equal input hashes to 0
+            ph |= 1 << p
+    return ph
+
+
 def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
@@ -474,11 +490,7 @@ def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except CodecError:
                 continue  # undecodable payloads carry no fingerprint
             gray = arr.reshape(-1, 3).astype(np.int64).sum(axis=1)
-            total = int(gray.sum())
-            ph = 0
-            for p, g in enumerate(gray.tolist()):
-                if g * 64 > total:  # strict >: integer-exact mean compare
-                    ph |= 1 << p
+            ph = _ahash_pack(gray.tolist())
             ids.append(int(asset_id))
             lows.append(ph & 0xFFFFFFFF)
             highs.append(ph >> 32)
@@ -588,11 +600,7 @@ def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             # (sample² ≤ 2^30, 4-term frame sums ≤ 2^32, total ≤ 2^38)
             s = samples.astype(np.int64)
             energy = (s * s).reshape(64, -1).sum(axis=1)
-            total = int(energy.sum())
-            fp = 0
-            for p, e in enumerate(energy.tolist()):
-                if e * 64 > total:  # strict >: integer-exact mean compare
-                    fp |= 1 << p
+            fp = _ahash_pack(energy.tolist())
             ids.append(int(asset_id))
             lows.append(fp & 0xFFFFFFFF)
             highs.append(fp >> 32)
