@@ -372,11 +372,14 @@ def queries() -> dict[str, QueryFn]:
     # r7-remainder/r8/r9/r10 tiers follow in staleness order (r10-checked
     # last, freshest).
     return {
-        # ── (a) round-11 NEW entries (checked in their landing round): 4 ──
+        # ── (a) round-11 NEW entries (checked in their landing round): 7 ──
         "image_phash": multimodal.image_phash,
         "phash_image_near_dup": multimodal.phash_image_near_dup,
         "audio_fingerprint": multimodal.audio_fingerprint,
         "audio_fingerprint_near_dup": multimodal.audio_fingerprint_near_dup,
+        "video_frame_phash": multimodal.video_frame_phash,
+        "video_near_dup": multimodal.video_near_dup,
+        "video_scene_cuts": multimodal.video_scene_cuts,
         # ── (b) stalest checked tier (r6 remainder): 35 ────────────────────
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "window_analytics_demo": relational.window_analytics_demo,

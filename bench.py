@@ -160,6 +160,7 @@ HEADLINE = [
     # round-11 additions
     "phash_image_near_dup",  # image aHash pigeonhole banding + hamming verify
     "audio_fingerprint_near_dup",  # audio energy-envelope twin (same banding)
+    "video_near_dup",  # per-frame aHash, frame-0 banding + all-frames verify
     # (image_phash / audio_fingerprint are deliberately NOT benched: each
     # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
     # stage with no join)

@@ -37,14 +37,13 @@ def encode_ppm_p6(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
-def decode_ppm_p6(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Binary PPM (P6) -> (width, height, (h, w, 3) uint8 array).
-
-    Real header parsing: magic, whitespace/comment-tolerant ints, maxval
-    check, exact payload length check."""
-    if not buf.startswith(b"P6"):
+def _parse_ppm_at(buf: bytes, pos: int) -> tuple[int, int, np.ndarray, int]:
+    """Parse one P6 frame starting at ``pos``; also return the offset one
+    past its pixel data (so consecutive frames can be walked — the raw-PPM
+    video stream format, e.g. ffmpeg's ``image2pipe`` ppm pipe)."""
+    if buf[pos : pos + 2] != b"P6":
         raise CodecError("not a P6 PPM (bad magic)")
-    pos = 2
+    pos += 2
     fields: list[int] = []
     while len(fields) < 3:
         while pos < len(buf) and buf[pos : pos + 1].isspace():
@@ -66,7 +65,34 @@ def decode_ppm_p6(buf: bytes) -> tuple[int, int, np.ndarray]:
     data = buf[pos : pos + w * h * 3]
     if len(data) != w * h * 3:
         raise CodecError(f"short pixel data: {len(data)} != {w * h * 3}")
-    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, arr, pos + w * h * 3
+
+
+def decode_ppm_p6(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6) -> (width, height, (h, w, 3) uint8 array).
+
+    Real header parsing: magic, whitespace/comment-tolerant ints, maxval
+    check, exact payload length check."""
+    w, h, arr, _end = _parse_ppm_at(buf, 0)
+    return w, h, arr
+
+
+def decode_ppm_stream(buf: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Concatenated-P6 raw video stream -> list of (w, h, frame) in
+    temporal order. This is a real wire format — ffmpeg's
+    ``-f image2pipe -vcodec ppm`` emits exactly back-to-back P6 frames.
+    A torn tail (mid-header or short pixel data) raises: a truncated
+    video cannot be partially trusted frame-by-frame, the caller decides
+    whether to salvage."""
+    frames: list[tuple[int, int, np.ndarray]] = []
+    pos = 0
+    while pos < len(buf):
+        w, h, arr, pos = _parse_ppm_at(buf, pos)
+        frames.append((w, h, arr))
+    if not frames:
+        raise CodecError("empty PPM stream")
+    return frames
 
 
 # ─── WAV (RIFF / PCM16 mono or interleaved) ─────────────────────────────────

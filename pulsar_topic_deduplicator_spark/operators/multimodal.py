@@ -637,6 +637,160 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _banded_hamming_pairs(fp)
 
 
+# ─── Video tier: raw-PPM stream container, per-frame aHash ──────────────────
+#
+# A video asset is VIDEO_FRAMES back-to-back P6 frames — the raw-PPM pipe
+# format (ffmpeg `-f image2pipe -vcodec ppm`), i.e. a REAL uncompressed
+# container parsed by functions/codecs.py::decode_ppm_stream. Frame k's
+# pixel bytes are the document's tiled byte sequence rotated by k·VIDEO_STEP
+# (a deterministic "camera pan" — frames genuinely differ within an asset
+# because the step is not a multiple of the 3-byte pixel width), so the
+# whole tier stays integer-exact and hex-pair oracle-able.
+
+VIDEO_FRAMES = 8
+VIDEO_STEP = 29  # bytes of rotation per frame; NOT divisible by 3
+#: frame-to-frame hamming above this = scene cut (quarter of the 64 bits)
+SCENE_CUT_HAMMING = 16
+
+
+def _encode_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import encode_ppm_p6
+
+    n = PPM_W * PPM_H * 3
+    for pdf in batches:
+        payloads = []
+        for asset_id, text in zip(pdf["asset_id"], pdf["text"]):
+            base = _doc_bytes(text, n)
+            frames = []
+            for k in range(VIDEO_FRAMES):
+                off = (k * VIDEO_STEP) % n
+                arr = np.frombuffer(base[off:] + base[:off], np.uint8)
+                frames.append(encode_ppm_p6(arr.reshape(PPM_H, PPM_W, 3)))
+            buf = b"".join(frames)
+            if asset_id % 50 == CORRUPT_MOD:
+                buf = buf[: len(buf) // 2 - 1]  # torn mid-frame, not on a boundary
+            payloads.append(buf)
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+
+def video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-but-real video column: one raw-PPM stream per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("asset_id"), "text").mapInPandas(
+        _encode_video_batches, schema="asset_id long, payload binary"
+    )
+
+
+def _video_phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.codecs import CodecError, decode_ppm_stream
+
+    for pdf in batches:
+        ids: list[int] = []
+        idxs: list[int] = []
+        lows: list[int] = []
+        highs: list[int] = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            try:
+                frames = decode_ppm_stream(bytes(payload))
+            except CodecError:
+                continue  # a torn stream carries no trustworthy fingerprint
+            for k, (_w, _h, arr) in enumerate(frames):
+                gray = arr.reshape(-1, 3).astype(np.int64).sum(axis=1)
+                ph = _ahash_pack(gray.tolist())
+                ids.append(int(asset_id))
+                idxs.append(k)
+                lows.append(ph & 0xFFFFFFFF)
+                highs.append(ph >> 32)
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "phash_lo": pd.Series(lows, dtype="int64"),
+                "phash_hi": pd.Series(highs, dtype="int64"),
+            }
+        )
+
+
+def video_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 64-bit aHash over the decoded video stream — the temporal
+    signature a video corpus dedups and segments on. Same exact-integer
+    mean compare and unsigned-halves pack as ``image_phash``; torn streams
+    (truncated upload) drop out whole — a video that cannot be fully
+    decoded must not be half-fingerprinted. Plan: scan → encode →
+    stream-decode+hash in ONE Arrow stage, no exchange."""
+    return video_assets(spark, sf_dir).mapInPandas(
+        _video_phash_batches,
+        schema="asset_id long, frame_idx int, phash_lo long, phash_hi long",
+    )
+
+
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: two videos match iff EVERY temporally-aligned
+    frame pair is within hamming ≤ 3 — re-encoded/re-uploaded copies, not
+    merely clips sharing a frame. Completing the modality matrix (text
+    MinHash/SimHash, image aHash, audio energy, video per-frame aHash).
+
+    Scale shape: candidates come ONLY from the frame-0 pigeonhole banding
+    (``_banded_hamming_pairs`` — any pair passing the all-frames criterion
+    necessarily has frame 0 within radius, so frame-0 banding is EXACT
+    for it); the remaining frames are verified by ONE equi-join on
+    (asset, frame_idx) + a max() agg — no all-pairs scan anywhere, and the
+    per-frame join fans out only over banded candidates × VIDEO_FRAMES."""
+    from ..cachereg import persist_scoped
+
+    frames = persist_scoped(video_frame_phash(spark, sf_dir))
+    f0 = frames.filter(F.col("frame_idx") == 0).select(
+        "asset_id", "phash_lo", "phash_hi"
+    )
+    cand = _banded_hamming_pairs(f0).select("asset_a", "asset_b")
+    fa = frames.select(
+        F.col("asset_id").alias("asset_a"),
+        "frame_idx",
+        F.shiftleft("phash_hi", 32).bitwiseOR(F.col("phash_lo")).alias("sig_a"),
+    )
+    fb = frames.select(
+        F.col("asset_id").alias("asset_b"),
+        "frame_idx",
+        F.shiftleft("phash_hi", 32).bitwiseOR(F.col("phash_lo")).alias("sig_b"),
+    )
+    per_frame = cand.join(fa, "asset_a").join(fb, ["asset_b", "frame_idx"])
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        per_frame.groupBy("asset_a", "asset_b")
+        .agg(F.max(hamming).alias("max_hamming"))
+        .filter(F.col("max_hamming") <= PHASH_HAM_MAX)
+    )
+
+
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection: frame-to-frame hamming distance of the
+    per-frame aHash, a cut where it jumps past SCENE_CUT_HAMMING — the
+    shot-segmentation primitive a video curation pipeline samples
+    keyframes from. One window over (asset, frame order), no join."""
+    from pyspark.sql import Window
+
+    frames = video_frame_phash(spark, sf_dir)
+    sig = F.shiftleft("phash_hi", 32).bitwiseOR(F.col("phash_lo"))
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    prev = F.lag(sig).over(w)
+    return (
+        frames.withColumn(
+            "hamming_prev", F.bit_count(sig.bitwiseXOR(prev)).cast("int")
+        )
+        .filter(F.col("hamming_prev").isNotNull())
+        .select(
+            "asset_id",
+            "frame_idx",
+            "hamming_prev",
+            (F.col("hamming_prev") > SCENE_CUT_HAMMING).alias("is_cut"),
+        )
+    )
+
+
 # aHash oracle CTE tail: per-unit value (pixel gray / frame energy) from
 # the tiled bytes, exact-integer mean compare, packed into two 32-bit
 # halves (the top bit of a single 64-bit BIGINT pack would overflow
@@ -674,6 +828,55 @@ _AUDIO_HALVES_SQL = _AHASH_HALVES_SQL_T % {
     "val": "(v - 128) * (v - 128)",
 }
 
+# Video oracle: frame k's byte i is the tiled sequence rotated by k·STEP —
+# tiled position (i + k·STEP) %% frame_len, then %% n into the utf8 hex.
+# Same hex-pair extraction as _TILED_BYTES_CTE, with a frames dimension.
+_VIDEO_FRAME_BYTES_CTE = """
+        WITH d AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN '00' ELSE hex(encode(text)) END AS hx,
+                   CASE WHEN octet_length(encode(text)) = 0
+                        THEN 1 ELSE octet_length(encode(text)) END AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT asset_id, k, i,
+                   (strpos('0123456789ABCDEF',
+                           substr(hx, 2 * (((i + k * %(step)d) %% %(flen)d) %% n) + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, 2 * (((i + k * %(step)d) %% %(flen)d) %% n) + 2, 1)) - 1) AS v
+            FROM d,
+                 UNNEST(range(0, %(frames)d)) AS fk(k),
+                 UNNEST(range(0, %(flen)d)) AS fi(i)
+            WHERE asset_id %% 50 != %(corrupt)d
+        ),
+        g AS (
+            SELECT asset_id, k, CAST(i // 3 AS INTEGER) AS p, sum(v) AS gray
+            FROM b GROUP BY asset_id, k, i // 3
+        ),
+        t AS (
+            SELECT asset_id, k, p, gray,
+                   sum(gray) OVER (PARTITION BY asset_id, k) AS total
+            FROM g
+        ),
+        h AS (
+            SELECT asset_id, CAST(k AS INTEGER) AS frame_idx,
+                   CAST(sum(CASE WHEN gray * 64 > total AND p < 32
+                                 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                        AS BIGINT) AS phash_lo,
+                   CAST(sum(CASE WHEN gray * 64 > total AND p >= 32
+                                 THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END)
+                        AS BIGINT) AS phash_hi
+            FROM t GROUP BY asset_id, k
+        )
+""" % {
+    "step": VIDEO_STEP,
+    "flen": PPM_W * PPM_H * 3,
+    "frames": VIDEO_FRAMES,
+    "corrupt": CORRUPT_MOD,
+}
+
 _BRUTE_PAIRS_SQL = """
         SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b,
                CAST(bit_count(xor(a.phash_lo, b2.phash_lo))
@@ -705,6 +908,43 @@ ORACLES: dict[str, str] = {
     "audio_fingerprint_near_dup": _TILED_BYTES_CTE % {"lim": WAV_SAMPLES, "corrupt": CORRUPT_MOD}
     + _AUDIO_HALVES_SQL
     + _BRUTE_PAIRS_SQL,
+    "video_frame_phash": _VIDEO_FRAME_BYTES_CTE
+    + """
+        SELECT asset_id, frame_idx, phash_lo, phash_hi FROM h
+    """,
+    # brute-force ALL aligned-frame pairs (no frame-0 shortcut) — proves
+    # both the banding pigeonhole AND the frame-0-candidate completeness
+    # theorem the engine's plan rests on
+    "video_near_dup": _VIDEO_FRAME_BYTES_CTE
+    + """
+        SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b,
+               CAST(max(bit_count(xor(a.phash_lo, b2.phash_lo))
+                      + bit_count(xor(a.phash_hi, b2.phash_hi)))
+                    AS INTEGER) AS max_hamming
+        FROM h a JOIN h b2
+          ON a.frame_idx = b2.frame_idx AND a.asset_id < b2.asset_id
+        GROUP BY a.asset_id, b2.asset_id
+        HAVING max(bit_count(xor(a.phash_lo, b2.phash_lo))
+                 + bit_count(xor(a.phash_hi, b2.phash_hi))) <= 3
+    """,
+    "video_scene_cuts": _VIDEO_FRAME_BYTES_CTE
+    + """
+        SELECT asset_id, frame_idx, hamming_prev,
+               hamming_prev > %d AS is_cut
+        FROM (
+            SELECT asset_id, frame_idx,
+                   CAST(bit_count(xor(phash_lo, lag(phash_lo)
+                                      OVER (PARTITION BY asset_id
+                                            ORDER BY frame_idx)))
+                      + bit_count(xor(phash_hi, lag(phash_hi)
+                                      OVER (PARTITION BY asset_id
+                                            ORDER BY frame_idx)))
+                        AS INTEGER) AS hamming_prev
+            FROM h
+        )
+        WHERE hamming_prev IS NOT NULL
+    """
+    % SCENE_CUT_HAMMING,
     "multimodal_meta": """
         SELECT doc_id AS asset_id,
                'text/plain' AS media_type,

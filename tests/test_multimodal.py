@@ -182,3 +182,91 @@ def test_wav_energy_end_to_end(spark, sf_dir):
     want = float(np.sqrt(np.mean(fr * fr)))
     got = next(r["rms"] for r in per_asset[probe] if r["frame_idx"] == 0)
     assert got == want
+
+
+# ─── video tier: raw-PPM stream container, per-frame aHash ──────────────────
+
+
+def test_ppm_stream_round_trip_and_errors():
+    import numpy as np
+    import pytest
+
+    from pulsar_topic_deduplicator_spark.functions.codecs import (
+        CodecError,
+        decode_ppm_stream,
+        encode_ppm_p6,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    buf = b"".join(encode_ppm_p6(f) for f in frames)
+    back = decode_ppm_stream(buf)
+    assert len(back) == 3
+    for (w, h, arr), orig in zip(back, frames):
+        assert (w, h) == (6, 4) and (arr == orig).all()
+    with pytest.raises(CodecError, match="short pixel"):
+        decode_ppm_stream(buf[:-1])  # torn last frame
+    with pytest.raises(CodecError, match="magic"):
+        decode_ppm_stream(buf + b"JUNK")  # trailing garbage is not a frame
+    with pytest.raises(CodecError, match="empty"):
+        decode_ppm_stream(b"")
+
+
+def test_video_tier_end_to_end(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators.multimodal import (
+        CORRUPT_MOD,
+        PHASH_HAM_MAX,
+        SCENE_CUT_HAMMING,
+        VIDEO_FRAMES,
+        video_frame_phash,
+        video_near_dup,
+        video_scene_cuts,
+    )
+
+    frames = video_frame_phash(spark, sf_dir).collect()
+    per_asset: dict[int, dict[int, int]] = {}
+    for r in frames:
+        assert 0 <= r["phash_lo"] < 1 << 32 and 0 <= r["phash_hi"] < 1 << 32
+        per_asset.setdefault(r["asset_id"], {})[r["frame_idx"]] = (
+            r["phash_hi"] << 32 | r["phash_lo"]
+        )
+    # torn uploads drop out whole; survivors carry ALL frames
+    assert all(a % 50 != CORRUPT_MOD for a in per_asset)
+    assert all(sorted(v) == list(range(VIDEO_FRAMES)) for v in per_asset.values())
+
+    # near-dup == brute-force all-pairs max aligned-frame hamming ≤ radius
+    want = {}
+    ids = sorted(per_asset)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            mh = max(
+                bin(per_asset[a][k] ^ per_asset[b][k]).count("1")
+                for k in range(VIDEO_FRAMES)
+            )
+            if mh <= PHASH_HAM_MAX:
+                want[(a, b)] = mh
+    got = {
+        (r["asset_a"], r["asset_b"]): r["max_hamming"]
+        for r in video_near_dup(spark, sf_dir).collect()
+    }
+    assert got == want and want  # non-empty: planted dup docs pair up
+
+    # scene cuts: one row per successive-frame transition, exact hamming
+    cuts = video_scene_cuts(spark, sf_dir).collect()
+    assert len(cuts) == len(per_asset) * (VIDEO_FRAMES - 1)
+    for r in cuts:
+        sig = per_asset[r["asset_id"]]
+        ham = bin(sig[r["frame_idx"]] ^ sig[r["frame_idx"] - 1]).count("1")
+        assert r["hamming_prev"] == ham
+        assert r["is_cut"] == (ham > SCENE_CUT_HAMMING)
+
+
+def test_video_phash_stage_has_no_shuffle(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators.multimodal import (
+        video_frame_phash,
+    )
+
+    df = video_frame_phash(spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:1200]
