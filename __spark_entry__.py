@@ -15,10 +15,13 @@ verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
 (stream-equals-batch + greedy invariants), ``semantic_dedup_contracts``
 (conservation + no-kept-pair + drop-cause verdicts), and
-``approx_quantiles_contracts`` (GK rank-bracket verdicts). In round 11 the
-raw entries rotate through the driver's ~50-entry check window once
+``approx_quantiles_contracts`` (GK rank-bracket verdicts). In round 11 four
+of the seven raw entries rotate through the driver's 50-entry check window
 (VERDICT r10 item 7) so the ledger gains fresh rows-only evidence that the
-raw surface runs at sf0.01; from round 12 they return past the window.
+raw surface runs at sf0.01; the other three (``semantic_dedup``,
+``stream_near_dup``, ``approx_quantiles_value`` — the raws with the
+freshest, r9-green contract twins) sit first past the edge and rotate in
+round 12.
 """
 
 from __future__ import annotations
@@ -207,6 +210,24 @@ def _knn_tiled_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def _stream_media_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual-hash first-wins dedup of media assets
+    (foreachBatch + persistent seen-hash index). The single-file bounded
+    run is one micro-batch, so min-asset_id first-wins is DETERMINISTIC
+    and the entry carries a full value oracle (the batch per-hash
+    aggregate); cross-batch suppression + counter rows are pinned in
+    tests/test_streaming_media.py."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.media import (
+        run_stream_media_dedup_bounded,
+    )
+
+    return run_stream_media_dedup_bounded(
+        spark, sf_dir, tempfile.mkdtemp("media_work")
+    )
+
+
 def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash/LSH near-dup filter (foreachBatch + persistent
     bucket index) — the near-dup generalization of the reference's
@@ -372,7 +393,7 @@ def queries() -> dict[str, QueryFn]:
     # r7-remainder/r8/r9/r10 tiers follow in staleness order (r10-checked
     # last, freshest).
     return {
-        # ── (a) round-11 NEW entries (checked in their landing round): 7 ──
+        # ── (a) round-11 NEW entries (checked in their landing round): 10 ──
         "image_phash": multimodal.image_phash,
         "phash_image_near_dup": multimodal.phash_image_near_dup,
         "audio_fingerprint": multimodal.audio_fingerprint,
@@ -380,6 +401,10 @@ def queries() -> dict[str, QueryFn]:
         "video_frame_phash": multimodal.video_frame_phash,
         "video_near_dup": multimodal.video_near_dup,
         "video_scene_cuts": multimodal.video_scene_cuts,
+        "video_keyframes": multimodal.video_keyframes,
+        "video_content_id": multimodal.video_content_id,
+        "media_dup_overview": multimodal.media_dup_overview,
+        "stream_media_dedup": _stream_media_dedup_query,
         # ── (b) stalest checked tier (r6 remainder): 35 ────────────────────
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "window_analytics_demo": relational.window_analytics_demo,
@@ -422,15 +447,19 @@ def queries() -> dict[str, QueryFn]:
         "ivf_topk_indexed": similarity.ivf_topk_indexed,  # twin: ann_recall_contracts
         "pq_topk_cosine": similarity.pq_topk_cosine,  # twin: ann_recall_contracts
         "ann_cosine_lsh": similarity.ann_cosine_lsh,  # twin: ann_recall_contracts
+        # ── end of the 50-entry checked window (11 new + 35 stale-r6 + 4
+        # rows-only raws). The remaining 3 raws sit FIRST past the edge —
+        # their rows-only rotation defers to round 12; they carry the
+        # freshest (r9-green) contract twins of the raw set, so they lose
+        # the least by waiting. ────────────────────────────────────────────
         "semantic_dedup": similarity.semantic_dedup,  # twin: semantic_dedup_contracts
         "stream_near_dup": _stream_near_dup_query,  # twin: stream_near_dup_contracts
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # twin: approx_quantiles_contracts
-        # ── (d) stalest r7 entries fill to the window edge: 4 ──────────────
+        # stalest r7 entries follow (they lead round 12's stale block)
         "dedup_paragraphs": textops.dedup_paragraphs,
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "dedup_docs_incremental": neardup.dedup_docs_incremental,
-        # ── end of the 50-entry checked window ─────────────────────────────
         # r7-checked remainder (next-stalest)
         "stream_dedup_spans": _stream_span_dedup_query,
         "q8_market_share": relational.q8_market_share,
@@ -705,6 +734,9 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(quality.ORACLES)
     oracles.update(latest_state.ORACLES)
     oracles.update(span_dedup.ORACLES)
+    from pulsar_topic_deduplicator_spark.streaming import media as _media
+
+    oracles.update(_media.ORACLES)
     from pulsar_topic_deduplicator_spark.streaming import drift as _drift
 
     oracles.update(_drift.ORACLES)

@@ -161,9 +161,12 @@ HEADLINE = [
     "phash_image_near_dup",  # image aHash pigeonhole banding + hamming verify
     "audio_fingerprint_near_dup",  # audio energy-envelope twin (same banding)
     "video_near_dup",  # per-frame aHash, frame-0 banding + all-frames verify
+    "video_content_id",  # broadcast banded image catalog vs frame stream
     # (image_phash / audio_fingerprint are deliberately NOT benched: each
     # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
-    # stage with no join)
+    # stage with no join; video_keyframes is a sub-plan of the benched
+    # scene machinery and media_dup_overview re-runs all three benched
+    # pair tiers)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -791,6 +791,145 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling: the first frame of every scene — frame 0 plus
+    each frame whose hamming to its predecessor exceeds
+    ``SCENE_CUT_HAMMING``. ``scene_id`` is the running cut count, so
+    downstream stages can join keyframes back to their scene's frame
+    range. This is the video→image bridge of a curation pipeline: the
+    sampled keyframes feed the image tier (aHash near-dup, content-ID)
+    at 1/scene-length the frame volume.
+
+    Plan: both the cut flag and the running scene counter ride ONE
+    window sort over (asset, frame order) — no join, no second
+    exchange."""
+    from pyspark.sql import Window
+
+    frames = video_frame_phash(spark, sf_dir)
+    sig = F.shiftleft("phash_hi", 32).bitwiseOR(F.col("phash_lo"))
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    ham_prev = F.bit_count(sig.bitwiseXOR(F.lag(sig).over(w)))
+    is_key = ham_prev.isNull() | (ham_prev > SCENE_CUT_HAMMING)
+    return (
+        frames.withColumn("is_key", is_key)
+        .withColumn(
+            "scene_id",
+            (F.sum(F.col("is_key").cast("int")).over(w) - 1).cast("int"),
+        )
+        .filter("is_key")
+        .select("asset_id", "scene_id", "frame_idx", "phash_lo", "phash_hi")
+    )
+
+
+def video_content_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-ID lookup: every video frame that perceptually matches a
+    known-image catalog (hamming ≤ 3 on the shared 64-bit aHash) — the
+    known-asset matching primitive (copyright/content-ID scans run
+    exactly this: a curated fingerprint catalog against the full frame
+    stream). Emits one row per (image, video, frame) hit.
+
+    Scale shape: the CATALOG side is banded into 4 × 16-bit blocks and
+    **broadcast** — a fingerprint catalog is tiny next to 100 TB of
+    video, so the frame stream is matched map-side with NO shuffle of
+    the frame frame; only band-equal candidates reach the exact
+    ``bit_count`` verify, and the pigeonhole theorem (radius 3 < 4
+    bands) makes the banded match EXACT — full recall, proved by the
+    brute-force cross-join oracle."""
+    width = 64 // PHASH_BANDS
+    mask = (1 << width) - 1
+
+    def banded(halves: DataFrame, id_alias: str) -> DataFrame:
+        sig_col = f"sig_{id_alias}"
+        extra = [
+            c
+            for c in halves.columns
+            if c not in ("asset_id", "phash_lo", "phash_hi")
+        ]
+        stack_args = ", ".join(
+            f"{i}, shiftrightunsigned({sig_col}, {i * width}) & {mask}"
+            for i in range(PHASH_BANDS)
+        )
+        return halves.select(
+            F.col("asset_id").alias(id_alias),
+            *extra,
+            F.shiftleft("phash_hi", 32)
+            .bitwiseOR(F.col("phash_lo"))
+            .alias(sig_col),
+        ).select(
+            "*",
+            F.expr(f"stack({PHASH_BANDS}, {stack_args}) AS (band_id, band_val)"),
+        )
+
+    catalog = banded(image_phash(spark, sf_dir), "image_asset")
+    frames = banded(video_frame_phash(spark, sf_dir), "video_asset")
+    hamming = F.bit_count(
+        F.col("sig_image_asset").bitwiseXOR(F.col("sig_video_asset"))
+    ).cast("int")
+    return (
+        frames.join(F.broadcast(catalog), ["band_id", "band_val"])
+        .select("image_asset", "video_asset", "frame_idx",
+                "sig_image_asset", "sig_video_asset")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("image_asset", "video_asset", "frame_idx", "hamming")
+    )
+
+
+def media_dup_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplication readout — one row per media modality
+    (image / audio / video): fingerprintable asset count, verified
+    near-dup pair count, assets incident to ≥1 pair, and that incidence
+    as exact integer parts-per-billion. The media twin of
+    ``duplicate_mass_report`` (operators/neardup.py): the first number a
+    multimodal curation run reports per modality before deciding which
+    dedup tiers to apply.
+
+    Plan: three independent fingerprint+pair pipelines, each reduced to
+    one-row aggregates joined by crossJoin of one-row frames (KB-bounded
+    by construction); all candidate generation stays banded — the
+    quadratic tier only ever runs in the oracle."""
+
+    def one(modality: str, fp: DataFrame, pairs: DataFrame) -> DataFrame:
+        n_assets = fp.agg(F.count("*").alias("n_assets"))
+        n_pairs = pairs.agg(F.count("*").alias("n_dup_pairs"))
+        incident = (
+            pairs.select(F.col("asset_a").alias("aid"))
+            .union(pairs.select("asset_b"))
+            .agg(F.count_distinct("aid").alias("n_dup_assets"))
+        )
+        return (
+            n_assets.crossJoin(n_pairs)
+            .crossJoin(incident)
+            .select(
+                F.lit(modality).alias("modality"),
+                "n_assets",
+                "n_dup_pairs",
+                "n_dup_assets",
+                F.expr(
+                    "CAST(1000000000 * n_dup_assets AS BIGINT) DIV n_assets"
+                ).alias("dup_asset_ppb"),
+            )
+        )
+
+    image = one(
+        "image",
+        image_phash(spark, sf_dir),
+        phash_image_near_dup(spark, sf_dir),
+    )
+    audio = one(
+        "audio",
+        audio_fingerprint(spark, sf_dir),
+        audio_fingerprint_near_dup(spark, sf_dir),
+    )
+    video = one(
+        "video",
+        video_frame_phash(spark, sf_dir).select("asset_id").distinct(),
+        video_near_dup(spark, sf_dir),
+    )
+    return image.unionByName(audio).unionByName(video)
+
+
 # aHash oracle CTE tail: per-unit value (pixel gray / frame energy) from
 # the tiled bytes, exact-integer mean compare, packed into two 32-bit
 # halves (the top bit of a single 64-bit BIGINT pack would overflow
@@ -887,6 +1026,24 @@ _BRUTE_PAIRS_SQL = """
             + bit_count(xor(a.phash_hi, b2.phash_hi)) <= 3
     """
 
+# Full standalone fingerprint queries, reused verbatim by the composed
+# oracles (video_content_id, media_dup_overview) as parenthesized
+# subqueries — DuckDB accepts a WITH inside a derived table / CTE body.
+_IMG_PHASH_SQL = (
+    _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
+    + _PHASH_HALVES_SQL
+    + " SELECT asset_id, phash_lo, phash_hi FROM h "
+)
+_AUDIO_FP_SQL = (
+    _TILED_BYTES_CTE % {"lim": WAV_SAMPLES, "corrupt": CORRUPT_MOD}
+    + _AUDIO_HALVES_SQL
+    + " SELECT asset_id, phash_lo, phash_hi FROM h "
+)
+_VIDEO_PHASH_SQL = (
+    _VIDEO_FRAME_BYTES_CTE
+    + " SELECT asset_id, frame_idx, phash_lo, phash_hi FROM h "
+)
+
 
 ORACLES: dict[str, str] = {
     "image_phash": _TILED_BYTES_CTE % {"lim": PPM_W * PPM_H * 3, "corrupt": CORRUPT_MOD}
@@ -945,6 +1102,110 @@ ORACLES: dict[str, str] = {
         WHERE hamming_prev IS NOT NULL
     """
     % SCENE_CUT_HAMMING,
+    # keyframes: cut flag + running scene counter over the frame hashes
+    "video_keyframes": _VIDEO_FRAME_BYTES_CTE
+    + """
+        SELECT asset_id, CAST(scene_id - 1 AS INTEGER) AS scene_id,
+               frame_idx, phash_lo, phash_hi
+        FROM (
+            SELECT asset_id, frame_idx, phash_lo, phash_hi, is_key,
+                   sum(is_key) OVER (PARTITION BY asset_id
+                                     ORDER BY frame_idx) AS scene_id
+            FROM (
+                SELECT asset_id, frame_idx, phash_lo, phash_hi,
+                       CASE WHEN ham IS NULL OR ham > %d
+                            THEN 1 ELSE 0 END AS is_key
+                FROM (
+                    SELECT asset_id, frame_idx, phash_lo, phash_hi,
+                           bit_count(xor(phash_lo, lag(phash_lo) OVER w))
+                         + bit_count(xor(phash_hi, lag(phash_hi) OVER w))
+                             AS ham
+                    FROM h
+                    WINDOW w AS (PARTITION BY asset_id ORDER BY frame_idx)
+                )
+            )
+        )
+        WHERE is_key = 1
+    """
+    % SCENE_CUT_HAMMING,
+    # content-ID: brute-force catalog × frame cross join — independently
+    # proves the broadcast banded match's pigeonhole completeness
+    "video_content_id": (
+        """
+        SELECT i.asset_id AS image_asset, v.asset_id AS video_asset,
+               v.frame_idx,
+               CAST(bit_count(xor(i.phash_lo, v.phash_lo))
+                  + bit_count(xor(i.phash_hi, v.phash_hi)) AS INTEGER)
+                 AS hamming
+        FROM ("""
+        + _IMG_PHASH_SQL
+        + """) i JOIN ("""
+        + _VIDEO_PHASH_SQL
+        + """) v
+          ON bit_count(xor(i.phash_lo, v.phash_lo))
+           + bit_count(xor(i.phash_hi, v.phash_hi)) <= 3
+    """
+    ),
+    # cross-modal overview: each modality's brute-force pair tier over its
+    # fingerprint frame, reduced to the one-row-per-modality readout
+    "media_dup_overview": (
+        """
+        WITH ih AS ("""
+        + _IMG_PHASH_SQL
+        + """),
+        ah AS ("""
+        + _AUDIO_FP_SQL
+        + """),
+        vh AS ("""
+        + _VIDEO_PHASH_SQL
+        + """),
+        ip AS (
+            SELECT a.asset_id AS x, b2.asset_id AS y
+            FROM ih a JOIN ih b2 ON a.asset_id < b2.asset_id
+            WHERE bit_count(xor(a.phash_lo, b2.phash_lo))
+                + bit_count(xor(a.phash_hi, b2.phash_hi)) <= 3
+        ),
+        ap AS (
+            SELECT a.asset_id AS x, b2.asset_id AS y
+            FROM ah a JOIN ah b2 ON a.asset_id < b2.asset_id
+            WHERE bit_count(xor(a.phash_lo, b2.phash_lo))
+                + bit_count(xor(a.phash_hi, b2.phash_hi)) <= 3
+        ),
+        vp AS (
+            SELECT a.asset_id AS x, b2.asset_id AS y
+            FROM vh a JOIN vh b2
+              ON a.frame_idx = b2.frame_idx AND a.asset_id < b2.asset_id
+            GROUP BY 1, 2
+            HAVING max(bit_count(xor(a.phash_lo, b2.phash_lo))
+                     + bit_count(xor(a.phash_hi, b2.phash_hi))) <= 3
+        )
+        SELECT modality, n_assets, n_dup_pairs, n_dup_assets,
+               CAST(1000000000 * n_dup_assets AS BIGINT) // n_assets
+                 AS dup_asset_ppb
+        FROM (
+            SELECT 'image' AS modality,
+                   (SELECT count(*) FROM ih) AS n_assets,
+                   (SELECT count(*) FROM ip) AS n_dup_pairs,
+                   (SELECT count(DISTINCT u) FROM
+                        (SELECT x AS u FROM ip
+                         UNION ALL SELECT y FROM ip)) AS n_dup_assets
+            UNION ALL
+            SELECT 'audio',
+                   (SELECT count(*) FROM ah),
+                   (SELECT count(*) FROM ap),
+                   (SELECT count(DISTINCT u) FROM
+                        (SELECT x AS u FROM ap
+                         UNION ALL SELECT y FROM ap))
+            UNION ALL
+            SELECT 'video',
+                   (SELECT count(DISTINCT asset_id) FROM vh),
+                   (SELECT count(*) FROM vp),
+                   (SELECT count(DISTINCT u) FROM
+                        (SELECT x AS u FROM vp
+                         UNION ALL SELECT y FROM vp))
+        )
+    """
+    ),
     "multimodal_meta": """
         SELECT doc_id AS asset_id,
                'text/plain' AS media_type,

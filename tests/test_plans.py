@@ -747,3 +747,27 @@ def test_fingerprint_stages_are_exchange_free(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
         assert "MapInPandas" in formatted_plan(df)
+
+
+def test_content_id_broadcasts_the_catalog_no_frame_shuffle(spark, sf_dir):
+    """The content-ID band join must BROADCAST the (banded) image catalog —
+    the frame stream is matched map-side, never shuffled on band keys —
+    and nothing may cartesian."""
+    from pulsar_topic_deduplicator_spark.operators import multimodal
+
+    df = multimodal.video_content_id(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_keyframes_is_one_window_sort_no_join(spark, sf_dir):
+    """Cut flag + scene counter ride one window partitioning: a single
+    hash exchange on asset_id, no join anywhere."""
+    from pulsar_topic_deduplicator_spark.operators import multimodal
+
+    df = multimodal.video_keyframes(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert count_exchanges(df) == 1, plan[:2000]

@@ -58,6 +58,10 @@ OPS = [
     # (VERDICT r10 item 6)
     "duplicate_substring_spans",  # Lee et al. exact-substring spans
     "dedup_paragraphs",           # paragraph-hash keep-first
+    # media fingerprint tier (round 11): decode+hash Arrow stage feeding
+    # the banded hamming join; replicated docs give replicated assets
+    "phash_image_near_dup",       # image aHash banding + verify
+    "video_near_dup",             # 8-frame stream decode + frame-0 banding
     "near_dup_paragraphs",        # paragraph MinHash/LSH + verify
 ]
 
@@ -190,6 +194,9 @@ WORKDIR = "/tmp/scale100"
 if __name__ == "__main__":
     if "--workdir" in sys.argv:
         WORKDIR = sys.argv[sys.argv.index("--workdir") + 1]
+    if "--ops" in sys.argv:  # measure a subset (new-op follow-up runs)
+        only = sys.argv[sys.argv.index("--ops") + 1].split(",")
+        OPS[:] = [op for op in OPS if op in only]
     os.makedirs(WORKDIR, exist_ok=True)
     results = {
         "1x": run_tier(SF001, "1x"),
