@@ -661,6 +661,12 @@ def queries() -> dict[str, QueryFn]:
         "cube_sales": relational.cube_sales,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
+        # round-11 LATE additions (post-window; oracle-checked standalone
+        # at sf0.01 + sf0.1 this round, rotate into the driver window r12)
+        "rolling_active_users": analytics.rolling_active_users,
+        "span_corruption_masks": curation.span_corruption_masks,
+        "fd_violations_report": lineage.fd_violations_report,
+        "k_anonymity_report": lineage.k_anonymity_report,
     }
 
 

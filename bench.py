@@ -162,6 +162,10 @@ HEADLINE = [
     "audio_fingerprint_near_dup",  # audio energy-envelope twin (same banding)
     "video_near_dup",  # per-frame aHash, frame-0 banding + all-frames verify
     "video_content_id",  # broadcast banded image catalog vs frame stream
+    "rolling_active_users",  # coverage-explode rolling distinct (DAU/WAU)
+    "span_corruption_masks",  # T5 denoising span plan (zero-shuffle explode)
+    "fd_violations_report",  # approximate-FD g3 profiling (TANE error facts)
+    "k_anonymity_report",  # k-anon/l-diversity audit + generalization verdict
     # (image_phash / audio_fingerprint are deliberately NOT benched: each
     # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
     # stage with no join; video_keyframes is a sub-plan of the benched

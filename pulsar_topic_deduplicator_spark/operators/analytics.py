@@ -945,3 +945,74 @@ ORACLES["trimmed_mean_by_type"] = f"""
              AS trimmed_mean
     FROM kept GROUP BY event_type
 """
+
+
+# --- rolling distinct actives -----------------------------------------------
+
+#: rolling window width in days for the WAU readout
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and rolling 7-day distinct actives (WAU) for every epoch-day in
+    the data range — the standard engagement readout over a deduplicated
+    event stream (complements ``weekly_cohort_retention``'s cohort view;
+    the reference's telemetry, op #13, stops at two scalar counters).
+
+    Scale: the textbook formulation — ``COUNT(DISTINCT user_id) OVER
+    (ORDER BY day RANGE 6 PRECEDING)`` — puts a distinct inside a window,
+    which neither partial-aggregates nor distributes (one task owns the
+    whole ordered stream). This plan rewrites it as COVERAGE EXPLODE:
+    each distinct (user, day) activity is visible to exactly the W
+    window-days ``day .. day+W−1``, so the rolling distinct becomes an
+    ordinary ``groupBy(day).count_distinct(user)`` over a W×-linear
+    exploded frame — every stage partial-aggregated, no self-range-join
+    (which would carry the same W× blowup plus a shuffle per side and
+    hot-day skew). Day arithmetic is integer µs-div (calendar-free,
+    oracle-exact); the day grid and per-day frames are KB-sized at any
+    corpus scale, so the closing left joins broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    horizon = F.lit(ROLLING_WINDOW_DAYS - 1)
+    cover = act.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + horizon)).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(F.count_distinct("user_id").alias("wau_7d"))
+    dau = act.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    grid = (
+        act.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        grid.join(F.broadcast(dau), "day", "left")
+        .join(F.broadcast(wau), "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", zero).alias("dau"),
+            F.coalesce("wau_7d", zero).alias("wau_7d"),
+        )
+    )
+
+
+ORACLES["rolling_active_users"] = f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
+      FROM events),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM act),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+    dau AS (SELECT day, count(DISTINCT user_id) AS n FROM act GROUP BY day),
+    cover AS (
+      SELECT user_id, act.day + t.o AS day
+      FROM act, generate_series(0, {ROLLING_WINDOW_DAYS - 1}) AS t(o)),
+    wau AS (SELECT day, count(DISTINCT user_id) AS n FROM cover GROUP BY day)
+    SELECT g.day,
+           coalesce(d.n, CAST(0 AS BIGINT)) AS dau,
+           coalesce(w.n, CAST(0 AS BIGINT)) AS wau_7d
+    FROM grid g
+    LEFT JOIN dau d ON d.day = g.day
+    LEFT JOIN wau w ON w.day = g.day
+"""

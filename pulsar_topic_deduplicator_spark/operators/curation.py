@@ -1257,3 +1257,92 @@ ORACLES["shard_plan_tokens"] = f"""
            CAST(token_start % {SHARD_CAPACITY} AS BIGINT) AS offset_tokens
     FROM placed
 """
+
+
+# --- T5-style span corruption ------------------------------------------------
+
+#: span-corruption geometry: within every CORRUPT_BLOCK-word block, one
+#: contiguous span of CORRUPT_SPAN words is masked → corruption rate
+#: CORRUPT_SPAN / CORRUPT_BLOCK = 15%, mean span length 3 — the T5
+#: denoising defaults (Raffel et al. 2020, §3.1.4).
+CORRUPT_BLOCK = 20
+CORRUPT_SPAN = 3
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption plan: for every document,
+    the list of word spans a denoising objective would mask, one row per
+    sentinel (doc_id, sentinel_id, start_idx, n_masked, masked_text).
+
+    The textbook sampler draws span starts from an RNG, which is
+    irreproducible across partitionings and retries (the same failure mode
+    ``sampling.py`` documents for ``rand()``). This plan is a pure function
+    of the data: word indices are partitioned into fixed blocks of
+    ``CORRUPT_BLOCK`` words, and within block b the masked span starts at
+    ``hash(doc_id:b) % (CORRUPT_BLOCK − CORRUPT_SPAN + 1)`` — corruption
+    rate and mean span length match the T5 defaults exactly, every block's
+    draw is independent, and the whole selection re-runs bit-identically
+    on any cluster (and in the DuckDB oracle).
+
+    Scale: scan → explode(one row per block, ~n_words/20×) → project; no
+    shuffle, no Python. The masked span text is sliced from the already-
+    split word array (``slice`` clips at the tail, so the last block's
+    span may be shorter than CORRUPT_SPAN — kept, n_masked says so)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.col("text"))
+    base = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n")).filter(
+        F.col("n") > 0
+    )
+    blocks = base.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n") - 1) / CORRUPT_BLOCK).cast("long"))
+        ).alias("sentinel_id"),
+    )
+    off = stable_uint60(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("sentinel_id"))
+    ) % (CORRUPT_BLOCK - CORRUPT_SPAN + 1)
+    start = (F.col("sentinel_id") * CORRUPT_BLOCK + off).alias("start_idx")
+    spans = blocks.select("doc_id", "sentinel_id", "ws", "n", start).filter(
+        F.col("start_idx") < F.col("n")
+    )
+    masked = F.slice(F.col("ws"), F.col("start_idx") + 1, F.lit(CORRUPT_SPAN))
+    return spans.select(
+        "doc_id",
+        "sentinel_id",
+        "start_idx",
+        F.size(masked).cast("long").alias("n_masked"),
+        F.array_join(masked, " ").alias("masked_text"),
+    )
+
+
+_CORRUPT_OFF = duck_stable_uint60(
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(sentinel_id AS VARCHAR)"
+)
+
+ORACLES["span_corruption_masks"] = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) > 0),
+    blocks AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0, (n - 1) // {CORRUPT_BLOCK})) AS sentinel_id
+      FROM base),
+    spans AS (
+      SELECT doc_id, sentinel_id, ws, n,
+             sentinel_id * {CORRUPT_BLOCK}
+               + ({_CORRUPT_OFF} % {CORRUPT_BLOCK - CORRUPT_SPAN + 1}) AS start_idx
+      FROM blocks),
+    clipped AS (
+      SELECT doc_id, sentinel_id, start_idx,
+             list_slice(ws, start_idx + 1,
+                        least(start_idx + {CORRUPT_SPAN}, n)) AS masked
+      FROM spans WHERE start_idx < n)
+    SELECT doc_id, sentinel_id, start_idx,
+           CAST(len(masked) AS BIGINT) AS n_masked,
+           array_to_string(masked, ' ') AS masked_text
+    FROM clipped
+"""

@@ -451,3 +451,173 @@ def _fk_oracle() -> str:
 
 
 ORACLES["fk_discovery_report"] = _fk_oracle()
+
+
+# --- approximate-FD profiling -------------------------------------------------
+
+#: candidate functional dependencies to profile on the part dimension:
+#: (determinant, dependent). None holds exactly in the synthetic corpus, so
+#: the report's value is the exact ERROR measure, not a boolean.
+FD_CANDIDATES = [
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+    ("p_name", "p_brand"),
+    ("p_brand", "p_size"),
+]
+
+
+def fd_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency profiling: for each candidate
+    ``det → dep`` the exact violation facts FD-discovery tools report
+    (TANE, Huhtala et al. 1999): class counts, violating-class count,
+    and the g3 error — the minimum number of rows to delete for the FD
+    to hold (``n_rows − Σ_classes max_dep_frequency``), as an exact ppb
+    ratio. Complements ``fk_discovery_report`` (inclusion dependencies)
+    with the intra-table dependency axis of schema profiling.
+
+    Scale: per candidate, one ``(det, dep)`` count aggregate then one
+    ``det`` re-aggregate — both map-side combined, shuffled data is
+    bounded by the (det, dep) value-domain, never the row count. The
+    candidate loop unions KB-sized one-row frames."""
+    parts = []
+    for det, dep in FD_CANDIDATES:
+        pairs = (
+            load_table(spark, sf_dir, "part")
+            .select(F.col(det).cast("string").alias("det"),
+                    F.col(dep).cast("string").alias("dep"))
+            .groupBy("det", "dep")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cls = pairs.groupBy("det").agg(
+            F.sum("c").alias("n"),
+            F.max("c").alias("keep"),
+            F.count(F.lit(1)).alias("n_dep_values"),
+        )
+        parts.append(
+            cls.agg(
+                F.count(F.lit(1)).alias("n_classes"),
+                F.count(F.when(F.col("n_dep_values") > 1, 1)).alias(
+                    "n_violating"
+                ),
+                F.sum("n").alias("n_rows"),
+                (F.sum("n") - F.sum("keep")).alias("g3_remove"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_classes",
+                "n_violating",
+                "n_rows",
+                "g3_remove",
+                F.expr("(g3_remove * 1000000000) div n_rows").alias("g3_ppb"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return rep
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for det, dep in FD_CANDIDATES:
+        selects.append(f"""
+        SELECT '{det}' AS determinant, '{dep}' AS dependent,
+               count(*) AS n_classes,
+               count(CASE WHEN n_dep_values > 1 THEN 1 END) AS n_violating,
+               sum(n) AS n_rows, sum(n) - sum(keep) AS g3_remove,
+               ((sum(n) - sum(keep)) * 1000000000) // sum(n) AS g3_ppb,
+               count(CASE WHEN n_dep_values > 1 THEN 1 END) = 0 AS holds
+        FROM (
+          SELECT det, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS keep,
+                 count(*) AS n_dep_values
+          FROM (SELECT CAST({det} AS VARCHAR) AS det, CAST({dep} AS VARCHAR) AS dep,
+                       count(*) AS c
+                FROM part GROUP BY 1, 2)
+          GROUP BY det)""")
+    body = "\nUNION ALL\n".join(selects)
+    # DuckDB sum(BIGINT) → HUGEINT: re-cast the summed facts to BIGINT in
+    # the outer select so the typed value-hash matches Spark's longs
+    return f"""
+    SELECT determinant, dependent, n_classes, n_violating,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(g3_remove AS BIGINT) AS g3_remove,
+           CAST(g3_ppb AS BIGINT) AS g3_ppb, holds
+    FROM ({body})"""
+
+
+ORACLES["fd_violations_report"] = _fd_oracle()
+
+
+# --- k-anonymity audit --------------------------------------------------------
+
+#: k-anonymity threshold and l-diversity minimum for the customer audit
+K_ANON = 10
+L_DIVERSE = 3
+
+#: sensitive-attribute coarsening: account balance in 1000-unit buckets
+_SENS_BUCKET = 1000
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the customer table under the quasi-identifier
+    (nationkey, mktsegment) — the Sweeney (2002) k-anonymity check a
+    training-data pipeline runs before releasing user-derived rows: one
+    row per equivalence class with its size, its l-diversity on the
+    sensitive attribute (acctbal in 1000-unit buckets), and the
+    prescribed action under ONE-STEP generalization (drop mktsegment →
+    class = nationkey only): ``ok`` (class already ≥ K), ``generalize``
+    (level-1 class passes), or ``suppress`` (even generalized the rows
+    re-identify). ``sum(CASE)``-free: all verdicts are integer compares.
+
+    Scale: two hash aggregates on QI prefixes (both map-side combined;
+    shuffled data is value-domain-bounded) + one broadcast join of the
+    level-1 frame (|nations| rows) onto the level-0 frame."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _SENS_BUCKET).cast("long").alias("sens"),
+    )
+    lvl0 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("sens").alias("l_diversity"),
+    )
+    lvl1 = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("parent_size"))
+    return (
+        lvl0.join(F.broadcast(lvl1), "c_nationkey")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") >= K_ANON).alias("k_ok"),
+            (F.col("l_diversity") >= L_DIVERSE).alias("l_ok"),
+            "parent_size",
+            F.when(F.col("class_size") >= K_ANON, "ok")
+            .when(F.col("parent_size") >= K_ANON, "generalize")
+            .otherwise("suppress")
+            .alias("action"),
+        )
+    )
+
+
+ORACLES["k_anonymity_report"] = f"""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {_SENS_BUCKET}) AS BIGINT) AS sens
+      FROM customer),
+    lvl0 AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+             count(DISTINCT sens) AS l_diversity
+      FROM c GROUP BY 1, 2),
+    lvl1 AS (
+      SELECT c_nationkey, count(*) AS parent_size FROM c GROUP BY 1)
+    SELECT l0.c_nationkey, l0.c_mktsegment, l0.class_size, l0.l_diversity,
+           l0.class_size >= {K_ANON} AS k_ok,
+           l0.l_diversity >= {L_DIVERSE} AS l_ok,
+           l1.parent_size,
+           CASE WHEN l0.class_size >= {K_ANON} THEN 'ok'
+                WHEN l1.parent_size >= {K_ANON} THEN 'generalize'
+                ELSE 'suppress' END AS action
+    FROM lvl0 l0 JOIN lvl1 l1 ON l0.c_nationkey = l1.c_nationkey
+"""
