@@ -228,6 +228,24 @@ def _stream_media_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_rolling_actives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling-actives (foreachBatch + persistent distinct
+    (user, day) activity index). The maintained state is a SET UNION —
+    batch-order independent — so the bounded run's readout equals the
+    batch ``rolling_active_users`` exactly under ANY micro-batch split
+    (pinned in tests/test_streaming_actives.py) and the entry carries the
+    batch operator's full value oracle."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.actives import (
+        run_stream_rolling_actives_bounded,
+    )
+
+    return run_stream_rolling_actives_bounded(
+        spark, sf_dir, tempfile.mkdtemp("actives_work")
+    )
+
+
 def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash/LSH near-dup filter (foreachBatch + persistent
     bucket index) — the near-dup generalization of the reference's
@@ -667,6 +685,7 @@ def queries() -> dict[str, QueryFn]:
         "span_corruption_masks": curation.span_corruption_masks,
         "fd_violations_report": lineage.fd_violations_report,
         "k_anonymity_report": lineage.k_anonymity_report,
+        "stream_rolling_actives": _stream_rolling_actives_query,
     }
 
 
@@ -743,6 +762,9 @@ def oracle_sql() -> dict[str, str]:
     from pulsar_topic_deduplicator_spark.streaming import media as _media
 
     oracles.update(_media.ORACLES)
+    from pulsar_topic_deduplicator_spark.streaming import actives as _actives
+
+    oracles.update(_actives.ORACLES)
     from pulsar_topic_deduplicator_spark.streaming import drift as _drift
 
     oracles.update(_drift.ORACLES)

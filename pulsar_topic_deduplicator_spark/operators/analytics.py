@@ -975,6 +975,14 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
     act = ev.select("user_id", day.alias("day")).distinct()
+    return actives_readout(act)
+
+
+def actives_readout(act: DataFrame) -> DataFrame:
+    """(day, dau, wau_7d) grid from a DISTINCT (user_id, day) activity
+    frame — shared by the batch operator above and the streaming
+    incremental-index twin (``streaming/actives.py``), so both surfaces
+    compute the readout from one definition."""
     horizon = F.lit(ROLLING_WINDOW_DAYS - 1)
     cover = act.select(
         "user_id",

@@ -63,6 +63,14 @@ OPS = [
     "phash_image_near_dup",       # image aHash banding + verify
     "video_near_dup",             # 8-frame stream decode + frame-0 banding
     "near_dup_paragraphs",        # paragraph MinHash/LSH + verify
+    # round-11 LATE additions: the coverage-explode rolling distinct
+    # (events-bound, W× row blowup must stay linear) and the T5 span
+    # plan (corpus-bound zero-shuffle explode). fd_violations_report /
+    # k_anonymity_report are deliberately absent: they aggregate the
+    # UNREPLICATED dimension tables, so all three scales would measure
+    # the same input — no scaling information.
+    "rolling_active_users",       # coverage-explode rolling distinct
+    "span_corruption_masks",      # T5 denoising spans (zero-shuffle)
 ]
 
 REPLICAS = 10
