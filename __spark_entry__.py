@@ -686,6 +686,7 @@ def queries() -> dict[str, QueryFn]:
         "fd_violations_report": lineage.fd_violations_report,
         "k_anonymity_report": lineage.k_anonymity_report,
         "stream_rolling_actives": _stream_rolling_actives_query,
+        "sq8_ranking_eval": similarity.sq8_ranking_eval,
     }
 
 

@@ -1556,3 +1556,142 @@ ORACLES["contrastive_pair_mining"] = """
     LEFT JOIN pos ON a.vec_id = pos.vec_id
     LEFT JOIN neg ON a.vec_id = neg.vec_id
 """
+
+
+# --- SQ8 ranking-quality eval ---------------------------------------------------
+
+#: retrieval-eval split: the first EVAL_Q vec_ids are the eval queries, the
+#: rest the catalog (disjoint, so a query can never retrieve itself)
+EVAL_Q = 8
+#: system shortlist depth the MRR / hit rate is measured at
+EVAL_TOPK = 10
+
+
+def sq8_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware quantization-quality eval: for each eval query, where
+    does the TRUE nearest neighbor (full-precision max-inner-product
+    top-1; the corpus is unit-norm, so identical to cosine) land in the
+    SQ8-quantized shortlist? One row per query —
+    ``(q_id, true_id, sq8_rank, rr_ppb, hit_at_10)`` — the MRR/hit@K
+    facts that decide "is 1 byte/dim enough for this corpus's RETRIEVAL
+    quality" (``sq8_reconstruction_error`` answers only the geometric
+    half; ranking damage is what retrieval actually pays for).
+
+    The system score is the dot product of the SQ8 RECONSTRUCTIONS
+    (``mn + code·(mx−mn)/255`` — scoring raw codes would rank by the
+    per-dimension affine shifts, not similarity), quantized to SIGNED
+    micro-units (``round(recon·1e6)`` — the PCA/kmeans fixed-point
+    discipline; Spark and DuckDB both round half away from zero) so the
+    score, the shortlist, and every rank are EXACT INTEGERS with no ulp
+    boundary anywhere. The only float is the truth side's full-precision
+    fold (``functions/vectors.py`` discipline).
+
+    Scale: Q is a small constant — the quantized scoring is one broadcast
+    of Q micro-unit arrays against a catalog scan (zero shuffle for the
+    score), then a per-query top-K; at corpus scale the shortlist rides
+    the tiled kNN machinery (``knn_topk_tiled``) instead of a per-query
+    window, and the truth side is exactly the exact-rerank tier ANN
+    already pays."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot as vec_dot
+
+    f = _sq8_frame(spark, sf_dir)
+    recon = F.col("mn") + F.col("code").cast("double") * (
+        F.col("mx") - F.col("mn")
+    ) / F.lit(float(SQ8_LEVELS))
+    rq = F.round(recon * F.lit(1e6), 0).cast("long")
+    arrs = (
+        f.select("vec_id", "dim", rq.alias("rq"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "rq"))),
+                lambda s: s.rq,
+            ).alias("cv")
+        )
+    )
+    queries = arrs.filter(F.col("vec_id") < EVAL_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("cv").alias("qv")
+    )
+    catalog = arrs.filter(F.col("vec_id") >= EVAL_Q).select(
+        F.col("vec_id").alias("c_id"), "cv"
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = catalog.crossJoin(F.broadcast(queries)).select(
+        "q_id", "c_id", qdot.alias("qdot")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), "c_id")
+    short = (
+        scored.select("q_id", "c_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= EVAL_TOPK)
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") < EVAL_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb")
+    )
+    ce = emb.filter(F.col("vec_id") >= EVAL_Q).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    ip = vec_dot(F.col("embedding"), F.col("qemb"))
+    wt = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), "c_id")
+    truth = (
+        ce.crossJoin(F.broadcast(qe))
+        .select("q_id", "c_id", ip.alias("ip"))
+        .select("q_id", "c_id", F.row_number().over(wt).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("true_id"))
+    )
+    return truth.join(
+        short.withColumnRenamed("c_id", "true_id"), ["q_id", "true_id"], "left"
+    ).select(
+        "q_id",
+        "true_id",
+        F.col("rnk").cast("long").alias("sq8_rank"),
+        F.expr("coalesce(1000000000 div rnk, 0)").cast("long").alias("rr_ppb"),
+        F.col("rnk").isNotNull().alias("hit_at_10"),
+    )
+
+
+ORACLES["sq8_ranking_eval"] = f"""
+    WITH {_SQ8_CTE},
+    r AS (
+      SELECT vec_id, dim,
+             CAST(round((mn + CAST(code AS DOUBLE) * (mx - mn)
+                              / {float(SQ8_LEVELS)!r}) * 1000000.0, 0)
+                  AS BIGINT) AS rq
+      FROM j),
+    qc AS (SELECT vec_id AS q_id, dim, rq FROM r WHERE vec_id < {EVAL_Q}),
+    cc AS (SELECT vec_id AS c_id, dim, rq FROM r WHERE vec_id >= {EVAL_Q}),
+    dots AS (
+      SELECT q_id, c_id, CAST(sum(qc.rq * cc.rq) AS BIGINT) AS qdot
+      FROM qc JOIN cc USING (dim) GROUP BY q_id, c_id),
+    short AS (
+      SELECT q_id, c_id, rnk FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY qdot DESC, c_id) AS rnk
+        FROM dots)
+      WHERE rnk <= {EVAL_TOPK}),
+    qe AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {EVAL_Q}),
+    ce AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= {EVAL_Q}),
+    truth AS (
+      SELECT q_id, c_id AS true_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 list_dot_product(cv, qv) DESC, c_id) AS rn
+        FROM qe, ce)
+      WHERE rn = 1)
+    SELECT t.q_id, t.true_id, CAST(s.rnk AS BIGINT) AS sq8_rank,
+           CAST(coalesce(1000000000 // s.rnk, 0) AS BIGINT) AS rr_ppb,
+           s.rnk IS NOT NULL AS hit_at_10
+    FROM truth t
+    LEFT JOIN short s ON s.q_id = t.q_id AND s.c_id = t.true_id
+"""

@@ -184,3 +184,82 @@ def test_k_anonymity_action_mix_at_driver_scale(spark):
     }
     assert "ok" in actions
     assert actions - {"ok"}, "expected at least one generalize/suppress class"
+
+
+# --- sq8_ranking_eval ----------------------------------------------------------
+
+
+def test_sq8_ranking_eval_matches_numpy_replay(spark, sf_dir):
+    """Full replay in numpy: SQ8 codes → micro-unit reconstructions →
+    integer MIPS shortlist; truth = exact double-dot top-1. Ranks and
+    reciprocal ranks must match row-for-row (round half away from zero
+    emulated, since numpy rounds half-to-even)."""
+    import numpy as np
+
+    from pulsar_topic_deduplicator_spark.operators import similarity
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        EVAL_Q,
+        EVAL_TOPK,
+        SQ8_LEVELS,
+    )
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    emb = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in emb])
+    V = np.array([r.embedding for r in emb], dtype=np.float64)
+
+    def half_away(y):
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    mn, mx = V.min(0), V.max(0)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    code = np.where(mx > mn, half_away((V - mn) * SQ8_LEVELS / rng), 0.0)
+    recon = mn + code * (mx - mn) / float(SQ8_LEVELS)
+    rq = half_away(recon * 1e6).astype(np.int64)
+
+    qm = ids < EVAL_Q
+    want = {}
+    for qi in np.where(qm)[0]:
+        cand = np.where(~qm)[0]
+        tdot = V[cand] @ V[qi]
+        true_id = ids[cand[np.lexsort((ids[cand], -tdot))[0]]]
+        sdot = rq[cand] @ rq[qi]
+        short = ids[cand[np.lexsort((ids[cand], -sdot))[:EVAL_TOPK]]]
+        rank = (
+            int(np.where(short == true_id)[0][0]) + 1
+            if true_id in short
+            else None
+        )
+        want[int(ids[qi])] = (
+            int(true_id),
+            rank,
+            10**9 // rank if rank else 0,
+            rank is not None,
+        )
+
+    got = {
+        r.q_id: (r.true_id, r.sq8_rank, r.rr_ppb, r.hit_at_10)
+        for r in similarity.sq8_ranking_eval(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sq8_ranking_eval_is_informative(spark, sf_dir):
+    """The eval must measure something: every query has a truth row, and
+    on this corpus the quantized shortlist finds most true neighbors
+    (unit-norm 64-dim, SQ8 damage is small — MRR collapse would mean the
+    system score stopped tracking similarity, the raw-code-dot bug)."""
+    from pulsar_topic_deduplicator_spark.operators import similarity
+    from pulsar_topic_deduplicator_spark.operators.similarity import EVAL_Q
+
+    rows = similarity.sq8_ranking_eval(spark, sf_dir).collect()
+    assert len(rows) == EVAL_Q
+    hits = sum(1 for r in rows if r.hit_at_10)
+    assert hits >= EVAL_Q // 2, [
+        (r.q_id, r.sq8_rank) for r in rows
+    ]
