@@ -687,6 +687,7 @@ def queries() -> dict[str, QueryFn]:
         "k_anonymity_report": lineage.k_anonymity_report,
         "stream_rolling_actives": _stream_rolling_actives_query,
         "sq8_ranking_eval": similarity.sq8_ranking_eval,
+        "classifier_calibration_report": classify.classifier_calibration_report,
     }
 
 

@@ -168,6 +168,7 @@ HEADLINE = [
     "k_anonymity_report",  # k-anon/l-diversity audit + generalization verdict
     "stream_rolling_actives",  # incremental (user,day) index + DAU/WAU readout
     "sq8_ranking_eval",  # SQ8 MRR/hit@10 vs exact-MIPS truth (integer scoring)
+    "classifier_calibration_report",  # NB logit-decile label-rate table
     # (image_phash / audio_fingerprint are deliberately NOT benched: each
     # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
     # stage with no join; video_keyframes is a sub-plan of the benched

@@ -119,8 +119,9 @@ def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {
-    "nb_classifier_scores": f"""
+#: shared DuckDB rendering of the NB scoring pipeline — reused by the
+#: calibration oracle so both entries evolve together
+_NB_SCORES_SQL = f"""
         WITH tok AS (
           SELECT doc_id, coalesce(lang = '{NB_POS_LANG}', FALSE) AS pos,
                  unnest({_WORDS}) AS w
@@ -165,5 +166,87 @@ ORACLES: dict[str, str] = {
                (sum(wt) + (SELECT p FROM prior)) > 0 AS is_pos_pred
         FROM tok t JOIN weights USING (w)
         GROUP BY t.doc_id
-    """,
-}
+    """
+
+ORACLES: dict[str, str] = {"nb_classifier_scores": _NB_SCORES_SQL}
+
+
+# --- calibration ---------------------------------------------------------------
+
+#: calibration granularity: label rate per logit decile
+CAL_BUCKETS = 10
+
+
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability readout for the NB quality classifier: documents
+    bucketed into ``CAL_BUCKETS`` deciles of the (integer nano-nat) logit,
+    each decile reporting its size, its TRUE-label count and rate (ppb),
+    and its logit range — the standard "does the score track the label"
+    calibration table an ML-eval harness produces before anyone trusts a
+    filter model's threshold (a well-ranked model shows the label rate
+    rising monotonically with the decile; the threshold entry
+    ``nb_classifier_scores.is_pos_pred`` only checks sign).
+
+    Exactness: logits are already integer nano-nats and the label is a
+    pure column predicate, so every output cell is integer arithmetic —
+    ntile's bucket boundaries depend only on the deterministic
+    (logit, doc_id) order, identical in both engines.
+
+    Scale: the global ntile is ONE SinglePartition sort of scalar pairs
+    (the ``shard_plan_tokens`` / ``ccnet_quality_buckets`` precedent —
+    KB/row × corpus rows); at 100 TB the decile cuts come from a two-pass
+    quantile instead and the bucketing becomes a broadcast range join.
+    Everything after the bucket id is map-side-combined aggregation."""
+    from pyspark.sql import Window
+
+    scores = nb_classifier_scores(spark, sf_dir).select(
+        "doc_id", "logit_nanonats"
+    )
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang") == NB_POS_LANG, F.lit(False)).alias("pos"),
+    )
+    w = Window.orderBy("logit_nanonats", "doc_id")
+    d = scores.join(lab, "doc_id").select(
+        "pos",
+        "logit_nanonats",
+        F.ntile(CAL_BUCKETS).over(w).cast("long").alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("pos"), 1)).alias("n_pos_label"),
+            F.min("logit_nanonats").alias("logit_lo"),
+            F.max("logit_nanonats").alias("logit_hi"),
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos_label",
+            F.expr("(n_pos_label * 1000000000) div n").alias("pos_rate_ppb"),
+            "logit_lo",
+            "logit_hi",
+        )
+    )
+
+
+ORACLES["classifier_calibration_report"] = f"""
+    WITH s AS ({_NB_SCORES_SQL}),
+    lab AS (
+      SELECT doc_id, coalesce(lang = '{NB_POS_LANG}', FALSE) AS pos
+      FROM documents),
+    d AS (
+      SELECT lab.pos, s.logit_nanonats,
+             CAST(ntile({CAL_BUCKETS})
+                    OVER (ORDER BY s.logit_nanonats, s.doc_id) AS BIGINT)
+               AS decile
+      FROM s JOIN lab USING (doc_id))
+    SELECT decile, count(*) AS n,
+           count(CASE WHEN pos THEN 1 END) AS n_pos_label,
+           (count(CASE WHEN pos THEN 1 END) * 1000000000) // count(*)
+             AS pos_rate_ppb,
+           min(logit_nanonats) AS logit_lo,
+           max(logit_nanonats) AS logit_hi
+    FROM d GROUP BY decile
+"""

@@ -263,3 +263,61 @@ def test_sq8_ranking_eval_is_informative(spark, sf_dir):
     assert hits >= EVAL_Q // 2, [
         (r.q_id, r.sq8_rank) for r in rows
     ]
+
+
+# --- classifier_calibration_report ----------------------------------------------
+
+
+def test_calibration_matches_bruteforce(spark, sf_dir):
+    """Decile assignment + per-decile label facts recomputed in Python
+    (ntile semantics: earlier buckets take the remainder, order by
+    (logit, doc_id))."""
+    from pulsar_topic_deduplicator_spark.operators import classify
+    from pulsar_topic_deduplicator_spark.operators.classify import (
+        CAL_BUCKETS,
+        NB_POS_LANG,
+    )
+
+    scores = {
+        r.doc_id: r.logit_nanonats
+        for r in classify.nb_classifier_scores(spark, sf_dir).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    ordered = sorted(scores, key=lambda d: (scores[d], d))
+    n = len(ordered)
+    base, rem = divmod(n, CAL_BUCKETS)
+    want = {}
+    i = 0
+    for b in range(1, CAL_BUCKETS + 1):
+        size = base + (1 if b <= rem else 0)
+        chunk = ordered[i : i + size]
+        i += size
+        pos = sum(1 for d in chunk if lang[d] == NB_POS_LANG)
+        want[b] = (
+            len(chunk),
+            pos,
+            pos * 10**9 // len(chunk),
+            min(scores[d] for d in chunk),
+            max(scores[d] for d in chunk),
+        )
+    got = {
+        r.decile: (r.n, r.n_pos_label, r.pos_rate_ppb, r.logit_lo, r.logit_hi)
+        for r in classify.classifier_calibration_report(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_calibration_score_tracks_label(spark, sf_dir):
+    """The NB model must actually rank: the top half of deciles carries a
+    strictly higher aggregate label rate than the bottom half (a flat
+    profile would mean the calibration table is reading noise)."""
+    from pulsar_topic_deduplicator_spark.operators import classify
+    from pulsar_topic_deduplicator_spark.operators.classify import CAL_BUCKETS
+
+    rows = classify.classifier_calibration_report(spark, sf_dir).collect()
+    lo = sum(r.n_pos_label for r in rows if r.decile <= CAL_BUCKETS // 2)
+    hi = sum(r.n_pos_label for r in rows if r.decile > CAL_BUCKETS // 2)
+    assert hi > lo, (lo, hi)
