@@ -1647,8 +1647,12 @@ def sq8_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("q_id", F.col("c_id").alias("true_id"))
     )
+    # both sides are Q- / Q·K-row frames; without the hint Catalyst plans
+    # a SortMergeJoin here (KB data, two needless sort exchanges)
     return truth.join(
-        short.withColumnRenamed("c_id", "true_id"), ["q_id", "true_id"], "left"
+        F.broadcast(short.withColumnRenamed("c_id", "true_id")),
+        ["q_id", "true_id"],
+        "left",
     ).select(
         "q_id",
         "true_id",
