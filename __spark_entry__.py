@@ -688,6 +688,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_rolling_actives": _stream_rolling_actives_query,
         "sq8_ranking_eval": similarity.sq8_ranking_eval,
         "classifier_calibration_report": classify.classifier_calibration_report,
+        "ks_drift_report": changepoint.ks_drift_report,
     }
 
 

@@ -169,6 +169,7 @@ HEADLINE = [
     "stream_rolling_actives",  # incremental (user,day) index + DAU/WAU readout
     "sq8_ranking_eval",  # SQ8 MRR/hit@10 vs exact-MIPS truth (integer scoring)
     "classifier_calibration_report",  # NB logit-decile label-rate table
+    "ks_drift_report",  # exact two-sample KS drift per type (integer ppm)
     # (image_phash / audio_fingerprint are deliberately NOT benched: each
     # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
     # stage with no join; video_keyframes is a sub-plan of the benched

@@ -137,3 +137,120 @@ ORACLES: dict[str, str] = {
                       ROWS UNBOUNDED PRECEDING)
     """,
 }
+
+
+# --- two-sample KS drift --------------------------------------------------------
+
+#: cohort split: events in the first KS_SPLIT_DAYS epoch-days (from the
+#: stream's own first day) are the "early" reference sample
+KS_SPLIT_DAYS = 14
+
+#: drift verdict threshold on the KS statistic, in ppm (0.10)
+KS_FLAG_PPM = 100_000
+
+_US_PER_DAY = 86_400_000_000
+
+
+def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test per event type:
+    is the VALUE DISTRIBUTION of the late cohort (after the first
+    ``KS_SPLIT_DAYS`` days) the same as the early cohort's? CUSUM
+    (above) watches volume drift; this watches the distribution itself —
+    the check that catches "same traffic, different payloads" shifts
+    (an upstream schema change, a new client version) that no count
+    monitor sees.
+
+    Exactness: KS = max_x |F1(x) − F2(x)| is evaluated only at observed
+    values, where ECDF differences are rationals — the statistic is
+    carried as the exact integer ``|cum1·n2 − cum2·n1|`` and reported in
+    ppm (``1e6·D div (n1·n2)``; int64-safe for cohorts up to ~3M rows per
+    type — past that the same plan runs on DECIMAL). No KS p-value: the
+    asymptotic critical value needs sqrt/exp, so the verdict is a plain
+    ppm threshold, cross-engine exact.
+
+    Scale: one (type, value) count aggregate (map-side combined; the
+    shuffled frame is the per-type value domain), then two ordered
+    windows per type over that domain frame and a final per-type max —
+    the per-type ordered window is the accepted SinglePartition-per-group
+    shape (``ccnet_quality_buckets`` precedent); a 100 TB deployment cuts
+    the domain with a two-pass quantile sketch instead."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    early = F.col("day") < F.col("d0") + KS_SPLIT_DAYS
+    grp = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.when(early, 1)).alias("c1"),
+            F.count(F.when(~early, 1)).alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    stepped = grp.select(
+        "event_type",
+        (F.sum("c1").over(w) * F.sum("c2").over(tot)
+         - F.sum("c2").over(w) * F.sum("c1").over(tot)).alias("diff"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_early"),
+            F.max("n2").alias("n_late"),
+            F.max(F.abs(F.col("diff"))).alias("d_scaled"),
+        )
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.expr("(1000000 * d_scaled) div (n_early * n_late)").alias(
+                "ks_ppm"
+            ),
+            F.expr(
+                f"(1000000 * d_scaled) div (n_early * n_late) > {KS_FLAG_PPM}"
+            ).alias("drifted"),
+        )
+    )
+
+
+ORACLES["ks_drift_report"] = f"""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) // {_US_PER_DAY} AS day
+      FROM events),
+    b AS (SELECT min(day) AS d0 FROM ev),
+    grp AS (
+      SELECT event_type, value,
+             count(CASE WHEN day < d0 + {KS_SPLIT_DAYS} THEN 1 END) AS c1,
+             count(CASE WHEN day >= d0 + {KS_SPLIT_DAYS} THEN 1 END) AS c2
+      FROM ev, b GROUP BY event_type, value),
+    stepped AS (
+      SELECT event_type,
+             sum(c1) OVER pw * sum(c2) OVER tw
+               - sum(c2) OVER pw * sum(c1) OVER tw AS diff,
+             sum(c1) OVER tw AS n1,
+             sum(c2) OVER tw AS n2
+      FROM grp
+      WINDOW pw AS (PARTITION BY event_type ORDER BY value
+                    ROWS UNBOUNDED PRECEDING),
+             tw AS (PARTITION BY event_type))
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_early,
+           CAST(max(n2) AS BIGINT) AS n_late,
+           CAST((1000000 * max(abs(diff))) // (max(n1) * max(n2)) AS BIGINT)
+             AS ks_ppm,
+           (1000000 * max(abs(diff))) // (max(n1) * max(n2)) > {KS_FLAG_PPM}
+             AS drifted
+    FROM stepped GROUP BY event_type
+"""
