@@ -689,6 +689,7 @@ def queries() -> dict[str, QueryFn]:
         "sq8_ranking_eval": similarity.sq8_ranking_eval,
         "classifier_calibration_report": classify.classifier_calibration_report,
         "ks_drift_report": changepoint.ks_drift_report,
+        "classifier_auc_report": classify.classifier_auc_report,
     }
 
 

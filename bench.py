@@ -170,6 +170,7 @@ HEADLINE = [
     "sq8_ranking_eval",  # SQ8 MRR/hit@10 vs exact-MIPS truth (integer scoring)
     "classifier_calibration_report",  # NB logit-decile label-rate table
     "ks_drift_report",  # exact two-sample KS drift per type (integer ppm)
+    "classifier_auc_report",  # exact tie-aware AUC (integer prefix-sum identity)
     # (image_phash / audio_fingerprint are deliberately NOT benched: each
     # is a strict sub-plan of its *_near_dup twin — decode+hash Arrow
     # stage with no join; video_keyframes is a sub-plan of the benched

@@ -250,3 +250,87 @@ ORACLES["classifier_calibration_report"] = f"""
            max(logit_nanonats) AS logit_hi
     FROM d GROUP BY decile
 """
+
+
+def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row EXACT ROC-AUC for the NB classifier — the Mann–Whitney
+    identity with full tie handling: AUC = (#{pos>neg pairs} +
+    ½·#{tied pairs}) / (n_pos·n_neg), carried doubled
+    (``auc2 = Σ_g np_g·(2·nn_below + nn_g)`` over distinct-logit groups
+    g ordered ascending) so every intermediate is an exact integer; the
+    report emits ``auc_ppb = 1e9·auc2 div (2·n_pos·n_neg)``. Beside the
+    decile table (``classifier_calibration_report``) this is the scalar
+    ranking metric — threshold-free, unlike ``is_pos_pred``'s sign cut.
+
+    Int64 bound: 1e9·auc2 ≤ 2e9·n_pos·n_neg must fit — safe to ~2M
+    positives × 2M negatives; past that the same plan runs on DECIMAL.
+
+    Scale: one (logit → np, nn) aggregate over the scored frame (the
+    shuffled frame is the distinct-logit domain), one ordered prefix-sum
+    window over that domain (the ``ks_drift_report`` /
+    ``shard_plan_tokens`` SinglePartition shape — two-stage prefix sum
+    at 100 TB), one scalar aggregate."""
+    from pyspark.sql import Window
+
+    scores = nb_classifier_scores(spark, sf_dir).select(
+        "doc_id", "logit_nanonats"
+    )
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang") == NB_POS_LANG, F.lit(False)).alias("pos"),
+    )
+    g = (
+        scores.join(lab, "doc_id")
+        .groupBy("logit_nanonats")
+        .agg(
+            F.count(F.when(F.col("pos"), 1)).alias("np"),
+            F.count(F.when(~F.col("pos"), 1)).alias("nn"),
+        )
+    )
+    w = Window.orderBy("logit_nanonats").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = g.select(
+        "np",
+        "nn",
+        (F.sum("nn").over(w) - F.col("nn")).alias("nn_below"),
+    )
+    return stepped.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("nn_below") + F.col("nn"))).alias(
+            "auc2"
+        ),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc2",
+        F.expr("(1000000000 * auc2) div (2 * n_pos * n_neg)").alias(
+            "auc_ppb"
+        ),
+    )
+
+
+ORACLES["classifier_auc_report"] = f"""
+    WITH s AS ({_NB_SCORES_SQL}),
+    lab AS (
+      SELECT doc_id, coalesce(lang = '{NB_POS_LANG}', FALSE) AS pos
+      FROM documents),
+    g AS (
+      SELECT s.logit_nanonats,
+             count(CASE WHEN lab.pos THEN 1 END) AS np,
+             count(CASE WHEN NOT lab.pos THEN 1 END) AS nn
+      FROM s JOIN lab USING (doc_id)
+      GROUP BY s.logit_nanonats),
+    stepped AS (
+      SELECT np, nn,
+             sum(nn) OVER (ORDER BY logit_nanonats
+                           ROWS UNBOUNDED PRECEDING) - nn AS nn_below
+      FROM g)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS auc2,
+           CAST((1000000000 * sum(np * (2 * nn_below + nn)))
+                  // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppb
+    FROM stepped
+"""

@@ -393,3 +393,33 @@ def test_ks_is_zero_on_identical_cohorts(spark, sf_dir):
         .count()
     )
     assert w_rows == 0
+
+
+# --- classifier_auc_report --------------------------------------------------------
+
+
+def test_auc_matches_pairwise_bruteforce(spark, sf_dir):
+    """AUC recomputed from the O(n_pos·n_neg) pairwise definition with
+    explicit half-credit ties — the Mann–Whitney prefix-sum identity the
+    operator uses must agree exactly."""
+    from pulsar_topic_deduplicator_spark.operators import classify
+    from pulsar_topic_deduplicator_spark.operators.classify import NB_POS_LANG
+
+    scores = {
+        r.doc_id: r.logit_nanonats
+        for r in classify.nb_classifier_scores(spark, sf_dir).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    pos = [scores[d] for d in scores if lang[d] == NB_POS_LANG]
+    neg = [scores[d] for d in scores if lang[d] != NB_POS_LANG]
+    auc2 = sum(
+        2 if p > n_ else 1 if p == n_ else 0 for p in pos for n_ in neg
+    )
+    row = classify.classifier_auc_report(spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc2) == (len(pos), len(neg), auc2)
+    assert row.auc_ppb == 10**9 * auc2 // (2 * len(pos) * len(neg))
+    # the model must rank better than chance on its own training signal
+    assert row.auc_ppb > 500_000_000
