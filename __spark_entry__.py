@@ -690,6 +690,9 @@ def queries() -> dict[str, QueryFn]:
         "classifier_calibration_report": classify.classifier_calibration_report,
         "ks_drift_report": changepoint.ks_drift_report,
         "classifier_auc_report": classify.classifier_auc_report,
+        "classifier_pr_report": classify.classifier_pr_report,
+        "gini_revenue_report": analytics.gini_revenue_report,
+        "acf_event_counts": changepoint.acf_event_counts,
     }
 
 

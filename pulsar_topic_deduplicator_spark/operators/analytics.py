@@ -1024,3 +1024,107 @@ ORACLES["rolling_active_users"] = f"""
     LEFT JOIN dau d ON d.day = g.day
     LEFT JOIN wau w ON w.day = g.day
 """
+
+
+def gini_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row EXACT revenue-concentration readout over the customer
+    base: Gini coefficient and top-decile revenue share, both integer
+    ppb. Gini comes from the sorted-rank identity ``G = (2·Σ i·x_i −
+    (n+1)·Σx) / (n·Σx)`` (x ascending, i = 1..n) — every intermediate an
+    exact integer (cents), no pairwise |x_i − x_j| expansion. The
+    concentration watch beside ``key_skew_report``'s partition-skew
+    lens: same corpus, economic rather than physical skew.
+
+    Exactness: revenue accumulates in decimal(12,2) (``relational.dec2``
+    discipline) then converts to BIGINT cents; Σ i·x_i stays int64 to
+    n·Σx ≈ 5e16 at sf0.1 (past ~sf100 the same plan runs the T sum on
+    DECIMAL); both ppb ratios are computed in DECIMAL(38,0) because the
+    1e9·numerators overflow int64 first. Rank ties share equal x, so
+    Σ i·x_i is tie-order invariant; ordering is pinned (cents, custkey)
+    anyway. Numerator ≥ 0 for ascending x, so floor (DuckDB ``//``) and
+    truncation (Spark ``div``) agree. "Top decile" = the n div 10
+    highest-revenue customers (exactly the ranks above n − n div 10).
+
+    Scale: one (custkey) revenue aggregate (map-side combined; the
+    shuffled frame is the customer domain), ONE ordered prefix window
+    over that domain — the accepted SinglePartition-over-aggregate
+    shape (``shard_plan_tokens`` precedent; a 100 TB run swaps in the
+    same two-stage distributed prefix sum), one scalar aggregate."""
+    from .relational import dec2
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(dec2("o_totalprice")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    tot = Window.partitionBy()
+    flagged = (
+        rev.select(
+            "cents",
+            F.row_number().over(w).alias("i"),
+            F.count(F.lit(1)).over(tot).alias("n"),
+        )
+        # the n div 10 top-ranked customers — i and n both BIGINT
+        .withColumn("is_top", F.expr("i > n - n div 10"))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("t"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_top"), F.col("cents"))),
+            F.lit(0).cast("long"),
+        ).alias("top_cents"),
+    ).select(
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CASE WHEN total_cents = 0 THEN NULL ELSE CAST("
+            "(1000000000 * CAST(2 * t - (n_customers + 1) * total_cents"
+            " AS DECIMAL(38,0)))"
+            " div (CAST(n_customers AS DECIMAL(38,0))"
+            "      * CAST(total_cents AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("gini_ppb"),
+        F.expr(
+            "CASE WHEN total_cents = 0 THEN NULL ELSE CAST("
+            "(1000000000 * CAST(top_cents AS DECIMAL(38,0)))"
+            " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT) END"
+        ).alias("top_decile_share_ppb"),
+    )
+
+
+ORACLES["gini_revenue_report"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM rev),
+    agg AS (
+      SELECT count(*) AS n_customers,
+             sum(cents) AS total_cents,
+             sum(i * cents) AS t,
+             coalesce(sum(CASE WHEN i > n - n // 10 THEN cents END), 0)
+               AS top_cents
+      FROM ranked)
+    SELECT CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CASE WHEN total_cents = 0 THEN NULL
+                ELSE CAST((1000000000 *
+                           (2 * t - (n_customers + 1) * total_cents))
+                          // (n_customers * total_cents) AS BIGINT) END
+             AS gini_ppb,
+           CASE WHEN total_cents = 0 THEN NULL
+                ELSE CAST((1000000000 * top_cents) // total_cents AS BIGINT)
+                END AS top_decile_share_ppb
+    FROM agg
+"""

@@ -254,3 +254,144 @@ ORACLES["ks_drift_report"] = f"""
              AS drifted
     FROM stepped GROUP BY event_type
 """
+
+
+#: ACF lags reported (hours). Shared verbatim by the oracle.
+ACF_MAX_LAG = 6
+
+
+def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag-k autocorrelation of the hourly event-count series per
+    event type, k = 1..``ACF_MAX_LAG`` — the periodicity lens beside
+    CUSUM's level watch and KS's distribution watch: a daily-cycle
+    corpus shows the signature positive ridge, and a drifting one decays
+    slowly. ``acf_r2_ppb`` is the SIGNED squared Pearson correlation of
+    (x_t, x_{t+k}) pairs in integer ppb — squared because Pearson's
+    denominator needs a sqrt that would break cross-engine exactness;
+    the square is the exact rational num²/(den_x·den_y), and the sign
+    carries the direction.
+
+    Unlike CUSUM's observed-bucket frame, the series here is ZERO-FILLED
+    over the global [min,max] hour span (coverage-explode grid, the
+    ``rolling_active_users`` idiom) — autocorrelation over a gappy index
+    would silently splice non-adjacent hours together.
+
+    Exactness: counts are integers; m·Σxy − Σx·Σy stays int64 to ~3e9
+    hours·counts (far past sf1); num² and den_x·den_y run in
+    DECIMAL(38,0) (num ~5e9 at sf0.1 already overflows int64 when
+    squared). num² ≥ 0, so floor and truncation agree; the sign is a
+    separate integer CASE. Constant series (den = 0) emit NULL.
+
+    Scale: one (type, hour) count aggregate (map-side combined — the
+    corpus collapses to types × hours), a broadcast span join, then ONE
+    per-type ordered window producing all six leads in a single pass
+    (types × hours frame, KB–MB), a 6-way ``stack`` and a (type, lag)
+    aggregate. Nothing corpus-sized is shuffled twice."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"),
+    )
+    counts = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    filled = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("c", F.lit(0).cast("long")).alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    leads = filled.select(
+        "event_type",
+        "x",
+        *[
+            F.lead("x", k).over(w).alias(f"y{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, y{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    pairs = leads.select(
+        "event_type",
+        "x",
+        F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag_h, y)"),
+    ).filter(F.col("y").isNotNull())
+    g = pairs.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return g.select(
+        "event_type",
+        "lag_h",
+        F.col("m").alias("n_pairs"),
+        F.expr(
+            "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
+            "THEN NULL ELSE "
+            "(CASE WHEN m * sxy - sx * sy < 0 THEN -1 "
+            " WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END) * CAST("
+            "(1000000000 * CAST(m * sxy - sx * sy AS DECIMAL(38,0))"
+            " * CAST(m * sxy - sx * sy AS DECIMAL(38,0)))"
+            " div (CAST(m * sxx - sx * sx AS DECIMAL(38,0))"
+            "      * CAST(m * syy - sy * sy AS DECIMAL(38,0)))"
+            " AS BIGINT) END"
+        ).alias("acf_r2_ppb"),
+    )
+
+
+ORACLES["acf_event_counts"] = """
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // {us_per_hour} AS h FROM events),
+    counts AS (
+      SELECT event_type, h, count(*) AS c FROM ev GROUP BY event_type, h),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM counts),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM counts) t,
+           (SELECT unnest(generate_series(h0, h1)) AS h FROM b) g),
+    filled AS (
+      SELECT grid.event_type, grid.h,
+             coalesce(c, CAST(0 AS BIGINT)) AS x
+      FROM grid LEFT JOIN counts
+        ON counts.event_type = grid.event_type AND counts.h = grid.h),
+    pairs AS (
+      -- the grid is contiguous, so the lag-k successor is EXACTLY h + k
+      SELECT f1.event_type, k.lag_h, f1.x, f2.x AS y
+      FROM filled f1
+      JOIN generate_series(1, {max_lag}) AS k(lag_h) ON TRUE
+      JOIN filled f2
+        ON f2.event_type = f1.event_type AND f2.h = f1.h + k.lag_h),
+    g AS (
+      SELECT event_type, lag_h, count(*) AS m,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY event_type, lag_h)
+    SELECT event_type, CAST(lag_h AS INTEGER) AS lag_h,
+           CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN NULL ELSE
+             (CASE WHEN m * sxy - sx * sy < 0 THEN -1
+                   WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END)
+             * CAST((1000000000
+                     * CAST(m * sxy - sx * sy AS HUGEINT)
+                     * CAST(m * sxy - sx * sy AS HUGEINT))
+                    // (CAST(m * sxx - sx * sx AS HUGEINT)
+                        * CAST(m * syy - sy * sy AS HUGEINT)) AS BIGINT)
+           END AS acf_r2_ppb
+    FROM g
+""".format(us_per_hour=_US_PER_HOUR, max_lag=ACF_MAX_LAG)

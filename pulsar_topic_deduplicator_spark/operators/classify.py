@@ -334,3 +334,89 @@ ORACLES["classifier_auc_report"] = f"""
                   // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppb
     FROM stepped
 """
+
+
+def classifier_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row confusion matrix + threshold metrics for the NB
+    classifier at its operating point (``is_pos_pred`` = logit > 0):
+    exact BIGINT ``tp/fp/fn/tn`` and integer-ppb precision, recall, F1
+    and accuracy (``f1 = 2·tp / (2·tp + fp + fn)`` — the harmonic mean
+    without ever leaving integers). Beside the threshold-free AUC
+    (``classifier_auc_report``) and the decile calibration table, this
+    is the fixed-cutoff readout — the number a gating deployment of the
+    classifier (quality filter keep/drop) actually operates at.
+
+    Domain: scored documents only (NULL-text docs carry no evidence and
+    are absent from the scores frame in both engines). Zero-denominator
+    cells (no predicted / no actual positives) emit NULL ppb, mirrored
+    by the oracle's CASE.
+
+    Scale: reuses the scored frame (one classifier pass), one broadcast
+    label join keyed on doc_id, ONE final scalar aggregate — nothing
+    here adds a shuffle beyond the classifier's own."""
+    scores = nb_classifier_scores(spark, sf_dir).select(
+        "doc_id", "is_pos_pred"
+    )
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang") == NB_POS_LANG, F.lit(False)).alias("pos"),
+    )
+    j = scores.join(lab, "doc_id")
+    cell = lambda p, a: F.count(  # noqa: E731
+        F.when((F.col("is_pos_pred") == p) & (F.col("pos") == a), 1)
+    )
+    return j.agg(
+        cell(True, True).alias("tp"),
+        cell(True, False).alias("fp"),
+        cell(False, True).alias("fn"),
+        cell(False, False).alias("tn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL "
+            "ELSE (1000000000 * tp) div (tp + fp) END"
+        ).alias("precision_ppb"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN NULL "
+            "ELSE (1000000000 * tp) div (tp + fn) END"
+        ).alias("recall_ppb"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL "
+            "ELSE (2000000000 * tp) div (2 * tp + fp + fn) END"
+        ).alias("f1_ppb"),
+        F.expr(
+            "(1000000000 * (tp + tn)) div (tp + fp + fn + tn)"
+        ).alias("accuracy_ppb"),
+    )
+
+
+ORACLES["classifier_pr_report"] = f"""
+    WITH s AS ({_NB_SCORES_SQL}),
+    lab AS (
+      SELECT doc_id, coalesce(lang = '{NB_POS_LANG}', FALSE) AS pos
+      FROM documents),
+    cm AS (
+      SELECT
+        count(CASE WHEN s.is_pos_pred AND lab.pos THEN 1 END) AS tp,
+        count(CASE WHEN s.is_pos_pred AND NOT lab.pos THEN 1 END) AS fp,
+        count(CASE WHEN NOT s.is_pos_pred AND lab.pos THEN 1 END) AS fn,
+        count(CASE WHEN NOT s.is_pos_pred AND NOT lab.pos THEN 1 END) AS tn
+      FROM s JOIN lab USING (doc_id))
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST((1000000000 * tp) // (tp + fp) AS BIGINT) END
+             AS precision_ppb,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST((1000000000 * tp) // (tp + fn) AS BIGINT) END
+             AS recall_ppb,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST((2000000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
+                END AS f1_ppb,
+           CAST((1000000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_ppb
+    FROM cm
+"""

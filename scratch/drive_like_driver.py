@@ -76,3 +76,5 @@ for name in [
 ]:
     print("SF01", name, qs[name](spark, "/root/testdata/sf0.1").count())
 spark.stop()
+print("DRIVER-SIM FINAL mismatches:", mismatch)
+sys.exit(1 if mismatch else 0)

@@ -1,0 +1,162 @@
+"""Round-11 LATE additions, second wave: semantics pins beyond the
+automatic DuckDB-parity gate for the new eval/analytics entries
+(``classifier_pr_report`` first; siblings appended as they land)."""
+
+from __future__ import annotations
+
+from pulsar_topic_deduplicator_spark.operators import classify
+from pulsar_topic_deduplicator_spark.operators.classify import (
+    NB_POS_LANG,
+    nb_classifier_scores,
+)
+from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+
+# --- classifier_pr_report ----------------------------------------------------
+
+
+def test_pr_report_matches_bruteforce_confusion(spark, sf_dir):
+    """tp/fp/fn/tn must equal a row-by-row Python replay of the scored
+    frame against the language labels, and the ppb metrics must be the
+    exact integer ratios of those cells."""
+    preds = {
+        r.doc_id: bool(r.is_pos_pred)
+        for r in nb_classifier_scores(spark, sf_dir).collect()
+    }
+    labels = {
+        r.doc_id: r.lang == NB_POS_LANG
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    tp = fp = fn = tn = 0
+    for d, p in preds.items():
+        a = labels[d]
+        tp += p and a
+        fp += p and not a
+        fn += (not p) and a
+        tn += (not p) and (not a)
+    row = classify.classifier_pr_report(spark, sf_dir).collect()[0]
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    assert row.precision_ppb == (
+        None if tp + fp == 0 else (1_000_000_000 * tp) // (tp + fp)
+    )
+    assert row.recall_ppb == (
+        None if tp + fn == 0 else (1_000_000_000 * tp) // (tp + fn)
+    )
+    assert row.f1_ppb == (
+        None if 2 * tp + fp + fn == 0
+        else (2_000_000_000 * tp) // (2 * tp + fp + fn)
+    )
+    assert row.accuracy_ppb == (1_000_000_000 * (tp + tn)) // (
+        tp + fp + fn + tn
+    )
+
+
+def test_pr_report_cells_cover_scored_domain(spark, sf_dir):
+    """The four cells must partition exactly the SCORED documents (the
+    NULL-text docs carry no word evidence and are absent by design)."""
+    n_scored = nb_classifier_scores(spark, sf_dir).count()
+    row = classify.classifier_pr_report(spark, sf_dir).collect()[0]
+    assert row.tp + row.fp + row.fn + row.tn == n_scored
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert n_scored <= n_docs
+
+
+# --- gini_revenue_report -----------------------------------------------------
+
+
+def test_gini_matches_bruteforce_pairwise(spark, sf_dir):
+    """The rank-identity Gini must equal the textbook pairwise mean
+    absolute difference definition G = Σ|x_i − x_j| / (2·n·Σx), computed
+    O(n²) in Python over exact integer cents."""
+    from decimal import Decimal
+
+    from pulsar_topic_deduplicator_spark.operators import analytics
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg({"o_totalprice": "collect_list"})
+        .collect()
+    )
+    cents = [
+        int(sum(Decimal(str(v)) for v in r[1]) * 100) for r in rows
+    ]
+    n, s = len(cents), sum(cents)
+    mad = sum(abs(a - b) for a in cents for b in cents)  # includes i==j (0)
+    want_gini = (1_000_000_000 * mad) // (2 * n * s)
+    top = sorted(cents)[n - n // 10:]
+    want_top = (1_000_000_000 * sum(top)) // s
+    got = analytics.gini_revenue_report(spark, sf_dir).collect()[0]
+    assert got.n_customers == n and got.total_cents == s
+    assert got.gini_ppb == want_gini
+    assert got.top_decile_share_ppb == want_top
+
+
+def test_gini_bounds(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import analytics
+
+    r = analytics.gini_revenue_report(spark, sf_dir).collect()[0]
+    assert 0 <= r.gini_ppb < 1_000_000_000
+    # the top decile cannot hold less than a tenth of revenue
+    assert r.top_decile_share_ppb >= 100_000_000
+
+
+# --- acf_event_counts --------------------------------------------------------
+
+
+def test_acf_matches_bruteforce_series_replay(spark, sf_dir):
+    """Rebuild the zero-filled hourly series per type in Python and
+    recompute the signed-r² ppb with exact big-int arithmetic."""
+    from collections import Counter
+
+    from pulsar_topic_deduplicator_spark.operators import changepoint
+    from pulsar_topic_deduplicator_spark.operators.changepoint import (
+        ACF_MAX_LAG,
+        _US_PER_HOUR,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    cnt: Counter = Counter()
+    for r in ev:
+        h = int((r.ts - epoch).total_seconds() * 1_000_000) // _US_PER_HOUR
+        cnt[(r.event_type, h)] += 1
+    h0 = min(h for _, h in cnt)
+    h1 = max(h for _, h in cnt)
+    want = {}
+    for t in {t for t, _ in cnt}:
+        xs = [cnt.get((t, h), 0) for h in range(h0, h1 + 1)]
+        for k in range(1, ACF_MAX_LAG + 1):
+            a, b = xs[:-k], xs[k:]
+            m = len(a)
+            num = m * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
+            d1 = m * sum(x * x for x in a) - sum(a) ** 2
+            d2 = m * sum(y * y for y in b) - sum(b) ** 2
+            if d1 == 0 or d2 == 0:
+                want[(t, k)] = (m, None)
+            else:
+                sign = -1 if num < 0 else (1 if num > 0 else 0)
+                want[(t, k)] = (m, sign * ((10**9 * num * num) // (d1 * d2)))
+    got = {
+        (r.event_type, r.lag_h): (r.n_pairs, r.acf_r2_ppb)
+        for r in changepoint.acf_event_counts(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_acf_lag_zero_would_be_unity_and_grid_is_common(spark, sf_dir):
+    """Sanity invariants: every type reports all lags over the SAME
+    global span (n_pairs identical across types per lag, stepping down
+    by exactly one per extra lag)."""
+    from pulsar_topic_deduplicator_spark.operators import changepoint
+
+    rows = changepoint.acf_event_counts(spark, sf_dir).collect()
+    by_lag = {}
+    for r in rows:
+        by_lag.setdefault(r.lag_h, set()).add(r.n_pairs)
+    assert all(len(v) == 1 for v in by_lag.values()), by_lag
+    ns = {k: v.pop() for k, v in by_lag.items()}
+    ks = sorted(ns)
+    assert all(ns[k] == ns[ks[0]] - (k - ks[0]) for k in ks)
+    for r in rows:
+        assert r.acf_r2_ppb is None or -10**9 <= r.acf_r2_ppb <= 10**9
