@@ -693,6 +693,8 @@ def queries() -> dict[str, QueryFn]:
         "classifier_pr_report": classify.classifier_pr_report,
         "gini_revenue_report": analytics.gini_revenue_report,
         "acf_event_counts": changepoint.acf_event_counts,
+        "common_neighbor_links": graph.common_neighbor_links,
+        "source_entropy_report": curation.source_entropy_report,
     }
 
 

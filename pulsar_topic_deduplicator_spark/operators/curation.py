@@ -1346,3 +1346,80 @@ ORACLES["span_corruption_masks"] = f"""
            array_to_string(masked, ' ') AS masked_text
     FROM clipped
 """
+
+
+def source_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Shannon-entropy readout of the corpus SOURCE MIXTURE —
+    the diversity scalar behind ``token_budget_mixture`` /
+    ``cap_docs_per_source``: how evenly is the corpus spread over its
+    sources? ``entropy_nanonats`` is H = Σ pᵢ·ln(1/pᵢ) in integer
+    nano-nats; ``evenness_ppb`` is H / ln(k) (Pielou's evenness, 1.0 =
+    perfectly uniform mixture) in integer ppb. A data-mixing pipeline
+    watches this number drift as new crawls land: a collapsing evenness
+    means one source is swallowing the budget.
+
+    Exactness: the NB-classifier discipline (``classify._nanonat_ln``) —
+    each ln(N/cᵢ) is rounded ONCE to integer nano-nats (both engines
+    round the same libm double), then H accumulates as the exact BIGINT
+    Σ cᵢ·lnᵢ div N; ln(k) gets the same single rounding. k = 1 (single
+    source, H = 0, evenness undefined) emits NULL ppb.
+
+    Scale: ONE (source) count aggregate — map-side combined, the
+    shuffled frame is the source domain (tens of rows) — then one scalar
+    aggregate over it. Nothing else touches the corpus."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy()
+    terms = c.select(
+        "c",
+        F.sum("c").over(tot).alias("n"),
+        F.count(F.lit(1)).over(tot).alias("k"),
+    ).select(
+        "c",
+        "n",
+        "k",
+        (
+            F.col("c")
+            * F.round(
+                F.ln(F.col("n").cast("double") / F.col("c").cast("double"))
+                * 1e9,
+                0,
+            ).cast("long")
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.max("n").alias("n_docs"),
+        F.max("k").alias("n_sources"),
+        F.expr("sum(term) div max(n)").alias("entropy_nanonats"),
+        F.expr(
+            "CASE WHEN max(k) = 1 THEN NULL ELSE "
+            "(1000000000 * (sum(term) div max(n)))"
+            " div CAST(round(ln(CAST(max(k) AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+            " END"
+        ).alias("evenness_ppb"),
+    )
+
+
+ORACLES["source_entropy_report"] = """
+    WITH c AS (
+      SELECT source, count(*) AS c FROM documents GROUP BY source),
+    terms AS (
+      SELECT c,
+             sum(c) OVER () AS n,
+             count(*) OVER () AS k,
+             c * CAST(round(ln(CAST(sum(c) OVER () AS DOUBLE)
+                               / CAST(c AS DOUBLE)) * 1e9, 0) AS BIGINT)
+               AS term
+      FROM c)
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(k) AS BIGINT) AS n_sources,
+           CAST(sum(term) // max(n) AS BIGINT) AS entropy_nanonats,
+           CASE WHEN max(k) = 1 THEN NULL ELSE
+             CAST((1000000000 * (sum(term) // max(n)))
+                  // CAST(round(ln(CAST(max(k) AS DOUBLE)) * 1e9, 0)
+                          AS BIGINT) AS BIGINT) END AS evenness_ppb
+    FROM terms
+"""

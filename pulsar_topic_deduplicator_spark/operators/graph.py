@@ -755,3 +755,106 @@ def _kcore_oracle() -> str:
 
 
 ORACLES["kcore_membership"] = _kcore_oracle()
+
+
+#: link-prediction readout size and the heavy-hitter part cap. A part
+#: supplied by d suppliers contributes C(d,2) candidate pairs — the cap
+#: bounds the per-key explosion exactly like LSH band caps do (inert on
+#: the fixtures, where max part degree is 41). Shared by the oracle.
+LINKPRED_TOP_K = 100
+LINKPRED_MAX_PART_DEG = 1024
+
+
+def common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier co-supply graph: the top
+    ``LINKPRED_TOP_K`` supplier pairs ranked by common-neighbor count
+    (shared distinct parts), with each side's part-degree and the exact
+    integer-ppb Jaccard of their part sets. The classic
+    common-neighbors / Jaccard link-prediction pair (Liben-Nowell &
+    Kleinberg 2003) — recommendation candidates ("suppliers like
+    yours") over the same bipartite graph the PageRank/HITS/k-core tier
+    walks, but predicting EDGES rather than scoring nodes. All-integer,
+    so fully oracle-able, unlike the ln-weighted Adamic–Adar variant.
+
+    Scale: one distinct projection of (part, supplier) — single shuffle
+    on the pair; per-part supplier lists are degree-bounded
+    (``LINKPRED_MAX_PART_DEG`` drops heavy-hitter parts BEFORE the
+    within-part pair explosion, the banded-LSH cap discipline), so the
+    candidate frame is Σ C(deg_p, 2) — never all supplier pairs. Degrees
+    join back via broadcast (the supplier domain is KB–MB). The top-k is
+    a TakeOrderedAndProject with the total tie-break (common DESC,
+    s_a, s_b) — no global sort materialized."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    deg = ps.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    part_deg = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("pdeg")
+    )
+    bounded = ps.join(
+        part_deg.filter(F.col("pdeg") <= LINKPRED_MAX_PART_DEG),
+        "l_partkey",
+    )
+    a = bounded.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s_a")
+    )
+    b = bounded.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s_b")
+    )
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(deg.withColumnsRenamed({"l_suppkey": "s_a", "deg": "deg_a"})),
+            "s_a",
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"l_suppkey": "s_b", "deg": "deg_b"})),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(1000000000 * common) div (deg_a + deg_b - common)"
+            ).alias("jaccard_ppb"),
+        )
+    )
+    return enriched.orderBy(
+        F.col("common").desc(), "s_a", "s_b"
+    ).limit(LINKPRED_TOP_K)
+
+
+ORACLES["common_neighbor_links"] = f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    deg AS (SELECT s, count(*) AS deg FROM ps GROUP BY s),
+    pdeg AS (SELECT p, count(*) AS pdeg FROM ps GROUP BY p),
+    bounded AS (
+      SELECT ps.p, ps.s FROM ps JOIN pdeg USING (p)
+      WHERE pdeg <= {LINKPRED_MAX_PART_DEG}),
+    pairs AS (
+      SELECT a.s AS s_a, b.s AS s_b, count(*) AS common
+      FROM bounded a JOIN bounded b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT pairs.s_a, pairs.s_b,
+           CAST(common AS BIGINT) AS common,
+           CAST(da.deg AS BIGINT) AS deg_a,
+           CAST(db.deg AS BIGINT) AS deg_b,
+           CAST((1000000000 * common) // (da.deg + db.deg - common)
+                AS BIGINT) AS jaccard_ppb
+    FROM pairs
+    JOIN deg da ON da.s = pairs.s_a
+    JOIN deg db ON db.s = pairs.s_b
+    ORDER BY common DESC, pairs.s_a, pairs.s_b
+    LIMIT {LINKPRED_TOP_K}
+"""

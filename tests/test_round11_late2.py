@@ -160,3 +160,78 @@ def test_acf_lag_zero_would_be_unity_and_grid_is_common(spark, sf_dir):
     assert all(ns[k] == ns[ks[0]] - (k - ks[0]) for k in ks)
     for r in rows:
         assert r.acf_r2_ppb is None or -10**9 <= r.acf_r2_ppb <= 10**9
+
+
+# --- common_neighbor_links ---------------------------------------------------
+
+
+def test_linkpred_matches_bruteforce_sets(spark, sf_dir):
+    """Common counts, degrees and Jaccard ppb must equal a Python
+    set-algebra replay over the distinct (part, supplier) projection;
+    the top-k cut must follow the total order (common DESC, s_a, s_b)."""
+    from collections import defaultdict
+
+    from pulsar_topic_deduplicator_spark.operators import graph
+    from pulsar_topic_deduplicator_spark.operators.graph import (
+        LINKPRED_MAX_PART_DEG,
+        LINKPRED_TOP_K,
+    )
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    parts_of = defaultdict(set)
+    supps_of = defaultdict(set)
+    for r in ps:
+        parts_of[r.l_suppkey].add(r.l_partkey)
+        supps_of[r.l_partkey].add(r.l_suppkey)
+    pair_common: defaultdict = defaultdict(int)
+    for p, ss in supps_of.items():
+        if len(ss) > LINKPRED_MAX_PART_DEG:
+            continue
+        ss = sorted(ss)
+        for i, sa in enumerate(ss):
+            for sb in ss[i + 1:]:
+                pair_common[(sa, sb)] += 1
+    ranked = sorted(
+        pair_common.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:LINKPRED_TOP_K]
+    got = graph.common_neighbor_links(spark, sf_dir).collect()
+    assert len(got) == min(LINKPRED_TOP_K, len(pair_common))
+    for row, ((sa, sb), common) in zip(got, ranked):
+        da, db = len(parts_of[sa]), len(parts_of[sb])
+        assert (row.s_a, row.s_b, row.common) == (sa, sb, common)
+        assert (row.deg_a, row.deg_b) == (da, db)
+        assert row.jaccard_ppb == (10**9 * common) // (da + db - common)
+
+
+# --- source_entropy_report ---------------------------------------------------
+
+
+def test_source_entropy_matches_bruteforce(spark, sf_dir):
+    """H and evenness replayed in Python with the same single-rounding
+    nano-nat discipline; entropy must sit within [0, ln k] and evenness
+    within [0, 1] ppb."""
+    from collections import Counter
+    from math import log
+
+    from pulsar_topic_deduplicator_spark.operators import curation
+
+    srcs = Counter(
+        r.source
+        for r in load_table(spark, sf_dir, "documents").collect()
+    )
+    n = sum(srcs.values())
+    k = len(srcs)
+    h = sum(c * round(log(n / c) * 1e9) for c in srcs.values()) // n
+    even = (10**9 * h) // round(log(k) * 1e9) if k > 1 else None
+    row = curation.source_entropy_report(spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.n_sources) == (n, k)
+    assert row.entropy_nanonats == h
+    assert row.evenness_ppb == even
+    assert 0 <= row.entropy_nanonats <= round(log(max(k, 2)) * 1e9)
+    if even is not None:
+        assert 0 <= row.evenness_ppb <= 10**9
