@@ -176,6 +176,12 @@ HEADLINE = [
     # stage with no join; video_keyframes is a sub-plan of the benched
     # scene machinery and media_dup_overview re-runs all three benched
     # pair tiers)
+    # round-11 second LATE wave
+    "classifier_pr_report",  # fixed-cutoff confusion matrix + P/R/F1 ppb
+    "gini_revenue_report",  # revenue Gini + top-decile share (rank identity)
+    "acf_event_counts",  # lag-k signed-r² autocorrelation (zero-filled grid)
+    "common_neighbor_links",  # co-supply link prediction (capped pair explode)
+    "source_entropy_report",  # mixture Shannon entropy + evenness (nanonat ln)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).
