@@ -695,6 +695,7 @@ def queries() -> dict[str, QueryFn]:
         "acf_event_counts": changepoint.acf_event_counts,
         "common_neighbor_links": graph.common_neighbor_links,
         "source_entropy_report": curation.source_entropy_report,
+        "kmeans_silhouette": clustering.kmeans_silhouette,
     }
 
 

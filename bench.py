@@ -182,6 +182,7 @@ HEADLINE = [
     "acf_event_counts",  # lag-k signed-r² autocorrelation (zero-filled grid)
     "common_neighbor_links",  # co-supply link prediction (capped pair explode)
     "source_entropy_report",  # mixture Shannon entropy + evenness (nanonat ln)
+    "kmeans_silhouette",  # per-cluster silhouette eval (argmin ⇒ nonneg ratio)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

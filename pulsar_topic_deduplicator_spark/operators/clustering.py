@@ -208,3 +208,95 @@ ORACLES: dict[str, str] = {
         SELECT k, dim, CAST(c AS BIGINT) AS c FROM cent{KMEANS_ROUNDS}
     """,
 }
+
+
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster EXACT silhouette readout for the trained k-means
+    model — the clustering tier's quality eval beside the NB
+    classifier's AUC/PR and SQ8's ranking eval: every model family the
+    engine trains gets a checked number. Centroid-based silhouette on
+    SQUARED micro-unit distances: per vector, a = distance to its
+    assigned centroid, b = distance to the runner-up; s = (b − a) /
+    max(a, b) in integer ppb. The model is evaluated AS DEPLOYED — the
+    final-round assignment against the centroids that produced it
+    (``cent_{R-1}``) — so a is the argmin by construction, b ≥ a, every
+    numerator is non-negative, and floor (DuckDB ``//``) agrees with
+    truncation (Spark ``div``). A low mean_sil_ppb cluster is a merge
+    candidate; a high one is well-separated.
+
+    Exactness: distances are exact BIGINT (≤ 64·(1e6)² ≈ 6.4e13);
+    1e9·(b − a) overflows int64, so the ppb ratio runs in DECIMAL(38,0)
+    / HUGEINT. Degenerate a = b = 0 (vector equal to two centroids)
+    emits s = 0 in both engines.
+
+    Scale: the Lloyd loop's own cost (R − 1 rounds) + ONE more
+    broadcast-join distance pass — the per-(vec, k) partial aggregate is
+    the same K×-inflation stage every round pays; the rank-2 window runs
+    per vec_id over K rows. Per-cluster rollup is a K-row aggregate."""
+    from pyspark.sql import Window
+
+    q = persist_scoped(_quantized(spark, sf_dir))
+    cents = _seed_centroids(q)
+    for _ in range(KMEANS_ROUNDS - 1):
+        assign = _assign(q, cents)
+        cents = _update(q, assign, cents)
+    d = F.col("q") - F.col("c")
+    per_k = (
+        q.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(d * d).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "k")
+    ranked = per_k.select(
+        "vec_id", "k", "dist", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("k"))).alias("cluster_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
+    )
+    s = ab.select(
+        "cluster_id",
+        F.expr(
+            "CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST((1000000000 * CAST(b - a AS DECIMAL(38,0)))"
+            " div CAST(greatest(a, b) AS DECIMAL(38,0)) AS BIGINT) END"
+        ).alias("s_ppb"),
+    )
+    return s.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr("sum(s_ppb) div count(1)").alias("mean_sil_ppb"),
+        F.min("s_ppb").alias("min_sil_ppb"),
+        F.max("s_ppb").alias("max_sil_ppb"),
+    )
+
+
+ORACLES["kmeans_silhouette"] = f"""
+    WITH {_kmeans_cte()},
+    perk AS (
+      SELECT q.vec_id, c.k,
+             sum((q.q - c.c) * (q.q - c.c)) AS dist,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY sum((q.q - c.c) * (q.q - c.c)) ASC, c.k ASC) AS rn
+      FROM q JOIN cent{KMEANS_ROUNDS - 1} c ON q.dim = c.dim
+      GROUP BY q.vec_id, c.k),
+    ab AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN k END) AS cluster_id,
+             max(CASE WHEN rn = 1 THEN dist END) AS a,
+             max(CASE WHEN rn = 2 THEN dist END) AS b
+      FROM perk WHERE rn <= 2 GROUP BY vec_id),
+    s AS (
+      SELECT cluster_id,
+             CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST((1000000000 * CAST(b - a AS HUGEINT))
+                    // CAST(greatest(a, b) AS HUGEINT) AS BIGINT) END
+               AS s_ppb
+      FROM ab)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s_ppb) // count(*) AS BIGINT) AS mean_sil_ppb,
+           CAST(min(s_ppb) AS BIGINT) AS min_sil_ppb,
+           CAST(max(s_ppb) AS BIGINT) AS max_sil_ppb
+    FROM s GROUP BY cluster_id
+"""

@@ -235,3 +235,89 @@ def test_source_entropy_matches_bruteforce(spark, sf_dir):
     assert 0 <= row.entropy_nanonats <= round(log(max(k, 2)) * 1e9)
     if even is not None:
         assert 0 <= row.evenness_ppb <= 10**9
+
+
+# --- kmeans_silhouette -------------------------------------------------------
+
+
+def test_silhouette_matches_bruteforce_model_replay(spark, sf_dir):
+    """Replay the quantization, the R−1 Lloyd rounds, the final
+    assignment, and the per-cluster silhouette rollup entirely in
+    Python integers."""
+    from collections import defaultdict
+
+    from pulsar_topic_deduplicator_spark.operators import clustering
+    from pulsar_topic_deduplicator_spark.operators.clustering import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        KMEANS_SCALE,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ndim = len(next(iter(emb.values())))
+    mins = [min(v[d] for v in emb.values()) for d in range(ndim)]
+
+    def _round_half_up(x: float) -> int:
+        import math
+
+        return math.floor(x + 0.5)
+
+    q = {
+        vid: [
+            _round_half_up((v[d] - mins[d]) * KMEANS_SCALE)
+            for d in range(ndim)
+        ]
+        for vid, v in emb.items()
+    }
+    cents = {
+        k: list(q[vid])
+        for k, vid in enumerate(sorted(q)[:KMEANS_K])
+    }
+
+    def dist(u, c):
+        return sum((a - b) * (a - b) for a, b in zip(u, c))
+
+    for _ in range(KMEANS_ROUNDS - 1):
+        assign = {
+            vid: min(
+                ((dist(vec, cents[k]), k) for k in cents)
+            )[1]
+            for vid, vec in q.items()
+        }
+        members = defaultdict(list)
+        for vid, k in assign.items():
+            members[k].append(vid)
+        for k in cents:
+            if members[k]:
+                cents[k] = [
+                    sum(q[v][d] for v in members[k]) // len(members[k])
+                    for d in range(ndim)
+                ]
+    agg = defaultdict(list)
+    for vid, vec in q.items():
+        ds = sorted((dist(vec, cents[k]), k) for k in cents)
+        (a, ka), (b, _) = ds[0], ds[1]
+        s = 0 if max(a, b) == 0 else (10**9 * (b - a)) // max(a, b)
+        agg[ka].append(s)
+    got = {
+        r.cluster_id: (r.n_vecs, r.mean_sil_ppb, r.min_sil_ppb, r.max_sil_ppb)
+        for r in clustering.kmeans_silhouette(spark, sf_dir).collect()
+    }
+    want = {
+        k: (len(ss), sum(ss) // len(ss), min(ss), max(ss))
+        for k, ss in agg.items()
+    }
+    assert got == want
+
+
+def test_silhouette_in_unit_range_and_covers_corpus(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import clustering
+
+    rows = clustering.kmeans_silhouette(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r.min_sil_ppb <= r.mean_sil_ppb <= r.max_sil_ppb <= 10**9
