@@ -246,6 +246,24 @@ def _stream_rolling_actives_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _stream_source_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source-mixture entropy (foreachBatch + persistent
+    per-source count index). Counts form a commutative monoid —
+    batch-order independent — so the bounded run's readout equals the
+    batch ``source_entropy_report`` exactly under ANY micro-batch split
+    (pinned in tests/test_streaming_entropy.py) and the entry carries the
+    batch operator's full value oracle."""
+    import tempfile
+
+    from pulsar_topic_deduplicator_spark.streaming.entropy import (
+        run_stream_source_entropy_bounded,
+    )
+
+    return run_stream_source_entropy_bounded(
+        spark, sf_dir, tempfile.mkdtemp("entropy_work")
+    )
+
+
 def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash/LSH near-dup filter (foreachBatch + persistent
     bucket index) — the near-dup generalization of the reference's
@@ -696,6 +714,7 @@ def queries() -> dict[str, QueryFn]:
         "common_neighbor_links": graph.common_neighbor_links,
         "source_entropy_report": curation.source_entropy_report,
         "kmeans_silhouette": clustering.kmeans_silhouette,
+        "stream_source_entropy": _stream_source_entropy_query,
     }
 
 
@@ -775,6 +794,9 @@ def oracle_sql() -> dict[str, str]:
     from pulsar_topic_deduplicator_spark.streaming import actives as _actives
 
     oracles.update(_actives.ORACLES)
+    from pulsar_topic_deduplicator_spark.streaming import entropy as _entropy
+
+    oracles.update(_entropy.ORACLES)
     from pulsar_topic_deduplicator_spark.streaming import drift as _drift
 
     oracles.update(_drift.ORACLES)

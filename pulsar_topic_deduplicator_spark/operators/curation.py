@@ -1372,6 +1372,16 @@ def source_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return entropy_readout(c)
+
+
+def entropy_readout(c: DataFrame) -> DataFrame:
+    """The entropy/evenness kernel over a ``(source, c)`` counts frame —
+    shared by the batch entry and the streaming monitor
+    (``streaming/entropy.py``), which differ only in how the counts
+    frame is produced (one corpus aggregate vs a folded per-batch count
+    index; counts are ADDITIVE, so the streaming fold is batch-order
+    independent and shares this exact readout)."""
     tot = Window.partitionBy()
     terms = c.select(
         "c",
