@@ -715,6 +715,7 @@ def queries() -> dict[str, QueryFn]:
         "source_entropy_report": curation.source_entropy_report,
         "kmeans_silhouette": clustering.kmeans_silhouette,
         "stream_source_entropy": _stream_source_entropy_query,
+        "psi_drift_report": changepoint.psi_drift_report,
     }
 
 

