@@ -716,6 +716,7 @@ def queries() -> dict[str, QueryFn]:
         "kmeans_silhouette": clustering.kmeans_silhouette,
         "stream_source_entropy": _stream_source_entropy_query,
         "psi_drift_report": changepoint.psi_drift_report,
+        "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
     }
 
 

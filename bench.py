@@ -185,6 +185,7 @@ HEADLINE = [
     "kmeans_silhouette",  # per-cluster silhouette eval (argmin ⇒ nonneg ratio)
     "stream_source_entropy",  # foreachBatch count-monoid fold + entropy readout
     "psi_drift_report",  # Laplace-smoothed PSI per type (nanonat ln terms)
+    "tfidf_selfretrieval_eval",  # lexical self-retrieval MRR (integer tf·idf)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

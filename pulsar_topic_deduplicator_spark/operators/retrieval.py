@@ -356,3 +356,147 @@ def _hybrid_rrf_oracle() -> str:
 
 
 ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle()
+
+
+#: self-retrieval eval knobs: query docs = doc_id < TFIDF_EVAL_Q (the
+#: sq8_ranking_eval convention), query = the doc's TFIDF_EVAL_TERMS most
+#: salient terms, hit window = TFIDF_EVAL_HIT_K. Shared by the oracle.
+TFIDF_EVAL_Q = 8
+TFIDF_EVAL_TERMS = 3
+TFIDF_EVAL_HIT_K = 10
+
+
+def tfidf_selfretrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval quality eval for the lexical (TF·IDF) tier — the
+    retrieval twin of ``sq8_ranking_eval``: take each eval document's
+    own ``TFIDF_EVAL_TERMS`` most salient terms as the query and ask
+    where the source document ranks in the corpus answer. One row per
+    query doc — ``(q_id, n_matched, self_rank, rr_ppb, hit_at_10)`` —
+    the MRR/hit@K facts that decide whether the inverted-index stack
+    (``posting_lists`` → term-sharded scoring) retrieves at all. A doc
+    that can't find ITSELF from its own top terms signals a degenerate
+    corpus slice (boilerplate floods the query terms).
+
+    Scoring is INTEGER-EXACT end to end (unlike the float-normalized
+    BM25 demo): score(d, Q) = Σ_{t∈Q} tf_d(t) · idf_nano(t) with
+    idf_nano = round(ln((N+1)/(df+1))·1e9) — the single-rounding ln
+    discipline; tf and df are exact counts, so scores, ranks, and the
+    top-terms query selection (tf·idf DESC, term ASC) carry no ulp
+    boundary anywhere. The self doc always matches its own terms, so
+    its rank over the positive-score frame is its global rank (zero
+    scores cannot precede it).
+
+    Scale: one (doc, term) tf aggregate (the posting-list shuffle), one
+    term-keyed df aggregate over it, a Q·TERMS-row broadcast query
+    frame probing the postings (term-pruned — exactly the sharded-index
+    access path), one (q, doc) score aggregate, one per-q rank window
+    over the MATCHED frame (at 100 TB the per-query top-k rides
+    TakeOrdered / the tiled-kNN machinery instead)."""
+    from pyspark.sql import Window
+
+    tf = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = persist_scoped(tf)
+    n_frame = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "term",
+            F.round(
+                F.ln(
+                    (F.col("n") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("idf_nano"),
+        )
+    )
+    scored_terms = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_nano")).alias("w")
+    )
+    wq = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    qterms = (
+        scored_terms.filter(F.col("doc_id") < TFIDF_EVAL_Q)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            "term",
+            F.row_number().over(wq).alias("tr"),
+        )
+        .filter(F.col("tr") <= TFIDF_EVAL_TERMS)
+        .drop("tr")
+    )
+    matches = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(idf, "term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_nano")).alias("score"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = matches.select(
+        "q_id",
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("q_id")).alias(
+            "n_matched"
+        ),
+        F.row_number().over(wr).alias("self_rank"),
+    ).filter(F.col("doc_id") == F.col("q_id"))
+    return ranked.select(
+        "q_id",
+        "n_matched",
+        F.col("self_rank").cast("long").alias("self_rank"),
+        F.expr("1000000000 div self_rank").alias("rr_ppb"),
+        (F.col("self_rank") <= TFIDF_EVAL_HIT_K).alias("hit_at_10"),
+    )
+
+
+ORACLES["tfidf_selfretrieval_eval"] = f"""
+    WITH {_TOKS_CTE},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    nf AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    idf AS (
+      SELECT term,
+             CAST(round(ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+                        * 1e9, 0) AS BIGINT) AS idf_nano
+      FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), nf),
+    st AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf_nano AS w
+      FROM tf JOIN idf USING (term)),
+    qterms AS (
+      SELECT doc_id AS q_id, term FROM (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY w DESC, term ASC) AS tr
+        FROM st WHERE doc_id < {TFIDF_EVAL_Q}) t
+      WHERE tr <= {TFIDF_EVAL_TERMS}),
+    matches AS (
+      SELECT q.q_id, tf.doc_id, sum(tf.tf * idf.idf_nano) AS score
+      FROM tf JOIN qterms q USING (term) JOIN idf USING (term)
+      GROUP BY q.q_id, tf.doc_id),
+    ranked AS (
+      SELECT q_id, doc_id,
+             count(*) OVER (PARTITION BY q_id) AS n_matched,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, doc_id ASC) AS self_rank
+      FROM matches)
+    SELECT q_id,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(self_rank AS BIGINT) AS self_rank,
+           CAST(1000000000 // self_rank AS BIGINT) AS rr_ppb,
+           self_rank <= {TFIDF_EVAL_HIT_K} AS hit_at_10
+    FROM ranked WHERE doc_id = q_id
+"""

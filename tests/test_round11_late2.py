@@ -382,3 +382,68 @@ def test_psi_identical_cohorts_is_zero(spark, sf_dir):
     for r in changepoint.psi_drift_report(spark, sf_dir).collect():
         assert r.psi_nanonats >= 0
         assert r.n_bins >= 1
+
+
+# --- tfidf_selfretrieval_eval ------------------------------------------------
+
+
+def test_tfidf_selfretrieval_matches_bruteforce(spark, sf_dir):
+    """Replay tokenization, nano-nat idf, query-term selection, scoring,
+    and ranking in Python integers for every eval query."""
+    from collections import Counter, defaultdict
+    from math import log
+
+    from pulsar_topic_deduplicator_spark.operators import retrieval
+    from pulsar_topic_deduplicator_spark.operators.retrieval import (
+        TFIDF_EVAL_HIT_K,
+        TFIDF_EVAL_Q,
+        TFIDF_EVAL_TERMS,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    tf = {d: Counter(ws) for d, ws in docs.items()}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    n = len(tf)
+    idf = {t: round(log((n + 1) / (d + 1)) * 1e9) for t, d in df.items()}
+    want = {}
+    for q in [d for d in tf if d < TFIDF_EVAL_Q]:
+        salient = sorted(
+            ((tf[q][t] * idf[t], t) for t in tf[q]),
+            key=lambda x: (-x[0], x[1]),
+        )[:TFIDF_EVAL_TERMS]
+        qs = [t for _, t in salient]
+        scores = defaultdict(int)
+        for d, c in tf.items():
+            for t in qs:
+                if c[t]:
+                    scores[d] += c[t] * idf[t]
+        ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        rank = next(i for i, (d, _) in enumerate(ordered, 1) if d == q)
+        want[q] = (
+            len(scores),
+            rank,
+            10**9 // rank,
+            rank <= TFIDF_EVAL_HIT_K,
+        )
+    got = {
+        r.q_id: (r.n_matched, r.self_rank, r.rr_ppb, r.hit_at_10)
+        for r in retrieval.tfidf_selfretrieval_eval(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == TFIDF_EVAL_Q
+
+
+def test_tfidf_selfretrieval_self_always_matches(spark, sf_dir):
+    """Every query doc contains its own query terms, so it must appear
+    in its own result row with rank ≥ 1 and a sane reciprocal rank."""
+    from pulsar_topic_deduplicator_spark.operators import retrieval
+
+    for r in retrieval.tfidf_selfretrieval_eval(spark, sf_dir).collect():
+        assert r.self_rank >= 1 and r.n_matched >= 1
+        assert r.rr_ppb == 10**9 // r.self_rank
