@@ -717,6 +717,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_source_entropy": _stream_source_entropy_query,
         "psi_drift_report": changepoint.psi_drift_report,
         "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
+        "degree_profile_report": graph.degree_profile_report,
     }
 
 

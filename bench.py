@@ -186,6 +186,7 @@ HEADLINE = [
     "stream_source_entropy",  # foreachBatch count-monoid fold + entropy readout
     "psi_drift_report",  # Laplace-smoothed PSI per type (nanonat ln terms)
     "tfidf_selfretrieval_eval",  # lexical self-retrieval MRR (integer tf·idf)
+    "degree_profile_report",  # degree percentiles + pinned-float assortativity
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

@@ -858,3 +858,161 @@ ORACLES["common_neighbor_links"] = f"""
     ORDER BY common DESC, pairs.s_a, pairs.s_b
     LIMIT {LINKPRED_TOP_K}
 """
+
+
+def degree_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural profile of the customer↔supplier interaction graph —
+    the shape readout the node-scoring tier (PageRank/HITS/k-core)
+    assumes but never measures: per side, exact degree statistics
+    (max, exact-rank p50/p90/p99, mean in ppb) plus the graph-global
+    degree ASSORTATIVITY (do high-degree customers trade with
+    high-degree suppliers?) as the signed squared Pearson of
+    (deg_src, deg_dst) over undirected edges — the ``acf_event_counts``
+    sqrt-free discipline.
+
+    Exact-rank percentiles: pXX = the degree at ascending rank
+    ``ceil(XX·n/100)`` (ties broken by node id; same-degree ties make
+    the pick rank-invariant anyway) — integer definition, no
+    interpolation. mean_deg_ppb = 1e9·edges div nodes.
+
+    Assortativity range discipline: the Pearson components m·Σxy − ΣxΣy
+    etc. exceed int64 at sf0.1 (m ≈ 2.3M edges × degree products), so
+    they accumulate in DECIMAL(38,0)/HUGEINT; 1e9·num² (~1e45) exceeds
+    even 38 digits, so the RATIO follows the bm25 pinned-float
+    discipline instead of integer division: exact integer operands →
+    one libm-free IEEE double expression in pinned operation order
+    ((num/den_x)·(num/den_y)) → ONE rounding to ppb. Identical exact
+    inputs give bit-identical doubles on both engines; the sign rides
+    a separate integer CASE. Constant degree sequences emit NULL.
+
+    Scale: the edge projection is the graph tier's one distinct shuffle;
+    degrees are ONE (node) count aggregate; the per-side rank window
+    runs over the node-degree DOMAIN (the ``gini_revenue_report``
+    SinglePartition-over-aggregate shape — two-stage prefix sum at
+    100 TB); assortativity joins the KB-sized degree frame back to the
+    edges BROADCAST, then one scalar aggregate."""
+    from pyspark.sql import Window
+
+    edges = _interaction_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sided = deg.select(
+        F.substring("src", 1, 1).alias("side"), "src", "deg"
+    )
+    w = Window.partitionBy("side").orderBy("deg", "src")
+    tot = Window.partitionBy("side")
+    ranked = sided.select(
+        "side",
+        "deg",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    def _at(pct: int):
+        rank = F.expr(f"CAST(ceil({pct} * n / 100.0) AS BIGINT)")
+        return F.max(F.when(F.col("i") == rank, F.col("deg")))
+
+    stats = ranked.groupBy("side").agg(
+        F.max("n").alias("n_nodes"),
+        F.sum("deg").alias("n_edges"),
+        F.max("deg").alias("max_deg"),
+        _at(50).alias("p50_deg"),
+        _at(90).alias("p90_deg"),
+        _at(99).alias("p99_deg"),
+    ).withColumn(
+        "mean_deg_ppb", F.expr("(1000000000 * n_edges) div n_nodes")
+    )
+    dd = edges.join(
+        F.broadcast(deg.withColumnsRenamed({"src": "s2", "deg": "x"})),
+        F.col("src") == F.col("s2"),
+    ).join(
+        F.broadcast(
+            deg.withColumnsRenamed({"src": "d2", "deg": "y"})
+        ),
+        F.col("dst") == F.col("d2"),
+    )
+    # the three Pearson components m·sxy − sx·sy etc. exceed int64 at
+    # sf0.1, so they accumulate in DECIMAL(38,0); the final ratio follows
+    # the bm25/value_histogram discipline — exact integer operands, one
+    # libm-free IEEE double expression in PINNED operation order, ONE
+    # rounding to ppb (both engines produce bit-identical doubles from
+    # identical exact inputs)
+    assort = dd.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    ).select(
+        F.expr(
+            "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
+            "THEN NULL ELSE "
+            "(CASE WHEN m * sxy - sx * sy < 0 THEN -1 "
+            " WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END) * CAST(round("
+            "(CAST(m * sxy - sx * sy AS DOUBLE)"
+            " / CAST(m * sxx - sx * sx AS DOUBLE))"
+            " * (CAST(m * sxy - sx * sy AS DOUBLE)"
+            "    / CAST(m * syy - sy * sy AS DOUBLE)) * 1e9, 0)"
+            " AS BIGINT) END"
+        ).alias("assortativity_r2_ppb")
+    )
+    return stats.crossJoin(F.broadcast(assort))
+
+
+ORACLES["degree_profile_report"] = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    ranked AS (
+      SELECT substr(src, 1, 1) AS side, deg,
+             row_number() OVER (PARTITION BY substr(src, 1, 1)
+                                ORDER BY deg, src) AS i,
+             count(*) OVER (PARTITION BY substr(src, 1, 1)) AS n
+      FROM deg),
+    stats AS (
+      SELECT side,
+             CAST(max(n) AS BIGINT) AS n_nodes,
+             CAST(sum(deg) AS BIGINT) AS n_edges,
+             CAST(max(deg) AS BIGINT) AS max_deg,
+             CAST(max(CASE WHEN i = CAST(ceil(50 * n / 100.0) AS BIGINT)
+                           THEN deg END) AS BIGINT) AS p50_deg,
+             CAST(max(CASE WHEN i = CAST(ceil(90 * n / 100.0) AS BIGINT)
+                           THEN deg END) AS BIGINT) AS p90_deg,
+             CAST(max(CASE WHEN i = CAST(ceil(99 * n / 100.0) AS BIGINT)
+                           THEN deg END) AS BIGINT) AS p99_deg,
+             CAST((1000000000 * sum(deg)) // max(n) AS BIGINT)
+               AS mean_deg_ppb
+      FROM ranked GROUP BY side),
+    dd AS (
+      SELECT ds.deg AS x, dt.deg AS y
+      FROM edges e
+      JOIN deg ds ON ds.src = e.src
+      JOIN deg dt ON dt.src = e.dst),
+    ag AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM dd),
+    assort AS (
+      SELECT CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                  THEN NULL ELSE
+               (CASE WHEN m * sxy - sx * sy < 0 THEN -1
+                     WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END)
+               * CAST(round(
+                   (CAST(m * sxy - sx * sy AS DOUBLE)
+                    / CAST(m * sxx - sx * sx AS DOUBLE))
+                   * (CAST(m * sxy - sx * sy AS DOUBLE)
+                      / CAST(m * syy - sy * sy AS DOUBLE)) * 1e9, 0)
+                 AS BIGINT) END
+               AS assortativity_r2_ppb
+      FROM ag)
+    SELECT s.side, s.n_nodes, s.n_edges, s.max_deg, s.p50_deg,
+           s.p90_deg, s.p99_deg, s.mean_deg_ppb, a.assortativity_r2_ppb
+    FROM stats s, assort a
+"""

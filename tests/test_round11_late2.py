@@ -447,3 +447,77 @@ def test_tfidf_selfretrieval_self_always_matches(spark, sf_dir):
     for r in retrieval.tfidf_selfretrieval_eval(spark, sf_dir).collect():
         assert r.self_rank >= 1 and r.n_matched >= 1
         assert r.rr_ppb == 10**9 // r.self_rank
+
+
+# --- degree_profile_report ---------------------------------------------------
+
+
+def test_degree_profile_matches_bruteforce(spark, sf_dir):
+    """Replay edges, degrees, exact-rank percentiles, and the
+    pinned-double assortativity in Python."""
+    from collections import Counter
+    from math import ceil
+
+    from pulsar_topic_deduplicator_spark.operators import graph
+
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    pairs = {
+        (f"c{orders[r.l_orderkey]}", f"s{r.l_suppkey}")
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    }
+    edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+    deg = Counter(src for src, _ in edges)
+    want = {}
+    for side in ("c", "s"):
+        ds = sorted(
+            (d, n) for n, d in deg.items() if n.startswith(side)
+        )
+        n = len(ds)
+        at = lambda p: ds[ceil(p * n / 100) - 1][0]  # noqa: E731
+        want[side] = (
+            n,
+            sum(d for d, _ in ds),
+            ds[-1][0],
+            at(50),
+            at(90),
+            at(99),
+            (10**9 * sum(d for d, _ in ds)) // n,
+        )
+    m = len(edges)
+    xs = [deg[a] for a, _ in edges]
+    ys = [deg[b] for _, b in edges]
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    d1 = m * sum(x * x for x in xs) - sum(xs) ** 2
+    d2 = m * sum(y * y for y in ys) - sum(ys) ** 2
+    sign = -1 if num < 0 else (1 if num > 0 else 0)
+    want_assort = (
+        None
+        if d1 == 0 or d2 == 0
+        else sign * round((num / d1) * (num / d2) * 1e9)
+    )
+    rows = graph.degree_profile_report(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert want[r.side] == (
+            r.n_nodes,
+            r.n_edges,
+            r.max_deg,
+            r.p50_deg,
+            r.p90_deg,
+            r.p99_deg,
+            r.mean_deg_ppb,
+        )
+        assert r.assortativity_r2_ppb == want_assort
+
+
+def test_degree_profile_percentiles_are_monotone(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import graph
+
+    for r in graph.degree_profile_report(spark, sf_dir).collect():
+        assert 1 <= r.p50_deg <= r.p90_deg <= r.p99_deg <= r.max_deg
+        assert r.n_edges >= r.n_nodes
