@@ -718,6 +718,7 @@ def queries() -> dict[str, QueryFn]:
         "psi_drift_report": changepoint.psi_drift_report,
         "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
         "degree_profile_report": graph.degree_profile_report,
+        "topk_churn_report": analytics.topk_churn_report,
     }
 
 

@@ -1128,3 +1128,113 @@ ORACLES["gini_revenue_report"] = """
                 END AS top_decile_share_ppb
     FROM agg
 """
+
+
+#: top-k churn knobs: leaderboard size and the cohort split (the
+#: ks_drift_report epoch-day split, re-declared here to keep analytics
+#: import-free of the changepoint module). Shared by the oracle.
+CHURN_TOP_K = 20
+CHURN_SPLIT_DAYS = 14
+
+
+def topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard churn between the early and late cohorts: which users
+    entered, left, or stayed in the top-``CHURN_TOP_K`` by event count —
+    the ops readout behind every "top talkers" dashboard (a stable
+    leaderboard and a churning one are different systems, and neither a
+    drift statistic nor a heavy-hitter sketch says which you have).
+    One row per user appearing in EITHER cohort's top-k:
+    ``(user_id, rank_early, rank_late, n_early, n_late, status)`` with
+    status ∈ entered/left/stayed.
+
+    Exactness: counts are integers; ranks are row_number over the total
+    order (count DESC, user_id ASC) — deterministic cut at k in both
+    engines; the full-outer join keys on user_id.
+
+    Scale: one (cohort, user) count aggregate (map-side combined), two
+    rank windows over the per-cohort user-count DOMAIN (the accepted
+    SinglePartition-over-aggregate shape; TakeOrdered at 100 TB), a
+    k-row × k-row full outer join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    early = F.col("day") < F.col("d0") + CHURN_SPLIT_DAYS
+    counts = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(early, 1)).alias("n_early"),
+            F.count(F.when(~early, 1)).alias("n_late"),
+        )
+    )
+
+    def _top(col: str, alias: str) -> DataFrame:
+        w = Window.orderBy(F.col(col).desc(), F.col("user_id").asc())
+        return (
+            counts.filter(F.col(col) > 0)
+            .select(
+                "user_id", col, F.row_number().over(w).alias(alias)
+            )
+            .filter(F.col(alias) <= CHURN_TOP_K)
+        )
+
+    te = _top("n_early", "rank_early").drop("n_early")
+    tl = _top("n_late", "rank_late").drop("n_late")
+    return (
+        te.join(tl, "user_id", "full")
+        .join(F.broadcast(counts), "user_id")
+        .select(
+            "user_id",
+            F.col("rank_early").cast("long").alias("rank_early"),
+            F.col("rank_late").cast("long").alias("rank_late"),
+            "n_early",
+            "n_late",
+            F.expr(
+                "CASE WHEN rank_early IS NULL THEN 'entered' "
+                "WHEN rank_late IS NULL THEN 'left' "
+                "ELSE 'stayed' END"
+            ).alias("status"),
+        )
+    )
+
+
+ORACLES["topk_churn_report"] = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // {{us_per_day}} AS day FROM events),
+    b AS (SELECT min(day) AS d0 FROM ev),
+    counts AS (
+      SELECT user_id,
+             count(CASE WHEN day < d0 + {{split}} THEN 1 END) AS n_early,
+             count(CASE WHEN day >= d0 + {{split}} THEN 1 END) AS n_late
+      FROM ev, b GROUP BY user_id),
+    te AS (
+      SELECT user_id, rank_early FROM (
+        SELECT user_id,
+               row_number() OVER (ORDER BY n_early DESC, user_id ASC)
+                 AS rank_early
+        FROM counts WHERE n_early > 0) t
+      WHERE rank_early <= {{k}}),
+    tl AS (
+      SELECT user_id, rank_late FROM (
+        SELECT user_id,
+               row_number() OVER (ORDER BY n_late DESC, user_id ASC)
+                 AS rank_late
+        FROM counts WHERE n_late > 0) t
+      WHERE rank_late <= {{k}})
+    SELECT u.user_id,
+           CAST(te.rank_early AS BIGINT) AS rank_early,
+           CAST(tl.rank_late AS BIGINT) AS rank_late,
+           CAST(c.n_early AS BIGINT) AS n_early,
+           CAST(c.n_late AS BIGINT) AS n_late,
+           CASE WHEN te.rank_early IS NULL THEN 'entered'
+                WHEN tl.rank_late IS NULL THEN 'left'
+                ELSE 'stayed' END AS status
+    FROM (SELECT user_id FROM te UNION SELECT user_id FROM tl) u
+    LEFT JOIN te USING (user_id)
+    LEFT JOIN tl USING (user_id)
+    JOIN counts c USING (user_id)
+""".format(us_per_day=_US_PER_DAY, split=CHURN_SPLIT_DAYS, k=CHURN_TOP_K)

@@ -521,3 +521,72 @@ def test_degree_profile_percentiles_are_monotone(spark, sf_dir):
     for r in graph.degree_profile_report(spark, sf_dir).collect():
         assert 1 <= r.p50_deg <= r.p90_deg <= r.p99_deg <= r.max_deg
         assert r.n_edges >= r.n_nodes
+
+
+# --- topk_churn_report -------------------------------------------------------
+
+
+def test_topk_churn_matches_bruteforce(spark, sf_dir):
+    """Replay the cohort split, per-user counts, deterministic top-k cut,
+    and churn statuses in Python."""
+    from collections import Counter
+
+    from pulsar_topic_deduplicator_spark.operators import analytics
+    from pulsar_topic_deduplicator_spark.operators.analytics import (
+        CHURN_SPLIT_DAYS,
+        CHURN_TOP_K,
+        _US_PER_DAY,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    days = [
+        (r.user_id, int((r.ts - epoch).total_seconds() * 1e6) // _US_PER_DAY)
+        for r in ev
+    ]
+    d0 = min(d for _, d in days)
+    ce: Counter = Counter()
+    cl: Counter = Counter()
+    for u, d in days:
+        (ce if d < d0 + CHURN_SPLIT_DAYS else cl)[u] += 1
+
+    def topk(c):
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {u: i for i, (u, _) in enumerate(ranked[:CHURN_TOP_K], 1)}
+
+    te, tl = topk(ce), topk(cl)
+    want = {}
+    for u in set(te) | set(tl):
+        status = (
+            "stayed" if u in te and u in tl
+            else ("left" if u in te else "entered")
+        )
+        want[u] = (te.get(u), tl.get(u), ce.get(u, 0), cl.get(u, 0), status)
+    got = {
+        r.user_id: (r.rank_early, r.rank_late, r.n_early, r.n_late, r.status)
+        for r in analytics.topk_churn_report(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_topk_churn_statuses_are_consistent(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import analytics
+    from pulsar_topic_deduplicator_spark.operators.analytics import (
+        CHURN_TOP_K,
+    )
+
+    rows = analytics.topk_churn_report(spark, sf_dir).collect()
+    n_stay = sum(r.status == "stayed" for r in rows)
+    n_ent = sum(r.status == "entered" for r in rows)
+    n_left = sum(r.status == "left" for r in rows)
+    assert n_stay + n_ent == min(
+        CHURN_TOP_K, n_stay + n_ent
+    ), "late top-k can't exceed k"
+    assert n_ent == n_left or n_stay + n_ent < CHURN_TOP_K
+    for r in rows:
+        if r.status == "stayed":
+            assert r.rank_early and r.rank_late
+        if r.status == "entered":
+            assert r.rank_early is None and r.rank_late
+        if r.status == "left":
+            assert r.rank_early and r.rank_late is None
