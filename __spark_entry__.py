@@ -719,6 +719,7 @@ def queries() -> dict[str, QueryFn]:
         "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
         "degree_profile_report": graph.degree_profile_report,
         "topk_churn_report": analytics.topk_churn_report,
+        "planted_neardup_recall": neardup.planted_neardup_recall,
     }
 
 

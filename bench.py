@@ -188,6 +188,7 @@ HEADLINE = [
     "tfidf_selfretrieval_eval",  # lexical self-retrieval MRR (integer tf·idf)
     "degree_profile_report",  # degree percentiles + pinned-float assortativity
     "topk_churn_report",  # leaderboard churn across the cohort split
+    "planted_neardup_recall",  # MinHash recall on planted boundary pairs
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

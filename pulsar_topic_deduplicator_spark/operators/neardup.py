@@ -1410,3 +1410,180 @@ ORACLES["duplicate_mass_report"] = f"""
                           AS BIGINT) END AS near_dup_doc_ppb
     FROM exact, members, np
 """
+
+
+#: planted-pair eval knobs: originals = doc_id < PLANT_MAX_ID with at
+#: least PLANT_MIN_WORDS whitespace tokens (so the perturbed variant
+#: still has shingles); the perturbation drops every PLANT_DROP_EVERY-th
+#: token (1-based positions); variants live at doc_id + PLANT_OFFSET.
+#: Shared verbatim by the oracle.
+PLANT_MAX_ID = 64
+PLANT_MIN_WORDS = 25
+PLANT_DROP_EVERY = 7
+PLANT_OFFSET = 10_000_000
+
+
+def planted_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END recall eval for the MinHash pipeline on PLANTED ground
+    truth: deterministically perturb a slice of real documents (drop
+    every 7th token — a known-similarity near-duplicate, unlike the
+    corpus's accidental pairs), add the variants to the corpus, run the
+    UNCHANGED shingle → signature → banding kernels over the union, and
+    report per planted pair whether the banding surfaced it. This is
+    the recall lens ``lsh_recall_report`` can't give: there the truth
+    set is whatever the corpus happens to contain; here the pair's
+    existence and construction are controlled, so a banding regression
+    shows up as a flipped ``band_hit`` on a KNOWN row.
+
+    One row per planted pair: ``(doc_id, n_grams_orig, n_grams_variant,
+    n_common, jaccard_ppb, band_hit)`` — jaccard is the exact integer
+    ppb of the true gram overlap; band_hit the candidate-join verdict.
+    A 1-in-7 token drop kills up to SHINGLE_N grams per dropped token,
+    landing the planted jaccard at ≈0.44–0.58 (median ≈0.48 at
+    sf0.01) — DELIBERATELY straddling the J=0.5 banding knee, the
+    steepest (most regression-sensitive) point of the 4×4 S-curve. The
+    observed hit pattern (14/55 at sf0.01, matching the theoretical
+    ≈20% collision probability at J≈0.48) is a deterministic function
+    of the seeded permutations, pinned row-by-row by the oracle and the
+    exact signature replay in ``tests/test_round11_late2.py``.
+
+    Scale: the planted slice is a CONSTANT-size frame (≤ PLANT_MAX_ID
+    docs); the union corpus pays one extra KB-scale scan; everything
+    downstream is the production pipeline's own cost (one doc_id-keyed
+    signature aggregate, the banded self-join). Nothing quadratic."""
+    from ..cachereg import persist_scoped
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = F.split(F.col("text"), " ")
+    orig = docs.filter(
+        (F.col("doc_id") < PLANT_MAX_ID)
+        & (F.size(w) >= PLANT_MIN_WORDS)
+    )
+    # keep 0-based positions i with (i+1) % E != 0 — identical to the
+    # oracle's 1-based i % E != 0
+    kept = F.filter(
+        F.split(F.col("text"), " "),
+        lambda x, i: (i + 1) % PLANT_DROP_EVERY != 0,
+    )
+    variants = orig.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", kept).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variants)
+    sh = persist_scoped(
+        corpus.select(
+            "doc_id",
+            F.explode(shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+        ).select(
+            "doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h")
+        )
+    )
+    cands = _near_dup_candidates(_signature_wide_from(sh))
+    planted = orig.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_b"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        F.broadcast(planted)
+        .join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.h") == F.col("a.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        planted.join(
+            F.broadcast(
+                sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"})
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"})
+            ),
+            "doc_b",
+        )
+        .join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(cands.withColumn("hit", F.lit(True))),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("n_a").alias("n_grams_orig"),
+            F.col("n_b").alias("n_grams_variant"),
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            F.expr(
+                "(1000000000 * coalesce(n_common, 0))"
+                " div (n_a + n_b - coalesce(n_common, 0))"
+            ).alias("jaccard_ppb"),
+            F.coalesce("hit", F.lit(False)).alias("band_hit"),
+        )
+    )
+
+
+ORACLES["planted_neardup_recall"] = f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    plant_src AS (
+      SELECT doc_id, string_split(text, ' ') AS pw FROM base
+      WHERE doc_id < {PLANT_MAX_ID}
+        AND len(string_split(text, ' ')) >= {PLANT_MIN_WORDS}),
+    variants AS (
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+             array_to_string(
+               list_filter(pw, (x, i) -> i % {PLANT_DROP_EVERY} != 0),
+               ' ') AS text
+      FROM plant_src),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL SELECT doc_id, text FROM variants),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {SHINGLE_N - 1}, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+      FROM words),
+    sh AS (SELECT doc_id, {_H60} % {MINHASH_P} AS h FROM grams),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+    keys AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+    bands AS ({_BAND_UNION}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    planted AS (
+      SELECT doc_id AS doc_a, doc_id + {PLANT_OFFSET} AS doc_b
+      FROM plant_src),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_common
+      FROM planted p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY 1, 2)
+    SELECT p.doc_a AS doc_id,
+           CAST(x.n AS BIGINT) AS n_grams_orig,
+           CAST(y.n AS BIGINT) AS n_grams_variant,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST((1000000000 * coalesce(i.n_common, 0))
+                // (x.n + y.n - coalesce(i.n_common, 0)) AS BIGINT)
+             AS jaccard_ppb,
+           c.doc_a IS NOT NULL AS band_hit
+    FROM planted p
+    JOIN sizes x ON x.doc_id = p.doc_a
+    JOIN sizes y ON y.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    LEFT JOIN cands c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+"""

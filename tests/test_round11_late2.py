@@ -590,3 +590,95 @@ def test_topk_churn_statuses_are_consistent(spark, sf_dir):
             assert r.rank_early is None and r.rank_late
         if r.status == "left":
             assert r.rank_early and r.rank_late is None
+
+
+# --- planted_neardup_recall --------------------------------------------------
+
+
+def _py_uint60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def test_planted_recall_matches_exact_signature_replay(spark, sf_dir):
+    """Replay the perturbation, shingling, seeded MinHash signatures,
+    banding, and exact jaccard for every planted pair in Python — the
+    band_hit column is a deterministic function of the permutations,
+    not a statistical claim."""
+    from pulsar_topic_deduplicator_spark.operators import neardup
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        BAND_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_HASHES,
+        PLANT_DROP_EVERY,
+        PLANT_MAX_ID,
+        PLANT_MIN_WORDS,
+        SHINGLE_N,
+    )
+
+    def grams(ws):
+        return {
+            " ".join(ws[i:i + SHINGLE_N])
+            for i in range(max(len(ws) - SHINGLE_N + 1, 0))
+        }
+
+    def sig(hs):
+        return [
+            min((h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P for h in hs)
+            for i in range(NUM_HASHES)
+        ]
+
+    def bands(s):
+        return {
+            tuple(s[b * BAND_ROWS:(b + 1) * BAND_ROWS]) + (b,)
+            for b in range(NUM_HASHES // BAND_ROWS)
+        }
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    want = {}
+    for d, ws in docs.items():
+        if d >= PLANT_MAX_ID or len(ws) < PLANT_MIN_WORDS:
+            continue
+        vws = [w for i, w in enumerate(ws) if (i + 1) % PLANT_DROP_EVERY]
+        g1 = {(_py_uint60(g) % MINHASH_P) for g in grams(ws)}
+        g2 = {(_py_uint60(g) % MINHASH_P) for g in grams(vws)}
+        common = len(g1 & g2)
+        hit = bool(bands(sig(g1)) & bands(sig(g2)))
+        want[d] = (
+            len(g1),
+            len(g2),
+            common,
+            (10**9 * common) // (len(g1) + len(g2) - common),
+            hit,
+        )
+    got = {
+        r.doc_id: (
+            r.n_grams_orig,
+            r.n_grams_variant,
+            r.n_common,
+            r.jaccard_ppb,
+            r.band_hit,
+        )
+        for r in neardup.planted_neardup_recall(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture must plant at least one pair"
+
+
+def test_planted_pairs_straddle_the_banding_knee(spark, sf_dir):
+    """The perturbation is tuned to land near J=0.5 — the regression-
+    sensitive region. Pin the envelope: every planted jaccard in
+    (0.3, 0.8), and at least one band hit among the planted pairs."""
+    from pulsar_topic_deduplicator_spark.operators import neardup
+
+    rows = neardup.planted_neardup_recall(spark, sf_dir).collect()
+    assert any(r.band_hit for r in rows)
+    for r in rows:
+        assert 300_000_000 < r.jaccard_ppb < 800_000_000, r
