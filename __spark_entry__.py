@@ -359,6 +359,21 @@ def _stream_drift_flags_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_drift_bounded(spark, sf_dir, glob_filter="events.parquet")
 
 
+def _stream_ks_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distribution-drift monitor over the streaming (type, value, day)
+    count aggregate (complete mode, availableNow) — counts are additive,
+    so the drained snapshot equals the batch frame and the entry shares
+    the batch ``ks_drift_report`` oracle; stream==batch + multi-batch
+    parity pinned in tests/test_streaming_ks.py."""
+    from pulsar_topic_deduplicator_spark.streaming.drift import (
+        run_stream_ks_drift_bounded,
+    )
+
+    return run_stream_ks_drift_bounded(
+        spark, sf_dir, glob_filter="events.parquet"
+    )
+
+
 def _stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling counts with watermark (reference op #13 on event
     time) — append mode emits watermark-finalized windows only."""
@@ -720,6 +735,7 @@ def queries() -> dict[str, QueryFn]:
         "degree_profile_report": graph.degree_profile_report,
         "topk_churn_report": analytics.topk_churn_report,
         "planted_neardup_recall": neardup.planted_neardup_recall,
+        "stream_ks_drift": _stream_ks_drift_query,
     }
 
 

@@ -189,6 +189,7 @@ HEADLINE = [
     "degree_profile_report",  # degree percentiles + pinned-float assortativity
     "topk_churn_report",  # leaderboard churn across the cohort split
     "planted_neardup_recall",  # MinHash recall on planted boundary pairs
+    "stream_ks_drift",  # streaming KS monitor (complete-mode counts + kernel)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

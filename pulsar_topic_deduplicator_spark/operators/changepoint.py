@@ -174,21 +174,39 @@ def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-type ordered window is the accepted SinglePartition-per-group
     shape (``ccnet_quality_buckets`` precedent); a 100 TB deployment cuts
     the domain with a two-pass quantile sketch instead."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"),
     )
-    d0 = ev.agg(F.min("day").alias("d0"))
+    counts = ev.groupBy("event_type", "value", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return ks_from_day_counts(counts)
+
+
+def ks_from_day_counts(counts: DataFrame) -> DataFrame:
+    """The KS kernel over a ``(event_type, value, day, n)`` count frame —
+    shared by the batch entry and the streaming monitor
+    (``streaming/drift.py::run_stream_ks_drift_bounded``), which differ
+    only in how the counts frame is produced (one batch aggregate vs an
+    incrementally-maintained streaming aggregate; counts are ADDITIVE,
+    so the drained snapshot equals the batch frame exactly and the
+    streaming entry shares this entry's oracle verbatim)."""
+    from pyspark.sql import Window
+
+    d0 = counts.agg(F.min("day").alias("d0"))
     early = F.col("day") < F.col("d0") + KS_SPLIT_DAYS
     grp = (
-        ev.crossJoin(F.broadcast(d0))
+        counts.crossJoin(F.broadcast(d0))
         .groupBy("event_type", "value")
         .agg(
-            F.count(F.when(early, 1)).alias("c1"),
-            F.count(F.when(~early, 1)).alias("c2"),
+            F.coalesce(
+                F.sum(F.when(early, F.col("n"))), F.lit(0).cast("long")
+            ).alias("c1"),
+            F.coalesce(
+                F.sum(F.when(~early, F.col("n"))), F.lit(0).cast("long")
+            ).alias("c2"),
         )
     )
     w = (

@@ -73,5 +73,61 @@ def _batch_oracle() -> str:
     return _BATCH["cusum_drift_flags"]
 
 
-#: the bounded run drains everything, so the batch oracle is exact
-ORACLES: dict[str, str] = {"stream_drift_flags": _batch_oracle()}
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the KS distribution-drift monitor over the streamed
+    (type, value, day) count table — bit-identical to the batch
+    `ks_drift_report` (shared oracle) because counts are additive."""
+    return run_stream_ks_drift_bounded(
+        spark, sf_dir, glob_filter="events.parquet"
+    )
+
+
+def _ks_batch_oracle() -> str:
+    from ..operators.changepoint import ORACLES as _BATCH
+
+    return _BATCH["ks_drift_report"]
+
+
+#: the bounded runs drain everything, so the batch oracles are exact
+ORACLES: dict[str, str] = {
+    "stream_drift_flags": _batch_oracle(),
+    "stream_ks_drift": _ks_batch_oracle(),
+}
+
+
+def run_stream_ks_drift_bounded(
+    spark: SparkSession,
+    source_dir: str,
+    glob_filter: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming two-sample KS drift monitor — the ``ks_drift_report``
+    kernel over an incrementally-maintained (event_type, value, day)
+    count aggregate (the CUSUM monitor's split of labor, one key wider):
+    Structured Streaming owns the only corpus-sized work; the KS
+    refinement reads the types × values × days snapshot — bounded by
+    DISTINCT triples, not event volume — on each evaluation. Counts are
+    additive, so the availableNow-drained snapshot equals the batch
+    aggregate exactly and the entry shares the batch oracle verbatim
+    (multi-batch == single-batch pinned in tests/test_streaming_ks.py)."""
+    from ..operators.changepoint import _US_PER_DAY, ks_from_day_counts
+
+    name = f"ksdrift_{uuid.uuid4().hex[:8]}"
+    ev = events_raw_stream(
+        spark, source_dir, max_files_per_trigger, glob_filter
+    )
+    counts = ev.groupBy(
+        "event_type",
+        "value",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return ks_from_day_counts(spark.table(name))
