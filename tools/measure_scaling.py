@@ -71,6 +71,14 @@ OPS = [
     # the same input — no scaling information.
     "rolling_active_users",       # coverage-explode rolling distinct
     "span_corruption_masks",      # T5 denoising spans (zero-shuffle)
+    # round-11 second LATE wave: the within-part pair explosion is the
+    # one new shape with super-linear potential (Σ C(deg_p, 2) — the
+    # LINKPRED_MAX_PART_DEG cap is its guard); the self-retrieval eval
+    # scales the postings join; the streaming KS monitor scales the
+    # complete-mode (type, value, day) aggregate with event volume.
+    "common_neighbor_links",      # capped co-supply pair explosion
+    "tfidf_selfretrieval_eval",   # postings + broadcast query probe
+    "stream_ks_drift",            # streaming count agg + KS kernel
 ]
 
 REPLICAS = 10
@@ -182,9 +190,22 @@ def run_tier(sf_dir: str, label: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in OPS:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        if name == "stream_ks_drift" and os.path.isdir(
+            f"{sf_dir}/events.parquet"
+        ):
+            # synthetic tiers write events.parquet as a DIRECTORY of part
+            # files; the entry's leaf-name glob ("events.parquet") only
+            # fits the driver's single-file layout — stream the subdir
+            from pulsar_topic_deduplicator_spark.streaming.drift import (
+                run_stream_ks_drift_bounded,
+            )
+
+            df = run_stream_ks_drift_bounded(
+                spark, f"{sf_dir}/events.parquet", glob_filter="*.parquet"
+            )
+        else:
+            df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
         release_all()
         spark.catalog.clearCache()
