@@ -736,6 +736,7 @@ def queries() -> dict[str, QueryFn]:
         "topk_churn_report": analytics.topk_churn_report,
         "planted_neardup_recall": neardup.planted_neardup_recall,
         "stream_ks_drift": _stream_ks_drift_query,
+        "vocab_drift_report": textops.vocab_drift_report,
     }
 
 

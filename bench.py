@@ -190,6 +190,7 @@ HEADLINE = [
     "topk_churn_report",  # leaderboard churn across the cohort split
     "planted_neardup_recall",  # MinHash recall on planted boundary pairs
     "stream_ks_drift",  # streaming KS monitor (complete-mode counts + kernel)
+    "vocab_drift_report",  # crawl-order df-shift top terms (exact cross-mult)
     # designated drops — keep LAST: when the printed headline line nears the
     # driver's 2000-char tail-capture window, trailing entries are dropped
     # from the printed dict first (full data always in bench_full.json).

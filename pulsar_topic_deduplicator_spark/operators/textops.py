@@ -1993,3 +1993,115 @@ def _fertility_oracle() -> str:
 
 
 ORACLES["tokenizer_fertility_by_lang"] = _fertility_oracle()
+
+
+#: vocabulary-drift readout size. Shared verbatim by the oracle.
+VOCAB_DRIFT_TOP = 20
+
+
+def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the corpus's crawl-order halves — the
+    TEXT tier's distribution watch beside the event tier's KS/PSI: the
+    top-``VOCAB_DRIFT_TOP`` terms by document-frequency shift between
+    the early half (doc_id ≤ median doc_id; ingestion ids are crawl
+    order) and the late half. A new boilerplate template, a source
+    going dark, or a language shift all surface here as terms whose
+    df-rate jumps — the readout a curation deployment reads before
+    retraining its quality models.
+
+    Exactness: the shift metric is the EXACT cross-multiplied integer
+    ``|df₁·n₂ − df₂·n₁|`` (the ks_drift_report identity at term
+    granularity — no rate division until the final ppm readout);
+    ordering (shift DESC, term ASC) is total, so the top-k cut is
+    deterministic; the median split is the exact lower median of the
+    text-bearing doc_id domain.
+
+    Scale: one tokenize → distinct (doc, term) projection (the postings
+    shuffle), one term-keyed conditional-count aggregate (map-side
+    combined; the shuffled frame is the vocabulary domain), a broadcast
+    median join, and a TakeOrdered top-k. The median rank window runs
+    over the doc_id DOMAIN (the accepted SinglePartition-over-aggregate
+    shape; two-stage prefix sum at 100 TB)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ids = docs.select("doc_id")
+    wmed = Window.orderBy("doc_id")
+    med = (
+        ids.select(
+            "doc_id",
+            F.row_number().over(wmed).alias("i"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("i = (n + 1) div 2"))
+        .select(F.col("doc_id").alias("med"))
+    )
+    dt = (
+        docs.select(
+            "doc_id", F.explode(_words(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .crossJoin(F.broadcast(med))
+    )
+    counts = dt.groupBy("term").agg(
+        F.count(F.when(F.col("doc_id") <= F.col("med"), 1)).alias("df1"),
+        F.count(F.when(F.col("doc_id") > F.col("med"), 1)).alias("df2"),
+    )
+    totals = (
+        ids.crossJoin(F.broadcast(med))
+        .agg(
+            F.count(F.when(F.col("doc_id") <= F.col("med"), 1)).alias("n1"),
+            F.count(F.when(F.col("doc_id") > F.col("med"), 1)).alias("n2"),
+        )
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "df1",
+        "df2",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("df1") * F.col("n2") - F.col("df2") * F.col("n1")
+        ).alias("shift_scaled"),
+        F.expr("(1000000 * df1) div n1").alias("rate1_ppm"),
+        F.expr("(1000000 * df2) div n2").alias("rate2_ppm"),
+    )
+    return scored.orderBy(
+        F.col("shift_scaled").desc(), F.col("term").asc()
+    ).limit(VOCAB_DRIFT_TOP)
+
+
+ORACLES["vocab_drift_report"] = f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS i,
+             count(*) OVER () AS n
+      FROM base),
+    med AS (SELECT doc_id AS med FROM ranked WHERE i = (n + 1) // 2),
+    dt AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS}) AS term FROM base),
+    counts AS (
+      SELECT term,
+             count(CASE WHEN doc_id <= med THEN 1 END) AS df1,
+             count(CASE WHEN doc_id > med THEN 1 END) AS df2
+      FROM dt, med GROUP BY term),
+    totals AS (
+      SELECT count(CASE WHEN doc_id <= med THEN 1 END) AS n1,
+             count(CASE WHEN doc_id > med THEN 1 END) AS n2
+      FROM base, med)
+    SELECT term,
+           CAST(df1 AS BIGINT) AS df1,
+           CAST(df2 AS BIGINT) AS df2,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(abs(df1 * n2 - df2 * n1) AS BIGINT) AS shift_scaled,
+           CAST((1000000 * df1) // n1 AS BIGINT) AS rate1_ppm,
+           CAST((1000000 * df2) // n2 AS BIGINT) AS rate2_ppm
+    FROM counts, totals
+    ORDER BY shift_scaled DESC, term ASC
+    LIMIT {VOCAB_DRIFT_TOP}
+"""

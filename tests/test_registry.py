@@ -79,8 +79,8 @@ ROWS_ONLY_RAW = frozenset(
 
 #: single source of truth for the registry size — BASELINE.md / SURVEY §8
 #: must quote these numbers (VERDICT r10 item 4: the docs drifted once)
-EXPECTED_QUERIES = 274
-EXPECTED_ORACLES = 267
+EXPECTED_QUERIES = 275
+EXPECTED_ORACLES = 268
 
 
 def test_oracle_less_entries_are_exactly_the_documented_raw_set():

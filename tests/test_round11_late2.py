@@ -682,3 +682,68 @@ def test_planted_pairs_straddle_the_banding_knee(spark, sf_dir):
     assert any(r.band_hit for r in rows)
     for r in rows:
         assert 300_000_000 < r.jaccard_ppb < 800_000_000, r
+
+
+# --- vocab_drift_report ------------------------------------------------------
+
+
+def test_vocab_drift_matches_bruteforce(spark, sf_dir):
+    """Replay the median split, per-cohort document frequencies, the
+    cross-multiplied shift, and the deterministic top-k cut in Python."""
+    from pulsar_topic_deduplicator_spark.operators import textops
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        VOCAB_DRIFT_TOP,
+    )
+
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    ids = sorted(docs)
+    med = ids[(len(ids) + 1) // 2 - 1]
+    n1 = sum(d <= med for d in ids)
+    n2 = len(ids) - n1
+    df1: dict = {}
+    df2: dict = {}
+    for d, terms in docs.items():
+        tgt = df1 if d <= med else df2
+        for t in terms:
+            tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(df1) | set(df2)
+    scored = sorted(
+        (
+            (
+                -abs(df1.get(t, 0) * n2 - df2.get(t, 0) * n1),
+                t,
+            )
+            for t in vocab
+        )
+    )[:VOCAB_DRIFT_TOP]
+    want = []
+    for negshift, t in scored:
+        a, b = df1.get(t, 0), df2.get(t, 0)
+        want.append(
+            (t, a, b, n1, n2, -negshift,
+             (10**6 * a) // n1, (10**6 * b) // n2)
+        )
+    got = [
+        (r.term, r.df1, r.df2, r.n1, r.n2, r.shift_scaled,
+         r.rate1_ppm, r.rate2_ppm)
+        for r in textops.vocab_drift_report(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_vocab_drift_is_ordered_and_bounded(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import textops
+    from pulsar_topic_deduplicator_spark.operators.textops import (
+        VOCAB_DRIFT_TOP,
+    )
+
+    rows = textops.vocab_drift_report(spark, sf_dir).collect()
+    assert 0 < len(rows) <= VOCAB_DRIFT_TOP
+    shifts = [(-r.shift_scaled, r.term) for r in rows]
+    assert shifts == sorted(shifts)
+    for r in rows:
+        assert r.df1 <= r.n1 and r.df2 <= r.n2
