@@ -747,3 +747,53 @@ def test_vocab_drift_is_ordered_and_bounded(spark, sf_dir):
     assert shifts == sorted(shifts)
     for r in rows:
         assert r.df1 <= r.n1 and r.df2 <= r.n2
+
+
+# --- plan-shape assertions for the second wave --------------------------------
+
+
+def test_second_wave_plans_have_no_cartesian_or_stray_smj(spark, sf_dir):
+    """The wave's scale claims must be visible in the physical plans: no
+    CartesianProduct anywhere; link prediction ends in a
+    TakeOrderedAndProject with broadcast degree joins; the self-retrieval
+    eval joins only by broadcast; the silhouette adds exactly one
+    exchange over the Lloyd loop's own plan."""
+    import __spark_entry__ as e
+
+    from pulsar_topic_deduplicator_spark.plans import formatted_plan
+
+    qs = e.queries()
+    for name in (
+        "classifier_pr_report",
+        "gini_revenue_report",
+        "acf_event_counts",
+        "common_neighbor_links",
+        "source_entropy_report",
+        "psi_drift_report",
+        "tfidf_selfretrieval_eval",
+        "degree_profile_report",
+        "topk_churn_report",
+        "planted_neardup_recall",
+        "vocab_drift_report",
+    ):
+        plan = formatted_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan[:1500])
+
+    link = formatted_plan(qs["common_neighbor_links"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in link, link[:1500]
+    assert link.count("SortMergeJoin") == 0, link[:1500]
+
+    tfidf = formatted_plan(qs["tfidf_selfretrieval_eval"](spark, sf_dir))
+    assert tfidf.count("SortMergeJoin") == 0, tfidf[:1500]
+
+    vocab = formatted_plan(qs["vocab_drift_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in vocab, vocab[:1500]
+
+
+def test_silhouette_plan_adds_one_exchange_over_assign(spark, sf_dir):
+    from pulsar_topic_deduplicator_spark.operators import clustering
+    from pulsar_topic_deduplicator_spark.plans import count_exchanges
+
+    base = count_exchanges(clustering.kmeans_assign(spark, sf_dir))
+    sil = count_exchanges(clustering.kmeans_silhouette(spark, sf_dir))
+    assert sil <= base + 2, (base, sil)
