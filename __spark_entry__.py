@@ -444,7 +444,7 @@ def queries() -> dict[str, QueryFn]:
     # r7-remainder/r8/r9/r10 tiers follow in staleness order (r10-checked
     # last, freshest).
     return {
-        # ── (a) round-11 NEW entries (checked in their landing round): 10 ──
+        # ── (a) round-11 NEW entries (checked in their landing round): 11 ──
         "image_phash": multimodal.image_phash,
         "phash_image_near_dup": multimodal.phash_image_near_dup,
         "audio_fingerprint": multimodal.audio_fingerprint,

@@ -1154,7 +1154,8 @@ def topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (cohort, user) count aggregate (map-side combined), two
     rank windows over the per-cohort user-count DOMAIN (the accepted
     SinglePartition-over-aggregate shape; TakeOrdered at 100 TB), a
-    k-row × k-row full outer join."""
+    k-row × k-row full outer join; the count join-back is pruned to the
+    top-k id union before it broadcasts."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1184,9 +1185,15 @@ def topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     te = _top("n_early", "rank_early").drop("n_early")
     tl = _top("n_late", "rank_late").drop("n_late")
+    # prune counts to the ≤2k top-k users BEFORE broadcasting: a broadcast
+    # of the full per-user counts frame would collect the unbounded user
+    # domain (review finding, round 11); the k-row id union is the only
+    # frame that ever reaches the driver
+    users = te.select("user_id").unionByName(tl.select("user_id")).distinct()
+    pruned = counts.join(F.broadcast(users), "user_id")
     return (
         te.join(tl, "user_id", "full")
-        .join(F.broadcast(counts), "user_id")
+        .join(F.broadcast(pruned), "user_id")
         .select(
             "user_id",
             F.col("rank_early").cast("long").alias("rank_early"),

@@ -1512,8 +1512,14 @@ def planted_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
+        # semi-restrict the corpus-mass-sized candidate frame to the
+        # constant planted slice BEFORE broadcasting (review finding,
+        # round 11): only planted pairs can survive the join anyway
         .join(
-            F.broadcast(cands.withColumn("hit", F.lit(True))),
+            F.broadcast(
+                cands.join(F.broadcast(planted), ["doc_a", "doc_b"])
+                .withColumn("hit", F.lit(True))
+            ),
             ["doc_a", "doc_b"],
             "left",
         )

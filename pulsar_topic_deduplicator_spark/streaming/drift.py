@@ -73,15 +73,6 @@ def _batch_oracle() -> str:
     return _BATCH["cusum_drift_flags"]
 
 
-def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: the KS distribution-drift monitor over the streamed
-    (type, value, day) count table — bit-identical to the batch
-    `ks_drift_report` (shared oracle) because counts are additive."""
-    return run_stream_ks_drift_bounded(
-        spark, sf_dir, glob_filter="events.parquet"
-    )
-
-
 def _ks_batch_oracle() -> str:
     from ..operators.changepoint import ORACLES as _BATCH
 

@@ -65,9 +65,12 @@ def run_stream_source_entropy_bounded(
     docs = reader.option("pathGlobFilter", glob_filter).parquet(source_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # batchId-named overwrite: a foreachBatch retry (checkpoint commit
+        # lost after a successful write) re-lands the same partial instead
+        # of appending a double-count (review finding, round 11)
         batch_df.groupBy("source").agg(
             F.count(F.lit(1)).alias("c")
-        ).write.mode("append").parquet(state_dir)
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
 
     q = (
         docs.select("source")
@@ -79,6 +82,7 @@ def run_stream_source_entropy_bounded(
     q.awaitTermination()
     folded = (
         spark.read.parquet(state_dir)
+        .select("source", "c")
         .groupBy("source")
         .agg(F.sum("c").alias("c"))
     )

@@ -84,8 +84,10 @@ def run_stream_media_dedup_bounded(
     hash first seen in this batch, the winning (lowest) asset_id and the
     count of same-batch duplicates it suppressed; for a hash already in
     the index, ``kept_asset_id`` is NULL and ``n_dup`` counts the dropped
-    later-batch copies. Exactly-once per batch via batchId-named output
-    subdirectories (idempotent-foreachBatch pattern)."""
+    later-batch copies. Exactly-once per batch via batchId-named
+    OVERWRITTEN subdirectories for BOTH the output and the seen-hash
+    index (idempotent-foreachBatch pattern — a replayed batch re-lands
+    its own partials instead of appending duplicates)."""
     import os
 
     from ..session import apply_runtime_confs
@@ -118,7 +120,9 @@ def run_stream_media_dedup_bounded(
             # no broadcast hint: AQE picks broadcast while the index is
             # small; at 100 TB the index is bucketed by phash_lo and the
             # probe stays a co-located join
-            seen = sess.read.parquet(state_dir)
+            seen = sess.read.parquet(state_dir).select(
+                "phash_lo", "phash_hi"
+            )
             agg = agg.join(
                 seen.withColumn("_seen", F.lit(True)),
                 ["phash_lo", "phash_hi"],
@@ -136,8 +140,13 @@ def run_stream_media_dedup_bounded(
             fresh = agg
             out = fresh.select(*_OUT_SCHEMA.fieldNames())
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        fresh.select("phash_lo", "phash_hi").write.mode("append").parquet(
-            state_dir
+        # batchId-named overwrite for the STATE too: a foreachBatch retry
+        # (checkpoint commit lost after a successful write) re-lands the
+        # same partial instead of appending a duplicate — without this, a
+        # replayed batch finds its own hashes in the index and emits its
+        # kept rows as NULL counter rows (review finding, round 11)
+        fresh.select("phash_lo", "phash_hi").write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
         )
 
     q = (

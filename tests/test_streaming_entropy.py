@@ -79,3 +79,29 @@ def test_fresh_work_dir_refuses_stale_state(spark, sf_dir):
     with pytest.raises(ValueError, match="count state"):
         run_stream_source_entropy_bounded(spark, sf_dir, work)
     assert os.path.exists(f"{work}/source_counts")
+
+
+def test_state_replay_is_idempotent(spark, sf_dir):
+    """A foreachBatch RETRY re-lands its batch partial (same data, same
+    batchId-named subdir, overwrite mode) — the readout must not change.
+    Simulates the lost-checkpoint-commit replay at the storage layer."""
+    import pyspark.sql.functions as F
+
+    work = tempfile.mkdtemp("ent_idem")
+    before = _readout(run_stream_source_entropy_bounded(spark, sf_dir, work))
+    state = f"{work}/source_counts"
+    batch0 = f"{state}/batch=0"
+    rows = spark.read.parquet(batch0).select("source", "c").collect()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(batch0)
+    folded = (
+        spark.read.parquet(state)
+        .select("source", "c")
+        .groupBy("source")
+        .agg(F.sum("c").alias("c"))
+    )
+    from pulsar_topic_deduplicator_spark.operators.curation import (
+        entropy_readout,
+    )
+
+    after = _readout(entropy_readout(folded))
+    assert after == before

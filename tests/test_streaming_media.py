@@ -100,3 +100,25 @@ def test_fresh_work_dir_refuses_stale_state(spark, sf_dir):
     with pytest.raises(ValueError, match="seen-hash state"):
         run_stream_media_dedup_bounded(spark, sf_dir, work)
     assert os.path.exists(f"{work}/seen_hashes")
+
+
+def test_seen_state_replay_is_idempotent(spark, sf_dir):
+    """A foreachBatch RETRY re-lands its batch's seen-hash partial (same
+    data, same batchId-named subdir, overwrite mode) — the index must not
+    gain duplicate hash rows, so a later probe still matches each hash
+    exactly once. Simulates the lost-checkpoint-commit replay at the
+    storage layer (the pre-fix append mode double-appended here)."""
+    work = tempfile.mkdtemp("media_idem")
+    run_stream_media_dedup_bounded(spark, sf_dir, work)
+    state = f"{work}/seen_hashes"
+    batch0 = f"{state}/batch=0"
+    rows = (
+        spark.read.parquet(batch0)
+        .select("phash_lo", "phash_hi")
+        .collect()
+    )
+    n_before = spark.read.parquet(state).count()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(batch0)
+    seen = spark.read.parquet(state).select("phash_lo", "phash_hi")
+    assert seen.count() == n_before
+    assert seen.count() == seen.distinct().count()
