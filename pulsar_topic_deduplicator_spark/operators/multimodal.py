@@ -888,7 +888,15 @@ def media_dup_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: three independent fingerprint+pair pipelines, each reduced to
     one-row aggregates joined by crossJoin of one-row frames (KB-bounded
     by construction); all candidate generation stays banded — the
-    quadratic tier only ever runs in the oracle."""
+    quadratic tier only ever runs in the oracle.
+
+    Known accepted cost (review, round 11): each modality's decode+hash
+    Arrow stage runs twice — once under the asset count and once inside
+    the pair pipeline, which derives its own fingerprints. Sharing one
+    persisted fingerprint frame would require the three pair functions
+    to take frame arguments; the entry is a non-benched overview whose
+    sf0.01 driver check pays ~2 s for the recompute, so the composition
+    is kept call-compatible instead."""
 
     def one(modality: str, fp: DataFrame, pairs: DataFrame) -> DataFrame:
         n_assets = fp.agg(F.count("*").alias("n_assets"))
