@@ -294,11 +294,17 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rolling_active_users`` idiom) — autocorrelation over a gappy index
     would silently splice non-adjacent hours together.
 
-    Exactness: counts are integers; m·Σxy − Σx·Σy stays int64 to ~3e9
-    hours·counts (far past sf1); num² and den_x·den_y run in
-    DECIMAL(38,0) (num ~5e9 at sf0.1 already overflows int64 when
-    squared). num² ≥ 0, so floor and truncation agree; the sign is a
-    separate integer CASE. Constant series (den = 0) emit NULL.
+    Exactness: counts are integers; the six sums are cast to
+    DECIMAL(38,0)/HUGEINT at the aggregate, so the Pearson components
+    m·Σxy − Σx·Σy run exact in BOTH engines at any scale (previously
+    int64 with ~3e9 hours·counts headroom — past it Spark wrapped
+    silently while DuckDB raised; ADVICE round 12). The final ratio
+    follows the degree_profile_report/bm25 pinned-float discipline:
+    exact integer operands, one libm-free IEEE double expression in
+    PINNED operation order ((num/den_x)·(num/den_y)·1e9), ONE rounding
+    to ppb — both engines produce bit-identical doubles from identical
+    exact inputs. The sign is a separate integer CASE; constant series
+    (den = 0) emit NULL.
 
     Scale: one (type, hour) count aggregate (map-side combined — the
     corpus collapses to types × hours), a broadcast span join, then ONE
@@ -347,26 +353,26 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag_h, y)"),
     ).filter(F.col("y").isNotNull())
     g = pairs.groupBy("event_type", "lag_h").agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
     return g.select(
         "event_type",
         "lag_h",
-        F.col("m").alias("n_pairs"),
+        F.col("m").cast("long").alias("n_pairs"),
         F.expr(
             "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
             "THEN NULL ELSE "
             "(CASE WHEN m * sxy - sx * sy < 0 THEN -1 "
-            " WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END) * CAST("
-            "(1000000000 * CAST(m * sxy - sx * sy AS DECIMAL(38,0))"
-            " * CAST(m * sxy - sx * sy AS DECIMAL(38,0)))"
-            " div (CAST(m * sxx - sx * sx AS DECIMAL(38,0))"
-            "      * CAST(m * syy - sy * sy AS DECIMAL(38,0)))"
+            " WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END) * CAST(round("
+            "(CAST(m * sxy - sx * sy AS DOUBLE)"
+            " / CAST(m * sxx - sx * sx AS DOUBLE))"
+            " * (CAST(m * sxy - sx * sy AS DOUBLE)"
+            "    / CAST(m * syy - sy * sy AS DOUBLE)) * 1e9, 0)"
             " AS BIGINT) END"
         ).alias("acf_r2_ppb"),
     )
@@ -395,9 +401,13 @@ ORACLES["acf_event_counts"] = """
       JOIN filled f2
         ON f2.event_type = f1.event_type AND f2.h = f1.h + k.lag_h),
     g AS (
-      SELECT event_type, lag_h, count(*) AS m,
-             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-             sum(x * x) AS sxx, sum(y * y) AS syy
+      SELECT event_type, lag_h,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
       FROM pairs GROUP BY event_type, lag_h)
     SELECT event_type, CAST(lag_h AS INTEGER) AS lag_h,
            CAST(m AS BIGINT) AS n_pairs,
@@ -405,11 +415,12 @@ ORACLES["acf_event_counts"] = """
                 THEN NULL ELSE
              (CASE WHEN m * sxy - sx * sy < 0 THEN -1
                    WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END)
-             * CAST((1000000000
-                     * CAST(m * sxy - sx * sy AS HUGEINT)
-                     * CAST(m * sxy - sx * sy AS HUGEINT))
-                    // (CAST(m * sxx - sx * sx AS HUGEINT)
-                        * CAST(m * syy - sy * sy AS HUGEINT)) AS BIGINT)
+             * CAST(round(
+                 (CAST(m * sxy - sx * sy AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE))
+                 * (CAST(m * sxy - sx * sy AS DOUBLE)
+                    / CAST(m * syy - sy * sy AS DOUBLE)) * 1e9, 0)
+               AS BIGINT)
            END AS acf_r2_ppb
     FROM g
 """.format(us_per_hour=_US_PER_HOUR, max_lag=ACF_MAX_LAG)

@@ -1416,7 +1416,11 @@ ORACLES["duplicate_mass_report"] = f"""
 #: least PLANT_MIN_WORDS whitespace tokens (so the perturbed variant
 #: still has shingles); the perturbation drops every PLANT_DROP_EVERY-th
 #: token (1-based positions); variants live at doc_id + PLANT_OFFSET.
-#: Shared verbatim by the oracle.
+#: Shared verbatim by the oracle. The id space >= PLANT_OFFSET is
+#: RESERVED for variants: both engines filter the input corpus to
+#: doc_id < PLANT_OFFSET, so a real document in the variant range can
+#: never collide with a plant and silently merge shingle sets
+#: (ADVICE round 12).
 PLANT_MAX_ID = 64
 PLANT_MIN_WORDS = 25
 PLANT_DROP_EVERY = 7
@@ -1450,11 +1454,14 @@ def planted_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the planted slice is a CONSTANT-size frame (≤ PLANT_MAX_ID
     docs); the union corpus pays one extra KB-scale scan; everything
     downstream is the production pipeline's own cost (one doc_id-keyed
-    signature aggregate, the banded self-join). Nothing quadratic."""
+    signature aggregate, the banded self-join). Nothing quadratic. The
+    corpus is filtered to ``doc_id < PLANT_OFFSET`` (reserved variant id
+    space — see the knob block) so the eval stays collision-free at any
+    corpus scale; both engines apply the identical filter."""
     from ..cachereg import persist_scoped
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & (F.col("doc_id") < PLANT_OFFSET)
     )
     w = F.split(F.col("text"), " ")
     orig = docs.filter(
@@ -1539,7 +1546,8 @@ def planted_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["planted_neardup_recall"] = f"""
     WITH base AS (
-      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id < {PLANT_OFFSET}),
     plant_src AS (
       SELECT doc_id, string_split(text, ' ') AS pw FROM base
       WHERE doc_id < {PLANT_MAX_ID}

@@ -108,6 +108,24 @@ def run_stream_media_dedup_bounded(
         spark, source_dir, glob_filter, max_files_per_trigger
     )
 
+    process = _make_process(state_dir, out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(_OUT_SCHEMA).parquet(f"{out_dir}/batch=*")
+
+
+def _make_process(state_dir: str, out_dir: str):
+    """The foreachBatch kernel, factored out so the retry path is testable:
+    a checkpoint-commit loss replays ``process(batch_df, batch_id)`` with
+    the SAME arguments after the first attempt already landed its output
+    and seen-hash partials."""
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         agg = batch_df.groupBy("phash_lo", "phash_hi").agg(
@@ -119,9 +137,17 @@ def run_stream_media_dedup_bounded(
         if fs.exists(jpath):
             # no broadcast hint: AQE picks broadcast while the index is
             # small; at 100 TB the index is bucketed by phash_lo and the
-            # probe stays a co-located join
-            seen = sess.read.parquet(state_dir).select(
-                "phash_lo", "phash_hi"
+            # probe stays a co-located join. The probe EXCLUDES this
+            # batch's own ``batch=N`` partition: on a foreachBatch retry
+            # the first attempt's partial is already in the index, and
+            # probing it would mark the batch's own hashes as seen —
+            # re-emitting its kept rows as NULL counter rows and then
+            # overwriting batch=N with an empty `fresh`, erasing those
+            # hashes from the index (ADVICE round 12)
+            seen = (
+                sess.read.parquet(state_dir)
+                .where(F.col("batch") != F.lit(batch_id))
+                .select("phash_lo", "phash_hi")
             )
             agg = agg.join(
                 seen.withColumn("_seen", F.lit(True)),
@@ -149,14 +175,7 @@ def run_stream_media_dedup_bounded(
             f"{state_dir}/batch={batch_id}"
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(_OUT_SCHEMA).parquet(f"{out_dir}/batch=*")
+    return process
 
 
 #: driver oracle — the single-file bounded run is ONE micro-batch, so the

@@ -106,7 +106,9 @@ def test_gini_bounds(spark, sf_dir):
 
 def test_acf_matches_bruteforce_series_replay(spark, sf_dir):
     """Rebuild the zero-filled hourly series per type in Python and
-    recompute the signed-r² ppb with exact big-int arithmetic."""
+    recompute the signed-r² ppb: exact big-int Pearson components, then
+    the pinned-float (num/d1)·(num/d2)·1e9 expression — the
+    degree_profile_report discipline (ADVICE round 12)."""
     from collections import Counter
 
     from pulsar_topic_deduplicator_spark.operators import changepoint
@@ -136,7 +138,7 @@ def test_acf_matches_bruteforce_series_replay(spark, sf_dir):
                 want[(t, k)] = (m, None)
             else:
                 sign = -1 if num < 0 else (1 if num > 0 else 0)
-                want[(t, k)] = (m, sign * ((10**9 * num * num) // (d1 * d2)))
+                want[(t, k)] = (m, sign * round((num / d1) * (num / d2) * 1e9))
     got = {
         (r.event_type, r.lag_h): (r.n_pairs, r.acf_r2_ppb)
         for r in changepoint.acf_event_counts(spark, sf_dir).collect()

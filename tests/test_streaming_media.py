@@ -102,6 +102,41 @@ def test_fresh_work_dir_refuses_stale_state(spark, sf_dir):
     assert os.path.exists(f"{work}/seen_hashes")
 
 
+def test_process_replay_is_idempotent(spark, sf_dir):
+    """A REAL foreachBatch retry: re-invoke ``process()`` with the same
+    (batch_df, batch_id) after the first attempt landed its output and
+    seen-hash partials. The seen-probe must exclude the batch's own
+    ``batch=N`` partition — otherwise the batch's hashes look already
+    seen, its kept rows re-emit as NULL counter rows, and the state
+    overwrite erases the hashes from the index (ADVICE round 12)."""
+    from pulsar_topic_deduplicator_spark.streaming.media import _make_process
+
+    work = tempfile.mkdtemp("media_replay")
+    run_stream_media_dedup_bounded(spark, sf_dir, work)
+
+    def snapshot():
+        out = {
+            (r["phash_lo"], r["phash_hi"]): (r["kept_asset_id"], r["n_dup"])
+            for r in spark.read.parquet(f"{work}/kept/batch=0").collect()
+        }
+        state = {
+            (r["phash_lo"], r["phash_hi"])
+            for r in spark.read.parquet(f"{work}/seen_hashes/batch=0").collect()
+        }
+        return out, state
+
+    out_before, state_before = snapshot()
+    assert out_before and state_before
+    # same rows the stream fed batch 0 (single-file bounded run = one batch)
+    batch_df = image_phash(spark, sf_dir)
+    _make_process(f"{work}/seen_hashes", f"{work}/kept")(batch_df, 0)
+    out_after, state_after = snapshot()
+    assert out_after == out_before
+    assert state_after == state_before
+    # no kept row degraded to a NULL counter row on the replay
+    assert all(k is not None for k, _ in out_after.values())
+
+
 def test_seen_state_replay_is_idempotent(spark, sf_dir):
     """A foreachBatch RETRY re-lands its batch's seen-hash partial (same
     data, same batchId-named subdir, overwrite mode) — the index must not
