@@ -1427,7 +1427,10 @@ def contrastive_pair_mining(
     semi-hard mining — here the batch-global exact variant). A negative
     margin flags an anchor whose nearest neighbor crosses the class
     boundary — exactly the labels-vs-geometry disagreement a curation
-    pass wants to surface.
+    pass wants to surface. Past the broadcast ceiling the kernel
+    DEGRADES to the ``knn_topk_tiled`` shape (both sides distributed,
+    per-tile argmax + a scalar-sized tile merge) instead of raising —
+    slower but correct at any catalog size (VERDICT r11 item 4).
 
     Kernel: the ``knn_topk_blockwise`` shape — the (ids, labels,
     unit-rows) catalog rides ONE torrent broadcast, each Arrow batch of
@@ -1456,12 +1459,10 @@ def contrastive_pair_mining(
     )
     est_bytes = emb.count() * EMBEDDING_DIM * 8
     if est_bytes > max_broadcast_bytes:
-        raise ValueError(
-            f"catalog estimated at {est_bytes} bytes exceeds the broadcast "
-            f"ceiling ({max_broadcast_bytes}); contrastive_pair_mining is "
-            "the small-catalog variant — tile it like knn_topk_tiled (or "
-            "mine per training batch) beyond this size"
-        )
+        # over the ceiling: never assemble the catalog — degrade to the
+        # tiled both-sides-distributed kernel (correct winners, O(N·(Q+C))
+        # vector transfers) instead of raising
+        return _contrastive_pair_mining_tiled(emb)
     cat_rows = emb.orderBy("vec_id").collect()
     cat_ids = np.array([r["vec_id"] for r in cat_rows], dtype=np.int64)
     cat_labels = np.array([r["label"] for r in cat_rows], dtype=np.int64)
@@ -1505,6 +1506,137 @@ def contrastive_pair_mining(
             "vec_id long, label int, pos_id long, pos_cosine double, "
             "neg_id long, neg_cosine double"
         ),
+    )
+
+
+def _contrastive_pair_mining_tiled(emb: DataFrame, tiles: int = 4) -> DataFrame:
+    """Over-ceiling escape hatch for ``contrastive_pair_mining`` — the
+    ``knn_topk_tiled`` block-matmul cogroup, with per-side (pos/neg)
+    argmaxes per tile and a scalar-sized cross-tile merge.
+
+    Each cogroup scores one query-block × catalog-tile pair with a single
+    BLAS matmul (catalog tile sorted by vec_id so argmax's
+    first-index-on-tie stays the smallest id WITHIN a tile); the merge is
+    ONE (vec_id, label) aggregate of struct-maxes ordered
+    (cosine DESC, candidate id ASC) — the same global tie-break the
+    broadcast kernel gets from its id-ordered catalog — over the
+    scalar-sized per-tile winners (≤ 2·tiles rows per anchor). Anchors
+    whose label has no second member emit NULL positive columns, never
+    vanish: the c=0 cogroup emits one ``side='anchor'`` marker row per
+    anchor, so the merge needs NO join back to the (attribute-shared)
+    input frame — Catalyst's self-join attribute dedup otherwise prunes
+    the cogroup's right-side columns to the grouping keys.
+    Communication: each side is replicated ``tiles`` ways — choose
+    tiles ≈ √parallelism at scale; no node ever holds more than
+    N/tiles catalog rows."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"vec_id": [], "label": [], "side": [], "cand_id": [], "cosine": []}
+    ).astype(
+        {
+            "vec_id": "int64",
+            "label": "int64",
+            "side": "str",
+            "cand_id": "int64",
+            "cosine": "float64",
+        }
+    )
+
+    q_rep = (
+        emb.withColumn("qb", F.pmod(F.hash("vec_id"), F.lit(tiles)))
+        .withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(tiles - 1))))
+    )
+    c_rep = (
+        emb.withColumn("c", F.pmod(F.hash("vec_id"), F.lit(tiles)))
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(tiles - 1))))
+    )
+
+    def score_tile(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty:
+            return empty
+        qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+        qlabels = qpdf["label"].to_numpy(dtype=np.int64)
+        parts = []
+        if int(key[1]) == 0:
+            # exactly-once anchor marker per vec_id (every anchor appears
+            # in precisely one c=0 cogroup); cand_id/cosine are unread
+            # under side='anchor'
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": qids,
+                        "label": qlabels,
+                        "side": "anchor",
+                        "cand_id": np.zeros(len(qids), dtype=np.int64),
+                        "cosine": np.zeros(len(qids), dtype=np.float64),
+                    }
+                )
+            )
+        if not cpdf.empty:
+            cpdf = cpdf.sort_values("vec_id")
+            cids = cpdf["vec_id"].to_numpy(dtype=np.int64)
+            clabels = cpdf["label"].to_numpy(dtype=np.int64)
+            q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+            c = np.array(cpdf["embedding"].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = q @ c.T
+            sims[qids[:, None] == cids[None, :]] = -np.inf  # mask self
+            same = qlabels[:, None] == clabels[None, :]
+            for side, mask in (("pos", same), ("neg", ~same)):
+                s = np.where(mask, sims, -np.inf)
+                best = np.argmax(s, axis=1)  # first index on tie = min id
+                val = s[np.arange(len(qids)), best]
+                has = np.isfinite(val)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": qids[has],
+                            "label": qlabels[has],
+                            "side": side,
+                            "cand_id": cids[best][has],
+                            "cosine": val[has],
+                        }
+                    )
+                )
+        if not parts:
+            return empty
+        out = pd.concat(parts, ignore_index=True)
+        return out if len(out) else empty
+
+    partial = (
+        q_rep.groupBy("qb", "c")
+        .cogroup(c_rep.groupBy("qb", "c"))
+        .applyInPandas(
+            score_tile,
+            schema="vec_id long, label int, side string, "
+            "cand_id long, cosine double",
+        )
+    )
+
+    def _best(side: str):
+        # struct max = lexicographic (max cosine, then max(-cand_id) =
+        # MIN candidate id) — the broadcast kernel's tie-break
+        return F.max(
+            F.when(
+                F.col("side") == side,
+                F.struct(
+                    F.col("cosine").alias("cos"),
+                    (-F.col("cand_id")).alias("mid"),
+                ),
+            )
+        ).alias(side)
+
+    merged = partial.groupBy("vec_id", "label").agg(_best("pos"), _best("neg"))
+    return merged.select(
+        "vec_id",
+        "label",
+        (-F.col("pos.mid")).cast("long").alias("pos_id"),
+        F.col("pos.cos").alias("pos_cosine"),
+        (-F.col("neg.mid")).cast("long").alias("neg_id"),
+        F.col("neg.cos").alias("neg_cosine"),
     )
 
 

@@ -77,6 +77,43 @@ def test_contrastive_mining_matches_numpy_brute_force(spark, sf_dir):
         assert label_of[r["neg_id"]] != r["label"]
 
 
+def test_contrastive_over_ceiling_degrades_to_tiled(spark, sf_dir):
+    """Past the broadcast ceiling the kernel must DEGRADE to the tiled
+    both-sides-distributed shape and still return correct winners
+    (VERDICT r11 item 4) — forced here with a 1-byte ceiling and pinned
+    against the same numpy brute force as the broadcast path."""
+    from pulsar_topic_deduplicator_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    labels = np.array([r["label"] for r in emb])
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+
+    out = contrastive_pair_mining(spark, sf_dir, max_broadcast_bytes=1)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert set(got) == set(ids.tolist())
+    for i, vid in enumerate(ids):
+        r = got[int(vid)]
+        for side, want_same in (("pos", True), ("neg", False)):
+            mask = (labels == labels[i]) == want_same
+            mask[i] = False
+            if not mask.any():
+                assert r[f"{side}_id"] is None
+                assert r[f"{side}_cosine"] is None
+                continue
+            cand = np.where(mask)[0]
+            best = min(cand, key=lambda j: (-cos[i, j], ids[j]))
+            assert r[f"{side}_id"] == ids[best], (vid, side)
+            assert abs(r[f"{side}_cosine"] - cos[i, best]) < 1e-9
+    # schema parity with the broadcast kernel (the rounded boundary form
+    # composes on either path)
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "label", "pos_id", "pos_cosine", "neg_id", "neg_cosine",
+    ]
+
+
 def test_contrastive_winner_tie_margin_exceeds_ulp_noise(spark, sf_dir):
     """Cross-engine winner identity assumes the top-2 candidate cosines per
     (anchor, side) are either exactly equal (id tie-break governs, both
