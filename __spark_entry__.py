@@ -15,13 +15,12 @@ verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
 (stream-equals-batch + greedy invariants), ``semantic_dedup_contracts``
 (conservation + no-kept-pair + drop-cause verdicts), and
-``approx_quantiles_contracts`` (GK rank-bracket verdicts). In round 11 four
-of the seven raw entries rotate through the driver's 50-entry check window
-(VERDICT r10 item 7) so the ledger gains fresh rows-only evidence that the
-raw surface runs at sf0.01; the other three (``semantic_dedup``,
-``stream_near_dup``, ``approx_quantiles_value`` — the raws with the
-freshest, r9-green contract twins) sit first past the edge and rotate in
-round 12.
+``approx_quantiles_contracts`` (GK rank-bracket verdicts). Round 11 rotated
+four of the seven raws through the driver's 50-entry check window; round 12
+rotates the remaining three (``semantic_dedup``, ``stream_near_dup``,
+``approx_quantiles_value``), each CO-LOCATED with its contract twin so no
+``no_oracle`` artifact row lands without an adjacent green value-checked
+row (VERDICT r11 items 1+2).
 """
 
 from __future__ import annotations
@@ -426,92 +425,77 @@ def _stream_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 11 executes VERDICT r10 items 1 + 7: (a) the NEW
-    # round-11 entries (the image perceptual-hash near-dup tier) lead, so
-    # they are checked in their landing round; (b) the entire stalest
-    # (last-checked-r6) block — q18_large_volume_customers ..
-    # near_dup_pairs_verified, the round's only staleness debt — follows;
-    # (c) the seven rows-only RAW entries rotate through the window ONCE
-    # (their only prior driver rows are r04): the driver records a weaker
-    # rows-only row for each (no oracle BY DESIGN — seeded planes / numpy
-    # codebooks / greedy sequential selection / sketch internals), giving
-    # fresh evidence the raw surface runs at sf0.01; every family's VALUES
-    # remain oracle-checked through its contract twin
-    # (ann_recall_contracts / stream_near_dup_contracts /
-    # semantic_dedup_contracts / approx_quantiles_contracts); then (d) the
-    # 4 stalest r7 entries fill to the window edge. After this round no
-    # oracle-bearing entry's driver evidence is older than r7. The
-    # r7-remainder/r8/r9/r10 tiers follow in staleness order (r10-checked
-    # last, freshest).
+    # round. Round 12 executes VERDICT r11 items 1, 2 and 6: (a) the 3
+    # remaining rows-only RAW entries take their one window rotation, each
+    # IMMEDIATELY followed by its oracle-checked contract twin so every
+    # by-design `no_oracle` artifact row sits next to a green value-checked
+    # row; (b) the 4 stalest (r7) entries; (c) ALL 23 round-11 LATE
+    # entries — the only block never yet in any driver CORRECTNESS
+    # artifact (builder-side three-scale oracle parity + driver-sim
+    # evidence exists; this converts it to hard artifact rows); (d) 17
+    # stalest-r8 entries (the reference-core dedup surface first) fill to
+    # the window edge. After this round every registry entry has appeared
+    # in a driver artifact and no oracle-bearing entry's evidence is older
+    # than r7. The r7-remainder/r8/r9/r10/r11 tiers follow in staleness
+    # order (r11-checked last, freshest).
     return {
-        # ── (a) round-11 NEW entries (checked in their landing round): 11 ──
-        "image_phash": multimodal.image_phash,
-        "phash_image_near_dup": multimodal.phash_image_near_dup,
-        "audio_fingerprint": multimodal.audio_fingerprint,
-        "audio_fingerprint_near_dup": multimodal.audio_fingerprint_near_dup,
-        "video_frame_phash": multimodal.video_frame_phash,
-        "video_near_dup": multimodal.video_near_dup,
-        "video_scene_cuts": multimodal.video_scene_cuts,
-        "video_keyframes": multimodal.video_keyframes,
-        "video_content_id": multimodal.video_content_id,
-        "media_dup_overview": multimodal.media_dup_overview,
-        "stream_media_dedup": _stream_media_dedup_query,
-        # ── (b) stalest checked tier (r6 remainder): 35 ────────────────────
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
-        "window_analytics_demo": relational.window_analytics_demo,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
-        "q4_order_priority_checking": relational.q4_order_priority_checking,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q13_customer_distribution": relational.q13_customer_distribution,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        "q22_dormant_balances": relational.q22_dormant_balances,
-        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
-        "pivot_status_counts": relational.pivot_status_counts,
-        "unpivot_part_measures": relational.unpivot_part_measures,
-        "exact_variance_stats": relational.exact_variance_stats,
-        "exact_corr_stats": relational.exact_corr_stats,
-        "full_outer_nation_activity": relational.full_outer_nation_activity,
-        "event_type_stats_salted": skew.event_type_stats_salted,
-        "running_value_per_user": relational.running_value_per_user,
-        "json_extract_props": scalarfuncs.json_extract_props,
-        "string_funcs_demo": scalarfuncs.string_funcs_demo,
-        "date_funcs_demo": scalarfuncs.date_funcs_demo,
-        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
-        "math_funcs_demo": scalarfuncs.math_funcs_demo,
-        "text_stats": textops.text_stats,
-        "token_count": textops.token_count,
-        "quality_score": textops.quality_score,
-        "lang_id_heuristic": textops.lang_id_heuristic,
-        "lang_distribution": textops.lang_distribution,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "dedup_docs_exact": textops.dedup_docs_exact,
-        "top_terms": textops.top_terms,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
-        "minhash_signatures": neardup.minhash_signatures,
-        "near_dup_minhash": neardup.near_dup_minhash,
-        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        # ── (c) rows-only RAW entries: one rotation through the window ─────
-        # (VERDICT r10 item 7 — each value-checked via its contract twin)
-        "ivf_topk_cosine": similarity.ivf_topk_cosine,  # twin: ann_recall_contracts
-        "ivf_topk_indexed": similarity.ivf_topk_indexed,  # twin: ann_recall_contracts
-        "pq_topk_cosine": similarity.pq_topk_cosine,  # twin: ann_recall_contracts
-        "ann_cosine_lsh": similarity.ann_cosine_lsh,  # twin: ann_recall_contracts
-        # ── end of the 50-entry checked window (11 new + 35 stale-r6 + 4
-        # rows-only raws). The remaining 3 raws sit FIRST past the edge —
-        # their rows-only rotation defers to round 12; they carry the
-        # freshest (r9-green) contract twins of the raw set, so they lose
-        # the least by waiting. ────────────────────────────────────────────
-        "semantic_dedup": similarity.semantic_dedup,  # twin: semantic_dedup_contracts
-        "stream_near_dup": _stream_near_dup_query,  # twin: stream_near_dup_contracts
-        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # twin: approx_quantiles_contracts
-        # stalest r7 entries follow (they lead round 12's stale block)
+        # ── (a) remaining rows-only RAWs, each co-located with its twin: 6 ─
+        "semantic_dedup": similarity.semantic_dedup,  # raw (numpy codebooks)
+        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
+        "stream_near_dup": _stream_near_dup_query,  # raw (greedy sequential)
+        "stream_near_dup_contracts": _stream_near_dup_contracts_query,
+        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # raw (GK sketch internals)
+        "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
+        # ── (b) stalest checked tier (r7 head): 4 ──────────────────────────
         "dedup_paragraphs": textops.dedup_paragraphs,
         "near_dup_paragraphs": neardup.near_dup_paragraphs,
         "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
         "dedup_docs_incremental": neardup.dedup_docs_incremental,
-        # r7-checked remainder (next-stalest)
+        # ── (c) round-11 LATE entries (never in a driver artifact): 23 ─────
+        "rolling_active_users": analytics.rolling_active_users,
+        "span_corruption_masks": curation.span_corruption_masks,
+        "fd_violations_report": lineage.fd_violations_report,
+        "k_anonymity_report": lineage.k_anonymity_report,
+        "stream_rolling_actives": _stream_rolling_actives_query,
+        "sq8_ranking_eval": similarity.sq8_ranking_eval,
+        "classifier_calibration_report": classify.classifier_calibration_report,
+        "ks_drift_report": changepoint.ks_drift_report,
+        "classifier_auc_report": classify.classifier_auc_report,
+        "classifier_pr_report": classify.classifier_pr_report,
+        "gini_revenue_report": analytics.gini_revenue_report,
+        "acf_event_counts": changepoint.acf_event_counts,
+        "common_neighbor_links": graph.common_neighbor_links,
+        "source_entropy_report": curation.source_entropy_report,
+        "kmeans_silhouette": clustering.kmeans_silhouette,
+        "stream_source_entropy": _stream_source_entropy_query,
+        "psi_drift_report": changepoint.psi_drift_report,
+        "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
+        "degree_profile_report": graph.degree_profile_report,
+        "topk_churn_report": analytics.topk_churn_report,
+        "planted_neardup_recall": neardup.planted_neardup_recall,
+        "stream_ks_drift": _stream_ks_drift_query,
+        "vocab_drift_report": textops.vocab_drift_report,
+        # ── (d) stalest-r8 freshness refill (reference core first): 17 ─────
+        "hash_payload": dedup.hash_payload,
+        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
+        "dedup_within_window": dedup.dedup_within_window,
+        "ignore_props_projection": dedup.ignore_props_projection,
+        "first_per_key": dedup.first_per_key,
+        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
+        "entity_match_pairs": entity.entity_match_pairs,
+        "entity_golden_records": entity.entity_golden_records,
+        "posting_lists": retrieval.posting_lists,
+        "phrase_search": retrieval.phrase_search,
+        "kmeans_assign": clustering.kmeans_assign,
+        "kmeans_centroids": clustering.kmeans_centroids,
+        "mmr_diversify": diversify.mmr_diversify,
+        "mmr_per_label": diversify.mmr_per_label,
+        "profile_orders": lineage.profile_orders,
+        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
+        # ── end of the 50-entry checked window (6 raw+twin pairs + 4
+        # stale-r7 + 23 LATE + 17 stale-r8). The r7-checked remainder
+        # follows (stalest first). ──────────────────────────────────────────
         "stream_dedup_spans": _stream_span_dedup_query,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
@@ -560,17 +544,8 @@ def queries() -> dict[str, QueryFn]:
         # harness — it is the consumer-API twin, pytest-pinned against numpy)
         "array_funcs_demo": scalarfuncs.array_funcs_demo,
         "map_funcs_demo": scalarfuncs.map_funcs_demo,
-        # r8-checked tier (freshest evidence — last to rotate back in)
-        "entity_match_pairs": entity.entity_match_pairs,
-        "entity_golden_records": entity.entity_golden_records,
-        "posting_lists": retrieval.posting_lists,
-        "phrase_search": retrieval.phrase_search,
-        "kmeans_assign": clustering.kmeans_assign,
-        "kmeans_centroids": clustering.kmeans_centroids,
-        "mmr_diversify": diversify.mmr_diversify,
-        "mmr_per_label": diversify.mmr_per_label,
-        "profile_orders": lineage.profile_orders,
-        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
+        # r8-checked remainder (the 17 stalest-r8 entries moved into the
+        # round-12 window head)
         "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
         "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
         "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
@@ -599,17 +574,10 @@ def queries() -> dict[str, QueryFn]:
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
         "asof_last_purchase": asof.asof_last_purchase,
         "conditional_agg_demo": relational.conditional_agg_demo,
-        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
-        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
         # SQL surface (same SQL text runs on Spark AND DuckDB) — r8-checked
         **sqlapi.QUERIES,
-        "hash_payload": dedup.hash_payload,
-        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
-        "dedup_within_window": dedup.dedup_within_window,
-        "ignore_props_projection": dedup.ignore_props_projection,
-        "first_per_key": dedup.first_per_key,
-        # r9-checked tier (freshest evidence — last to rotate back in; the
-        # exact CORRECTNESS_r09 window, in its checked order)
+        # r9-checked tier (the three contract twins moved into the round-12
+        # window head beside their raws; the rest keeps its checked order)
         "bpe_merge_steps": textops.bpe_merge_steps,
         "bpe_encode_token_counts": textops.bpe_encode_token_counts,
         "dedup_docs_by_url": curation.dedup_docs_by_url,
@@ -624,8 +592,6 @@ def queries() -> dict[str, QueryFn]:
         "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
         "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
         "top_orders_per_customer": relational.top_orders_per_customer,
-        "stream_near_dup_contracts": _stream_near_dup_contracts_query,
-        "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
         "doc_repetition_stats": textops.doc_repetition_stats,
         "gopher_quality_flags": textops.gopher_quality_flags,
         "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
@@ -641,7 +607,6 @@ def queries() -> dict[str, QueryFn]:
         "curriculum_order": curation.curriculum_order,
         "purchase_attribution_events": asof.purchase_attribution_events,
         "stream_attribution_events": _stream_attribution_query,
-        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
         "cms_sketch": dedup.cms_sketch,
         "cms_user_counts": dedup.cms_user_counts,
         "band_self_join_prices": asof.band_self_join_prices,
@@ -712,31 +677,60 @@ def queries() -> dict[str, QueryFn]:
         "cube_sales": relational.cube_sales,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
-        # round-11 LATE additions (post-window; oracle-checked standalone
-        # at sf0.01 + sf0.1 this round, rotate into the driver window r12)
-        "rolling_active_users": analytics.rolling_active_users,
-        "span_corruption_masks": curation.span_corruption_masks,
-        "fd_violations_report": lineage.fd_violations_report,
-        "k_anonymity_report": lineage.k_anonymity_report,
-        "stream_rolling_actives": _stream_rolling_actives_query,
-        "sq8_ranking_eval": similarity.sq8_ranking_eval,
-        "classifier_calibration_report": classify.classifier_calibration_report,
-        "ks_drift_report": changepoint.ks_drift_report,
-        "classifier_auc_report": classify.classifier_auc_report,
-        "classifier_pr_report": classify.classifier_pr_report,
-        "gini_revenue_report": analytics.gini_revenue_report,
-        "acf_event_counts": changepoint.acf_event_counts,
-        "common_neighbor_links": graph.common_neighbor_links,
-        "source_entropy_report": curation.source_entropy_report,
-        "kmeans_silhouette": clustering.kmeans_silhouette,
-        "stream_source_entropy": _stream_source_entropy_query,
-        "psi_drift_report": changepoint.psi_drift_report,
-        "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
-        "degree_profile_report": graph.degree_profile_report,
-        "topk_churn_report": analytics.topk_churn_report,
-        "planted_neardup_recall": neardup.planted_neardup_recall,
-        "stream_ks_drift": _stream_ks_drift_query,
-        "vocab_drift_report": textops.vocab_drift_report,
+        # r11-checked tier (freshest evidence — last to rotate back in; the
+        # exact CORRECTNESS_r11 window, in its checked order)
+        "image_phash": multimodal.image_phash,
+        "phash_image_near_dup": multimodal.phash_image_near_dup,
+        "audio_fingerprint": multimodal.audio_fingerprint,
+        "audio_fingerprint_near_dup": multimodal.audio_fingerprint_near_dup,
+        "video_frame_phash": multimodal.video_frame_phash,
+        "video_near_dup": multimodal.video_near_dup,
+        "video_scene_cuts": multimodal.video_scene_cuts,
+        "video_keyframes": multimodal.video_keyframes,
+        "video_content_id": multimodal.video_content_id,
+        "media_dup_overview": multimodal.media_dup_overview,
+        "stream_media_dedup": _stream_media_dedup_query,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "window_analytics_demo": relational.window_analytics_demo,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_predicates": relational.q19_disjunctive_predicates,
+        "q4_order_priority_checking": relational.q4_order_priority_checking,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q22_dormant_balances": relational.q22_dormant_balances,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "pivot_status_counts": relational.pivot_status_counts,
+        "unpivot_part_measures": relational.unpivot_part_measures,
+        "exact_variance_stats": relational.exact_variance_stats,
+        "exact_corr_stats": relational.exact_corr_stats,
+        "full_outer_nation_activity": relational.full_outer_nation_activity,
+        "event_type_stats_salted": skew.event_type_stats_salted,
+        "running_value_per_user": relational.running_value_per_user,
+        "json_extract_props": scalarfuncs.json_extract_props,
+        "string_funcs_demo": scalarfuncs.string_funcs_demo,
+        "date_funcs_demo": scalarfuncs.date_funcs_demo,
+        "median_quantity_per_flag": scalarfuncs.median_quantity_per_flag,
+        "math_funcs_demo": scalarfuncs.math_funcs_demo,
+        "text_stats": textops.text_stats,
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        "lang_distribution": textops.lang_distribution,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_docs_exact": textops.dedup_docs_exact,
+        "top_terms": textops.top_terms,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs,
+        "minhash_signatures": neardup.minhash_signatures,
+        "near_dup_minhash": neardup.near_dup_minhash,
+        "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        # rows-only RAWs rotated in r11 (each value-checked via
+        # ann_recall_contracts, r7-green, and sq8_ranking_eval, r12-window)
+        "ivf_topk_cosine": similarity.ivf_topk_cosine,
+        "ivf_topk_indexed": similarity.ivf_topk_indexed,
+        "pq_topk_cosine": similarity.pq_topk_cosine,
+        "ann_cosine_lsh": similarity.ann_cosine_lsh,
     }
 
 
