@@ -7,8 +7,10 @@ Design (the mergeable-summaries two-level pattern, Agarwal et al. SIGMOD
 2012, extended one level to time): each micro-batch runs the BATCH
 Misra-Gries kernel (per-partition ``mapInPandas`` folds → KB-sized SQL
 merge, ``operators/heavyhitters.py``), and the resulting ≤ MG_K-row batch
-summary folds into a driver-held accumulated summary with the same
-add-trim-keep-positive merge. MG state is O(k) BY CONSTRUCTION — a dozen
+summary lands in a driver-held slot KEYED BY batch_id (foreachBatch
+retries overwrite their own slot — idempotent); after the drain the slots
+fold in batch order with the same add-trim-keep-positive merge. MG state
+is O(k) per slot BY CONSTRUCTION — a dozen
 counters — so driver-held state is the right home (the same codebook
 discipline as the IVF/MMR tiers), and the guarantees survive: each trim
 at any level removes ≥ (k+1)·offset total mass, so Σ offsets ≤ n/(k+1)
@@ -49,15 +51,50 @@ def run_stream_heavy_hitters_bounded(
         glob_filter=glob_filter,
         max_files_per_trigger=max_files_per_trigger,
     )
-    counters: dict[str, int] = {}
+    batch_summaries: dict[int, list[tuple[str, int]]] = {}
 
-    def fold(batch_df: DataFrame, _batch_id: int) -> None:
-        # distributed per-batch kernel (partition folds + KB merge), then
-        # the ≤ MG_K-row cross-batch fold on the driver
-        for r in _mg_merged(batch_df.select(col), col).collect():
-            counters[r["item"]] = counters.get(r["item"], 0) + int(
-                r["est_count"]
-            )
+    q = (
+        ev.writeStream.foreachBatch(_make_fold(batch_summaries, col))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = _merge_summaries(batch_summaries)
+    return spark.createDataFrame(
+        sorted(counters.items()), "item string, est_count long"
+    )
+
+
+def _make_fold(batch_summaries: dict[int, list[tuple[str, int]]], col: str):
+    """The foreachBatch kernel, factored out so the retry path is testable.
+
+    Retry-idempotence (the streaming/media.py round-12 discipline): the
+    per-batch distributed MG summary is stored KEYED BY batch_id — a
+    foreachBatch retry (checkpoint commit lost after a successful first
+    attempt) overwrites its own slot instead of double-folding into a
+    running accumulator, which would inflate the retried batch's mass."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # distributed per-batch kernel (partition folds + KB merge)
+        batch_summaries[int(batch_id)] = [
+            (r["item"], int(r["est_count"]))
+            for r in _mg_merged(batch_df.select(col), col).collect()
+        ]
+
+    return fold
+
+
+def _merge_summaries(
+    batch_summaries: dict[int, list[tuple[str, int]]],
+) -> dict[str, int]:
+    """Fold the ≤ MG_K-row per-batch summaries in batch order with the
+    add-trim-keep-positive merge — IDENTICAL order and arithmetic to the
+    previous online fold (so every pinned result is unchanged), run after
+    the drain. Driver memory O(k · batches), a few KB for bounded runs."""
+    counters: dict[str, int] = {}
+    for b in sorted(batch_summaries):
+        for item, c in batch_summaries[b]:
+            counters[item] = counters.get(item, 0) + c
         if len(counters) > MG_K:
             off = sorted(counters.values(), reverse=True)[MG_K]
             for k in list(counters):
@@ -66,16 +103,7 @@ def run_stream_heavy_hitters_bounded(
                     counters[k] = v
                 else:
                     del counters[k]
-
-    q = (
-        ev.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.createDataFrame(
-        sorted(counters.items()), "item string, est_count long"
-    )
+    return counters
 
 
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -245,3 +245,57 @@ def test_stream_heavy_hitters_saturating_keeps_guarantees(spark, tmp_path):
         assert exact[item] - est <= bound  # bounded undercount
     # user 0 (50/140 = 36% ≫ 1/16) must be present and dominant
     assert "0" in got and got["0"] == max(got.values())
+
+
+def test_stream_heavy_hitters_fold_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch RETRY re-invokes fold() with the same
+    (batch_df, batch_id): the per-batch summary must overwrite its own
+    batch_id-keyed slot, not double-fold into an accumulator (which
+    inflated the retried batch's mass before the round-12 fix)."""
+    from pulsar_topic_deduplicator_spark.streaming.heavyhitters_stream import (
+        _make_fold,
+        _merge_summaries,
+    )
+
+    src = str(tmp_path / "mg_retry_src")
+    _write_full_events_file(
+        spark,
+        src,
+        [_stream_rows(1, i, "click") for i in range(6)]
+        + [_stream_rows(2, 10 + i, "view") for i in range(4)],
+    )
+    batch_df = spark.read.parquet(src)
+    summaries: dict = {}
+    fold = _make_fold(summaries, "event_type")
+    fold(batch_df, 0)
+    once = _merge_summaries(summaries)
+    fold(batch_df, 0)  # the retry
+    assert _merge_summaries(summaries) == once == {"click": 6, "view": 4}
+
+
+def test_merge_summaries_matches_online_fold_order(spark):
+    """_merge_summaries folds slots in batch order with the identical
+    add-trim-keep-positive arithmetic the online fold used — pin the
+    trim path on a saturating two-batch fixture."""
+    from pulsar_topic_deduplicator_spark.streaming.heavyhitters_stream import (
+        _merge_summaries,
+    )
+
+    # batch 0: MG_K+1 distinct items forces a trim during the merge
+    b0 = [(f"u{i}", 3) for i in range(MG_K + 1)]
+    b1 = [("u0", 5), ("fresh", 2)]
+    # replay the online fold by hand
+    counters: dict = {}
+    for batch in (b0, b1):
+        for item, c in batch:
+            counters[item] = counters.get(item, 0) + c
+        if len(counters) > MG_K:
+            off = sorted(counters.values(), reverse=True)[MG_K]
+            for k in list(counters):
+                v = counters[k] - off
+                if v > 0:
+                    counters[k] = v
+                else:
+                    del counters[k]
+    assert _merge_summaries({0: b0, 1: b1}) == counters
+    assert len(counters) <= MG_K
