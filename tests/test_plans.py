@@ -689,6 +689,26 @@ def test_contrastive_mining_is_one_arrow_stage(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_contrastive_tiled_fallback_plan_shape(spark, sf_dir):
+    """The over-ceiling fallback must stay distributed and join-free:
+    tile scoring is a cogroup (FlatMapCoGroupsInPandas), the cross-tile
+    merge is ONE hash aggregate — no cartesian, no sort-merge join, no
+    join back to the input frame (Catalyst's self-join dedup would
+    column-prune the cogroup's right side — round-12 finding)."""
+    from pulsar_topic_deduplicator_spark.operators import similarity
+
+    df = similarity.contrastive_pair_mining(
+        spark, sf_dir, max_broadcast_bytes=1
+    )
+    plan = formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # struct-typed max lowers to Sort/ObjectHashAggregate, not HashAggregate
+    assert "Aggregate" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
 def test_shard_plan_serial_window_is_bucket_sized(spark, sf_dir):
     """The two-stage prefix sum may contain EXACTLY ONE single-partition
     exchange — the bucket-offset window over the n_docs/width frame —
