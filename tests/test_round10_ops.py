@@ -114,6 +114,37 @@ def test_contrastive_over_ceiling_degrades_to_tiled(spark, sf_dir):
     ]
 
 
+def test_contrastive_tiled_tiny_corpus_edges(spark):
+    """Tiled-fallback edge cases on a 3-vector corpus with more tiles
+    than rows: empty cogroups, an anchor whose label has no second
+    member (NULL positives), and every anchor preserved."""
+    import tempfile
+
+    import pandas as pd
+
+    d = 64
+    rows = [
+        (0, 1, [1.0] + [0.0] * (d - 1)),
+        (1, 1, [0.9, 0.1] + [0.0] * (d - 2)),
+        (2, 2, [0.0, 1.0] + [0.0] * (d - 2)),  # lone label: pos is NULL
+    ]
+    src = tempfile.mkdtemp("tiny_emb")
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{src}/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in contrastive_pair_mining(
+            spark, src, max_broadcast_bytes=1
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["pos_id"] == 1 and out[1]["pos_id"] == 0
+    assert out[2]["pos_id"] is None and out[2]["pos_cosine"] is None
+    assert out[0]["neg_id"] == 2 and out[1]["neg_id"] == 2
+    assert out[2]["neg_id"] in (0, 1)
+
+
 def test_contrastive_winner_tie_margin_exceeds_ulp_noise(spark, sf_dir):
     """Cross-engine winner identity assumes the top-2 candidate cosines per
     (anchor, side) are either exactly equal (id tie-break governs, both

@@ -137,6 +137,53 @@ def test_process_replay_is_idempotent(spark, sf_dir):
     assert all(k is not None for k, _ in out_after.values())
 
 
+def test_process_replay_of_second_batch_is_idempotent(spark, sf_dir):
+    """Retry of a LATER batch: with batch=0 already committed, re-invoke
+    process() for batch 1 — the probe must still see batch 0's hashes
+    (cross-batch suppression intact) while excluding only batch 1's own
+    partial. Output and state for BOTH batches must be unchanged."""
+    from pulsar_topic_deduplicator_spark.operators.multimodal import (
+        image_phash,
+    )
+    from pulsar_topic_deduplicator_spark.streaming.media import _make_process
+
+    work = tempfile.mkdtemp("media_replay2")
+    state, out = f"{work}/seen_hashes", f"{work}/kept"
+    fp = image_phash(spark, sf_dir)
+    b0 = fp.filter(F.col("asset_id") % 2 == 0)
+    b1 = fp.filter(F.col("asset_id") % 2 == 1)
+    proc = _make_process(state, out)
+    proc(b0, 0)
+    proc(b1, 1)
+
+    def snapshot():
+        o = {
+            (r["phash_lo"], r["phash_hi"], r["kept_asset_id"], r["n_dup"])
+            for b in (0, 1)
+            for r in spark.read.parquet(f"{out}/batch={b}").collect()
+        }
+        s = {
+            (b, r["phash_lo"], r["phash_hi"])
+            for b in (0, 1)
+            for r in spark.read.parquet(f"{state}/batch={b}").collect()
+        }
+        return o, s
+
+    before = snapshot()
+    proc(b1, 1)  # the retry of the LAST batch
+    assert snapshot() == before
+    # batch 1 must still have suppressed batch-0 hashes on the retry:
+    # every hash owned by batch 0 appears in batch 1's output only as a
+    # NULL-kept counter row (if at all)
+    b0_hashes = {
+        (r["phash_lo"], r["phash_hi"])
+        for r in spark.read.parquet(f"{state}/batch=0").collect()
+    }
+    for r in spark.read.parquet(f"{out}/batch=1").collect():
+        if (r["phash_lo"], r["phash_hi"]) in b0_hashes:
+            assert r["kept_asset_id"] is None
+
+
 def test_seen_state_replay_is_idempotent(spark, sf_dir):
     """A foreachBatch RETRY re-lands its batch's seen-hash partial (same
     data, same batchId-named subdir, overwrite mode) — the index must not
