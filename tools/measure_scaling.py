@@ -79,6 +79,10 @@ OPS = [
     "common_neighbor_links",      # capped co-supply pair explosion
     "tfidf_selfretrieval_eval",   # postings + broadcast query probe
     "stream_ks_drift",            # streaming count agg + KS kernel
+    # round-12: the ACF Pearson sums moved to decimal accumulation + the
+    # pinned-float ratio (ADVICE r12) — sentinel that the events-bound
+    # (type, hour) aggregate + constant-size lag windows stay linear
+    "acf_event_counts",           # zero-filled hourly ACF (decimal sums)
 ]
 
 REPLICAS = 10
