@@ -425,77 +425,19 @@ def _stream_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 12 executes VERDICT r11 items 1, 2 and 6: (a) the 3
-    # remaining rows-only RAW entries take their one window rotation, each
-    # IMMEDIATELY followed by its oracle-checked contract twin so every
-    # by-design `no_oracle` artifact row sits next to a green value-checked
-    # row; (b) the 4 stalest (r7) entries; (c) ALL 23 round-11 LATE
-    # entries — the only block never yet in any driver CORRECTNESS
-    # artifact (builder-side three-scale oracle parity + driver-sim
-    # evidence exists; this converts it to hard artifact rows); (d) 17
-    # stalest-r8 entries (the reference-core dedup surface first) fill to
-    # the window edge. After this round every registry entry has appeared
-    # in a driver artifact and no oracle-bearing entry's evidence is older
-    # than r7. The r7-remainder/r8/r9/r10/r11 tiers follow in staleness
-    # order (r11-checked last, freshest).
+    # round. Round 13 executes VERDICT r12 item 1 (pure staleness
+    # rotation — coverage is saturated, every entry already has driver
+    # artifact evidence): the window is (a) ALL 45 entries whose newest
+    # green artifact is CORRECTNESS_r07 — the entire stalest tier — plus
+    # (b) 5 stalest-r8 entries VERDICT named (asof_last_purchase,
+    # cusum_drift_flags, dsir_select, dsir_resample,
+    # dedup_substrings_global). After this round the oldest evidence
+    # anywhere is r8 (28 entries), which round 14's rotation clears —
+    # meeting VERDICT's "after r14 no entry older than 4 rounds". The
+    # r8-remainder/r9/r10/r11/r12 tiers follow in staleness order
+    # (r12-checked last, freshest, including the 3 raw+twin pairs).
     return {
-        # ── (a) remaining rows-only RAWs, each co-located with its twin: 6 ─
-        "semantic_dedup": similarity.semantic_dedup,  # raw (numpy codebooks)
-        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
-        "stream_near_dup": _stream_near_dup_query,  # raw (greedy sequential)
-        "stream_near_dup_contracts": _stream_near_dup_contracts_query,
-        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # raw (GK sketch internals)
-        "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
-        # ── (b) stalest checked tier (r7 head): 4 ──────────────────────────
-        "dedup_paragraphs": textops.dedup_paragraphs,
-        "near_dup_paragraphs": neardup.near_dup_paragraphs,
-        "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
-        "dedup_docs_incremental": neardup.dedup_docs_incremental,
-        # ── (c) round-11 LATE entries (never in a driver artifact): 23 ─────
-        "rolling_active_users": analytics.rolling_active_users,
-        "span_corruption_masks": curation.span_corruption_masks,
-        "fd_violations_report": lineage.fd_violations_report,
-        "k_anonymity_report": lineage.k_anonymity_report,
-        "stream_rolling_actives": _stream_rolling_actives_query,
-        "sq8_ranking_eval": similarity.sq8_ranking_eval,
-        "classifier_calibration_report": classify.classifier_calibration_report,
-        "ks_drift_report": changepoint.ks_drift_report,
-        "classifier_auc_report": classify.classifier_auc_report,
-        "classifier_pr_report": classify.classifier_pr_report,
-        "gini_revenue_report": analytics.gini_revenue_report,
-        "acf_event_counts": changepoint.acf_event_counts,
-        "common_neighbor_links": graph.common_neighbor_links,
-        "source_entropy_report": curation.source_entropy_report,
-        "kmeans_silhouette": clustering.kmeans_silhouette,
-        "stream_source_entropy": _stream_source_entropy_query,
-        "psi_drift_report": changepoint.psi_drift_report,
-        "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
-        "degree_profile_report": graph.degree_profile_report,
-        "topk_churn_report": analytics.topk_churn_report,
-        "planted_neardup_recall": neardup.planted_neardup_recall,
-        "stream_ks_drift": _stream_ks_drift_query,
-        "vocab_drift_report": textops.vocab_drift_report,
-        # ── (d) stalest-r8 freshness refill (reference core first): 17 ─────
-        "hash_payload": dedup.hash_payload,
-        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
-        "dedup_within_window": dedup.dedup_within_window,
-        "ignore_props_projection": dedup.ignore_props_projection,
-        "first_per_key": dedup.first_per_key,
-        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
-        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
-        "entity_match_pairs": entity.entity_match_pairs,
-        "entity_golden_records": entity.entity_golden_records,
-        "posting_lists": retrieval.posting_lists,
-        "phrase_search": retrieval.phrase_search,
-        "kmeans_assign": clustering.kmeans_assign,
-        "kmeans_centroids": clustering.kmeans_centroids,
-        "mmr_diversify": diversify.mmr_diversify,
-        "mmr_per_label": diversify.mmr_per_label,
-        "profile_orders": lineage.profile_orders,
-        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
-        # ── end of the 50-entry checked window (6 raw+twin pairs + 4
-        # stale-r7 + 23 LATE + 17 stale-r8). The r7-checked remainder
-        # follows (stalest first). ──────────────────────────────────────────
+        # ── (a) the complete stalest-r7 tier: 45 entries ───────────────────
         "stream_dedup_spans": _stream_span_dedup_query,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
@@ -544,27 +486,29 @@ def queries() -> dict[str, QueryFn]:
         # harness — it is the consumer-API twin, pytest-pinned against numpy)
         "array_funcs_demo": scalarfuncs.array_funcs_demo,
         "map_funcs_demo": scalarfuncs.map_funcs_demo,
-        # r8-checked remainder (the 17 stalest-r8 entries moved into the
-        # round-12 window head)
+        # ── (b) 5 stalest-r8 picks named by VERDICT r12 item 1 ─────────────
+        "dedup_substrings_global": textops.dedup_substrings_global,
+        "dsir_select": curation.dsir_select,
+        "dsir_resample": curation.dsir_resample,
+        "cusum_drift_flags": changepoint.cusum_drift_flags,
+        "asof_last_purchase": asof.asof_last_purchase,
+        # ── end of the 50-entry checked window (45 r7 + 5 r8). The
+        # r8-checked remainder follows (stalest first). ─────────────────────
         "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
         "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
         "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
         "duplicate_substring_spans": textops.duplicate_substring_spans,
-        "dedup_substrings_global": textops.dedup_substrings_global,
         "dedup_spans_within_doc": textops.dedup_spans_within_doc,
-        "dsir_select": curation.dsir_select,
         "kmv_audience_overlap": dedup.kmv_audience_overlap,
         "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
         "vocab_coverage": textops.vocab_coverage,
         "bpe_pair_counts": textops.bpe_pair_counts,
-        "dsir_resample": curation.dsir_resample,
         "doc_novelty_scores": textops.doc_novelty_scores,
         "sax_fingerprints": analytics.sax_fingerprints,
         "sax_word_counts": analytics.sax_word_counts,
         "sq8_codes": similarity.sq8_codes,
         "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
         "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
-        "cusum_drift_flags": changepoint.cusum_drift_flags,
         "event_transitions": analytics.event_transitions,
         "stream_drift_flags": _stream_drift_flags_query,
         "nb_classifier_scores": classify.nb_classifier_scores,
@@ -572,7 +516,6 @@ def queries() -> dict[str, QueryFn]:
         "cf_similar_suppliers": recommend.cf_similar_suppliers,
         "ppr_related_suppliers": graph.ppr_related_suppliers,
         "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
-        "asof_last_purchase": asof.asof_last_purchase,
         "conditional_agg_demo": relational.conditional_agg_demo,
         # SQL surface (same SQL text runs on Spark AND DuckDB) — r8-checked
         **sqlapi.QUERIES,
@@ -725,8 +668,62 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
+        # r12-checked tier (freshest evidence — last to rotate back in; the
+        # exact CORRECTNESS_r12 window, in its checked order: the 3 raw+twin
+        # pairs, 4 then-stalest-r7, the 23 round-11 LATE entries, 17
+        # then-stalest-r8)
+        "semantic_dedup": similarity.semantic_dedup,  # raw (numpy codebooks)
+        "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
+        "stream_near_dup": _stream_near_dup_query,  # raw (greedy sequential)
+        "stream_near_dup_contracts": _stream_near_dup_contracts_query,
+        "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # raw (GK sketch internals)
+        "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
+        "dedup_paragraphs": textops.dedup_paragraphs,
+        "near_dup_paragraphs": neardup.near_dup_paragraphs,
+        "dedup_paragraphs_fuzzy": neardup.dedup_paragraphs_fuzzy,
+        "dedup_docs_incremental": neardup.dedup_docs_incremental,
+        "rolling_active_users": analytics.rolling_active_users,
+        "span_corruption_masks": curation.span_corruption_masks,
+        "fd_violations_report": lineage.fd_violations_report,
+        "k_anonymity_report": lineage.k_anonymity_report,
+        "stream_rolling_actives": _stream_rolling_actives_query,
+        "sq8_ranking_eval": similarity.sq8_ranking_eval,
+        "classifier_calibration_report": classify.classifier_calibration_report,
+        "ks_drift_report": changepoint.ks_drift_report,
+        "classifier_auc_report": classify.classifier_auc_report,
+        "classifier_pr_report": classify.classifier_pr_report,
+        "gini_revenue_report": analytics.gini_revenue_report,
+        "acf_event_counts": changepoint.acf_event_counts,
+        "common_neighbor_links": graph.common_neighbor_links,
+        "source_entropy_report": curation.source_entropy_report,
+        "kmeans_silhouette": clustering.kmeans_silhouette,
+        "stream_source_entropy": _stream_source_entropy_query,
+        "psi_drift_report": changepoint.psi_drift_report,
+        "tfidf_selfretrieval_eval": retrieval.tfidf_selfretrieval_eval,
+        "degree_profile_report": graph.degree_profile_report,
+        "topk_churn_report": analytics.topk_churn_report,
+        "planted_neardup_recall": neardup.planted_neardup_recall,
+        "stream_ks_drift": _stream_ks_drift_query,
+        "vocab_drift_report": textops.vocab_drift_report,
+        "hash_payload": dedup.hash_payload,
+        "dedup_exact_keep_first": dedup.dedup_exact_keep_first,
+        "dedup_within_window": dedup.dedup_within_window,
+        "ignore_props_projection": dedup.ignore_props_projection,
+        "first_per_key": dedup.first_per_key,
+        "warmup_digest_extract": lineage.warmup_digest_extract,  # message-granular validation
+        "approx_distinct_events": dedup.approx_distinct_events,  # tolerance oracle
+        "entity_match_pairs": entity.entity_match_pairs,
+        "entity_golden_records": entity.entity_golden_records,
+        "posting_lists": retrieval.posting_lists,
+        "phrase_search": retrieval.phrase_search,
+        "kmeans_assign": clustering.kmeans_assign,
+        "kmeans_centroids": clustering.kmeans_centroids,
+        "mmr_diversify": diversify.mmr_diversify,
+        "mmr_per_label": diversify.mmr_per_label,
+        "profile_orders": lineage.profile_orders,
+        "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
         # rows-only RAWs rotated in r11 (each value-checked via
-        # ann_recall_contracts, r7-green, and sq8_ranking_eval, r12-window)
+        # ann_recall_contracts, r13-window, and sq8_ranking_eval, r12-window)
         "ivf_topk_cosine": similarity.ivf_topk_cosine,
         "ivf_topk_indexed": similarity.ivf_topk_indexed,
         "pq_topk_cosine": similarity.pq_topk_cosine,
