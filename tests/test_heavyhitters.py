@@ -273,6 +273,43 @@ def test_stream_heavy_hitters_fold_retry_is_idempotent(spark, tmp_path):
     assert _merge_summaries(summaries) == once == {"click": 6, "view": 4}
 
 
+def test_stream_heavy_hitters_prefix_compaction_bounds_driver_state(
+    spark, tmp_path
+):
+    """ADVICE round 12: committed slots (batch < current) must compact
+    into the ``_PREFIX_SLOT`` accumulator so driver state is O(k), not
+    O(k · batches) — and the compacted merge must equal the uncompacted
+    sequential fold bit-for-bit. A retry of the LIVE batch after
+    compaction must still overwrite its own slot, leaving the prefix
+    untouched."""
+    from pulsar_topic_deduplicator_spark.streaming.heavyhitters_stream import (
+        _PREFIX_SLOT,
+        _make_fold,
+        _merge_summaries,
+    )
+
+    src = str(tmp_path / "mg_compact_src")
+    _write_full_events_file(
+        spark,
+        src,
+        [_stream_rows(1, i, "click") for i in range(6)]
+        + [_stream_rows(2, 10 + i, "view") for i in range(4)],
+    )
+    batch_df = spark.read.parquet(src)
+    summaries: dict = {}
+    fold = _make_fold(summaries, "event_type")
+    for bid in range(3):
+        fold(batch_df, bid)
+        # only the prefix (absent on batch 0) and the live slot remain
+        assert set(summaries) <= {_PREFIX_SLOT, bid}
+    once = _merge_summaries(summaries)
+    fold(batch_df, 2)  # retry of the live batch post-compaction
+    assert _merge_summaries(summaries) == once
+    assert once == {"click": 18, "view": 12}
+    # the prefix holds exactly the fold state after batches 0 and 1
+    assert dict(summaries[_PREFIX_SLOT]) == {"click": 12, "view": 8}
+
+
 def test_merge_summaries_matches_online_fold_order(spark):
     """_merge_summaries folds slots in batch order with the identical
     add-trim-keep-positive arithmetic the online fold used — pin the

@@ -4,6 +4,8 @@ automatic DuckDB-parity gate for the new eval/analytics entries
 
 from __future__ import annotations
 
+import math
+
 from pulsar_topic_deduplicator_spark.operators import classify
 from pulsar_topic_deduplicator_spark.operators.classify import (
     NB_POS_LANG,
@@ -138,7 +140,11 @@ def test_acf_matches_bruteforce_series_replay(spark, sf_dir):
                 want[(t, k)] = (m, None)
             else:
                 sign = -1 if num < 0 else (1 if num > 0 else 0)
-                want[(t, k)] = (m, sign * round((num / d1) * (num / d2) * 1e9))
+                # engines round half AWAY FROM ZERO; Python round() is
+                # banker's — the ratio is non-negative (sign separated),
+                # so floor(v + 0.5) is half-up (ADVICE round 12)
+                mag = math.floor((num / d1) * (num / d2) * 1e9 + 0.5)
+                want[(t, k)] = (m, sign * mag)
     got = {
         (r.event_type, r.lag_h): (r.n_pairs, r.acf_r2_ppb)
         for r in changepoint.acf_event_counts(spark, sf_dir).collect()
@@ -497,10 +503,12 @@ def test_degree_profile_matches_bruteforce(spark, sf_dir):
     d1 = m * sum(x * x for x in xs) - sum(xs) ** 2
     d2 = m * sum(y * y for y in ys) - sum(ys) ** 2
     sign = -1 if num < 0 else (1 if num > 0 else 0)
+    # half-up on the non-negative magnitude, matching the engines
+    # (Python round() is banker's — ADVICE round 12)
     want_assort = (
         None
         if d1 == 0 or d2 == 0
-        else sign * round((num / d1) * (num / d2) * 1e9)
+        else sign * math.floor((num / d1) * (num / d2) * 1e9 + 0.5)
     )
     rows = graph.degree_profile_report(spark, sf_dir).collect()
     assert len(rows) == 2
