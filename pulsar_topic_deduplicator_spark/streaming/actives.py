@@ -76,13 +76,19 @@ def run_stream_rolling_actives_bounded(
             pairs = pairs.join(seen, ["user_id", "day"], "anti")
         pairs.write.mode("append").parquet(state_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .source import bounded_shuffle_width
+
+    with bounded_shuffle_width(spark):
+        # the per-batch distinct + anti-join state is (users × days)
+        # pairs — bounded, so don't pay 200-task stages per batch on a
+        # default session (VERDICT r12 item 4)
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return actives_readout(spark.read.parquet(state_dir))
 
 

@@ -118,26 +118,39 @@ def run_stream_dedup_bounded(
     which duplicate ROW survives is engine-arbitrary, so message_id/event_ts
     stay outside the value comparison. Batch parity of the same semantics is
     ``dedup_exact_keep_first``.)"""
+    from .source import bounded_shuffle_width
+
     messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
     deduped = dedup_stream(messages).select(
         "message_id", "topic", "digest", "event_ts", "properties"
     )
+    # digest-keyed state shuffles at the session width, which streaming
+    # plans never AQE-coalesce: a default 200-partition session pays 200
+    # state-store commits per batch regardless of volume (VERDICT r12
+    # item 4). The helper clamps to min(cluster cores, configured width) —
+    # a deliberately-widened production session keeps ≥ cluster-cores
+    # state partitions for its billion-digest state; it never narrows
+    # below the cluster's parallelism.
     if checkpoint_dir is None and output_dir is None:
         name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with bounded_shuffle_width(spark):
+            query = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
         return spark.table(name)
     run_id = uuid.uuid4().hex[:8]
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(f"ckpt_{run_id}")
     # output co-located with the checkpoint so a restart appends to the same
     # sink — mirroring the reference's single output topic
     output_dir = output_dir or f"{checkpoint_dir}_out"
+    # NOTE: no width pin on the checkpointed path — state partition count
+    # is baked into a checkpoint at first start, and a resumed run must
+    # keep whatever width the checkpoint was created with.
     query = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)
@@ -552,19 +565,26 @@ def run_ttl_dedup_bounded(
     TTL). The GroupState path drains with processAllAvailable; the
     transformWithState path needs the settle-based ``drain_bounded`` (its
     TTL cleanup batches never stop arriving)."""
+    from .source import bounded_shuffle_width
+
     if use_tws is None:
         use_tws = HAS_TRANSFORM_WITH_STATE
-    query, name = start_ttl_dedup(
-        spark, source_dir, checkpoint_dir, ttl_ms, seed_digests, glob_filter,
-        use_tws=use_tws, ignored=ignored, message_predicate=message_predicate,
-    )
-    try:
-        if use_tws:
-            drain_bounded(spark, query, name)
-        else:
-            query.processAllAvailable()
-    finally:
-        query.stop()
+    # width pin is restart-safe here: the computed width is deterministic
+    # per session (cores × conf), so a within-session restart against the
+    # same checkpoint recreates the same state partition count
+    with bounded_shuffle_width(spark):
+        query, name = start_ttl_dedup(
+            spark, source_dir, checkpoint_dir, ttl_ms, seed_digests,
+            glob_filter, use_tws=use_tws, ignored=ignored,
+            message_predicate=message_predicate,
+        )
+        try:
+            if use_tws:
+                drain_bounded(spark, query, name)
+            else:
+                query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name)
 
 
@@ -700,17 +720,20 @@ def run_ttl_dedup_watermark_bounded(
     on its own. Returns the deterministic projection (digest, topic): which
     duplicate ROW survives is engine-arbitrary under first-seen batch order,
     exactly like ``run_stream_dedup_bounded``."""
+    from .source import bounded_shuffle_width
+
     name = f"wm_ttl_{uuid.uuid4().hex[:8]}"
     messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
     deduped = dedup_stream_ingest_ttl(messages, ttl_ms, ignored)
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with bounded_shuffle_width(spark):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select("digest", "topic")
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.changepoint import cusum_flags
-from .source import events_raw_stream
+from .source import bounded_shuffle_width, events_raw_stream
 
 
 def run_stream_drift_bounded(
@@ -41,15 +41,18 @@ def run_stream_drift_bounded(
     counts = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with bounded_shuffle_width(spark):
+        # types × hours state is KB-sized — don't pay a 200-partition
+        # state store per batch on a default session (VERDICT r12)
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     snap = spark.table(name).select(
         "event_type",
         F.unix_micros(F.col("w.start")).alias("bucket_us"),
@@ -112,13 +115,17 @@ def run_stream_ks_drift_bounded(
         "value",
         F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with bounded_shuffle_width(spark):
+        # the (type, value, day) state is bounded by DISTINCT triples —
+        # a plain 200-partition session otherwise burns 200/400-task
+        # stages per batch for a 5-row readout (VERDICT r12 item 3)
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return ks_from_day_counts(spark.table(name))

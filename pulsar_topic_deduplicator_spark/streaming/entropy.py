@@ -72,14 +72,19 @@ def run_stream_source_entropy_bounded(
             F.count(F.lit(1)).alias("c")
         ).write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
 
-    q = (
-        docs.select("source")
-        .writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .source import bounded_shuffle_width
+
+    with bounded_shuffle_width(spark):
+        # per-source counts are a KB fold — keep the per-batch groupBy
+        # off the 200-partition session default (VERDICT r12 item 4)
+        q = (
+            docs.select("source")
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     folded = (
         spark.read.parquet(state_dir)
         .select("source", "c")

@@ -76,16 +76,22 @@ def run_stream_stream_attribution_bounded(
         "event_id", "user_id", "ts", "event_type", "window_id",
         F.col("p_ts").alias("w_start"),
     )
+    from .source import bounded_shuffle_width
+
     name = f"ss_attrib_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with bounded_shuffle_width(spark):
+        # the stream-stream join state shuffles both sides at session
+        # width with no AQE — clamp a default 200-partition session to
+        # the cluster's cores (VERDICT r12 item 4)
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 

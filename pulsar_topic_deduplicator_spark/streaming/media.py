@@ -110,13 +110,18 @@ def run_stream_media_dedup_bounded(
 
     process = _make_process(state_dir, out_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .source import bounded_shuffle_width
+
+    with bounded_shuffle_width(spark):
+        # the per-batch phash groupBy + seen-index anti-join fold KB-to-MB
+        # state — keep it off the 200-partition default (VERDICT r12 item 4)
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(_OUT_SCHEMA).parquet(f"{out_dir}/batch=*")
 
 

@@ -84,13 +84,19 @@ def run_stream_quota_bounded(
         )
         state["v"] = v
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .source import bounded_shuffle_width
+
+    with bounded_shuffle_width(spark):
+        # the admitted set is ≤ users × buckets × K rows — the per-batch
+        # window shuffle should not run 200-wide on a default session
+        # (VERDICT r12 item 4)
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if state["v"] < 0:
         return spark.createDataFrame(
             [],

@@ -11,11 +11,46 @@ file source, which exercises the identical downstream pipeline.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import apply_runtime_confs
+
+
+@contextmanager
+def bounded_shuffle_width(
+    spark: SparkSession, width: int | None = None
+) -> Iterator[int]:
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a bounded
+    streaming run whose keyed state is KB-sized BY CONSTRUCTION (a
+    types × buckets monitor readout, a ≤ k-row sketch fold).
+
+    Why: streaming incremental plans get NO AQE partition coalescing, so
+    the stateful aggregate and every foreachBatch-derived shuffle inherit
+    the session default — a plain 200-partition session runs 200/400-task
+    stages per micro-batch for a 5-row readout (VERDICT r12: the
+    ``stream_ks_drift`` fixed overhead). Wrapping start()+awaitTermination
+    pins the width for query planning AND per-batch foreachBatch plans.
+
+    The width derives from the cluster, never from the fixed default:
+    ``min(defaultParallelism, session value)`` clamped to ≥ 4 — it only
+    ever NARROWS (a tuned session or a large cluster keeps its configured
+    width; corpus-keyed dedup streams, whose state is NOT bounded, do not
+    use this helper at all). Restores the previous value on exit."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    w = width or max(
+        4, min(spark.sparkContext.defaultParallelism, int(old))
+    )
+    spark.conf.set(key, str(w))
+    try:
+        yield w
+    finally:
+        spark.conf.set(key, old)
 
 #: logical schema of the events stream after normalization (ts is TIMESTAMP)
 EVENTS_SCHEMA = T.StructType(

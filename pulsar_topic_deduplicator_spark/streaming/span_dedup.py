@@ -78,15 +78,22 @@ def run_stream_span_dedup_bounded(
     )
     out = dedup_spans_stream(stream).select("ph", "para")
     if checkpoint_dir is None:
+        from .source import bounded_shuffle_width
+
         name = f"span_dedup_{uuid.uuid4().hex[:8]}"
-        query = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with bounded_shuffle_width(spark):
+            # span-hash state shuffles at session width with no AQE —
+            # clamp a default 200-partition session to the cluster's
+            # cores (VERDICT r12 item 4); the checkpointed path below
+            # keeps its baked-in width
+            query = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
         return spark.table(name)
     output_dir = f"{checkpoint_dir}_out"
     query = (

@@ -60,18 +60,22 @@ def run_session_activity_bounded(
 ) -> DataFrame:
     """Bounded session-window run for the harness (availableNow → memory
     sink; append emits sessions the watermark has closed)."""
+    from .source import bounded_shuffle_width
+
     name = f"sess_act_{uuid.uuid4().hex[:8]}"
     messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
-    query = (
-        session_activity(messages)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with bounded_shuffle_width(spark):
+        # (topic × sessions) state — KB-sized; see VERDICT r12 item 4
+        query = (
+            session_activity(messages)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -80,18 +84,22 @@ def run_windowed_counts_bounded(
 ) -> DataFrame:
     """Bounded run for the harness (availableNow → memory sink, append mode
     emits only watermark-finalized windows)."""
+    from .source import bounded_shuffle_width
+
     name = f"win_counts_{uuid.uuid4().hex[:8]}"
     messages = events_message_stream(spark, source_dir, glob_filter=glob_filter)
-    query = (
-        windowed_counts(messages)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with bounded_shuffle_width(spark):
+        # (topic × hours) state — KB-sized; see VERDICT r12 item 4
+        query = (
+            windowed_counts(messages)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
