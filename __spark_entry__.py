@@ -5,11 +5,13 @@ core semantics) at sf0.001. ``queries()`` — one entry per implemented
 operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
 every SQL-expressible operator, including the bounded streaming harnesses
 (deterministic single-batch runs) and the integer-exact multimodal stages.
-Seven entries are rows-only RAW surface, each for a stated reason: seeded
+Six entries are rows-only RAW surface, each for a stated reason: seeded
 numpy LSH planes (``ann_cosine_lsh``), numpy-trained codebooks (``ivf_*``,
-``pq_topk_cosine``, ``semantic_dedup``), greedy order-dependent streaming
-selection (``stream_near_dup``), and cross-engine sketch internals
-(``approx_quantiles_value``; its exact p50 twin is oracle-checked). Every
+``pq_topk_cosine``, ``semantic_dedup``), and cross-engine sketch internals
+(``approx_quantiles_value``; its exact p50 twin is oracle-checked).
+``stream_near_dup`` left the raw set in round 13: its bounded run is one
+deterministic micro-batch and the greedy rule is batch-expressible, so it
+now carries a FULL value oracle (VERDICT r12 item 6). Every
 one of those families is still driver-checked through a CONTRACT twin whose
 verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
@@ -267,7 +269,10 @@ def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash/LSH near-dup filter (foreachBatch + persistent
     bucket index) — the near-dup generalization of the reference's
     first-wins stream dedup; greedy-by-doc_id semantics pinned against the
-    batch LSH candidate set in tests/test_streaming_neardup.py."""
+    batch LSH candidate set in tests/test_streaming_neardup.py. FULL value
+    oracle since round 13 (VERDICT r12 item 6): the bounded run is one
+    availableNow micro-batch, so kept = docs with no lower-id band-bucket
+    collision — integer-exact MinHash banding, SQL-expressible."""
     import tempfile
 
     from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
@@ -674,7 +679,7 @@ def queries() -> dict[str, QueryFn]:
         # then-stalest-r8)
         "semantic_dedup": similarity.semantic_dedup,  # raw (numpy codebooks)
         "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
-        "stream_near_dup": _stream_near_dup_query,  # raw (greedy sequential)
+        "stream_near_dup": _stream_near_dup_query,  # FULL oracle since r13
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # raw (GK sketch internals)
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,

@@ -254,10 +254,12 @@ def read_near_dup_metrics(spark: SparkSession, work_dir: str) -> DataFrame:
 
 def stream_near_dup_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable CONTRACT of the streaming near-dup filter (the
-    ann_recall_contracts pattern): the kept SET is greedy order-dependent —
-    not SQL-expressible, so ``stream_near_dup`` itself stays rows-only — but
-    its invariants ARE checkable, and the oracle pins them as verdicts plus
-    one exact total, so a broken filter turns a CORRECTNESS row red:
+    ann_recall_contracts pattern). Since round 13 the bounded
+    ``stream_near_dup`` run carries a FULL value oracle (the single-batch
+    kept set is deterministic and the greedy rule batch-expressible —
+    see ORACLES below); this contract twin remains the MULTI-batch
+    invariant bearer (its checks hold under any batch split, which the
+    value oracle cannot express) and the stream-equals-batch cross-pin:
 
     * ``stream_equals_batch`` — the bounded single-batch run must equal the
       batch greedy filter on the same corpus (bounded harness runs are
@@ -341,9 +343,39 @@ def stream_near_dup_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the oracle pins the invariant verdicts as constants + one exact total —
-#: the contract-oracle pattern (see bloom_digest_prefilter)
+#: FULL value oracle for the bounded ``stream_near_dup`` run (round 13 —
+#: this entry was rows-only through round 12 on the belief that the kept
+#: set is "greedy order-dependent"; it is not FOR THE BOUNDED RUN: the
+#: within-batch rule was deliberately designed batch-expressible (module
+#: docstring — bucket owner = min doc_id, no chained re-admission), the
+#: bounded harness drains ONE availableNow micro-batch (single source
+#: file, no trigger cap) so no cross-batch state exists, and the banding
+#: is integer-exact (stable_uint60 MinHash — the proven
+#: ``near_dup_minhash`` CTE fragments). kept = every doc with NO
+#: strictly-lower doc_id sharing any (band_id, band_key); docs too short
+#: to shingle have no bands and are always kept, identically in both
+#: engines.
+from ..operators.neardup import _BAND_KEYS as _ND_BAND_KEYS
+from ..operators.neardup import _BAND_UNION as _ND_BAND_UNION
+from ..operators.neardup import _SIG_CTE as _ND_SIG_CTE
+
+#: the contract oracle pins the invariant verdicts as constants + one
+#: exact total — the contract-oracle pattern (see bloom_digest_prefilter)
 ORACLES: dict[str, str] = {
+    "stream_near_dup": f"""
+        WITH {_ND_SIG_CTE},
+        keys AS (SELECT doc_id, {_ND_BAND_KEYS} FROM sig),
+        bands AS ({_ND_BAND_UNION}),
+        dropped AS (
+          SELECT DISTINCT a.doc_id
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_key = b.band_key
+                      AND b.doc_id < a.doc_id)
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        ANTI JOIN dropped USING (doc_id)
+    """,
     "stream_near_dup_contracts": """
         SELECT count(*) AS n_docs,
                TRUE AS stream_equals_batch,
