@@ -268,6 +268,14 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    # first-touch the big tables too (footer reads + OS page cache): the
+    # first query against each table otherwise pays ~2 s of scan-path
+    # warm-up that no anchor includes (q1's first draw measured 3.0 s vs
+    # 1.0 s warm standalone — round 13)
+    for _t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{_t}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
     # warm the Python worker pool too: the first Arrow/pandas-UDF stage of
     # a run pays the one-time spawn of all local[N] workers (~3.8 s of the
     # 6.7 s knn_topk_blockwise r11 artifact row vs its 2.85 s baseline —
@@ -362,16 +370,26 @@ def main() -> None:
             return False
         return best > max(1.3 * a, a + 0.4)
 
-    timings: dict[str, float] = {}
+    # Pass 1 draws every query once; passes 2 and 3 re-draw only the
+    # suspicious (or never-anchored) rows. Re-draws are DEFERRED to their
+    # own passes rather than run back-to-back: co-tenant bursts on this
+    # box cluster in multi-second segments, so three consecutive draws of
+    # the same query can all land inside one burst (observed round 13:
+    # q1 read 2.6/2.7/2.5 s back-to-back vs 1.0 s standalone minutes
+    # later) — a full-pass gap between attempts breaks that correlation.
     spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
-        draws = [_draw(name)]
-        if name not in anchors:
-            draws.append(_draw(name))  # best-of-2 for never-anchored rows
-        while len(draws) < MAX_DRAWS and _suspicious(name, min(draws)):
-            draws.append(_draw(name))
-        timings[name] = min(draws)
-        spreads[name] = draws
+        spreads[name] = [_draw(name)]
+    for _pass in range(2, MAX_DRAWS + 1):
+        for name in HEADLINE:
+            draws = spreads[name]
+            if len(draws) >= _pass:
+                continue
+            if name not in anchors and len(draws) < 2:
+                draws.append(_draw(name))  # best-of-2 for unanchored rows
+            elif name in anchors and _suspicious(name, min(draws)):
+                draws.append(_draw(name))
+    timings = {name: min(draws) for name, draws in spreads.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # stop BEFORE printing: once the JVM is down no logging thread can
