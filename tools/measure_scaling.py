@@ -83,6 +83,11 @@ OPS = [
     # pinned-float ratio (ADVICE r12) — sentinel that the events-bound
     # (type, hour) aggregate + constant-size lag windows stay linear
     "acf_event_counts",           # zero-filled hourly ACF (decimal sums)
+    # round-13: the converted-to-oracle streaming LSH filter — documents-
+    # bound banding + bucket self-join inside one foreachBatch; replicated
+    # corpora are word-re-keyed so cross-replica pairs cannot appear and
+    # the bucket join must stay linear in the corpus
+    "stream_near_dup",            # streaming MinHash/LSH first-wins filter
 ]
 
 REPLICAS = 10
@@ -206,6 +211,22 @@ def run_tier(sf_dir: str, label: str) -> dict[str, float]:
 
             df = run_stream_ks_drift_bounded(
                 spark, f"{sf_dir}/events.parquet", glob_filter="*.parquet"
+            )
+        elif name == "stream_near_dup" and os.path.isdir(
+            f"{sf_dir}/documents.parquet"
+        ):
+            # same directory-layout shim for the documents stream
+            import tempfile
+
+            from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
+                run_stream_near_dup_bounded,
+            )
+
+            df = run_stream_near_dup_bounded(
+                spark,
+                f"{sf_dir}/documents.parquet",
+                tempfile.mkdtemp("nd_scale"),
+                glob_filter="*.parquet",
             )
         else:
             df = qs[name](spark, sf_dir)
