@@ -51,6 +51,49 @@ def test_width_pin_never_raises_a_tuned_session(spark):
         spark.conf.set(_KEY, old)
 
 
+def test_state_store_partition_count_is_the_pinned_width(
+    spark, tmp_path, sf_dir
+):
+    """HARD pin: the state-store partition count a streaming query bakes
+    into its checkpoint equals the pinned width, not the session default.
+    The checkpoint layout is one numbered subdirectory per state
+    partition under state/0/ — count them."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.streaming.source import (
+        events_raw_stream,
+    )
+
+    old = spark.conf.get(_KEY)
+    ckpt = str(tmp_path / "ck_width_pin")
+    name = f"widthpin_{uuid.uuid4().hex[:6]}"
+    try:
+        spark.conf.set(_KEY, "200")
+        ev = events_raw_stream(spark, sf_dir, glob_filter="events.parquet")
+        counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        with bounded_shuffle_width(spark) as w:
+            q = (
+                counts.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        parts = [
+            d for d in os.listdir(os.path.join(ckpt, "state", "0"))
+            if d.isdigit()
+        ]
+        assert len(parts) == w, (len(parts), w)
+        assert w < 200
+    finally:
+        spark.conf.set(_KEY, old)
+
+
 def test_streaming_monitor_runs_at_pinned_width(spark, tmp_path, sf_dir):
     """End-to-end: a bounded monitor run under a 200-partition session
     default must complete correctly AND leave the session conf exactly
