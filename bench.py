@@ -360,7 +360,21 @@ def main() -> None:
             SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         ):
             anchors = {k: float(v) for k, v in _a["queries"].items()}
-    except (OSError, ValueError, KeyError):
+        else:
+            print(
+                f"bench: anchors are for sf={_a.get('sf')}, run is "
+                f"{SF_DIR} — every query falls back to best-of-2",
+                file=sys.stderr,
+            )
+    except (OSError, ValueError, KeyError) as exc:
+        # loud, to stderr (the driver's tail capture parses stdout):
+        # silently losing the anchors would disable the suspicious-draw
+        # redraws AND near-double the wall via blanket best-of-2
+        print(
+            f"bench: bench_anchors.json unusable ({exc!r}) — every "
+            "query falls back to best-of-2",
+            file=sys.stderr,
+        )
         anchors = {}
     MAX_DRAWS = 3
 

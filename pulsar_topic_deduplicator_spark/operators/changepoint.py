@@ -412,13 +412,17 @@ ORACLES["acf_event_counts"] = """
       JOIN filled f2
         ON f2.event_type = f1.event_type AND f2.h = f1.h + k.lag_h),
     g AS (
+      -- operands cast to HUGEINT BEFORE the multiply: a BIGINT*BIGINT
+      -- per-pair product would overflow (loudly) at ~3e9 counts, well
+      -- below the decimal(19,0)-operand headroom the Spark side
+      -- guarantees — the engines must share one exactness envelope
       SELECT event_type, lag_h,
              CAST(count(*) AS HUGEINT) AS m,
              CAST(sum(x) AS HUGEINT) AS sx,
              CAST(sum(y) AS HUGEINT) AS sy,
-             CAST(sum(x * y) AS HUGEINT) AS sxy,
-             CAST(sum(x * x) AS HUGEINT) AS sxx,
-             CAST(sum(y * y) AS HUGEINT) AS syy
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
       FROM pairs GROUP BY event_type, lag_h)
     SELECT event_type, CAST(lag_h AS INTEGER) AS lag_h,
            CAST(m AS BIGINT) AS n_pairs,

@@ -148,9 +148,11 @@ def run_stream_dedup_bounded(
     # output co-located with the checkpoint so a restart appends to the same
     # sink — mirroring the reference's single output topic
     output_dir = output_dir or f"{checkpoint_dir}_out"
-    # NOTE: no width pin on the checkpointed path — state partition count
-    # is baked into a checkpoint at first start, and a resumed run must
-    # keep whatever width the checkpoint was created with.
+    # NOTE: no width pin on the checkpointed path — not needed for
+    # safety (Spark persists shuffle.partitions in the offset log and
+    # restores it on resume), but restart tests exercise this path and
+    # the unpinned width keeps fresh-vs-resumed runs on the session's
+    # own configuration end to end.
     query = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)
@@ -569,9 +571,9 @@ def run_ttl_dedup_bounded(
 
     if use_tws is None:
         use_tws = HAS_TRANSFORM_WITH_STATE
-    # width pin is restart-safe here: the computed width is deterministic
-    # per session (cores × conf), so a within-session restart against the
-    # same checkpoint recreates the same state partition count
+    # width pin is restart-safe: Spark persists shuffle.partitions in the
+    # checkpoint offset log and restores it on resume, so the pin only
+    # shapes a FRESH checkpoint; resumed runs keep their baked-in width
     with bounded_shuffle_width(spark):
         query, name = start_ttl_dedup(
             spark, source_dir, checkpoint_dir, ttl_ms, seed_digests,

@@ -37,14 +37,20 @@ def bounded_shuffle_width(
     pins the width for query planning AND per-batch foreachBatch plans.
 
     The width derives from the cluster, never from the fixed default:
-    ``min(defaultParallelism, session value)`` clamped to ≥ 4 — it only
-    ever NARROWS (a tuned session or a large cluster keeps its configured
-    width; corpus-keyed dedup streams, whose state is NOT bounded, do not
-    use this helper at all). Restores the previous value on exit."""
+    ``min(defaultParallelism, session value)`` clamped to ≥ 4 but never
+    ABOVE the session value — it only ever NARROWS (a tuned session or a
+    large cluster keeps its configured width, including one tuned below
+    the 4-floor). Restores the previous value on exit.
+
+    Resume safety: Spark persists ``spark.sql.shuffle.partitions`` in
+    the checkpoint offset log and restores it on restart, so the pin
+    only shapes FRESH checkpoints; a resumed query keeps the width its
+    checkpoint was created with regardless of the session value."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    w = width or max(
-        4, min(spark.sparkContext.defaultParallelism, int(old))
+    cur = int(old)
+    w = width or min(
+        cur, max(4, min(spark.sparkContext.defaultParallelism, cur))
     )
     spark.conf.set(key, str(w))
     try:

@@ -40,13 +40,19 @@ def test_width_pin_narrows_to_cluster_and_restores(spark):
 
 def test_width_pin_never_raises_a_tuned_session(spark):
     """A session already configured BELOW the cluster's core count keeps
-    its narrower width — the helper only ever narrows."""
+    its narrower width — the helper only ever narrows, INCLUDING a
+    session tuned below the 4-partition floor (the floor must not widen
+    a deliberate width-2 fixture session)."""
     old = spark.conf.get(_KEY)
     try:
         spark.conf.set(_KEY, "4")
         with bounded_shuffle_width(spark) as w:
             assert w == 4
         assert spark.conf.get(_KEY) == "4"
+        spark.conf.set(_KEY, "2")
+        with bounded_shuffle_width(spark) as w:
+            assert w == 2
+        assert spark.conf.get(_KEY) == "2"
     finally:
         spark.conf.set(_KEY, old)
 
@@ -89,7 +95,8 @@ def test_state_store_partition_count_is_the_pinned_width(
             if d.isdigit()
         ]
         assert len(parts) == w, (len(parts), w)
-        assert w < 200
+        cores = spark.sparkContext.defaultParallelism
+        assert w == min(200, max(4, min(cores, 200)))
     finally:
         spark.conf.set(_KEY, old)
 

@@ -215,22 +215,33 @@ def run_tier(sf_dir: str, label: str) -> dict[str, float]:
         elif name == "stream_near_dup" and os.path.isdir(
             f"{sf_dir}/documents.parquet"
         ):
-            # same directory-layout shim for the documents stream
+            # same directory-layout shim for the documents stream. The
+            # filter materializes a corpus-sized kept/bucket-index work
+            # dir — consume it within the shim and delete it (the other
+            # OPS only write to the noop sink; leaking multi-GB tempdirs
+            # per tier would fill /tmp across repeated runs)
             import tempfile
 
             from pulsar_topic_deduplicator_spark.streaming.neardup_stream import (
                 run_stream_near_dup_bounded,
             )
 
-            df = run_stream_near_dup_bounded(
-                spark,
-                f"{sf_dir}/documents.parquet",
-                tempfile.mkdtemp("nd_scale"),
-                glob_filter="*.parquet",
-            )
+            nd_work = tempfile.mkdtemp("nd_scale")
+            try:
+                df = run_stream_near_dup_bounded(
+                    spark,
+                    f"{sf_dir}/documents.parquet",
+                    nd_work,
+                    glob_filter="*.parquet",
+                )
+                df.write.format("noop").mode("overwrite").save()
+            finally:
+                shutil.rmtree(nd_work, ignore_errors=True)
+            df = None
         else:
             df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        if df is not None:
+            df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
         release_all()
         spark.catalog.clearCache()
