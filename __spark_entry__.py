@@ -5,13 +5,15 @@ core semantics) at sf0.001. ``queries()`` — one entry per implemented
 operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
 every SQL-expressible operator, including the bounded streaming harnesses
 (deterministic single-batch runs) and the integer-exact multimodal stages.
-Six entries are rows-only RAW surface, each for a stated reason: seeded
-numpy LSH planes (``ann_cosine_lsh``), numpy-trained codebooks (``ivf_*``,
-``pq_topk_cosine``, ``semantic_dedup``), and cross-engine sketch internals
-(``approx_quantiles_value``; its exact p50 twin is oracle-checked).
-``stream_near_dup`` left the raw set in round 13: its bounded run is one
-deterministic micro-batch and the greedy rule is batch-expressible, so it
-now carries a FULL value oracle (VERDICT r12 item 6). Every
+Three entries are rows-only RAW surface, each for a stated reason:
+numpy-trained codebooks (``pq_topk_cosine``, ``semantic_dedup``) and
+cross-engine sketch internals (``approx_quantiles_value``; its exact p50
+twin is oracle-checked). ``stream_near_dup`` left the raw set in round 13
+(one deterministic micro-batch, batch-expressible greedy rule — VERDICT
+r12 item 6); ``ann_cosine_lsh`` (seeded hyperplanes inline as exact
+literals, 6-dp boundary — VERDICT r13 item 2) and the ``ivf_*`` pair
+(fixed-point Lloyd update → bit-reproducible codebook, exact oracle) left
+it in round 14. Every
 one of those families is still driver-checked through a CONTRACT twin whose
 verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
@@ -211,6 +213,19 @@ def _knn_tiled_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def _ann_lsh_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_cosine_lsh`` with the 6-dp boundary rounding — FULL value
+    oracle since round 14 (VERDICT r13 item 2): the seeded hyperplanes
+    inline into the DuckDB oracle as exact round-trip literals, bucket ids
+    are integer sums of sign bits, and the top-1 tie-break (max cosine,
+    lowest nn_id) is SQL-expressible; see the ORACLES note in
+    operators/similarity.py for the two documented ulp caveats."""
+    from pyspark.sql import functions as F
+
+    out = similarity.ann_cosine_lsh(spark, sf_dir)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
 def _stream_media_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming perceptual-hash first-wins dedup of media assets
     (foreachBatch + persistent seen-hash index). The single-file bounded
@@ -279,7 +294,9 @@ def _stream_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_near_dup_bounded,
     )
 
-    return run_stream_near_dup_bounded(spark, sf_dir, tempfile.mkdtemp("nd_work"))
+    return run_stream_near_dup_bounded(
+        spark, sf_dir, tempfile.mkdtemp("nd_work"), assert_single_batch=True
+    )
 
 
 def _stream_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,19 +447,79 @@ def _stream_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # Dict ORDER matters: the verify driver checks the first ~50 entries per
-    # round. Round 13 executes VERDICT r12 item 1 (pure staleness
+    # round. Round 14 executes VERDICT r13 item 1 (pure staleness
     # rotation — coverage is saturated, every entry already has driver
-    # artifact evidence): the window is (a) ALL 45 entries whose newest
-    # green artifact is CORRECTNESS_r07 — the entire stalest tier — plus
-    # (b) 5 stalest-r8 entries VERDICT named (asof_last_purchase,
-    # cusum_drift_flags, dsir_select, dsir_resample,
-    # dedup_substrings_global). After this round the oldest evidence
-    # anywhere is r8 (28 entries), which round 14's rotation clears —
-    # meeting VERDICT's "after r14 no entry older than 4 rounds". The
-    # r8-remainder/r9/r10/r11/r12 tiers follow in staleness order
-    # (r12-checked last, freshest, including the 3 raw+twin pairs).
+    # artifact evidence): the window is the complete last-green-r8 tier
+    # (28 entries), stream_near_dup (its r13 FULL value oracle has never
+    # landed in a driver artifact), and the 21 stalest r9 entries. After
+    # this round the oldest evidence anywhere is r9 — delivering the
+    # "no entry older than 4 rounds" promise from r12. The r9-remainder/
+    # r10/r11/r12/r13 tiers follow in staleness order (r13-checked last,
+    # freshest, including the raw+twin pairs).
     return {
-        # ── (a) the complete stalest-r7 tier: 45 entries ───────────────────
+        # ── round-14 driver window (VERDICT r13 item 1): the complete
+        # last-green-r8 tier (28 entries: 23 named + the 5-entry sql_*
+        # surface), then stream_near_dup (its r13 FULL value oracle has
+        # never appeared in a driver artifact — the stalest evidence of
+        # all), then the 21 stalest r9 entries in CORRECTNESS_r09 checked
+        # order. 28 + 1 + 21 = 50; after this round the staleness floor
+        # rises to r9 (no oracle-bearing entry older than 4 rounds). The
+        # one r9 entry the judge’s "22 stalest r9" phrasing would have
+        # included (pack_sequences) is displaced by stream_near_dup and
+        # leads the r9 remainder below.
+        "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
+        "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
+        "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
+        "duplicate_substring_spans": textops.duplicate_substring_spans,
+        "dedup_spans_within_doc": textops.dedup_spans_within_doc,
+        "kmv_audience_overlap": dedup.kmv_audience_overlap,
+        "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
+        "vocab_coverage": textops.vocab_coverage,
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        "doc_novelty_scores": textops.doc_novelty_scores,
+        "sax_fingerprints": analytics.sax_fingerprints,
+        "sax_word_counts": analytics.sax_word_counts,
+        "sq8_codes": similarity.sq8_codes,
+        "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
+        "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
+        "event_transitions": analytics.event_transitions,
+        "stream_drift_flags": _stream_drift_flags_query,
+        "nb_classifier_scores": classify.nb_classifier_scores,
+        "lp_communities": graph.lp_communities,
+        "cf_similar_suppliers": recommend.cf_similar_suppliers,
+        "ppr_related_suppliers": graph.ppr_related_suppliers,
+        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
+        "conditional_agg_demo": relational.conditional_agg_demo,
+        # SQL surface (same SQL text runs on Spark AND DuckDB) — 5 entries
+        **sqlapi.QUERIES,
+        # stream_near_dup: raw near-dup stream with the r13 FULL value
+        # oracle (single-micro-batch guarantee asserted in the runner)
+        "stream_near_dup": _stream_near_dup_query,  # FULL oracle since r13
+        # 21 stalest r9 entries, CORRECTNESS_r09 checked order
+        "bpe_merge_steps": textops.bpe_merge_steps,
+        "bpe_encode_token_counts": textops.bpe_encode_token_counts,
+        "dedup_docs_by_url": curation.dedup_docs_by_url,
+        "domain_attrition_report": curation.domain_attrition_report,
+        "service_counters_watermark": _service_counters_watermark_query,
+        "dedup_counters": dedup.dedup_counters,
+        "distinct_digests": dedup.distinct_digests,
+        "origin_lineage": lineage.origin_lineage,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
+        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "doc_repetition_stats": textops.doc_repetition_stats,
+        "gopher_quality_flags": textops.gopher_quality_flags,
+        "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
+        "corpus_curation_report": pipeline.corpus_curation_report,
+        "centroid_outlier_flags": similarity.centroid_outlier_flags,
+        "stream_quality_gate": _stream_quality_gate_query,
+        "decontaminate_overlap": curation.decontaminate_overlap,
+        # ── end of the 50-entry checked window. r9-checked remainder
+        # follows (stalest first), then r10/r11/r12/r13 tiers in checked
+        # order (freshest last), raws beside or after their twins. ──────
         "stream_dedup_spans": _stream_span_dedup_query,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
@@ -491,62 +568,11 @@ def queries() -> dict[str, QueryFn]:
         # harness — it is the consumer-API twin, pytest-pinned against numpy)
         "array_funcs_demo": scalarfuncs.array_funcs_demo,
         "map_funcs_demo": scalarfuncs.map_funcs_demo,
-        # ── (b) 5 stalest-r8 picks named by VERDICT r12 item 1 ─────────────
         "dedup_substrings_global": textops.dedup_substrings_global,
         "dsir_select": curation.dsir_select,
         "dsir_resample": curation.dsir_resample,
         "cusum_drift_flags": changepoint.cusum_drift_flags,
         "asof_last_purchase": asof.asof_last_purchase,
-        # ── end of the 50-entry checked window (45 r7 + 5 r8). The
-        # r8-checked remainder follows (stalest first). ─────────────────────
-        "mg_heavy_hitters_contracts": heavyhitters.mg_heavy_hitters_contracts,
-        "mg_revenue_by_priority": heavyhitters.mg_revenue_by_priority,
-        "mg_revenue_contracts": heavyhitters.mg_revenue_contracts,
-        "duplicate_substring_spans": textops.duplicate_substring_spans,
-        "dedup_spans_within_doc": textops.dedup_spans_within_doc,
-        "kmv_audience_overlap": dedup.kmv_audience_overlap,
-        "decontaminate_fuzzy": neardup.decontaminate_fuzzy,
-        "vocab_coverage": textops.vocab_coverage,
-        "bpe_pair_counts": textops.bpe_pair_counts,
-        "doc_novelty_scores": textops.doc_novelty_scores,
-        "sax_fingerprints": analytics.sax_fingerprints,
-        "sax_word_counts": analytics.sax_word_counts,
-        "sq8_codes": similarity.sq8_codes,
-        "sq8_reconstruction_error": similarity.sq8_reconstruction_error,
-        "hourly_anomaly_flags": analytics.hourly_anomaly_flags,
-        "event_transitions": analytics.event_transitions,
-        "stream_drift_flags": _stream_drift_flags_query,
-        "nb_classifier_scores": classify.nb_classifier_scores,
-        "lp_communities": graph.lp_communities,
-        "cf_similar_suppliers": recommend.cf_similar_suppliers,
-        "ppr_related_suppliers": graph.ppr_related_suppliers,
-        "bit_funcs_demo": scalarfuncs.bit_funcs_demo,
-        "conditional_agg_demo": relational.conditional_agg_demo,
-        # SQL surface (same SQL text runs on Spark AND DuckDB) — r8-checked
-        **sqlapi.QUERIES,
-        # r9-checked tier (the three contract twins moved into the round-12
-        # window head beside their raws; the rest keeps its checked order)
-        "bpe_merge_steps": textops.bpe_merge_steps,
-        "bpe_encode_token_counts": textops.bpe_encode_token_counts,
-        "dedup_docs_by_url": curation.dedup_docs_by_url,
-        "domain_attrition_report": curation.domain_attrition_report,
-        "service_counters_watermark": _service_counters_watermark_query,
-        "dedup_counters": dedup.dedup_counters,
-        "distinct_digests": dedup.distinct_digests,
-        "origin_lineage": lineage.origin_lineage,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "semi_join_customers_with_orders": relational.semi_join_customers_with_orders,
-        "anti_join_customers_no_urgent": relational.anti_join_customers_no_urgent,
-        "top_orders_per_customer": relational.top_orders_per_customer,
-        "doc_repetition_stats": textops.doc_repetition_stats,
-        "gopher_quality_flags": textops.gopher_quality_flags,
-        "dedup_docs_by_prefix": textops.dedup_docs_by_prefix,
-        "corpus_curation_report": pipeline.corpus_curation_report,
-        "centroid_outlier_flags": similarity.centroid_outlier_flags,
-        "stream_quality_gate": _stream_quality_gate_query,
-        "decontaminate_overlap": curation.decontaminate_overlap,
         "pack_sequences": curation.pack_sequences,
         "pii_scan": curation.pii_scan,
         "token_budget_mixture": curation.token_budget_mixture,
@@ -573,8 +599,6 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_top_suppliers": graph.pagerank_top_suppliers,
         "session_purchase_overlaps": asof.session_purchase_overlaps,
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        # r10-checked tier (freshest evidence — last to rotate back in; the
-        # exact CORRECTNESS_r10 window, in its checked order)
         "kmv_hourly_distinct_rollup": dedup.kmv_hourly_distinct_rollup,
         "stream_heavy_hitters": _stream_heavy_hitters_query,
         "seasonal_anomaly_flags": analytics.seasonal_anomaly_flags,
@@ -625,8 +649,6 @@ def queries() -> dict[str, QueryFn]:
         "cube_sales": relational.cube_sales,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
-        # r11-checked tier (freshest evidence — last to rotate back in; the
-        # exact CORRECTNESS_r11 window, in its checked order)
         "image_phash": multimodal.image_phash,
         "phash_image_near_dup": multimodal.phash_image_near_dup,
         "audio_fingerprint": multimodal.audio_fingerprint,
@@ -673,13 +695,8 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        # r12-checked tier (freshest evidence — last to rotate back in; the
-        # exact CORRECTNESS_r12 window, in its checked order: the 3 raw+twin
-        # pairs, 4 then-stalest-r7, the 23 round-11 LATE entries, 17
-        # then-stalest-r8)
         "semantic_dedup": similarity.semantic_dedup,  # raw (numpy codebooks)
         "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
-        "stream_near_dup": _stream_near_dup_query,  # FULL oracle since r13
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # raw (GK sketch internals)
         "approx_quantiles_contracts": scalarfuncs.approx_quantiles_contracts,
@@ -727,12 +744,16 @@ def queries() -> dict[str, QueryFn]:
         "mmr_per_label": diversify.mmr_per_label,
         "profile_orders": lineage.profile_orders,
         "mg_heavy_hitters": heavyhitters.mg_heavy_hitters,
-        # rows-only RAWs rotated in r11 (each value-checked via
-        # ann_recall_contracts, r13-window, and sq8_ranking_eval, r12-window)
+        # FULL exact oracle since r14 (was rows-only): fixed-point Lloyd
+        # update → bit-reproducible codebook; no boundary rounding needed
         "ivf_topk_cosine": similarity.ivf_topk_cosine,
         "ivf_topk_indexed": similarity.ivf_topk_indexed,
+        # still rows-only (numpy-trained PQ codebooks; value-checked via
+        # ann_recall_contracts + sq8_ranking_eval)
         "pq_topk_cosine": similarity.pq_topk_cosine,
-        "ann_cosine_lsh": similarity.ann_cosine_lsh,
+        # FULL value oracle since r14 (VERDICT r13 item 2; was rows-only):
+        # 6-dp boundary rounding, inline hyperplane literals in the oracle
+        "ann_cosine_lsh": _ann_lsh_rounded,
     }
 
 

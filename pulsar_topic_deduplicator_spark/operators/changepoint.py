@@ -297,7 +297,11 @@ def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts are integers; the OPERANDS are cast to
     DECIMAL(19,0) before the multiply and the sum (DuckDB: HUGEINT), so
     the aggregation buffers themselves are decimal — per-hour counts up
-    to ~1e18 and running sums up to 1e38 are exact in both engines.
+    to ~1e18 are exact in both engines. Buffer envelopes differ by sum
+    kind (Spark's sum widens precision by 10): the LINEAR sums sx/sy
+    accumulate in DECIMAL(29,0), exact to ~1e29; only the product sums
+    sxx/syy/sxy (DECIMAL(38,0) buffers) carry the full 1e38 envelope
+    (ADVICE r13).
     Beyond that the engines diverge LOUDLY, not silently: Spark decimal
     overflow yields NULL (non-ANSI) and DuckDB HUGEINT raises — the
     silent int64 wrap (~3e9 hours·counts, ADVICE round 12) is gone.

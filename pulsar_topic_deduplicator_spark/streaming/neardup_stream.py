@@ -125,6 +125,7 @@ def run_stream_near_dup_bounded(
     glob_filter: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
     checkpoint_dir: str | None = None,
+    assert_single_batch: bool = False,
 ) -> DataFrame:
     """Bounded run: stream documents through the near-dup filter, persisting
     the bucket index under ``work_dir``; returns the kept documents.
@@ -133,7 +134,25 @@ def run_stream_near_dup_bounded(
     ``foreachBatch`` — exactly-once per batch via the sink's batchId-named
     subdirectories (re-run of a batch overwrites its own output, the
     idempotent-foreachBatch pattern).
+
+    ``assert_single_batch=True`` is the oracle-bearing mode (the registry's
+    ``stream_near_dup`` entry): the FULL value oracle in ``ORACLES`` is
+    valid ONLY when the whole corpus drains in one micro-batch — in a
+    multi-batch run, cross-batch state holds only KEPT docs' buckets while
+    the oracle drops against ALL lower-id docs, so results would diverge
+    (ADVICE r13). The flag refuses a trigger cap up-front and verifies
+    post-run that exactly one batch ran, so a future caller change cannot
+    silently invalidate the oracle.
     """
+    if assert_single_batch and (
+        max_files_per_trigger is not None or checkpoint_dir is not None
+    ):
+        raise ValueError(
+            "assert_single_batch (the oracle-bearing mode) requires the "
+            "whole corpus to drain in ONE micro-batch: no maxFilesPerTrigger "
+            "cap and a fresh checkpoint (got max_files_per_trigger="
+            f"{max_files_per_trigger!r}, checkpoint_dir={checkpoint_dir!r})"
+        )
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
@@ -230,6 +249,20 @@ def run_stream_near_dup_bounded(
             .start()
         )
         query.awaitTermination()
+    if assert_single_batch:
+        # cheap FS check: the metrics sink writes one batch=N dir per
+        # micro-batch, so a single-batch run leaves exactly {batch=0}
+        import os
+
+        batches = sorted(
+            d for d in os.listdir(f"{work_dir}/metrics") if d.startswith("batch=")
+        )
+        if batches != ["batch=0"]:
+            raise AssertionError(
+                "oracle-bearing stream_near_dup run processed more than one "
+                f"micro-batch ({batches}); the FULL value oracle is only "
+                "valid for a single-batch drain — see ORACLES docstring"
+            )
     # the batch=N layout adds a partition column; project it away so the
     # result schema is exactly the documents schema
     return (

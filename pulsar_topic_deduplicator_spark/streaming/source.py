@@ -45,7 +45,16 @@ def bounded_shuffle_width(
     Resume safety: Spark persists ``spark.sql.shuffle.partitions`` in
     the checkpoint offset log and restores it on restart, so the pin
     only shapes FRESH checkpoints; a resumed query keeps the width its
-    checkpoint was created with regardless of the session value."""
+    checkpoint was created with regardless of the session value.
+
+    Concurrency: the pin mutates the SESSION-global conf, so any query
+    planned on the same SparkSession while the context is open would
+    silently plan at the narrowed width (ADVICE r13). All callers here
+    are single-threaded bounded harnesses on a dedicated session (the
+    pytest session fixture and the driver both plan one query at a
+    time); if concurrent planning ever becomes possible, scope the conf
+    via a cloned ``spark.newSession()`` instead — it shares the
+    SparkContext but gets an independent SQL conf."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     cur = int(old)

@@ -205,3 +205,35 @@ def test_fresh_checkpoint_refuses_stale_work_dir(spark, sf_dir, tmp_path):
     run_stream_near_dup_bounded(spark, sf_dir, work)
     with _pytest.raises(ValueError, match="bucket state"):
         run_stream_near_dup_bounded(spark, sf_dir, work)
+
+
+def test_assert_single_batch_refuses_trigger_cap(spark, sf_dir, tmp_path):
+    """The oracle-bearing mode (ADVICE r13): a trigger cap or a resumable
+    checkpoint would allow multi-batch runs whose semantics diverge from
+    the FULL value oracle — refuse up-front."""
+    with pytest.raises(ValueError, match="ONE micro-batch"):
+        run_stream_near_dup_bounded(
+            spark,
+            sf_dir,
+            str(tmp_path / "g1"),
+            max_files_per_trigger=1,
+            assert_single_batch=True,
+        )
+    with pytest.raises(ValueError, match="ONE micro-batch"):
+        run_stream_near_dup_bounded(
+            spark,
+            sf_dir,
+            str(tmp_path / "g2"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            assert_single_batch=True,
+        )
+
+
+def test_assert_single_batch_passes_on_default_drain(spark, sf_dir, tmp_path):
+    """Default bounded drain (one source file, availableNow) IS single-batch:
+    the oracle-bearing mode succeeds and returns the same kept set."""
+    kept = run_stream_near_dup_bounded(
+        spark, sf_dir, str(tmp_path / "g3"), assert_single_batch=True
+    )
+    plain = run_stream_near_dup_bounded(spark, sf_dir, str(tmp_path / "g4"))
+    assert kept.count() == plain.count()
