@@ -5,15 +5,17 @@ core semantics) at sf0.001. ``queries()`` — one entry per implemented
 operator (SURVEY.md §2.4). ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for
 every SQL-expressible operator, including the bounded streaming harnesses
 (deterministic single-batch runs) and the integer-exact multimodal stages.
-Three entries are rows-only RAW surface, each for a stated reason:
-numpy-trained codebooks (``pq_topk_cosine``, ``semantic_dedup``) and
-cross-engine sketch internals (``approx_quantiles_value``; its exact p50
-twin is oracle-checked). ``stream_near_dup`` left the raw set in round 13
-(one deterministic micro-batch, batch-expressible greedy rule — VERDICT
-r12 item 6); ``ann_cosine_lsh`` (seeded hyperplanes inline as exact
-literals, 6-dp boundary — VERDICT r13 item 2) and the ``ivf_*`` pair
-(fixed-point Lloyd update → bit-reproducible codebook, exact oracle) left
-it in round 14. Every
+ONE entry remains rows-only RAW surface: ``approx_quantiles_value``
+(cross-engine GK-sketch internals; its exact p50 twin is oracle-checked).
+``stream_near_dup`` left the raw set in round 13 (one deterministic
+micro-batch, batch-expressible greedy rule — VERDICT r12 item 6); round
+14 cleared the rest: ``ann_cosine_lsh`` (seeded hyperplanes inline as
+exact literals, 6-dp boundary — VERDICT r13 item 2) and the whole
+codebook tier — ``ivf_topk_cosine``/``ivf_topk_indexed``,
+``pq_topk_cosine``, ``semantic_dedup`` — via fixed-point Lloyd updates
+that make the codebooks bit-reproducible (exact oracles, no boundary
+rounding; semantic_dedup's oracle-regime guard asserts the
+no-sub-bucketing condition loudly). Every
 one of those families is still driver-checked through a CONTRACT twin whose
 verdicts the oracle pins as constants — ``ann_recall_contracts``
 (recall-vs-exact for lsh/ivf/ivf_indexed/pq), ``stream_near_dup_contracts``
@@ -224,6 +226,30 @@ def _ann_lsh_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = similarity.ann_cosine_lsh(spark, sf_dir)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def _semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``semantic_dedup`` with the oracle-regime guard — FULL exact value
+    oracle since round 14: the fixed-point IVF codebook made the cell
+    assignment bit-reproducible, and the ORACLES SQL expresses the
+    no-sub-bucketing plan, exact whenever no cell exceeds MAX_CELL_SIZE.
+    The guard asserts that loudly (the stream_near_dup single-batch
+    pattern): a corpus that would engage the hot-cell bound turns this
+    entry red instead of silently diverging from the oracle."""
+    from pyspark.sql import functions as F
+
+    out = similarity.semantic_dedup(spark, sf_dir)
+    biggest = (
+        out.groupBy("cell").count().agg(F.max("count")).first()[0]
+    )
+    if biggest is not None and biggest > similarity.MAX_CELL_SIZE:
+        raise AssertionError(
+            f"oracle-bearing semantic_dedup saw a cell of {biggest} > "
+            f"MAX_CELL_SIZE={similarity.MAX_CELL_SIZE}: the hot-cell "
+            "sub-bucketing would engage and the no-sub-bucketing oracle "
+            "no longer applies — see ORACLES['semantic_dedup']"
+        )
+    return out
 
 
 def _stream_media_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,7 +721,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": neardup.minhash_signatures,
         "near_dup_minhash": neardup.near_dup_minhash,
         "near_dup_pairs_verified": neardup.near_dup_pairs_verified,
-        "semantic_dedup": similarity.semantic_dedup,  # raw (numpy codebooks)
+        "semantic_dedup": _semantic_dedup_checked,  # FULL oracle since r14
         "semantic_dedup_contracts": similarity.semantic_dedup_contracts,
         "stream_near_dup_contracts": _stream_near_dup_contracts_query,
         "approx_quantiles_value": scalarfuncs.approx_quantiles_value,  # raw (GK sketch internals)
@@ -748,8 +774,8 @@ def queries() -> dict[str, QueryFn]:
         # update → bit-reproducible codebook; no boundary rounding needed
         "ivf_topk_cosine": similarity.ivf_topk_cosine,
         "ivf_topk_indexed": similarity.ivf_topk_indexed,
-        # still rows-only (numpy-trained PQ codebooks; value-checked via
-        # ann_recall_contracts + sq8_ranking_eval)
+        # FULL exact oracle since r14 (same fixed-point-codebook recipe
+        # plus a fold-exact ADC LUT; was rows-only)
         "pq_topk_cosine": similarity.pq_topk_cosine,
         # FULL value oracle since r14 (VERDICT r13 item 2; was rows-only):
         # 6-dp boundary rounding, inline hyperplane literals in the oracle

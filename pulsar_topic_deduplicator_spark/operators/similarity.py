@@ -379,6 +379,25 @@ IVF_CELLS = 16
 IVF_PROBES = 4
 
 
+def _unit_rows_foldexact(mat):
+    """Unit-normalize matrix rows with a LEFT-TO-RIGHT fold norm — the exact
+    arithmetic ``sqrt(list_dot_product(x, x))`` performs in DuckDB and the
+    HOF ``l2_norm`` performs in Spark. ``np.linalg.norm`` (BLAS nrm2, a
+    scaled algorithm) can differ in the last ulp, which matters wherever a
+    codebook COMPONENT flows into the oracle bit-for-bit (seed fills for
+    empty cells, the driver-side ADC LUT) rather than just into a
+    tie-robust argmax. Driver-side only — rows are codebook-sized."""
+    import numpy as np
+
+    out = np.empty_like(mat, dtype=np.float64)
+    for i, row in enumerate(mat):
+        acc = 0.0
+        for x in row:
+            acc += x * x
+        out[i] = row / math.sqrt(acc)
+    return out
+
+
 def _ivf_train_assign(spark: SparkSession, sf_dir: str, n_cells: int):
     """Shared IVF trainer: one distributed Lloyd iteration over
     deterministic seeds (the first ``n_cells`` vectors). Assign =
@@ -402,7 +421,11 @@ def _ivf_train_assign(spark: SparkSession, sf_dir: str, n_cells: int):
         .select("embedding")
         .toArrow()
     )
-    cents = norm_rows(np.array(seeds_tbl.column("embedding").to_pylist(), np.float64))
+    # fold-exact: seed components can survive into the refined codebook
+    # verbatim (empty-cell fill), where the oracle needs them bit-for-bit
+    cents = _unit_rows_foldexact(
+        np.array(seeds_tbl.column("embedding").to_pylist(), np.float64)
+    )
 
     def assigner(bc):
         def assign(batches):
@@ -461,7 +484,9 @@ def _ivf_train_assign(spark: SparkSession, sf_dir: str, n_cells: int):
     refined = np.array(cents)
     for r in mean_rows:
         refined[r["cell"], r["dim"]] = float(r["s"]) / r["cnt"] / 1e12
-    refined = norm_rows(refined)
+    # fold-exact renorm: makes the refined codebook bit-identical to the
+    # oracle's list_transform(x -> x / sqrt(list_dot_product)) path
+    refined = _unit_rows_foldexact(refined)
     return emb.mapInPandas(assigner(sc.broadcast(refined)), schema=schema), refined
 
 
@@ -564,6 +589,7 @@ def ivf_topk_indexed(
 
 PQ_M = 8  # subquantizers (64-dim → 8 subspaces of 8 dims)
 PQ_K = 16  # centroids per subspace → one uint4-sized code each
+PQ_SUB = EMBEDDING_DIM // PQ_M  # dims per subspace
 PQ_CANDIDATES = 100  # ADC shortlist size before exact re-rank
 
 
@@ -586,8 +612,10 @@ def pq_topk_cosine(
 
     Codebooks train like the IVF coarse quantizer: deterministic seeds
     (sub-vectors of the first ``PQ_K`` vectors) + one distributed Lloyd
-    iteration per subspace (posexplode partial means — scalar-sized
-    shuffle). Rows-only (float cell boundaries)."""
+    iteration per subspace (posexplode partial sums — scalar-sized
+    shuffle). FULL exact oracle since round 14 (was rows-only): the
+    fixed-point update + fold-exact LUT make the ADC shortlist
+    bit-reproducible — see ORACLES["pq_topk_cosine"]."""
     import numpy as np
     import pandas as pd
 
@@ -603,7 +631,10 @@ def pq_topk_cosine(
         .select("embedding")
         .toArrow()
     )
-    seed_mat = norm_rows(
+    # fold-exact (round 14): seed sub-vectors survive into the refined
+    # codebook verbatim for empty (subspace, code) cells and feed the
+    # driver-side ADC LUT, where the oracle needs them bit-for-bit
+    seed_mat = _unit_rows_foldexact(
         np.array(seeds_tbl.column("embedding").to_pylist(), np.float64)
     )
     dim = seed_mat.shape[1]
@@ -633,7 +664,11 @@ def pq_topk_cosine(
 
     # one Lloyd update per subspace: mean of member (unit-normalized, same
     # as the encoder sees them) sub-vector values per (subspace, code, dim)
-    # — scalar-sized shuffle, codebook back on driver
+    # — scalar-sized shuffle, codebook back on driver. Fixed-point since
+    # round 14 (the _ivf_train_assign discipline): floor to 1e-12 steps,
+    # order-free DECIMAL sum, one pinned mean expression — the codebook is
+    # bit-reproducible across partitionings and engines, which is what
+    # makes the ADC shortlist (a rank cutoff over float sums) oracle-able.
     vecs = emb.withColumn(
         "nrm", l2_norm(F.col("embedding").cast("array<double>"))
     )
@@ -645,23 +680,34 @@ def pq_topk_cosine(
             F.expr(f"d div {sub}").alias("m"),
             (F.col("d") % sub).alias("sd"),
             F.expr(f"codes[d div {sub}]").alias("code"),
-            (F.col("val") / F.col("nrm")).alias("uval"),
+            F.floor(
+                (F.col("val").cast("double") / F.col("nrm")) * F.lit(1e12)
+            ).cast("decimal(38,0)").alias("qv"),
         )
         .groupBy("m", "code", "sd")
-        .agg(F.avg("uval").alias("c"))
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     refined = np.array(books)
     for r in seg_vals:
-        refined[r["m"], r["code"], r["sd"]] = r["c"]
+        refined[r["m"], r["code"], r["sd"]] = float(r["s"]) / r["cnt"] / 1e12
     assigned = emb.mapInPandas(encoder(sc.broadcast(refined)), schema=schema)
 
     q = _query_vector(emb)
-    q_arr = np.array(q, np.float64)
-    q_arr /= np.linalg.norm(q_arr)
-    lut = np.stack(
-        [refined[m] @ q_arr[m * sub : (m + 1) * sub] for m in range(PQ_M)]
-    )  # (M, K)
+    # fold-exact unit query + LEFT-TO-RIGHT LUT dots: the ADC scores are
+    # sums of LUT entries, so every entry must be bit-identical to the
+    # oracle's list_dot_product fold (M×K 8-dim dots — driver-side, tiny)
+    qnrm_acc = 0.0
+    for x in q:
+        qnrm_acc += x * x
+    q_unit = [x / math.sqrt(qnrm_acc) for x in q]
+    lut = np.empty((PQ_M, PQ_K))
+    for m in range(PQ_M):
+        for kk in range(PQ_K):
+            acc = 0.0
+            for d in range(sub):
+                acc += refined[m, kk, d] * q_unit[m * sub + d]
+            lut[m, kk] = acc
 
     def adc(bc):
         def score(batches):
@@ -787,9 +833,13 @@ def semantic_dedup(
     Sub-bucketing engages only above the cap, so results are bit-identical
     to the unbounded plan for every cell ≤ cap.
 
-    Output: (vec_id, cell, kept, max_dup_cosine) — rows-only (cell
-    boundaries come from float matmuls over a trained codebook);
-    ``semantic_dedup_contracts`` pins the invariants for the driver.
+    Output: (vec_id, cell, kept, max_dup_cosine). FULL exact oracle since
+    round 14 (was rows-only): the fixed-point Lloyd update made the cell
+    assignment bit-reproducible, and the pairwise test is HOF arithmetic —
+    the oracle expresses the no-sub-bucketing regime (every cell ≤
+    ``max_cell_size``), which the registry wrapper asserts loudly (the
+    ``stream_near_dup`` single-batch-guard pattern);
+    ``semantic_dedup_contracts`` remains the invariant twin.
     """
     from ..cachereg import persist_scoped
 
@@ -1214,8 +1264,11 @@ ORACLES["ann_cosine_lsh"] = f"""
 #: the SQL fold — an argmax/argsort can flip only when two cells tie
 #: within ~1 ulp, vanishing for real embeddings; three-scale parity is
 #: pinned in tests/test_similarity.py and the driver harness.
-_IVF_TOPK_ORACLE = f"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+#: shared CTE chain reproducing _ivf_train_assign bit-for-bit: seeds →
+#: first-pass assignment → fixed-point Lloyd update → refined codebook →
+#: second-pass assignment (the trainer's returned assigned_df). Composed
+#: by the ivf_topk and semantic_dedup oracles.
+_IVF_CODEBOOK_CTES = f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                    FROM embeddings),
         n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
         su AS (SELECT vec_id AS cell, list_transform(e, x -> x / nrm) AS c
@@ -1251,15 +1304,6 @@ _IVF_TOPK_ORACLE = f"""
                  list_transform(
                    rvec, x -> x / sqrt(list_dot_product(rvec, rvec))) AS rc
           FROM rl),
-        qv AS (SELECT e, nrm, list_transform(e, x -> x / nrm) AS qu
-               FROM n WHERE vec_id = {QUERY_VEC_ID}),
-        probe AS (
-          SELECT cell FROM (
-            SELECT r.cell,
-                   row_number() OVER (
-                     ORDER BY list_dot_product(r.rc, q.qu) DESC,
-                              r.cell) AS rn
-            FROM refined r CROSS JOIN qv q) WHERE rn <= {IVF_PROBES}),
         -- the trainer RE-ASSIGNS against the refined codebook (the
         -- returned assigned_df is the second pass; the seed-centroid
         -- first pass above only feeds the Lloyd update)
@@ -1271,7 +1315,19 @@ _IVF_TOPK_ORACLE = f"""
                      ORDER BY list_dot_product(
                        list_transform(nn.e, x -> x / nn.nrm), r.rc) DESC,
                        r.cell) AS rn
-            FROM n nn CROSS JOIN refined r) WHERE rn = 1)
+            FROM n nn CROSS JOIN refined r) WHERE rn = 1)"""
+
+_IVF_TOPK_ORACLE = f"""
+        WITH {_IVF_CODEBOOK_CTES},
+        qv AS (SELECT e, nrm, list_transform(e, x -> x / nrm) AS qu
+               FROM n WHERE vec_id = {QUERY_VEC_ID}),
+        probe AS (
+          SELECT cell FROM (
+            SELECT r.cell,
+                   row_number() OVER (
+                     ORDER BY list_dot_product(r.rc, q.qu) DESC,
+                              r.cell) AS rn
+            FROM refined r CROSS JOIN qv q) WHERE rn <= {IVF_PROBES})
         SELECT vec_id, cell, cosine FROM (
           SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
                  list_dot_product(nn.e, q.e) / (nn.nrm * q.nrm) AS cosine
@@ -1289,6 +1345,130 @@ ORACLES["ivf_topk_cosine"] = _IVF_TOPK_ORACLE
 # parquet table and prunes partitions at probe time — results are defined
 # to be identical, so it shares the exact oracle
 ORACLES["ivf_topk_indexed"] = _IVF_TOPK_ORACLE
+
+#: FULL exact oracle for ``pq_topk_cosine`` (round 14, completing the
+#: codebook-tier conversions): same recipe as _IVF_TOPK_ORACLE — seeds =
+#: first PQ_K unit vectors sliced per subspace, pass-1 encode feeds the
+#: fixed-point Lloyd update, pass-2 encode + a bit-exact ADC LUT (the
+#: Spark side computes the LUT with driver-side left-to-right folds, so
+#: every LUT entry equals DuckDB's list_dot_product) produce approx
+#: scores whose 8-term sum is order-pinned (a0+a1+…+a7 both sides); the
+#: rank-``PQ_CANDIDATES`` shortlist is therefore identical, and the
+#: final re-rank is the exact HOF cosine. No boundary rounding. The
+#: remaining ulp caveat is the same argmax class as IVF: the BLAS
+#: encoder can flip a code only when two codebook entries tie within
+#: ~1 ulp for a vector.
+#: FULL exact oracle for ``semantic_dedup`` (round 14 — the last codebook
+#: raw): cells come from the shared bit-reproducible codebook CTEs, the
+#: within-cell pair test is HOF arithmetic (bit-exact both engines), and
+#: kept/max_dup_cosine follow by a lower-id max-aggregate. REGIME: the SQL
+#: expresses the no-sub-bucketing plan (n_sub = 1 for every cell), exact
+#: whenever no cell exceeds MAX_CELL_SIZE — the registry wrapper asserts
+#: that loudly (the stream_near_dup single-batch-guard pattern), so a
+#: corpus that would engage the hot-cell bound turns the entry red rather
+#: than silently diverging.
+ORACLES["semantic_dedup"] = f"""
+        WITH {_IVF_CODEBOOK_CTES},
+        pairs AS (
+          SELECT a.vec_id,
+                 list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cosine
+          FROM assign2 a
+          JOIN assign2 b ON a.cell = b.cell AND b.vec_id < a.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b.vec_id),
+        dup_best AS (
+          SELECT vec_id, max(cosine) AS max_dup_cosine
+          FROM pairs WHERE cosine >= {EMBED_NEAR_DUP_THRESHOLD}
+          GROUP BY vec_id)
+        SELECT a2.vec_id, CAST(a2.cell AS INT) AS cell,
+               (d.max_dup_cosine IS NULL) AS kept, d.max_dup_cosine
+        FROM assign2 a2
+        LEFT JOIN dup_best d ON d.vec_id = a2.vec_id
+    """
+
+ORACLES["pq_topk_cosine"] = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS vu FROM n),
+        m_idx AS (SELECT unnest(range({PQ_M})) AS m),
+        books0 AS (
+          SELECT m.m, u.vec_id AS code,
+                 u.vu[m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}] AS c
+          FROM u CROSS JOIN m_idx m WHERE u.vec_id < {PQ_K}),
+        enc1 AS (
+          SELECT vec_id, m, code FROM (
+            SELECT uu.vec_id, b.m, b.code,
+                   row_number() OVER (
+                     PARTITION BY uu.vec_id, b.m
+                     ORDER BY list_dot_product(
+                         uu.vu[b.m * {PQ_SUB} + 1 : b.m * {PQ_SUB} + {PQ_SUB}],
+                         b.c) - 0.5 * list_dot_product(b.c, b.c) DESC,
+                       b.code) AS rn
+            FROM u uu CROSS JOIN books0 b) WHERE rn = 1),
+        segs AS (
+          SELECT e1.m, e1.code,
+                 u2.vu[e1.m * {PQ_SUB} + 1 : e1.m * {PQ_SUB} + {PQ_SUB}] AS seg
+          FROM enc1 e1 JOIN u u2 USING (vec_id)),
+        comps AS (
+          SELECT m, code,
+                 CAST(generate_subscripts(seg, 1) - 1 AS INT) AS sd,
+                 CAST(floor(unnest(seg) * 1e12) AS HUGEINT) AS qv
+          FROM segs),
+        upd AS (SELECT m, code, sd,
+                       CAST(sum(qv) AS DOUBLE) / count(*) / 1e12 AS cval
+                FROM comps GROUP BY m, code, sd),
+        grid AS (SELECT m, code,
+                        CAST(generate_subscripts(c, 1) - 1 AS INT) AS sd,
+                        unnest(c) AS sv
+                 FROM books0),
+        raw1 AS (SELECT g.m, g.code, g.sd, COALESCE(u3.cval, g.sv) AS bv
+                 FROM grid g
+                 LEFT JOIN upd u3
+                   ON u3.m = g.m AND u3.code = g.code AND u3.sd = g.sd),
+        books1 AS (SELECT m, code, list(bv ORDER BY sd) AS c
+                   FROM raw1 GROUP BY m, code),
+        enc2 AS (
+          SELECT vec_id, m, code FROM (
+            SELECT uu.vec_id, b.m, b.code,
+                   row_number() OVER (
+                     PARTITION BY uu.vec_id, b.m
+                     ORDER BY list_dot_product(
+                         uu.vu[b.m * {PQ_SUB} + 1 : b.m * {PQ_SUB} + {PQ_SUB}],
+                         b.c) - 0.5 * list_dot_product(b.c, b.c) DESC,
+                       b.code) AS rn
+            FROM u uu CROSS JOIN books1 b) WHERE rn = 1),
+        qq AS (SELECT e, nrm, list_transform(e, x -> x / nrm) AS qu
+               FROM n WHERE vec_id = {QUERY_VEC_ID}),
+        lut AS (SELECT b.m, b.code,
+                       list_dot_product(
+                         b.c,
+                         q.qu[b.m * {PQ_SUB} + 1 : b.m * {PQ_SUB} + {PQ_SUB}]
+                       ) AS lv
+                FROM books1 b CROSS JOIN qq q),
+        adc AS (
+          SELECT e2.vec_id,
+                 max(CASE WHEN e2.m = 0 THEN l.lv END) AS a0,
+                 max(CASE WHEN e2.m = 1 THEN l.lv END) AS a1,
+                 max(CASE WHEN e2.m = 2 THEN l.lv END) AS a2,
+                 max(CASE WHEN e2.m = 3 THEN l.lv END) AS a3,
+                 max(CASE WHEN e2.m = 4 THEN l.lv END) AS a4,
+                 max(CASE WHEN e2.m = 5 THEN l.lv END) AS a5,
+                 max(CASE WHEN e2.m = 6 THEN l.lv END) AS a6,
+                 max(CASE WHEN e2.m = 7 THEN l.lv END) AS a7
+          FROM enc2 e2 JOIN lut l ON l.m = e2.m AND l.code = e2.code
+          GROUP BY e2.vec_id),
+        short AS (
+          SELECT vec_id, a0 + a1 + a2 + a3 + a4 + a5 + a6 + a7 AS approx
+          FROM adc WHERE vec_id <> {QUERY_VEC_ID}
+          ORDER BY approx DESC, vec_id LIMIT {PQ_CANDIDATES})
+        SELECT vec_id, cosine FROM (
+          SELECT s.vec_id,
+                 list_dot_product(nn.e, q.e) / (nn.nrm * q.nrm) AS cosine
+          FROM short s JOIN n nn USING (vec_id) CROSS JOIN qq q)
+        ORDER BY cosine DESC, vec_id
+        LIMIT {TOP_K}
+    """
 
 
 def ann_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:

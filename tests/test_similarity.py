@@ -448,3 +448,17 @@ def test_ivf_codebook_partition_order_invariant(spark, sf_dir):
     # result may not depend on it
     _, refined_b = _ivf_train_assign(spark, sf_dir, IVF_CELLS)
     assert np.array_equal(refined_a, refined_b)
+
+
+def test_pq_shortlist_partition_order_invariant(spark, sf_dir):
+    """PQ twin of the IVF codebook-invariance pin: two trainings in the
+    same session must produce the identical top-k (the ADC shortlist is a
+    rank cutoff over float sums, so this holds only because the fixed-point
+    update + fold-exact LUT make the scores bit-reproducible)."""
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        pq_topk_cosine,
+    )
+
+    a = [(r["vec_id"], r["cosine"]) for r in pq_topk_cosine(spark, sf_dir).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in pq_topk_cosine(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
