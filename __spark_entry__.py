@@ -236,20 +236,7 @@ def _semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     The guard asserts that loudly (the stream_near_dup single-batch
     pattern): a corpus that would engage the hot-cell bound turns this
     entry red instead of silently diverging from the oracle."""
-    from pyspark.sql import functions as F
-
-    out = similarity.semantic_dedup(spark, sf_dir)
-    biggest = (
-        out.groupBy("cell").count().agg(F.max("count")).first()[0]
-    )
-    if biggest is not None and biggest > similarity.MAX_CELL_SIZE:
-        raise AssertionError(
-            f"oracle-bearing semantic_dedup saw a cell of {biggest} > "
-            f"MAX_CELL_SIZE={similarity.MAX_CELL_SIZE}: the hot-cell "
-            "sub-bucketing would engage and the no-sub-bucketing oracle "
-            "no longer applies — see ORACLES['semantic_dedup']"
-        )
-    return out
+    return similarity.semantic_dedup(spark, sf_dir, assert_no_subbuckets=True)
 
 
 def _stream_media_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -806,6 +806,7 @@ def semantic_dedup(
     n_cells: int = IVF_CELLS,
     tau: float = EMBED_NEAR_DUP_THRESHOLD,
     max_cell_size: int = MAX_CELL_SIZE,
+    assert_no_subbuckets: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     arXiv 2303.09540): coarse-cluster the embedding space, then drop any
@@ -858,6 +859,20 @@ def semantic_dedup(
     # per-cell counts: n_cells scalar rows, broadcast back onto the rows
     # to derive each row's sub-bucket count/assignment
     counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    if assert_no_subbuckets:
+        # oracle-regime guard (round 14): the FULL value oracle expresses
+        # the n_sub = 1 plan, exact only while no cell exceeds the cap.
+        # Checked over the persisted `base`, so the action just
+        # materializes a cache every downstream consumer reuses anyway.
+        hot = counts.filter(F.col("cell_n") > max_cell_size).collect()
+        if hot:
+            raise AssertionError(
+                f"oracle-bearing semantic_dedup saw cells over "
+                f"max_cell_size={max_cell_size}: "
+                f"{[(r['cell'], r['cell_n']) for r in hot]} — the hot-cell "
+                "sub-bucketing would engage and the no-sub-bucketing "
+                "oracle no longer applies (see ORACLES['semantic_dedup'])"
+            )
     v = (
         base.join(F.broadcast(counts), "cell")
         .withColumn(

@@ -462,3 +462,18 @@ def test_pq_shortlist_partition_order_invariant(spark, sf_dir):
     a = [(r["vec_id"], r["cosine"]) for r in pq_topk_cosine(spark, sf_dir).collect()]
     b = [(r["vec_id"], r["cosine"]) for r in pq_topk_cosine(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_guard_fires_on_hot_cells(spark, sf_dir):
+    """The oracle-regime guard must refuse loudly when a cell exceeds the
+    cap (here: cap forced below the corpus's largest cell)."""
+    import pytest as _pytest
+
+    from pulsar_topic_deduplicator_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    with _pytest.raises(AssertionError, match="sub-bucketing"):
+        semantic_dedup(
+            spark, sf_dir, max_cell_size=1, assert_no_subbuckets=True
+        ).collect()
