@@ -70,11 +70,10 @@ def test_every_oracle_has_a_query():
 #: so it carries a FULL value oracle now — VERDICT r12 item 6.)
 ROWS_ONLY_RAW = frozenset(
     {
-        "ivf_topk_cosine",
-        "ivf_topk_indexed",
-        "pq_topk_cosine",
-        "ann_cosine_lsh",
-        "semantic_dedup",
+        # the ONE remaining rows-only raw (round 14): cross-engine GK
+        # sketch internals; its exact p50 twin is oracle-checked. The
+        # ann/ivf/pq/semantic codebook tier left the raw set in round 14
+        # (fixed-point Lloyd updates → bit-reproducible codebooks).
         "approx_quantiles_value",
     }
 )
@@ -82,15 +81,14 @@ ROWS_ONLY_RAW = frozenset(
 #: single source of truth for the registry size — BASELINE.md / SURVEY §8
 #: must quote these numbers (VERDICT r10 item 4: the docs drifted once)
 EXPECTED_QUERIES = 275
-EXPECTED_ORACLES = 269
+EXPECTED_ORACLES = 274
 
 
 def test_oracle_less_entries_are_exactly_the_documented_raw_set():
-    """Every queries() entry must carry an oracle UNLESS it is one of the
-    seven documented rows-only RAW entries (no oracle BY DESIGN; contract
-    twins carry the value checks). In round 11 the raw set deliberately
-    sits INSIDE the ~50-entry window for one rotation (VERDICT r10 item
-    7); this tripwire still catches any ACCIDENTAL oracle-less entry."""
+    """Every queries() entry must carry an oracle UNLESS it is in the
+    documented rows-only RAW set (no oracle BY DESIGN; contract twins
+    carry the value checks) — one entry since round 14. This tripwire
+    catches any ACCIDENTAL oracle-less entry."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
