@@ -88,6 +88,15 @@ OPS = [
     # corpora are word-re-keyed so cross-replica pairs cannot appear and
     # the bucket join must stay linear in the corpus
     "stream_near_dup",            # streaming MinHash/LSH first-wins filter
+    # round-14: the codebook tier left the rows-only raw set (fixed-point
+    # Lloyd updates). Embeddings now replicate ×10 with IDENTICAL vectors
+    # under fresh vec_ids — for semantic_dedup that is a deliberately
+    # dup-heavy stress (every replica pair collides at cosine 1.0 within
+    # its cell; the hot-cell sub-bucket bound is allowed to engage, so
+    # the shim calls the operator WITHOUT the oracle-regime guard), and
+    # for IVF it scales the scan/assign path under a fixed codebook.
+    "semantic_dedup",             # SemDeDup within-cell pairwise + codebook
+    "ivf_topk_cosine",            # IVF train/assign + pruned probe
 ]
 
 REPLICAS = 10
@@ -96,7 +105,9 @@ _KEY_STRIDE = 10_000_000_000  # far above any sf0.1 key
 
 def build_100x(spark, workdir: str) -> str:
     out = os.path.join(workdir, "sf1_synth")
-    marker = os.path.join(out, "_BUILT")
+    # marker renamed round 14 (embeddings replication added) so stale
+    # workdirs rebuild instead of serving the old unreplicated table
+    marker = os.path.join(out, "_BUILT_r14")
     if os.path.exists(marker):
         print(f"reusing synthetic 100x at {out}")
         return out
@@ -162,8 +173,21 @@ def build_100x(spark, workdir: str) -> str:
         ]
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    for dim in ["region", "nation", "customer", "supplier", "part",
-                "embeddings"]:
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    # identical vectors under fresh ids: a dup-heavy corpus for the
+    # semantic tier (the workload it exists for); seeds (vec_id < 16) and
+    # the query vector (vec_id 0) stay unique to replica 0, so the
+    # codebook is FIXED while the corpus grows — the deployment shape
+    _union(
+        [
+            emb.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * _KEY_STRIDE)
+            )
+            for r in range(REPLICAS)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    for dim in ["region", "nation", "customer", "supplier", "part"]:
         dst = f"{out}/{dim}.parquet"
         if not os.path.exists(dst):
             src = f"{SF01}/{dim}.parquet"
@@ -238,6 +262,15 @@ def run_tier(sf_dir: str, label: str) -> dict[str, float]:
             finally:
                 shutil.rmtree(nd_work, ignore_errors=True)
             df = None
+        elif name == "semantic_dedup":
+            # direct call WITHOUT the oracle-regime guard: at the dup-heavy
+            # synthetic 100× the hot-cell sub-bucket bound is allowed (and
+            # expected) to engage — that is the behavior being measured
+            from pulsar_topic_deduplicator_spark.operators.similarity import (
+                semantic_dedup,
+            )
+
+            df = semantic_dedup(spark, sf_dir)
         else:
             df = qs[name](spark, sf_dir)
         if df is not None:
