@@ -65,8 +65,9 @@ def _topk_indices(sims, k: int):
     the full-row argsort's O(width·log width), which MEASURED as the
     dominant cost of the blockwise kernel (3.9 s vs ~0.02 s for the
     2000×2000 sims matrix at sf0.1 on this container). Ties at full
-    double precision remain engine-arbitrary — the documented rows-only
-    boundary of every BLAS-backed kNN entry (identity is pinned only
+    double precision remain engine-arbitrary — the documented ulp
+    boundary of every BLAS-backed kNN entry (their registry entries
+    round to 6 dp at the harness boundary; identity is pinned only
     where the top-2 gap exceeds ulp noise, see tests)."""
     import numpy as np
 
@@ -265,8 +266,9 @@ def knn_topk_blockwise(
     ``knn_topk_tiled``, the both-sides-distributed variant, for that
     regime.
 
-    Rows-only in the oracle (numpy's pairwise summation differs from
-    sequential sums in the last ulp); agreement with the exact
+    Oracle-hashed at the 6-dp harness boundary (numpy's pairwise
+    summation differs from sequential sums in the last ulp — see
+    _KNN_TOP1_ROUNDED_ORACLE); agreement with the exact
     ``knn_self_join_top1`` on neighbor identity is pinned in
     tests/test_similarity.py."""
     import numpy as np
@@ -320,7 +322,8 @@ def knn_topk_tiled(
 
     Communication is O(N·(Q+C)) vector transfers — choose Q=C≈√(cluster
     parallelism) so each cogroup's tile fits executor memory; no single node
-    ever holds more than N/C catalog rows. Rows-only (BLAS sums); neighbor
+    ever holds more than N/C catalog rows. Oracle-hashed at the 6-dp
+    harness boundary (BLAS sums — see _KNN_TOP1_ROUNDED_ORACLE); neighbor
     identity vs ``knn_self_join_top1`` is pinned in tests."""
     import numpy as np
     import pandas as pd
