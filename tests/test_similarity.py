@@ -443,10 +443,17 @@ def test_ivf_codebook_partition_order_invariant(spark, sf_dir):
     )
 
     _, refined_a = _ivf_train_assign(spark, sf_dir, IVF_CELLS)
-    # second run in the same session: the shuffle layout of the update agg
-    # differs per plan instance; with the decimal fixed-point sum the
-    # result may not depend on it
-    _, refined_b = _ivf_train_assign(spark, sf_dir, IVF_CELLS)
+    # second run under a DIFFERENT shuffle width: forces a different
+    # partial-aggregation layout of the update agg — a double F.avg would
+    # fold partial sums in a different order; the decimal fixed-point sum
+    # must not care
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        _, refined_b = _ivf_train_assign(spark, sf_dir, IVF_CELLS)
+    finally:
+        spark.conf.set(key, old)
     assert np.array_equal(refined_a, refined_b)
 
 
