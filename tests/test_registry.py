@@ -105,3 +105,16 @@ def test_registry_counts_match_the_documented_ledger():
     assert len(qs) == EXPECTED_QUERIES, len(qs)
     assert len(os_) == EXPECTED_ORACLES, len(os_)
     assert len(qs) - len(os_) == len(ROWS_ONLY_RAW)
+
+
+def test_driver_window_is_fully_oracle_bearing():
+    """The verify driver value-checks the FIRST ~50 queries() entries per
+    round; a rows-only raw drifting into the window would burn a checked
+    slot on a weaker rows-only check. Pin: every window entry carries an
+    oracle (raws live beyond the window, beside their contract twins)."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    window = list(qs)[:50]
+    missing = [k for k in window if k not in os_]
+    assert not missing, f"driver-window entries without an oracle: {missing}"
