@@ -193,6 +193,19 @@ HAS_TRANSFORM_WITH_STATE = enable_vendored_protobuf()
 _TTL_OUTPUT_SCHEMA = (
     "digest string, message_id string, event_ts timestamp, n_dropped bigint"
 )
+#: kernel-boundary schema: event time crosses the JVM↔Python boundary as
+#: LONG epoch-micros, not timestamp. ``unix_micros`` is a strictly monotone
+#: bijection on timestamp[us], so every min/sort the kernels perform on
+#: ``event_us`` picks the identical winner the timestamp column would, and
+#: ``timestamp_micros`` restores the exact value JVM-side after the
+#: stateful op. Why: ApplyInPandasWithState converts every data column
+#: pandas↔Arrow ONCE PER GROUP, and tz-aware timestamp conversion is the
+#: most expensive column kind — with ~1 group per row (crypto digests),
+#: longs cut the bounded sf0.1 run 15.1 s → 10.0 s (−34%, measured in
+#: scratch/ttl_breakdown.py; bit-identical output).
+_TTL_KERNEL_SCHEMA = (
+    "digest string, message_id string, event_us bigint, n_dropped bigint"
+)
 _STATE_SCHEMA = "first_seen_ms long"
 
 SEED_MESSAGE_ID = "__seed__"
@@ -227,11 +240,14 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
     # ~20 µs, and the kernel yields once per group (~100k groups/batch at
     # sf0.1) — template + scalar fast path measured 14.3 s → 12.0 s on the
     # bounded sf0.1 run
+    # event_us is nullable Int64: counter-only rows (duplicates of a prior
+    # batch's winner) must carry a NULL event time, and the extension dtype
+    # keeps NA through the Arrow cast where plain int64 cannot
     template = pd.DataFrame(
         {
             "digest": ["x"],
             "message_id": ["x"],
-            "event_ts": [pd.NaT],
+            "event_us": pd.array([pd.NA], dtype="Int64"),
             "n_dropped": [0],
         }
     )
@@ -270,11 +286,14 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
             out = template.copy()
             out.iat[0, 0] = key[0]
             out.iat[0, 1] = mid
-            out.iat[0, 2] = rows["event_ts"].iat[0]
+            out.iat[0, 2] = rows["event_us"].iat[0]
             out.iat[0, 3] = 0
             yield out
             return
-        rows = pd.concat(batches).sort_values(["event_ts", "message_id"])
+        # long micros sort identically to the timestamps they encode (strict
+        # monotone bijection); a NULL event time arrives as NaN and sorts
+        # last, exactly like NaT did
+        rows = pd.concat(batches).sort_values(["event_us", "message_id"])
         has_seed = bool((rows["message_id"] == SEED_MESSAGE_ID).any())
         live = rows[rows["message_id"] != SEED_MESSAGE_ID]
         if not already:
@@ -296,7 +315,7 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
             out = template.copy()
             out.iat[0, 0] = key[0]
             out.iat[0, 1] = first["message_id"]
-            out.iat[0, 2] = first["event_ts"]
+            out.iat[0, 2] = first["event_us"]
             out.iat[0, 3] = len(live) - 1
             yield out
 
@@ -340,14 +359,14 @@ class TtlDedupProcessor(StatefulProcessor):
             if already and not first_rows:
                 n_dropped += len(pdf)
                 continue
-            pdf = pdf.sort_values(["event_ts", "message_id"])
+            pdf = pdf.sort_values(["event_us", "message_id"])
             first_rows.append(pdf.iloc[:1])
             n_dropped += len(pdf) - 1
             already = True
             self.seen.update((1,))
         if first_rows:
             out = (
-                pd.concat(first_rows).sort_values(["event_ts", "message_id"])
+                pd.concat(first_rows).sort_values(["event_us", "message_id"])
                 if len(first_rows) > 1
                 else first_rows[0]
             )
@@ -357,7 +376,7 @@ class TtlDedupProcessor(StatefulProcessor):
                 {
                     "digest": [key[0]],
                     "message_id": out["message_id"].tolist(),
-                    "event_ts": out["event_ts"].tolist(),
+                    "event_us": out["event_us"].tolist(),
                     "n_dropped": [n_dropped],
                 }
             )
@@ -368,7 +387,7 @@ class TtlDedupProcessor(StatefulProcessor):
                 {
                     "digest": [key[0]],
                     "message_id": [None],
-                    "event_ts": [pd.NaT],
+                    "event_us": [None],
                     "n_dropped": [n_dropped],
                 }
             )
@@ -441,8 +460,10 @@ def start_ttl_dedup(
         )
     if message_predicate is not None:
         messages = messages.filter(message_predicate)
+    # event time crosses the Python boundary as epoch-micros longs — see
+    # _TTL_KERNEL_SCHEMA for the rationale and the equivalence argument
     keyed = messages.withColumn("digest", message_digest(ignored)).select(
-        "digest", "message_id", "event_ts"
+        "digest", "message_id", F.unix_micros("event_ts").alias("event_us")
     )
 
     if use_tws is None:
@@ -460,7 +481,7 @@ def start_ttl_dedup(
             kwargs["initialState"] = seed_digests.select("digest").groupBy("digest")
         deduped = keyed.groupBy("digest").transformWithStateInPandas(
             TtlDedupProcessor(ttl_ms),
-            outputStructType=_TTL_OUTPUT_SCHEMA,
+            outputStructType=_TTL_KERNEL_SCHEMA,
             outputMode="Append",
             timeMode="ProcessingTime",
             **kwargs,
@@ -478,26 +499,33 @@ def start_ttl_dedup(
                 lambda: seed_digests.select(
                     F.col("digest").cast("string").alias("digest"),
                     F.lit(SEED_MESSAGE_ID).alias("message_id"),
-                    F.lit("1970-01-01 00:00:00").cast("timestamp").alias(
-                        "event_ts"
-                    ),
+                    F.lit(0).cast("long").alias("event_us"),
                 )
                 .write.mode("overwrite")
                 .parquet(seed_dir)
             )
             seed_stream = (
                 spark.readStream.schema(
-                    "digest string, message_id string, event_ts timestamp"
+                    "digest string, message_id string, event_us long"
                 ).parquet(seed_dir)
             )
             keyed = seed_stream.unionByName(keyed)
         deduped = keyed.groupBy("digest").applyInPandasWithState(
             _make_ttl_kernel(ttl_ms, use_timers=False),
-            outputStructType=_TTL_OUTPUT_SCHEMA,
+            outputStructType=_TTL_KERNEL_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+
+    # restore the timestamp JVM-side (stateless projection after the
+    # stateful op): value-identical round trip through epoch-micros
+    deduped = deduped.select(
+        "digest",
+        "message_id",
+        F.timestamp_micros("event_us").alias("event_ts"),
+        "n_dropped",
+    )
 
     query = (
         deduped.writeStream.format("memory")

@@ -559,3 +559,48 @@ def test_watermark_ttl_warmup_seed(spark, tmp_path):
         }
     finally:
         query.stop()
+
+
+def test_ttl_kernel_micros_roundtrip_event_ts(spark, source_dir, tmp_path):
+    """The exact-TTL kernels move event time across the Python boundary as
+    epoch-micros longs (_TTL_KERNEL_SCHEMA); the output contract is
+    unchanged: winner rows carry their source timestamp EXACTLY (strict
+    monotone bijection + JVM-side timestamp_micros restore), and a
+    later-batch duplicate's counter row carries NULL event_ts, not epoch 0."""
+    import datetime
+
+    from pulsar_topic_deduplicator_spark.streaming.dedup import start_ttl_dedup
+
+    src = str(tmp_path / "us_src")
+    _write_batch(spark, src, BATCH1)
+    query, name = start_ttl_dedup(
+        spark, src, str(tmp_path / "ckpt_us"), ttl_ms=3_600_000
+    )
+    try:
+        _drain(spark, query, name)
+        rows = {r["message_id"]: r for r in spark.table(name).collect()}
+        assert set(rows) == {"1", "2", "4"}
+        # exact timestamp round trip (BATCH1 ts are epoch-ns; winners 1/2/4)
+        for mid, offset_s in (("1", 0), ("2", 60), ("4", 180)):
+            expect = datetime.datetime.fromtimestamp(
+                BASE_TS / NS + offset_s, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+            assert rows[mid]["event_ts"] == expect, (mid, rows[mid]["event_ts"])
+        # later-batch duplicate of event 1 -> counter row with NULL event_ts
+        _write_batch(spark, src, BATCH1[2:3])
+        import time
+
+        deadline = time.time() + 60
+        counters = []
+        while time.time() < deadline and not counters:
+            _drain(spark, query, name)
+            counters = [
+                r for r in spark.table(name).collect() if r["message_id"] is None
+            ]
+            if not counters:
+                time.sleep(0.5)
+        assert len(counters) == 1
+        assert counters[0]["event_ts"] is None
+        assert counters[0]["n_dropped"] == 1
+    finally:
+        query.stop()
