@@ -56,22 +56,59 @@ TOP_K = 20
 BROADCAST_NODES_MAX = 1_000_000
 
 
+def _interaction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (custkey, suppkey) integer pairs from orders ⋈ lineitem.
+
+    The distinct runs on the two BIGINT keys — the string node ids are a
+    bijection of them ('c'||k / 's'||k), so distinct-on-ints ≡
+    distinct-on-strings while the exchange moves 16 fixed bytes per row
+    instead of two variable-length strings (guide §2.3: narrower types,
+    project before the exchange)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
 def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer↔supplier pairs from orders ⋈ lineitem, emitted in
     BOTH directions (undirected graph ⇒ every node has out-degree ≥ 1 —
-    no dangling-mass special case)."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    no dangling-mass special case). String node ids ('c12', 's3') — used
+    where the node id's STRING ordering is semantic (lp_communities label
+    ties); the numeric tier uses ``_interaction_edges_long``."""
+    pairs = _interaction_pairs(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("c")).alias("c"),
+        F.concat(F.lit("s"), F.col("s")).alias("s"),
     )
     fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     return fwd.unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def _interaction_edges_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same graph, LONG node ids: customer k → 2k (even, ≥ 0), supplier
+    k → −(2k+1) (negative) — collision-free for ALL k ≥ 0 (this corpus
+    includes key 0, so a plain ±k encoding would merge c0 and s0). Every
+    iteration shuffle then hashes/compares an 8-byte long instead of a
+    string (guide §2.3); ``_node_str`` restores the exact string id at the
+    output boundary — entries decode BEFORE any string-tie-ordered top-k,
+    so results are bit-identical to the string pipeline."""
+    pairs = _interaction_pairs(spark, sf_dir).select(
+        (2 * F.col("c")).cast("long").alias("c"),
+        (-(2 * F.col("s") + 1)).cast("long").alias("s"),
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    return fwd.unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def _node_str(col: F.Column) -> F.Column:
+    """Decode a signed-long node id back to its exact string form
+    (customers are even ≥ 0: 'c'||n/2; suppliers odd < 0: 's'||(−n)div 2)."""
+    return F.when(col >= 0, F.concat(F.lit("c"), F.shiftright(col, 1))).otherwise(
+        F.concat(F.lit("s"), F.shiftright(-col, 1))
+    )
 
 
 def pagerank_fixed_point(
@@ -143,9 +180,15 @@ def pagerank_fixed_point(
         if at_boundary:
             new_pr = new_pr.localCheckpoint(eager=True)
         if stop_when_stable and (at_boundary or not checkpoint_every):
+            # both rank frames are node-sized (≤ BROADCAST_NODES_MAX when
+            # the broadcast path is on) — broadcast the old side so the
+            # equality probe is exchange-free (guide §2.4)
+            old_side = pr.alias("p")
+            if broadcast_ranks:
+                old_side = F.broadcast(old_side)
             changed = (
                 new_pr.alias("n")
-                .join(pr.alias("p"), F.col("n.node") == F.col("p.node"))
+                .join(old_side, F.col("n.node") == F.col("p.node"))
                 .filter(F.col("n.pr") != F.col("p.pr"))
                 .limit(1)
                 .count()
@@ -174,8 +217,14 @@ def pagerank_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: top-20 nodes of the interaction graph by fixed-point
     PageRank (exact integers ⇒ deterministic ranking incl. ties, oracle
     replays the identical 3 iterations)."""
-    pr = pagerank_fixed_point(_interaction_edges(spark, sf_dir))
-    return pr.orderBy(F.desc("pr"), "node").limit(TOP_K)
+    pr = pagerank_fixed_point(_interaction_edges_long(spark, sf_dir))
+    # decode long ids BEFORE the top-k: rank ties break on the STRING id,
+    # exactly as the oracle orders
+    return (
+        pr.select(_node_str(F.col("node")).alias("node"), "pr")
+        .orderBy(F.desc("pr"), "node")
+        .limit(TOP_K)
+    )
 
 
 def pagerank_converged_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,12 +234,16 @@ def pagerank_converged_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     full N_ITER_CONV chained-CTE iterations: if the loop stopped early it
     did so at a true fixed point, so both sides are bit-identical."""
     pr = pagerank_fixed_point(
-        _interaction_edges(spark, sf_dir),
+        _interaction_edges_long(spark, sf_dir),
         n_iter=N_ITER_CONV,
         checkpoint_every=CHECKPOINT_EVERY,
         stop_when_stable=True,
     )
-    return pr.orderBy(F.desc("pr"), "node").limit(TOP_K)
+    return (
+        pr.select(_node_str(F.col("node")).alias("node"), "pr")
+        .orderBy(F.desc("pr"), "node")
+        .limit(TOP_K)
+    )
 
 
 def _oracle(n_iter: int = N_ITER) -> str:
@@ -343,16 +396,16 @@ def ppr_related_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges); personalization changes one per-node constant, not the plan."""
     from ..cachereg import persist_scoped
 
-    edges = _interaction_edges(spark, sf_dir)
+    edges = _interaction_edges_long(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = persist_scoped(edges.join(deg, "src"))
     nodes = edges_deg.select("src").distinct()
     seed = (
-        nodes.filter(F.col("src").startswith("s"))
-        .agg(F.min(F.expr("CAST(substring(src, 2) AS BIGINT)")))
+        nodes.filter(F.col("src") < 0)
+        .agg(F.min(F.shiftright(-F.col("src"), 1)))
         .collect()[0][0]
     )  # scalar: smallest supplier id — deterministic, data-derived
-    seed_node = f"s{seed}"
+    seed_node = -(2 * int(seed) + 1)  # supplier k encodes as −(2k+1)
     restart = (15 * SCALE) // 100
     is_seed = F.col("node") == seed_node
     # all walk mass starts at the seed (pure random-walk-with-restart)
@@ -378,7 +431,11 @@ def ppr_related_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"({DAMP_PCT} * sum(share)) div 100")
             ).alias("pr")
         )
-    out = pr.orderBy(F.desc("pr"), "node").limit(TOP_K)
+    out = (
+        pr.select(_node_str(F.col("node")).alias("node"), "pr")
+        .orderBy(F.desc("pr"), "node")
+        .limit(TOP_K)
+    )
     out = out.localCheckpoint(eager=True)
     edges_deg.unpersist()
     return out
@@ -462,13 +519,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     src-bucketed edges, same as PageRank."""
     from ..cachereg import persist_scoped
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = persist_scoped(
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    pairs = persist_scoped(_interaction_pairs(spark, sf_dir))
 
     hub = pairs.select("c").distinct().select(
         F.col("c").alias("node"), F.lit(HITS_SCALE).cast("long").alias("h")
@@ -597,14 +648,14 @@ def bfs_hops_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed per round so the plan stays one-round-sized."""
     from ..cachereg import persist_scoped
 
-    edges = persist_scoped(_interaction_edges(spark, sf_dir))
+    edges = persist_scoped(_interaction_edges_long(spark, sf_dir))
     nodes = edges.select("src").distinct()
     seed = (
-        nodes.filter(F.col("src").startswith("s"))
-        .agg(F.min(F.expr("CAST(substring(src, 2) AS BIGINT)")))
+        nodes.filter(F.col("src") < 0)
+        .agg(F.min(F.shiftright(-F.col("src"), 1)))
         .collect()[0][0]
     )  # scalar: smallest supplier id
-    seed_node = f"s{seed}"
+    seed_node = -(2 * int(seed) + 1)  # supplier k encodes as −(2k+1)
     dist = nodes.select(
         F.col("src").alias("node"),
         F.when(F.col("src") == seed_node, F.lit(0))
@@ -629,7 +680,7 @@ def bfs_hops_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.filter(F.col("d") < BFS_INF).select(
-        "node", F.col("d").alias("hops")
+        _node_str(F.col("node")).alias("node"), F.col("d").alias("hops")
     )
 
 
@@ -700,7 +751,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     with src/dst-bucketed edges."""
     from ..cachereg import persist_scoped
 
-    edges = persist_scoped(_interaction_edges(spark, sf_dir))
+    edges = persist_scoped(_interaction_edges_long(spark, sf_dir))
 
     surv = edges
     for _ in range(KCORE_ROUNDS):
@@ -720,7 +771,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     out = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("src").alias("node"), "deg"
+        _node_str(F.col("src")).alias("node"), "deg"
     )
     edges.unpersist()
     return out
@@ -893,10 +944,17 @@ def degree_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges BROADCAST, then one scalar aggregate."""
     from pyspark.sql import Window
 
-    edges = _interaction_edges(spark, sf_dir)
+    edges = _interaction_edges_long(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # side from the sign of the long id ('c' = 2·custkey ≥ 0, 's' = −(2·suppkey+1));
+    # the within-side window tie-breaks on the LONG id instead of the
+    # string id — the pXX picks read the DEG at a rank, and every row in a
+    # same-deg tie block carries the same deg, so the emitted percentiles
+    # are identical under either tie order (see docstring)
     sided = deg.select(
-        F.substring("src", 1, 1).alias("side"), "src", "deg"
+        F.when(F.col("src") >= 0, F.lit("c")).otherwise(F.lit("s")).alias("side"),
+        "src",
+        "deg",
     )
     w = Window.partitionBy("side").orderBy("deg", "src")
     tot = Window.partitionBy("side")

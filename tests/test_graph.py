@@ -222,3 +222,34 @@ def test_kcore_cascade_on_hand_graph(spark):
         )
     assert survivors_per_round[0] == {"b", "c"}  # endpoints peeled
     assert survivors_per_round[1] == set()  # cascade empties the path
+
+
+def test_long_node_encoding_bijection(spark, sf_dir):
+    """The signed-long node encoding (customer k → 2k, supplier k → −(2k+1))
+    decoded via _node_str must reproduce EXACTLY the string edge set —
+    including key 0, which both sides of this corpus contain (a plain ±k
+    encoding would merge c0 and s0)."""
+    str_edges = {
+        (r["src"], r["dst"])
+        for r in graph._interaction_edges(spark, sf_dir).collect()
+    }
+    decoded = {
+        (r["src"], r["dst"])
+        for r in graph._interaction_edges_long(spark, sf_dir)
+        .select(
+            graph._node_str(F.col("src")).alias("src"),
+            graph._node_str(F.col("dst")).alias("dst"),
+        )
+        .collect()
+    }
+    assert decoded == str_edges
+    # the zero-key collision case, pinned synthetically
+    row = (
+        spark.range(1)
+        .select(
+            graph._node_str(F.lit(0).cast("long")).alias("c0"),
+            graph._node_str(F.lit(-1).cast("long")).alias("s0"),
+        )
+        .collect()[0]
+    )
+    assert (row["c0"], row["s0"]) == ("c0", "s0")
