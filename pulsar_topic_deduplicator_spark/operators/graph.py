@@ -834,8 +834,19 @@ def common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate frame is Σ C(deg_p, 2) — never all supplier pairs. Degrees
     join back via broadcast (the supplier domain is KB–MB). The top-k is
     a TakeOrderedAndProject with the total tie-break (common DESC,
-    s_a, s_b) — no global sort materialized."""
-    ps = (
+    s_a, s_b) — no global sort materialized.
+
+    The distinct (part, supplier) frame feeds FOUR consumers (deg,
+    part_deg, and both sides of the within-part pair join) and Catalyst
+    plans each subtree independently — the un-persisted plan re-ran the
+    lineitem scan + distinct 4-5x with zero exchange reuse (32 Exchanges,
+    plans/r14/common_neighbor_links_before.txt). One scoped persist of the
+    two-long-column frame collapses that (guide §2.4: pay a branch-point
+    materialization once instead of recomputing the subtree per consumer);
+    it is node-domain-sized, MB even at 100 TB fact scale."""
+    from ..cachereg import persist_scoped
+
+    ps = persist_scoped(
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()

@@ -34,6 +34,20 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def default_shuffle_partitions(cpus: str) -> str:
+    """Shuffle width scales with the session's cores instead of a constant
+    tuned for one box: ``local[N]`` gets N shuffle partitions (one wave per
+    shuffle stage; AQE coalescing shrinks small exchanges below that, so
+    oversizing is the only real risk locally). A cluster deployment sets
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` explicitly (rule of thumb: 2-3x
+    total executor cores, or ~largest_shuffle_bytes/128MB, whichever is
+    larger — see OPTIMIZATION_r14.md); the env override wins outright."""
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    return str(int(cpus) if cpus.isdigit() else (os.cpu_count() or 8))
+
+
 def get_spark(app_name: str = "pulsar_topic_deduplicator_spark") -> SparkSession:
     """Build (or fetch) the tuned local session.
 
@@ -42,10 +56,11 @@ def get_spark(app_name: str = "pulsar_topic_deduplicator_spark") -> SparkSession
     overhead, while AQE coalescing keeps small shuffles cheap at any scale.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = default_shuffle_partitions(cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
