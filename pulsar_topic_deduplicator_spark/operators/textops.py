@@ -1645,6 +1645,17 @@ def _bpe_train(
         ),
         F.lit(BPE_SEP),
     )
+    # The vocabulary frame is trainer STATE, tiny next to the corpus-sized
+    # word-count agg that produces it — but a persist inherits the agg's
+    # full shuffle width (cached plans get no AQE coalescing), so every
+    # merge round scheduled one map task per (mostly empty) cached
+    # partition: 32 tasks x 2 stages x R rounds of overhead for a
+    # vocab-sized readout (measured 0.25 s/round at sf0.1's 30-word
+    # vocab; same-session A/B: 32-part 1.89 s vs 1-part 1.39 s trainer).
+    # Coalesce to one vocab shard per 32 cores — scale-adaptive (grows
+    # with the cluster, where a many-GB vocab would also want sharding),
+    # never the shuffle constant (guide §2.2).
+    vocab_parts = max(1, spark.sparkContext.defaultParallelism // 32)
     base = persist_scoped(
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -1653,6 +1664,7 @@ def _bpe_train(
             (F.length("word") >= 2) & ~F.expr("contains(word, chr(31))")
         )
         .select("word", "c", wrap.alias("seg"))
+        .coalesce(vocab_parts)
     )
     # zip_with over the two shifted slices — NOT sequence(1, size-1), which
     # DESCENDS to [1, 0] for a fully-merged single-symbol word and blows up
