@@ -328,6 +328,19 @@ def main() -> None:
         # result was already consumed by the noop write.
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
+        # bounded streaming entries register their memory sinks as temp
+        # views and return spark.table(name) — the sink's full output stays
+        # referenced on the driver heap for the rest of the session. A full
+        # draw runs ~15 streaming entries x up to 3 draws, so the leaked
+        # sinks accumulate to hundreds of MB of driver-heap pressure that
+        # taxes LATER queries (same-session A/B, round 14: third-round
+        # stream_dedup 6.75 -> 5.33 s, stream_dedup_ttl 10.61 -> 8.89 s
+        # with the drop). The result was already consumed by the noop
+        # write, so dropping the views between timings is the same hygiene
+        # as the persistent-RDD drain above.
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
 
     def _draw(name: str) -> float:
         t0 = time.perf_counter()
