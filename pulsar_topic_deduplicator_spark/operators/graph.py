@@ -955,8 +955,18 @@ def degree_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges BROADCAST, then one scalar aggregate."""
     from pyspark.sql import Window
 
-    edges = _interaction_edges_long(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    from ..cachereg import persist_scoped
+
+    # edges feeds deg + the assortativity probe side, and deg feeds the
+    # percentile window + BOTH broadcast sides of that probe — without
+    # the persists Catalyst replans the orders⋈lineitem distinct per
+    # consumer (32 parquet scans in the round-14 plan capture, zero
+    # reuse; the common_neighbor_links pattern). Both frames are
+    # node/edge-domain-sized.
+    edges = persist_scoped(_interaction_edges_long(spark, sf_dir))
+    deg = persist_scoped(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
     # side from the sign of the long id ('c' = 2·custkey ≥ 0, 's' = −(2·suppkey+1));
     # the within-side window tie-breaks on the LONG id instead of the
     # string id — the pXX picks read the DEG at a rank, and every row in a
