@@ -137,36 +137,58 @@ def pagerank_fixed_point(
     and a fixed-k oracle stays exact regardless of where the loop stopped.
     The check is one count over the joined old/new ranks (scalar to the
     driver, no row traffic); with checkpointing enabled it runs only at
-    checkpoint boundaries — the new ranks are already materialized there,
-    so the check reads cached blocks instead of re-running the iteration
-    sub-DAG, and a later-than-minimal stop is still bit-identical output
-    (measured: per-iteration checks tripled the entry's wall time)."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # attach outdeg to every edge ONCE and cache: each iteration is then a
-    # single join on src (the degree lookup doesn't repeat per iteration)
-    edges_deg = edges.join(deg, "src").cache()
-    # node count and init ranks read the cache too — one source scan total
-    nodes = edges_deg.select("src").distinct()
-    n_nodes = nodes.count()  # scalar: number of nodes (every node is a src)
+    checkpoint boundaries, and a later-than-minimal stop is still
+    bit-identical output. With checkpointing on, every ITERATE is
+    materialized (node-sized frames, one cheap job each) so the probe
+    reads cached blocks on both sides — a lazy old side re-executed one
+    full iteration sub-DAG per boundary just to feed the broadcast
+    (measured 0.5-0.7 s per boundary at sf0.1, round 14). The CHECKS
+    themselves stay on the boundary cadence (per-iteration count jobs
+    tripled the entry's wall time when tried)."""
+    # one persist of the 2-long-column edge frame covers both consumers
+    # (the degree aggregate and every iteration's contrib join); the
+    # node-sized degree frame is checkpointed once so iterations, the node
+    # count and the init ranks all read materialized blocks — no distinct
+    # needed (every node is a src, so deg already has one row per node)
+    edges = edges.persist()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()  # scalar: number of nodes (every node is a src)
     init = SCALE // n_nodes
     base = (15 * init) // 100  # (1 - d) share, exact
-    pr = nodes.select(
+    pr = deg.select(
         F.col("src").alias("node"), F.lit(init).cast("long").alias("pr")
     )
+    pr_materialized = True  # derived from the checkpointed deg frame
     broadcast_ranks = n_nodes <= BROADCAST_NODES_MAX
     for i in range(n_iter):
-        # explicit aliases: pr derives from edges_deg after the first
-        # iteration, so attribute references would be ambiguous self-joins
-        p_side = pr.alias("p")
+        # per-NODE share (pr div outdeg) computed on the node-sized
+        # rank ⋈ degree join, THEN joined to the edges — the division runs
+        # once per node instead of once per edge, and the edge join
+        # carries (node, share) only (guide §2.3: move fewer bytes).
+        # Explicit aliases: pr derives from deg/edges lineage, so
+        # attribute references would be ambiguous self-joins.
+        d_side = deg.alias("d")
         if broadcast_ranks:
-            p_side = F.broadcast(p_side)
-        contrib = (
-            p_side
-            .join(edges_deg.alias("e"), F.col("p.node") == F.col("e.src"))
+            d_side = F.broadcast(d_side)
+        shares = (
+            pr.alias("p")
+            .join(d_side, F.col("p.node") == F.col("d.src"))
             .select(
-                F.col("e.dst").alias("node"),
-                F.expr("p.pr div e.outdeg").alias("share"),
+                F.col("p.node").alias("node"),
+                F.expr("p.pr div d.outdeg").alias("share"),
             )
+        )
+        s_side = shares.alias("s")
+        if broadcast_ranks:
+            s_side = F.broadcast(s_side)
+        contrib = (
+            edges.alias("e")
+            .join(s_side, F.col("e.src") == F.col("s.node"))
+            .select(F.col("e.dst").alias("node"), F.col("s.share"))
         )
         new_pr = contrib.groupBy("node").agg(
             (
@@ -177,8 +199,13 @@ def pagerank_fixed_point(
         at_boundary = bool(
             checkpoint_every and (i + 1) % checkpoint_every == 0
         )
-        if at_boundary:
+        new_materialized = False
+        if at_boundary or (stop_when_stable and checkpoint_every):
+            # under stop_when_stable every iterate is materialized (not
+            # just boundaries) so the NEXT boundary's probe reads cached
+            # blocks on BOTH sides — see the docstring
             new_pr = new_pr.localCheckpoint(eager=True)
+            new_materialized = True
         if stop_when_stable and (at_boundary or not checkpoint_every):
             # both rank frames are node-sized (≤ BROADCAST_NODES_MAX when
             # the broadcast path is on) — broadcast the old side so the
@@ -194,15 +221,16 @@ def pagerank_fixed_point(
                 .count()
             )
             if changed == 0:
-                pr = new_pr
+                pr, pr_materialized = new_pr, new_materialized
                 break
-        pr = new_pr
+        pr, pr_materialized = new_pr, new_materialized
     # materialize the final (small: one row per node) rank frame, then
     # release the edge cache — the long-lived verify/bench session must not
     # accumulate per-query cached relations (executor-heap pressure showed
     # up as 3x timing swings in long runs; see BASELINE.md round-5 note)
-    pr = pr.localCheckpoint(eager=True)
-    edges_deg.unpersist()
+    if not pr_materialized:
+        pr = pr.localCheckpoint(eager=True)
+    edges.unpersist()
     return pr
 
 
@@ -642,14 +670,19 @@ def bfs_hops_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer relaxation: each round is
     ``dist' = least(dist, min over in-neighbors (dist + 1))`` with an INF
     sentinel for unreached — min/least over BIGINTs, bit-identical on any
-    partitioning, replayed exactly by the unrolled CTE oracle. Per round:
-    one join of the node-sized distance frame against cached edges + one
-    min-agg (the PageRank step with min instead of sum), distance frame
-    checkpointed per round so the plan stays one-round-sized."""
+    partitioning, replayed exactly by the unrolled CTE oracle. Per round
+    ONE min-agg over {dist(v)} ∪ {dist(u)+1 : u→v} — the self term rides
+    the aggregate as node-sized union rows, which is algebraically
+    identical to the oracle's join-then-least shape (dist ≤ INF always,
+    so least(d, least(INF, m)) = least(INF, min(d, m))) but removes the
+    per-round dist⋈nbr join (guide §2.4: one exchange, not two — measured
+    −10% at sf0.1, round 14). Distance frame checkpointed per round so
+    the plan stays one-round-sized; the node frame is checkpointed once
+    so the seed probe and the init ranks don't re-run the distinct."""
     from ..cachereg import persist_scoped
 
     edges = persist_scoped(_interaction_edges_long(spark, sf_dir))
-    nodes = edges.select("src").distinct()
+    nodes = edges.select("src").distinct().localCheckpoint(eager=True)
     seed = (
         nodes.filter(F.col("src") < 0)
         .agg(F.min(F.shiftright(-F.col("src"), 1)))
@@ -664,19 +697,19 @@ def bfs_hops_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
     )
     for _ in range(BFS_ROUNDS):
-        nbr = (
+        contrib = (
             F.broadcast(dist.alias("p"))
             .join(edges.alias("e"), F.col("p.node") == F.col("e.src"))
-            .groupBy(F.col("e.dst").alias("node"))
-            .agg(
-                F.least(
-                    F.lit(BFS_INF).cast("long"), F.min(F.col("p.d") + 1)
-                ).alias("nd")
-            )
+            .select(F.col("e.dst").alias("node"), (F.col("p.d") + 1).alias("c"))
         )
         dist = (
-            dist.join(nbr, "node")
-            .select("node", F.least("d", "nd").alias("d"))
+            contrib.unionByName(dist.select("node", F.col("d").alias("c")))
+            .groupBy("node")
+            .agg(
+                F.least(
+                    F.lit(BFS_INF).cast("long"), F.min(F.col("c"))
+                ).alias("d")
+            )
             .localCheckpoint(eager=True)
         )
     return dist.filter(F.col("d") < BFS_INF).select(
@@ -745,10 +778,15 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All-integer, order-free (degree counts + threshold filters), so the
     unrolled CTE oracle replays the identical rounds. Scale shape: per
-    round one degree aggregate + two semi-joins of the (shrinking) edge
-    frame against the broadcast survivor set; edges checkpoint per round
-    so the plan stays one-round-sized — the same peel a 100 TB graph runs
-    with src/dst-bucketed edges."""
+    round one degree aggregate + two semi-joins against the broadcast
+    survivor set. Because survivor sets shrink MONOTONICALLY (a node
+    absent from S_{r-1} has no surviving src edges, so it cannot re-enter
+    S_r), round r's edge frame equals the ORIGINAL edges semi-filtered by
+    S_r on both sides — so only the node-sized keep frame is ever
+    materialized, and the per-round eager checkpoint of the full edge
+    frame (3 × ~1.2M-row materializations at sf0.1; round-14 measurement)
+    is gone. Each round re-reads the one persisted edge frame instead —
+    the same peel a 100 TB graph runs with src/dst-bucketed edges."""
     from ..cachereg import persist_scoped
 
     edges = persist_scoped(_interaction_edges_long(spark, sf_dir))
@@ -761,17 +799,18 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
             .localCheckpoint(eager=True)
         )
-        surv = (
-            surv.join(F.broadcast(keep), "src", "semi")
-            .join(
-                F.broadcast(keep.select(F.col("src").alias("dst"))),
-                "dst",
-                "semi",
-            )
-            .localCheckpoint(eager=True)
+        # lazy: the persisted ORIGINAL edges filtered by the CUMULATIVE
+        # survivor set (valid because S_r ⊆ S_{r-1}, see docstring)
+        surv = edges.join(F.broadcast(keep), "src", "semi").join(
+            F.broadcast(keep.select(F.col("src").alias("dst"))),
+            "dst",
+            "semi",
         )
-    out = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
-        _node_str(F.col("src")).alias("node"), "deg"
+    out = (
+        surv.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(_node_str(F.col("src")).alias("node"), "deg")
+        .localCheckpoint(eager=True)
     )
     edges.unpersist()
     return out

@@ -322,6 +322,124 @@ def _make_ttl_kernel(ttl_ms: int, use_timers: bool = False):
     return kernel
 
 
+#: sharded-ObliviousSet state: the bucket's {digest → first_seen_ms} map as
+#: two parallel arrays (GroupState rows cannot hold a MapType directly)
+_BUCKET_STATE_SCHEMA = "digests array<string>, first_seen_ms array<long>"
+
+
+def _ttl_bucket_count(spark: SparkSession) -> int:
+    """Bucket count for the sharded GroupState kernel — scale-adaptive
+    (guide §2.2): 8 buckets per core keeps every state-store partition
+    busy with amortized-size groups locally; a cluster overrides with
+    ``SPARK_GRAFT_TTL_BUCKETS`` (rule of thumb: enough buckets that one
+    bucket's live digest map stays comfortably inside a task, i.e.
+    ≥ total_live_digests × ~100 B / ~64 MB)."""
+    import os
+
+    explicit = os.environ.get("SPARK_GRAFT_TTL_BUCKETS")
+    if explicit:
+        return max(1, int(explicit))
+    return max(64, spark.sparkContext.defaultParallelism * 8)
+
+
+def _make_bucketed_ttl_kernel(ttl_ms: int):
+    """Sharded-ObliviousSet GroupState kernel: keyed by a HASH BUCKET of
+    the digest instead of the digest itself, with the bucket's
+    {digest: first_seen_ms} map as state.
+
+    Per-digest semantics are EXACTLY ``_make_ttl_kernel``'s (first-wins by
+    (event_us, message_id), TTL from insertion on the processing-time
+    clock, duplicates never extend the TTL, seeds insert silently,
+    counter-only rows for duplicates of a prior winner) — the per-digest
+    decisions below are a vectorized transcription, and the emitted row
+    SET is invariant to the bucket count (pinned in
+    tests/test_round14_opt.py against a replay of the per-digest rules).
+    What changes is the cost model: ApplyInPandasWithState pays a fixed
+    ~100 µs per GROUP (Arrow↔pandas conversion + kernel invocation +
+    state round trip), and crypto digests give ~1 group per row — 100k
+    invocations per batch at sf0.1. Bucketing pays that fixed cost per
+    BUCKET (guide §4: fewer, larger Python calls) while the per-digest
+    work inside is numpy/pandas over the whole bucket.
+
+    State GC note (mirrors ``_make_ttl_kernel``'s timer note): this
+    runner uses NoTimeout, so expired entries stay in the map exactly as
+    the per-digest kernel kept expired groups; a long-running production
+    query would register a per-bucket timer and purge expired digests
+    from the map when it fires."""
+
+    def kernel(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:  # NoTimeout in this runner; guard for reuse
+            state.remove()
+            return
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        now_ms = state.getCurrentProcessingTimeMs()
+        smap: dict = {}
+        if state.exists:
+            ds, fs = state.get
+            smap = dict(zip(ds, fs))
+        rows = pd.concat(batches) if len(batches) > 1 else batches[0]
+        seed_mask = rows["message_id"].to_numpy() == SEED_MESSAGE_ID
+        seeds = set(rows["digest"].to_numpy()[seed_mask])
+        live = rows[~seed_mask] if seed_mask.any() else rows
+        out_digest: list = []
+        out_mid: list = []
+        out_us: list = []
+        out_nd: list = []
+        touched: dict = {}  # digests whose first_seen stamps to now_ms
+        if len(live):
+            # identical winner pick to the per-digest kernel: long micros
+            # sort identically to the timestamps they encode, NaN (null
+            # event time) sorts last, message_id breaks ties
+            live = live.sort_values(["digest", "event_us", "message_id"])
+            dvals = live["digest"].to_numpy()
+            uniq, starts, counts = np.unique(
+                dvals, return_index=True, return_counts=True
+            )
+            mids = live["message_id"].to_numpy()
+            uss = live["event_us"].to_numpy()
+            for d, i0, n_live in zip(uniq, starts, counts):
+                prior = smap.get(d)
+                already = prior is not None and (now_ms - prior) < ttl_ms
+                if not already:
+                    touched[d] = now_ms
+                if already or d in seeds:
+                    out_digest.append(d)
+                    out_mid.append(None)
+                    out_us.append(None)
+                    out_nd.append(int(n_live))
+                else:
+                    v = uss[i0]
+                    out_digest.append(d)
+                    out_mid.append(mids[i0])
+                    out_us.append(None if pd.isna(v) else int(v))
+                    out_nd.append(int(n_live) - 1)
+        for d in seeds:
+            if d in touched:
+                continue  # already stamped via its live rows
+            prior = smap.get(d)
+            if prior is None or (now_ms - prior) >= ttl_ms:
+                touched[d] = now_ms
+        if touched:
+            smap.update(touched)
+            state.update((list(smap.keys()), list(smap.values())))
+        if out_digest:
+            yield pd.DataFrame(
+                {
+                    "digest": out_digest,
+                    "message_id": out_mid,
+                    # nullable Int64: counter rows carry NULL event time
+                    "event_us": pd.array(out_us, dtype="Int64"),
+                    "n_dropped": out_nd,
+                }
+            )
+
+    return kernel
+
+
 class TtlDedupProcessor(StatefulProcessor):
     """Per-digest first-wins filter with TTL'd value state — the exact
     semantics of the reference's ObliviousSet (``src/deduplication.ts:76``,
@@ -510,12 +628,24 @@ def start_ttl_dedup(
                 ).parquet(seed_dir)
             )
             keyed = seed_stream.unionByName(keyed)
-        deduped = keyed.groupBy("digest").applyInPandasWithState(
-            _make_ttl_kernel(ttl_ms, use_timers=False),
-            outputStructType=_TTL_KERNEL_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        # sharded ObliviousSet (see _make_bucketed_ttl_kernel): group by a
+        # hash bucket of the digest so the per-group Python fixed cost is
+        # paid per bucket, not per crypto-unique digest. xxhash64 is
+        # deterministic, so every digest lands in the same bucket across
+        # batches and restarts and per-digest state is preserved.
+        n_buckets = _ttl_bucket_count(spark)
+        deduped = (
+            keyed.withColumn(
+                "bucket", F.pmod(F.xxhash64("digest"), F.lit(n_buckets))
+            )
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                _make_bucketed_ttl_kernel(ttl_ms),
+                outputStructType=_TTL_KERNEL_SCHEMA,
+                stateStructType=_BUCKET_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
 
     # restore the timestamp JVM-side (stateless projection after the
