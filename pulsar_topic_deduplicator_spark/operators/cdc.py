@@ -320,8 +320,13 @@ def snapshot_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.expr("bit_xor(fp)").alias("x")
         )
 
-    lv_l = _leaves(base)
-    lv_r = _leaves(remote)
+    # persist both leaf-summary frames (round 15, guide §2.4): each side
+    # feeds TWO consumers (the top-level rollup and the pruned leaf
+    # comparison), and a lazy frame re-runs its corpus-sized aggregate per
+    # consumer — 4 leaf aggregations instead of 2. The frames are
+    # MERKLE_LEAVES-sized (KBs) at any corpus scale.
+    lv_l = persist_scoped(_leaves(base))
+    lv_r = persist_scoped(_leaves(remote))
     top_div = MERKLE_LEAVES // MERKLE_TOPS
 
     def _tops(lv: DataFrame) -> DataFrame:

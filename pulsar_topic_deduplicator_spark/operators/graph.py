@@ -149,8 +149,14 @@ def pagerank_fixed_point(
     # (the degree aggregate and every iteration's contrib join); the
     # node-sized degree frame is checkpointed once so iterations, the node
     # count and the init ranks all read materialized blocks — no distinct
-    # needed (every node is a src, so deg already has one row per node)
-    edges = edges.persist()
+    # needed (every node is a src, so deg already has one row per node).
+    # Cache ownership (ADVICE r14): persist/unpersist only frames THIS
+    # function persisted — a caller handing in an already-persisted edges
+    # frame (e.g. via persist_scoped) keeps its cache across the call.
+    lvl = edges.storageLevel
+    owns_edge_cache = not (lvl.useMemory or lvl.useDisk)
+    if owns_edge_cache:
+        edges = edges.persist()
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
@@ -230,7 +236,8 @@ def pagerank_fixed_point(
     # up as 3x timing swings in long runs; see BASELINE.md round-5 note)
     if not pr_materialized:
         pr = pr.localCheckpoint(eager=True)
-    edges.unpersist()
+    if owns_edge_cache:
+        edges.unpersist()
     return pr
 
 

@@ -256,12 +256,21 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_s)``. Completeness (n_nulls), distinctness, and range land in one
     report a pipeline publishes per ingest batch.
 
-    Plan: ONE scan; the multi-column ``count(DISTINCT ...)`` family runs
-    as Catalyst's Expand (column-count× row inflation map-side, partial
-    aggs — the standard multi-distinct shape), everything else rides the
-    same aggregate; output is a single row exploded to O(columns) rows —
-    scalar-sized at any corpus scale. n_distinct excludes nulls on both
-    engines (SQL count-distinct semantics)."""
+    Plan (round 15, guide §1/§2.4): TWO hash-aggregate passes over the
+    scan instead of one combined aggregate. Putting the six
+    ``count(DISTINCT ...)`` next to the plain min/max/null-count family
+    in ONE ``agg`` makes Catalyst plan a FOUR-level SortAggregate chain
+    over the Expand output — a full 7-key sort of the column-count×
+    inflated rows (measured 3.8-5.9 s at sf0.1, vs 0.45 s + 0.9 s for
+    the two families run separately, which stay hash-aggregated). The
+    split runs the plain family (no Expand at all) and the distinct-only
+    family (Expand + two-level hash distinct) as separate single-row
+    aggregates and cross-joins the two 1-row results — identical
+    aggregate values by construction (same functions over the same
+    input), ~2.5× faster, and the Expand now carries only the six
+    profiled columns. Output is the single row exploded to O(columns)
+    rows — scalar-sized at any corpus scale. n_distinct excludes nulls
+    on both engines (SQL count-distinct semantics)."""
     from pyspark.sql import functions as F
 
     from ..sources.io import load_table
@@ -283,15 +292,16 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderpriority",
     )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    plain_aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
-        aggs += [
+        plain_aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
-    one = o.agg(*aggs)
+    dist_aggs = [F.countDistinct(c).alias(f"nd_{c}") for c in _PROFILE_COLS]
+    # both sides are single-row frames; the cross join is a 1×1 attach
+    one = o.agg(*plain_aggs).crossJoin(o.agg(*dist_aggs))
     metrics = F.array(
         *[
             F.struct(

@@ -482,19 +482,20 @@ def connected_components_lss(edges: DataFrame, max_rounds: int = 20) -> DataFram
     for _ in range(max_rounds):
         s = sym(E)
         m = min_nbr(s)
-        large = (
+        # one join, not two (round 15, guide §2.4): the large-star branch
+        # (v > u → (v, m)) and the small-star re-hang (v < u → (v, m))
+        # project the IDENTICAL columns from the same s ⋈ m join with
+        # complementary filters, so their union is exactly that join
+        # filtered to v != u — the previous two-branch union planned (and
+        # ran) the join subtree once per branch, doubling every round's
+        # join work for a bag-identical pre-distinct edge set.
+        hang = (
             s.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        )
-        kept_small = (
-            s.join(m, "u")
-            .filter(F.col("v") < F.col("u"))
+            .filter(F.col("v") != F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
         E = (
-            large.union(kept_small)
-            .union(m.filter(F.col("u") != F.col("m")).select(
+            hang.union(m.filter(F.col("u") != F.col("m")).select(
                 F.col("u").alias("a"), F.col("m").alias("b")
             ))
             .filter(F.col("a") != F.col("b"))

@@ -191,13 +191,17 @@ def supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    raw = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            F.col("l_suppkey").alias("supp"),
-        )
-        .distinct()
+    # NO distinct on the (cust, supp) pairs (round 15, guide §2.4): the
+    # sketch below is min(h) per (supp, bucket) and h/bucket are pure
+    # functions of cust, so duplicate pairs contribute duplicate h values
+    # that cannot change any min — the distinct's corpus-sized exchange
+    # (the query's single most expensive stage, 1.2 s of 3.9 at sf0.1)
+    # buys nothing the min-agg's map-side partial aggregation doesn't
+    # already do. (cf_similar_suppliers keeps ITS distinct: its fanout
+    # counts are per-pair, not min-folded.)
+    raw = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_suppkey").alias("supp"),
     )
     hashes = raw.select(
         "supp", stable_uint60(F.col("cust").cast("string")).alias("h")
@@ -226,7 +230,11 @@ def supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_eq"))
     )
-    est = (
+    # persist: `sym` below references est TWICE (one projection per pair
+    # direction) and a lazy est re-plans the whole collision self-join +
+    # aggregate + two broadcast joins per branch (round 15, guide §2.4 —
+    # branch-point materialization; est is collision-pair-sized, KBs)
+    est = persist_scoped(
         eq.join(
             F.broadcast(
                 ksz.select(F.col("supp").alias("sa"), F.col("k").alias("ka"))

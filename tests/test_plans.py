@@ -502,8 +502,14 @@ def test_near_dup_paragraphs_no_nlj_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     # the span shingle kernel (MapInPandas) is the one sanctioned Python
-    # stage since round 14; scalar/row UDF nodes stay forbidden
+    # stage since round 14; scalar/row UDF nodes stay forbidden, and the
+    # NODE-count pin catches any unintended EXTRA Python stage (ADVICE
+    # r14; formatted explain repeats a node's name in its detail and
+    # argument lines, so count `(n) MapInPandas` headers, not substrings)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
@@ -521,6 +527,12 @@ def test_dedup_docs_incremental_no_nlj_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exactly the one sanctioned shingle kernel NODE, no unintended extras
+    # (ADVICE r14; node headers counted, not substrings — see
+    # test_near_dup_paragraphs_no_nlj_no_python)
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
 
 
 def test_duplicate_substring_spans_zero_joins_jvm_only(spark, sf_dir):
