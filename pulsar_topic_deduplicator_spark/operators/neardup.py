@@ -77,11 +77,22 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     - docs with NULL text or < SHINGLE_N words contribute nothing (the
       CASE-guarded empty array explode'd to no rows before).
 
-    Per-doc map, zero shuffle — the plan shape (one MapInPandas over the
-    scan) is the same stage the expression tree occupied. Exact multiset
-    parity vs the expression formulation is pinned in
-    tests/test_round14_opt.py."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    Per-doc map — one MapInPandas over the scan, SPREAD to session
+    parallelism first when the scan is narrower than the core count
+    (round 15, ``spread_narrow_scan``): the corpus file is one input
+    split at bench scale, which pinned the kernel AND everything
+    downstream of the persisted frame to one core (jaccard's verify
+    expansion measured core-insensitive at the 10× probe; 95.6 → 22.3 s
+    spread). At real corpus scale the scan has ≥ core partitions and the
+    shape stays zero-shuffle. Exact multiset parity vs the expression
+    formulation is pinned in tests/test_round14_opt.py; partition-layout
+    invariance of the multiset is trivially preserved (per-row kernel)."""
+    from ..sources.io import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     return docs.mapInPandas(_shingle_hash_kernel(), schema="doc_id long, h long")
 
 
@@ -1542,9 +1553,15 @@ def planted_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", kept).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(variants)
-    # same shared Arrow shingle kernel as _shingle_hashes (round 14)
+    # same shared Arrow shingle kernel as _shingle_hashes (round 14);
+    # spread like it too — the union of two one-split scans is 2
+    # partitions (round 15, see spread_narrow_scan)
+    from ..sources.io import spread_narrow_scan
+
     sh = persist_scoped(
-        corpus.mapInPandas(_shingle_hash_kernel(), schema="doc_id long, h long")
+        spread_narrow_scan(corpus, "doc_id").mapInPandas(
+            _shingle_hash_kernel(), schema="doc_id long, h long"
+        )
     )
     cands = _near_dup_candidates(_signature_wide_from(sh))
     planted = orig.select(

@@ -192,9 +192,18 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-8-digest-bytes-big-endian >> 4 (60 bits, always positive), and
     Python/Spark/DuckDB all slice strings by code points (guide §4: the
     Python boundary is WORTH paying when the JVM alternative is
-    interpreted expression eval, and the exchange-free plan shape is
-    unchanged — tests/test_plans.py::test_winnow_zero_shuffle)."""
+    interpreted expression eval).
+
+    Round 15: the scan is SPREAD to session parallelism when it is
+    narrower than the core count (``spread_narrow_scan``) — the corpus
+    file is one input split at bench scale, so the whole kernel ran on
+    one core; at real corpus scale the scan already has ≥ core
+    partitions and the shape stays exchange-free
+    (tests/test_plans.py::test_winnow_zero_shuffle pins ≤ 1 exchange and
+    that any exchange is the pre-kernel spread, not a data shuffle)."""
     import pandas as pd
+
+    from ..sources.io import spread_narrow_scan
 
     docs = load_table(spark, sf_dir, "documents")
     k, w = K_GRAM, WINNOW_WINDOW
@@ -242,7 +251,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread_narrow_scan(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         kernel, schema="doc_id bigint, fp bigint"
     )
 

